@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Latest-version-wins replica semantics: the Spark-native equivalent of
+  * ClickHouse `ReplacingMergeTree(_ver)` + `_deleted` soft deletes — the
+  * single most load-bearing semantic of the reference
+  * (readme.md:89-91, tables/test.yaml:10-13).
+  *
+  * Storage is append-only (duplicates and tombstones included); reads go
+  * through [[latest]]/[[current]], which collapse each key to its
+  * highest-version row. Because the dedup is by (key, max version) it is
+  * ORDER-INDEPENDENT: at-least-once replay, multi-partition Kafka, and
+  * out-of-order batches all converge to the same table — which is what lets
+  * the Spark engine use N shuffle partitions where the reference was pinned
+  * to 1 Kafka partition per topic for ordering.
+  *
+  * Scale notes:
+  *  - [[latest]] uses a hash aggregation (`max_by`) rather than a window
+  *    `row_number()`: one shuffle on the key with map-side partial
+  *    aggregation, no per-partition full sort, and no skew from a single
+  *    giant window partition. At 100 TB this is the difference between a
+  *    streaming agg and a spilling sort.
+  *  - Ties on the version are broken by the tie-break columns so results
+  *    are deterministic under replay (duplicate (key, _ver) rows collapse
+  *    to one winner).
+  */
+object ReplicaTable {
+
+  /** Collapse `df` to one row per key: the row with the maximal
+    * (version, tieBreak...) tuple. Equivalent to ClickHouse `FINAL` on a
+    * `ReplacingMergeTree(ver)`.
+    */
+  def latest(df: DataFrame, keys: Seq[String], ver: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ordering = struct((ver +: tieBreak).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordering).as("_row"))
+      .select(df.columns.map(c => col(s"_row.$c")): _*)
+  }
+
+  /** Read view: latest version per key, tombstones dropped — what a
+    * ClickHouse reader sees after `OPTIMIZE FINAL` + `WHERE _deleted = 0`.
+    */
+  def current(
+      df: DataFrame,
+      keys: Seq[String],
+      ver: String = "_ver",
+      deleted: String = "_deleted",
+      tieBreak: Seq[String] = Nil): DataFrame =
+    latest(df, keys, ver, tieBreak).filter(col(deleted) === 0)
+
+  /** Merge a change batch into a base snapshot. Both sides append-union and
+    * collapse; idempotent (replaying `changes` is a no-op) — the engine's
+    * version of the reference's at-least-once + idempotent-sink contract
+    * (SURVEY §2.10). Used by the streaming foreachBatch sink.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      ver: String = "_ver",
+      tieBreak: Seq[String] = Nil): DataFrame =
+    latest(base.unionByName(changes), keys, ver, tieBreak)
+
+  /** Register `current` as a temp view so `spark.sql` users transparently
+    * get ReplacingMergeTree-FINAL semantics (SURVEY §4 custom-work item 1).
+    */
+  def registerView(
+      df: DataFrame,
+      viewName: String,
+      keys: Seq[String],
+      ver: String = "_ver",
+      deleted: String = "_deleted"): Unit =
+    current(df, keys, ver, deleted).createOrReplaceTempView(viewName)
+}

@@ -1,0 +1,439 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query layer over the replicated tables: joins, aggregation,
+  * windows, set ops, top-k — the query surface the reference delegates to
+  * ClickHouse after replication (SURVEY §2.7-2.8). TPC-H-shaped over the
+  * driver fixtures.
+  *
+  * Oracle-parity convention: every floating aggregate is summed as
+  * DECIMAL(18,s) and cast back to double. Decimal addition is exact and
+  * order-independent, so Spark's partial-aggregation order vs DuckDB's
+  * cannot produce last-ULP hash mismatches. Per-row products stay double
+  * (both engines evaluate the identical IEEE expression).
+  *
+  * Scale notes (100 TB):
+  *  - dimension joins (region/nation/supplier/part at these shapes) are
+  *    broadcast explicitly; fact-fact joins shuffle on the join key and
+  *    rely on AQE for skew/coalescing.
+  *  - aggregates are declared on the grouped frame (map-side partial agg);
+  *    no windows where a hash agg suffices; top-k via orderBy+limit
+  *    compiles to TakeOrderedAndProject (no full sort materialization).
+  *  - filters/projections are plain Catalyst predicates; they push to the
+  *    parquet scan (verified via .explain PushedFilters).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** TPC-H Q1 shape: pricing summary on lineitem. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = revenue * (lit(1.0) + col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue, 4).as("sum_disc_price"),
+        dsum(charge, 6).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: shipping-priority top 10. Fact-fact joins shuffle on
+    * the order key; customer side is small relative to facts but scales
+    * with SF, so AQE decides broadcast vs shuffle at runtime.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 shape: order-priority count via EXISTS (left-semi join). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-06-01')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 shape: revenue by nation within one region. nation/region are
+    * tiny, fixed-cardinality dimensions -> explicit broadcast (at 100 TB
+    * these stay < 1 KB; broadcasting removes two shuffles).
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 shape: forecast revenue change — pure scan+filter+agg; the
+    * whole query should collapse to one stage with pushed filters.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin
+
+  /** Top-k customers by lifetime order value (TakeOrderedAndProject). */
+  def q7TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .join(cust, col("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(15)
+  }
+
+  val q7Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spent DESC, c_custkey
+      |LIMIT 15""".stripMargin
+
+  /** Revenue by order-year and nation (join + date part extraction). */
+  def q8YearlyNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_year"), col("n_name"))
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY o_year, n_name""".stripMargin
+
+  /** Window function: top-3 orders per customer by value. */
+  def q9WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** ROLLUP aggregation: revenue by region/nation hierarchy. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q10Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Set operation: BUILDING-segment customers who never placed a
+    * high-value order (EXCEPT = left-anti after distinct).
+    */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = ord.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    building.except(bigSpenders).orderBy(col("custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY custkey""".stripMargin
+
+  /** Anti-join: customers without orders, counted per segment. */
+  def q12AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Conditional aggregation + LIKE + distinct counts per brand. */
+  def q13PartStats(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    part.filter(col("p_brand").like("Brand#1%"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("p_size")).as("n_sizes"),
+        count(when(col("p_type") === "PROMO", 1)).as("n_promo"),
+        dsum(col("p_retailprice")).as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q13Sql: String =
+    """SELECT p_brand,
+      |  COUNT(DISTINCT p_size) AS n_sizes,
+      |  COUNT(CASE WHEN p_type = 'PROMO' THEN 1 END) AS n_promo,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part WHERE p_brand LIKE 'Brand#1%'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share (division of exact sums). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * dsum(when(col("p_type") === "PROMO", rev), 4) / dsum(rev, 4))
+          .as("promo_share"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 *
+      |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) END AS DECIMAL(18,4))) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** TPC-H Q17 shape: revenue from small-quantity lineitems relative to the
+    * per-part average (aggregate-then-join, broadcast the per-part avgs
+    * side when small; AQE handles it here).
+    */
+  def q15SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q15Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS ap_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a
+      |ON l.l_partkey = a.ap_partkey
+      |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume orders (agg + having + join back). */
+  def q16LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q16Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING total_qty > 150) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** Distinct aggregates per group. */
+  def q17DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q17Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_top_customers" -> (q7TopCustomers _),
+    "q8_yearly_nation_revenue" -> (q8YearlyNationRevenue _),
+    "q9_window_rank" -> (q9WindowRank _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_setops" -> (q11SetOps _),
+    "q12_antijoin" -> (q12AntiJoin _),
+    "q13_part_stats" -> (q13PartStats _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_small_qty_revenue" -> (q15SmallQtyRevenue _),
+    "q16_large_orders" -> (q16LargeOrders _),
+    "q17_distinct_agg" -> (q17DistinctAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_local_supplier_volume" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q7_top_customers" -> q7Sql,
+    "q8_yearly_nation_revenue" -> q8Sql,
+    "q9_window_rank" -> q9Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_setops" -> q11Sql,
+    "q12_antijoin" -> q12Sql,
+    "q13_part_stats" -> q13Sql,
+    "q14_promo_share" -> q14Sql,
+    "q15_small_qty_revenue" -> q15Sql,
+    "q16_large_orders" -> q16Sql,
+    "q17_distinct_agg" -> q17Sql)
+}

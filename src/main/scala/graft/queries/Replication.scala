@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.{ColumnSpec, TableConfig}
+import graft.operators.{Envelope, ReplicaTable, SchemaTransform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Replication-semantics queries: drive the engine's core operators
+  * (ReplacingMergeTree dedup view, schema-mapping transform, CDC envelope)
+  * over the `events` fixture so the DuckDB oracle can check them
+  * value-for-value.
+  *
+  * The `events` table doubles as a CDC log: `event_id` is the
+  * monotonically increasing version/offset (≙ WAL tick / Kafka offset),
+  * `user_id` is the document key, and `event_type = 'error'` plays the
+  * REMOVE op. This gives deterministic upsert/delete streams without
+  * synthesizing data (fixtures are read-only).
+  */
+object Replication {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** V1+V2: latest-version-wins dedup + soft-delete filter — the read view
+    * a ClickHouse user gets from `ReplacingMergeTree(_ver)` FINAL +
+    * `_deleted = 0` (SURVEY §2.5).
+    */
+  def r1ReplicaCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    ReplicaTable.current(events, keys = Seq("user_id"), ver = "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val r1Sql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** P1: config-driven schema transform — rename via ref, multi-type cast
+    * chain, JSON field extraction cast, default application, required/pk
+    * enforcement. One codegen'd select (see SchemaTransform).
+    */
+  def r2SchemaTransform(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+    val config = TableConfig(
+      name = "EventFlat",
+      columns = Seq(
+        ColumnSpec("Id", Seq("int"), ref = Some("event_id"), primaryKey = true),
+        ColumnSpec("UserId", Seq("int"), ref = Some("user_id"), required = true),
+        ColumnSpec("Kind", Seq("str"), ref = Some("event_type"), required = true),
+        ColumnSpec("K", Seq("int"), ref = Some("k_raw"), default = Some(-1L)),
+        ColumnSpec("Amount", Seq("float"), ref = Some("value")),
+        ColumnSpec("Channel", Seq("str"), ref = Some("channel"), default = Some("unknown"))))
+    SchemaTransform(events, config).valid.orderBy(col("Id"))
+  }
+
+  val r2Sql: String =
+    """SELECT event_id AS Id,
+      |  user_id AS UserId,
+      |  event_type AS Kind,
+      |  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS K,
+      |  value AS Amount,
+      |  'unknown' AS Channel
+      |FROM events
+      |ORDER BY Id""".stripMargin
+
+  /** P2+F1+F2+F3: full envelope path. Events are reshaped into WAL-style
+    * records (txn markers, removes, tombstones included), then run through
+    * op-filter, tombstone filter, tick high-pass and `_ver`/`_deleted`
+    * synthesis with an injected clock (the reference's wall-clock
+    * `%Y%j`+offset formula, loader.py:76, reproduced exactly).
+    */
+  def r3Envelope(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    // deterministic WAL shaping: signup -> txn marker (filtered), error ->
+    // REMOVE, rest -> UPSERT; every 50th click becomes a tombstone.
+    val wal = events.select(
+      col("event_id").as("offset"),
+      col("event_id").cast("string").as("tick"),
+      when(col("event_type") === "signup", lit(2200))
+        .when(col("event_type") === "error", lit(Envelope.OpRemove))
+        .otherwise(lit(Envelope.OpUpsert)).as("type"),
+      lit("c1").as("cuid"),
+      when(col("event_type") === "click" && col("event_id") % 50 === 0, lit(null))
+        .otherwise(to_json(struct(col("user_id"), col("value")))).as("data"))
+    val filtered = Envelope.opFilter(wal, collectionIds = Seq("c1"))
+    val dataSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    Envelope.preProcess(filtered, dataSchema,
+        initialTick = Some(100L),
+        clock = lit("2024-01-01").cast("timestamp"))
+      .orderBy(col("offset"))
+  }
+
+  val r3Sql: String =
+    """SELECT event_id AS "offset", user_id, value,
+      |  CAST('2024001' || CAST(event_id AS VARCHAR) AS BIGINT) AS _ver,
+      |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS _deleted
+      |FROM events
+      |WHERE event_type <> 'signup'
+      |  AND NOT (event_type = 'click' AND event_id % 50 = 0)
+      |  AND event_id >= 100
+      |ORDER BY "offset"""".stripMargin
+
+  /** Idempotent merge: re-applying a change batch on top of an already
+    * merged table is a no-op (the at-least-once + idempotent-sink contract,
+    * SURVEY §2.10). The query output is the merged state after applying the
+    * last 1000 events as a change batch TWICE — the oracle describes the
+    * once-applied state, so a hash match proves idempotence.
+    */
+  def r4IdempotentMerge(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    val base = events.filter(col("event_id") < 9000)
+    val changes = events.filter(col("event_id") >= 9000)
+    val once = ReplicaTable.applyChanges(base, changes, keys = Seq("user_id"), ver = "event_id")
+    val twice = ReplicaTable.applyChanges(once, changes, keys = Seq("user_id"), ver = "event_id")
+    twice.filter(col("_deleted") === 0)
+      .select(col("user_id"), col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val r4Sql: String =
+    """SELECT user_id, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "r1_replica_current" -> (r1ReplicaCurrent _),
+    "r2_schema_transform" -> (r2SchemaTransform _),
+    "r3_envelope" -> (r3Envelope _),
+    "r4_idempotent_merge" -> (r4IdempotentMerge _))
+
+  val oracles: Map[String, String] = Map(
+    "r1_replica_current" -> r1Sql,
+    "r2_schema_transform" -> r2Sql,
+    "r3_envelope" -> r3Sql,
+    "r4_idempotent_merge" -> r4Sql)
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: compare Verify's parquet
+dumps against DuckDB running oracle_sql.json over the same fixtures.
+Usage: python3 tools/verify_local.py [sfdir] [outdir]
+"""
+import json, sys, math
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        fails.append((name, f"spark output missing: {e}")); continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle failed: {e}")); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}")); continue
+    if len(got) != len(exp):
+        fails.append((name, f"rowcount differ: spark={len(got)} oracle={len(exp)}")); continue
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    bad = None
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            i = eq.idxmin()
+            bad = f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r} (dtype {a.dtype}/{b.dtype})"
+            break
+        if str(a.dtype) != str(b.dtype):
+            bad = bad or f"col {c} dtype differ: {a.dtype} vs {b.dtype} (values equal)"
+    if bad and "dtype differ" in bad:
+        skips.append((name, bad))
+    elif bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+for n, m in skips: print(f"WARN {n}: {m}")
+for n, m in fails: print(f"FAIL {n}: {m}")
+sys.exit(1 if fails else 0)
