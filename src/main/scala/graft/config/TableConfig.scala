@@ -51,7 +51,7 @@ final case class TableConfig(
     * SchemaTransform's validity predicate, not the storage schema).
     */
   def structType: StructType =
-    StructType(columns.map(c => StructField(c.name, CastRegistry.sparkType(c.types.head))))
+    StructType(columns.map(c => StructField(c.name, CastRegistry.sparkType(c.types.last))))
 }
 
 /** Named cast registry with ordered multi-type fallback.
@@ -113,8 +113,13 @@ object CastRegistry {
   /** Ordered multi-type fallback: first cast producing a non-null value wins
     * (reference: transformer.py:84-92 — casters tried in order until one
     * succeeds). Compiles to a `coalesce(try_cast, try_cast, ...)` chain.
+    * The column's storage type is the LAST tag's (the permissive fallback);
+    * every branch is try_cast to it so ANSI coercion cannot throw.
     */
   def chain(tags: Seq[String])(c: Column): Column =
     if (tags.size == 1) caster(tags.head)(c)
-    else coalesce(tags.map(t => caster(t)(c)): _*)
+    else {
+      val target = sparkType(tags.last)
+      coalesce(tags.map(t => caster(t)(c).try_cast(target)): _*)
+    }
 }

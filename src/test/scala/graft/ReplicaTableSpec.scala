@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.ReplicaTable
+import org.apache.spark.sql.Row
+
+/** Replica semantics: latest-version-wins dedup + soft delete (SURVEY
+  * §2.5 V1/V2), replay idempotence (test_producer.py:28-58 semantics) and
+  * order-independence (the property that lets the engine run multi-
+  * partition where the reference pinned 1 Kafka partition).
+  */
+class ReplicaTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latest version wins per key; tombstones filtered by current") {
+    val rows = Seq(
+      ("k1", 1L, "a", 0), ("k1", 3L, "c", 0), ("k1", 2L, "b", 0),
+      ("k2", 1L, "x", 0), ("k2", 2L, "x", 1), // deleted at v2
+      ("k3", 5L, "z", 0))
+      .toDF("key", "_ver", "val", "_deleted")
+    val got = ReplicaTable.current(rows, Seq("key"), "_ver").orderBy("key").collect()
+    assert(got.toSeq == Seq(Row("k1", 3L, "c", 0), Row("k3", 5L, "z", 0)))
+  }
+
+  test("applyChanges is idempotent: replaying a batch is a no-op") {
+    val base = Seq(("k1", 1L, "a", 0), ("k2", 1L, "b", 0)).toDF("key", "_ver", "val", "_deleted")
+    val batch = Seq(("k1", 2L, "a2", 0), ("k3", 1L, "c", 0)).toDF("key", "_ver", "val", "_deleted")
+    val once = ReplicaTable.applyChanges(base, batch, Seq("key"), "_ver")
+    val twice = ReplicaTable.applyChanges(once, batch, Seq("key"), "_ver")
+    assert(once.orderBy("key").collect().toSeq == twice.orderBy("key").collect().toSeq)
+  }
+
+  test("dedup is order-independent (seeded randomized property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val rows = List.fill(30)((
+        Seq("a", "b", "c", "d")(rnd.nextInt(4)),
+        (rnd.nextInt(10) + 1).toLong,
+        rnd.nextInt(100).toString,
+        rnd.nextInt(2)))
+      val df1 = rows.toDF("key", "_ver", "val", "_deleted")
+      val df2 = rnd.shuffle(rows).toDF("key", "_ver", "val", "_deleted").repartition(3)
+      val a = ReplicaTable.latest(df1, Seq("key"), "_ver", tieBreak = Seq("val", "_deleted"))
+        .orderBy("key").collect().toSeq
+      val b = ReplicaTable.latest(df2, Seq("key"), "_ver", tieBreak = Seq("val", "_deleted"))
+        .orderBy("key").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("duplicate (key, ver) rows collapse deterministically via tie-break") {
+    val rows = Seq(("k", 1L, "x", 0), ("k", 1L, "y", 0)).toDF("key", "_ver", "val", "_deleted")
+    val got = ReplicaTable.latest(rows, Seq("key"), "_ver", tieBreak = Seq("val")).collect()
+    assert(got.toSeq == Seq(Row("k", 1L, "y", 0)))
+  }
+}
