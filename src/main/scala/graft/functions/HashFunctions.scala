@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashes shared by the dedup/similarity operators.
+  *
+  * The engine needs a 64-bit hash that (a) stays inside whole-stage codegen
+  * and (b) is reproducible in external systems for cross-checking (the
+  * DuckDB oracle, or a ClickHouse reader downstream). Spark's murmur
+  * `hash()`/`xxhash64()` are Spark-private algorithms, so we derive the
+  * hash from MD5 instead: `md5NumberLower` mirrors DuckDB's
+  * `md5_number_lower` (bytes 8..15 of the digest, little-endian, as a
+  * signed 64-bit integer).
+  */
+object HashFunctions {
+
+  /** Signed 64-bit integer from bytes 8..15 (little-endian) of md5(c) —
+    * bit-compatible with DuckDB's `CAST(md5_number_lower(x) AS BIGINT)`.
+    * Pure expression: md5 + substring shuffles + conv, all codegen'd.
+    */
+  def md5NumberLower(c: Column): Column = {
+    val h = md5(c)
+    // hex chars 17..32 are bytes 8..15; little-endian = reverse byte order
+    val rev = concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*)
+    conv(rev, 16, -10).cast("long")
+  }
+
+  /** Driver-side twin of [[md5NumberLower]] for constant folding (e.g.
+    * LSH plane weights computed at plan time).
+    */
+  def md5NumberLowerLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    (0 until 8).foldLeft(0L)((acc, i) => acc | ((d(8 + i) & 0xffL) << (8 * i)))
+  }
+
+  /** Family of 64-bit hash functions indexed by seed (for MinHash):
+    * h_i(x) = md5NumberLower(i || ':' || x).
+    */
+  def seededHash(seed: Column, c: Column): Column =
+    md5NumberLower(concat(seed.cast("string"), lit(":"), c))
+
+  /** Stable document fingerprint: md5 of whitespace-normalized, lowercased
+    * text (the engine's exact-dedup key).
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+}

