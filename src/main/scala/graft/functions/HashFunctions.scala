@@ -20,10 +20,15 @@ object HashFunctions {
     * Pure expression: md5 + substring shuffles + conv, all codegen'd.
     */
   def md5NumberLower(c: Column): Column = {
-    val h = md5(c)
-    // hex chars 17..32 are bytes 8..15; little-endian = reverse byte order
-    val rev = concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*)
-    conv(rev, 16, -10).cast("long")
+    // hex chars 17..32 are bytes 8..15; parse big-endian once, then
+    // byte-swap with long ops. One md5 evaluation total — the naive
+    // "concat 8 substrings of md5(x)" form evaluates md5 EIGHT times
+    // when the expression lands inside a higher-order-function lambda
+    // (interpreted eval has no common-subexpression elimination).
+    val be = conv(substring(md5(c), 17, 16), 16, -10).cast("long")
+    (0 until 8)
+      .map(i => shiftleft(shiftrightunsigned(be, 56 - 8 * i).bitwiseAND(lit(0xffL)), 8 * i))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Driver-side twin of [[md5NumberLower]] for constant folding (e.g.

@@ -26,9 +26,13 @@ object TextFunctions {
     * wants rows.
     */
   def shingles(words: Column, k: Int): Column = {
-    val idx = sequence(lit(1), greatest(size(words) - (k - 1), lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
+    // guard: sequence(1, n) DESCENDS when n < 1, so short docs must
+    // short-circuit to an empty array instead
+    val n = size(words) - (k - 1)
+    when(n >= 1,
+      array_distinct(transform(sequence(lit(1), n), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -39,6 +39,36 @@ object Documents {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
+  /** doc_id + distinct-3-shingle array, spread across the cluster.
+    *
+    * Three deliberate physical choices (all visible in `.explain`):
+    *  - the repartition spreads the hash work: shingle/minhash
+    *    expressions are higher-order functions (interpreted, not
+    *    codegen'd), so they are compute-bound and must land on every
+    *    core, not on however few splits the file scan produced (a small
+    *    corpus arrives as ONE split);
+    *  - the short-doc filter is `size(tokens) >= 3` (equivalent to
+    *    "has a shingle") so what gets pushed below the exchange is one
+    *    split per row, not the whole shingle pipeline;
+    *  - tokens and shingles are SEPARATE aliased projections: each is
+    *    multi-referenced downstream, which stops CollapseProject from
+    *    inlining the expression into every consumer (inlining re-splits
+    *    the text per element_at — O(tokens^2) work per row).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 3)
+      // explicit partition count: AQE would coalesce a small
+      // REPARTITION_BY_COL exchange back to ONE partition (docs are far
+      // below the 64MB advisory size) and serialize the compute again
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // coalesce makes the whole tokens->shingles chain NON-NULLABLE, so
+      // downstream joins never infer isnotnull(...) constraints — those
+      // get predicate-pushed below the exchange with the full shingle
+      // pipeline inlined, re-running it serially on the scan partition
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), T.shingles(col("toks"), 3).as("shs"))
+
   /** Exact dedup over a deterministically duplicated corpus (the fixture
     * has no exact dups, so union a shifted copy — dedup then provably
     * collapses 2 copies to the min-id keeper).
@@ -129,18 +159,30 @@ object Documents {
     * below is the 100 TB path.
     */
   def d5NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(T.shingles(T.tokens(col("text")), 3)).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // |shingles| rides along as explode payload (constant per doc, so it
+    // can sit in the groupBy key) — no separate sizes table, no
+    // post-aggregation joins; the whole query is scan -> self-join ->
+    // one aggregation. Join key is a 64-bit hash of the shingle, not
+    // the string: narrower shuffle rows and cheaper equality; xxhash64
+    // is internal-only (never surfaced), collision odds over |distinct
+    // shingles| are ~n^2/2^65.
+    val base = shingled(spark, dir)
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+    val sh = base
+      // explode_outer, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, whose inferred size(...)>0 predicate
+      // gets pushed below the exchange with the WHOLE shingle pipeline
+      // inlined — re-running it serially on the pre-shuffle partition.
+      // Upstream size(tokens)>=3 already guarantees non-empty arrays.
+      .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        (col("inter") * lit(1.0) / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("da"), col("db"))
   }
@@ -159,40 +201,74 @@ object Documents {
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
 
-  /** MinHash signatures (16 md5-seeded hashes over 3-shingles). */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(T.shingles(T.tokens(col("text")), 3)).as("s"))
-    val seeds = explode(sequence(lit(0), lit(NumHashes - 1))).as("i")
-    sh.select(col("doc_id"), col("s"), seeds)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(H.seededHash(col("i"), col("s"))).as("m"))
-  }
-
-  /** MinHash + LSH near-dup detection, the scale path: constant-size
-    * signature per doc, band-bucket join for candidates (no pairwise
-    * work), then signature-overlap estimate >= 0.5. Bit-reproduced by the
-    * oracle via DuckDB's md5_number_lower.
+  /** Wide MinHash signatures: one column per seeded hash, computed as
+    * `array_min(transform(shingles, s -> h_i(s)))` — a pure projection
+    * over the shingle array. ZERO shuffles to build all 16 signature
+    * lanes (the naive layout explodes rows 16x and shuffles a groupBy);
+    * per-doc cost is 16 x |shingles| md5s inside whole-stage codegen.
+    */
+  /** MinHash + LSH near-dup detection, the scale path.
+    *
+    * Layout: the 16-lane signature is computed as ONE `aggregate` fold
+    * over the shingle array — a single traversal hashing each shingle 16
+    * times, zero shuffles to build signatures (the naive layout explodes
+    * rows 16x and shuffles a groupBy). Bands are then exploded WITH the
+    * full signature as payload, so the band-bucket self-join yields both
+    * candidates AND their signatures in one pass — the overlap estimate
+    * is a wide expression on the joined row and no second join against a
+    * signature table is needed. Shuffle inventory: repartition + band
+    * self-join + distinct + sort, each over doc-count-sized rows.
+    * Bit-reproduced by the oracle via DuckDB's md5_number_lower.
     */
   def d6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes(spark, dir)
-    // order within band must be deterministic: sort the i:m pairs
-    val bandSig = mh
-      .withColumn("band", (col("i") / lit(BandSize)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(array_sort(collect_list(
-        concat(lpad(col("i").cast("string"), 2, "0"), lit(":"), col("m").cast("string")))), ",").as("sig"))
-    val cand = bandSig.as("x").join(bandSig.as("y"),
+    // 16 signature lanes via explode + ONE groupBy(doc_id) carrying 16
+    // min() columns. This is deliberately row-level, not array-lambda,
+    // work: HashAggregate update expressions are whole-stage-codegen'd
+    // WITH common-subexpression elimination (1 md5 per row per lane),
+    // whereas higher-order-function lambdas evaluate interpreted with
+    // no CSE. And because `shingled` already hash-partitioned by
+    // doc_id, this aggregate needs NO additional exchange.
+    // the 16 seeded hashes are Project columns (whole-stage codegen with
+    // common-subexpression elimination — exactly 16 md5s per shingle);
+    // the aggregate then only takes min() of attributes, keeping its
+    // generated update code tiny (no 64KB-method fallback risk)
+    val sh = shingled(spark, dir)
+      // explode_outer, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, whose inferred size(...)>0 predicate
+      // gets pushed below the exchange with the WHOLE shingle pipeline
+      // inlined — re-running it serially on the pre-shuffle partition.
+      // Upstream size(tokens)>=3 already guarantees non-empty arrays.
+      .select(col("doc_id"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => H.seededHash(lit(i), col("s")).as(s"h$i")): _*)
+    val mh = sh.groupBy(col("doc_id")).agg(
+      min(col("h0")).as("m0"),
+      (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    // band signature = "ii:m,ii:m,..." with i ascending — lpad keeps the
+    // lexicographic layout of the row-wise formulation / oracle
+    def sigCol(b: Int): Column = concat_ws(",",
+      (b * BandSize until (b + 1) * BandSize).map(i =>
+        concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"), col(s"m$i").cast("string"))): _*)
+    // bands are exploded WITH the signature lanes as payload, so the
+    // band-bucket self-join yields candidates AND their signatures in
+    // one pass — no second join against a signature table
+    val bandSig = mh.select(col("doc_id") +:
+        explode(array((0 until NumHashes / BandSize).map(b =>
+          struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs") +:
+        (0 until NumHashes).map(i => col(s"m$i")): _*)
+      .select(col("doc_id") +: col("bs.band").as("band") +: col("bs.sig").as("sig") +:
+        (0 until NumHashes).map(i => col(s"m$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bandSig.as("x").join(bandSig.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-    val est = cand
-      .join(mh.as("ma"), col("da") === col("ma.doc_id"))
-      .join(mh.as("mb"), col("db") === col("mb.doc_id") && col("ma.i") === col("mb.i"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("ma.m") === col("mb.m"), 1).otherwise(0)) / lit(NumHashes.toDouble))
-        .as("est_jaccard"))
-    est.filter(col("est_jaccard") >= 0.5).orderBy(col("da"), col("db"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .distinct() // same pair from multiple bands has identical est
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
   }
 
   val d6Sql: String =
@@ -226,18 +302,20 @@ object Documents {
     * exactly like LSH.
     */
   def d7Simhash(spark: SparkSession, dir: String): DataFrame = {
+    // one groupBy(doc_id) with 48 partially-aggregated bit-score sums
+    // replaces the naive 48x row explode + two shuffles; the sketch OR
+    // is then a projection over the 48 score columns
     val words = docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(T.tokens(col("text")))).as("w"))
-      .withColumn("h", H.md5NumberLower(col("w")))
-    val bits = words
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(47))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("score"))
-    val sketch = bits
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("score") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-        .as("simhash"))
+      .select(col("doc_id"), explode_outer(array_distinct(T.tokens(col("text")))).as("w"))
+      .select(col("doc_id"), H.md5NumberLower(col("w")).as("h"))
+    val scores = words.groupBy(col("doc_id")).agg(
+      sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("score0"),
+      (1 until 48).map(j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"score$j")): _*)
+    val sketch = scores.select(col("doc_id"),
+      (0 until 48).map(j =>
+          when(col(s"score$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
     sketch.as("a").join(sketch.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
