@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.config.TableConfig
+import graft.operators.{Envelope, ReplicaTable, SchemaTransform}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's producer+consumer daemons re-expressed as ONE Structured
+  * Streaming query (SURVEY §3.2/§3.3): source -> envelope filters/system
+  * columns -> schema transform -> idempotent append sink, with the
+  * checkpoint directory replacing the Redis tick store and `last-tick.txt`
+  * (replication/producer/publisher.py:24-46) and micro-batches replacing
+  * the poll/insert/commit loop (replication/consumer/loader.py:89-169).
+  *
+  * Delivery contract (SURVEY §2.10): the checkpoint gives at-least-once
+  * per micro-batch; the sink is an append-only versioned table whose read
+  * view collapses to (key, max _ver) — so replays and duplicates converge
+  * to the same state, exactly the reference's at-least-once +
+  * ReplacingMergeTree idempotence, with NO dependence on partition count
+  * or arrival order (the reference had to pin 1 Kafka partition per topic;
+  * this engine can fan out).
+  *
+  * Scale notes:
+  *  - the sink appends micro-batch parquet files; nothing rewrites the
+  *    table on the hot path. Dedup cost is paid on read ([[ReplicaTable]])
+  *    or amortized via [[compact]] (the OPTIMIZE FINAL analogue, which
+  *    ClickHouse likewise runs as background merges);
+  *  - all envelope filters are Catalyst predicates evaluated source-side
+  *    (the analogue of the reference filtering BEFORE Kafka publish);
+  *  - per-collection supervision (replication/consumer/task.py) maps to
+  *    one query per table on the shared SparkSession, monitored via
+  *    `spark.streams` + a StreamingQueryListener.
+  */
+object CdcStream {
+
+  /** File-based WAL source: a directory of JSON change-log files with the
+    * envelope shape `{offset, tick, type, cuid, db, tid, data}` (data is a
+    * JSON string). This is the test/fixture transport; [[kafkaSource]] is
+    * the production one. `maxFilesPerTrigger` bounds micro-batch size (the
+    * analogue of the reference's poll `max_records`, settings.yaml:42).
+    */
+  def walFileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(sourceSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dir)
+  }
+
+  /** Envelope + offset: what either transport must deliver downstream. */
+  val sourceSchema: StructType =
+    new StructType(Envelope.walSchema.fields)
+      .add("offset", org.apache.spark.sql.types.LongType)
+
+  /** Kafka WAL source (production transport). One topic per collection,
+    * value = orjson WAL entry, key = doc _key — the reference's topology
+    * (replication/replicator/sync.py:62-67). Not exercised by tests (no
+    * broker in the environment) but the column contract matches
+    * [[walFileSource]], so the pipeline is transport-agnostic.
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // broker.py:18 auto_offset_reset
+      .load()
+      .select(from_json(col("value").cast("string"), Envelope.walSchema).as("w"), col("offset"))
+      .select(col("w.*"), col("offset"))
+
+  /** The full logical pipeline over a (streaming or batch) envelope frame:
+    * F1 op/collection filter, F2/F3 + P2 via Envelope.preProcess, then the
+    * P1 schema transform. Returns the typed change rows; transform rejects
+    * are split off inside the sink (foreachBatch) where both halves can be
+    * written.
+    */
+  def pipeline(
+      wal: DataFrame,
+      config: TableConfig,
+      payloadSchema: StructType,
+      collectionIds: Seq[String] = Nil,
+      initialTick: Option[Long] = None,
+      clock: Column = current_timestamp()): DataFrame =
+    Envelope.preProcess(
+      Envelope.opFilter(wal, collectionIds),
+      payloadSchema, initialTick, clock)
+
+  /** Start continuous replication of one collection into an append-only
+    * versioned table at `tableDir`, dead-lettering transform rejects to
+    * `<tableDir>.deadletter` (E1's DOCUMENT log as a queryable table).
+    *
+    * The observe() metrics surface per-batch offset ranges so a listener
+    * can flag WAL gaps (E2, publisher.py:140-141) without a second pass.
+    */
+  def startReplication(
+      wal: DataFrame,
+      config: TableConfig,
+      payloadSchema: StructType,
+      tableDir: String,
+      checkpointDir: String,
+      collectionIds: Seq[String] = Nil,
+      initialTick: Option[Long] = None,
+      clock: Column = current_timestamp(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val changes = pipeline(wal, config, payloadSchema, collectionIds, initialTick, clock)
+      .observe("cdc", count(lit(1)).as("rows"),
+        min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t = SchemaTransform(batch, config,
+          keep = Seq("offset", config.versionColumn, config.deletedColumn)
+            .filter(batch.columns.contains))
+        t.valid.write.mode("append").parquet(tableDir)
+        val errs = t.errors
+        if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
+        ()
+      }
+      .start()
+  }
+
+  /** Read view over the appended table: ReplacingMergeTree-FINAL +
+    * `_deleted = 0`, i.e. what a reference reader gets from ClickHouse.
+    */
+  def currentView(spark: SparkSession, tableDir: String, keys: Seq[String],
+      ver: String = "_ver", deleted: String = "_deleted"): DataFrame =
+    ReplicaTable.current(spark.read.parquet(tableDir), keys, ver, deleted)
+
+  /** OPTIMIZE FINAL analogue: rewrite the append-table down to its latest
+    * versions (tombstones kept — they still shadow older resurrecting
+    * rows on replay). Uses the atomic snapshot swap, so concurrent readers
+    * see old-or-new, never a half-written table.
+    */
+  def compact(spark: SparkSession, tableDir: String, keys: Seq[String],
+      ver: String = "_ver"): Long = {
+    val latest = ReplicaTable.latest(spark.read.parquet(tableDir), keys, ver)
+    graft.operators.SnapshotStore.writeSnapshot(spark, latest, tableDir)
+  }
+
+  /** Streaming windowed analytics with late-data handling — the added
+    * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
+    * tumbling counts, emitted append-mode as windows close.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      window: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
+        keyCols.map(col) :+ col("n_events")): _*)
+}

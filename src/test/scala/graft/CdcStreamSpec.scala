@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.config.{ColumnSpec, TableConfig}
+import graft.operators.SnapshotStore
+import graft.streaming.CdcStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end Structured Streaming replication: snapshot + CDC stream ->
+  * append table -> dedup read view. Ports the semantics of the reference's
+  * replay/idempotence test (test/test_producer.py:28-58: an un-acked batch
+  * is re-served and must not corrupt state) and the snapshot/CDC overlap
+  * handoff (replication/replicator/store.py:51-58).
+  */
+class CdcStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val config = TableConfig(
+    name = "Doc",
+    columns = Seq(
+      ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+      ColumnSpec("V", Seq("float"), ref = Some("v"), default = Some(0.0))))
+
+  private val payloadSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def walLine(offset: Long, tick: Long, opType: Int, cuid: String, data: String): String =
+    s"""{"offset":$offset,"tick":"$tick","type":$opType,"db":"d","cuid":"$cuid","tid":"t","data":${
+      if (data == null) "null" else "\"" + data.replace("\"", "\\\"") + "\""}}"""
+
+  /** Fixed clock so _ver = 2024001<offset> deterministically. */
+  private val clock = lit("2024-01-01").cast("timestamp")
+
+  private def writeWal(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+  private def runOnce(walDir: Path, tableDir: Path, ckpt: Path): Unit = {
+    val q = CdcStream.startReplication(
+      CdcStream.walFileSource(spark, walDir.toString),
+      config, payloadSchema,
+      tableDir.toString, ckpt.toString,
+      collectionIds = Seq("c1"), initialTick = Some(10L), clock = clock)
+    q.awaitTermination()
+  }
+
+  private def current(tableDir: Path): DataFrame =
+    CdcStream.currentView(spark, tableDir.toString, keys = Seq("K"))
+
+  test("snapshot + CDC batches converge to latest-version state") {
+    val walDir = tmp("wal"); val tableDir = tmp("tbl"); val ckpt = tmp("ckpt")
+
+    // snapshot: keys 1,2 at _ver below any CDC version
+    import spark.implicits._
+    val snap = Seq((5L, 1L, 1.0, 20240010L, 0), (6L, 2L, 2.0, 20240010L, 0))
+      .toDF("offset", "K", "V", "_ver", "_deleted")
+    SnapshotStore.writeSnapshot(spark, snap, tableDir.toString)
+
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.5"}"""), // upsert key 1
+      walLine(12, 12, 2300, "c1", """{"k": 3, "v": "3.0"}"""), // insert key 3
+      walLine(13, 13, 2200, "c1", """{"k": 9, "v": "9.9"}"""), // txn marker: dropped (F1)
+      walLine(14, 14, 2300, "c2", """{"k": 8, "v": "8.8"}"""), // foreign collection: dropped (F1)
+      walLine(15, 5, 2300, "c1", """{"k": 7, "v": "7.7"}"""),  // below snapshot tick: dropped (F3)
+      walLine(16, 16, 2300, "c1", null)))                       // tombstone: dropped (F2)
+    writeWal(walDir, "b2.json", Seq(
+      walLine(21, 21, 2302, "c1", """{"k": 2, "v": "2.0"}"""), // delete key 2
+      walLine(22, 22, 2300, "c1", """{"k": 1, "v": "1.9"}"""))) // second upsert key 1
+
+    runOnce(walDir, tableDir, ckpt)
+
+    val got = current(tableDir).select("K", "V").orderBy("K")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // key 1 -> latest upsert (offset 22), key 2 -> deleted, key 3 -> inserted
+    assert(got === Seq((1L, 1.9), (3L, 3.0)))
+  }
+
+  test("replay of the whole stream is idempotent (at-least-once + versioned sink)") {
+    val walDir = tmp("wal"); val tableDir = tmp("tbl"); val ckpt1 = tmp("ck1")
+
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.5"}"""),
+      walLine(12, 12, 2302, "c1", """{"k": 2, "v": "0"}"""),
+      walLine(13, 13, 2300, "c1", """{"k": 2, "v": "2.5"}""")))
+
+    runOnce(walDir, tableDir, ckpt1)
+    val once = current(tableDir).select("K", "V").orderBy("K")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // fresh checkpoint = full replay: every append lands AGAIN (duplicate
+    // rows in storage), yet the read view must not change
+    runOnce(walDir, tableDir, tmp("ck2"))
+    val twice = current(tableDir).select("K", "V").orderBy("K")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    assert(once === Seq((1L, 1.5), (2L, 2.5)))
+    assert(twice === once)
+    // and the raw table really does hold duplicates (proves the view, not
+    // the transport, is what dedups)
+    assert(spark.read.parquet(tableDir.toString).count() > 3)
+  }
+
+  test("compact() collapses storage without changing the read view") {
+    val walDir = tmp("wal"); val tableDir = tmp("tbl")
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.0"}"""),
+      walLine(12, 12, 2300, "c1", """{"k": 1, "v": "1.1"}"""),
+      walLine(13, 13, 2302, "c1", """{"k": 2, "v": "0"}""")))
+    runOnce(walDir, tableDir, tmp("ck"))
+
+    val before = current(tableDir).select("K", "V").orderBy("K").collect().toSeq
+    val rows = CdcStream.compact(spark, tableDir.toString, keys = Seq("K"))
+    val after = current(tableDir).select("K", "V").orderBy("K").collect().toSeq
+
+    assert(rows === 2) // one live row for K=1, one tombstone for K=2
+    assert(after === before)
+  }
+
+  test("transform rejects land in the dead-letter table") {
+    val walDir = tmp("wal"); val tableDir = tmp("tbl")
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.0"}"""),
+      walLine(12, 12, 2300, "c1", """{"v": "no key"}"""))) // missing pk
+    runOnce(walDir, tableDir, tmp("ck"))
+
+    assert(current(tableDir).count() === 1)
+    val dead = spark.read.parquet(tableDir.toString + ".deadletter")
+    assert(dead.count() === 1)
+    assert(dead.select("error").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().head.contains("missing primary key"))
+  }
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    val srcDir = tmp("ev"); val ckpt = tmp("ck")
+    val lines = Seq(
+      """{"ts":"2024-01-01T00:00:10.000Z","user_id":1}""",
+      """{"ts":"2024-01-01T00:00:40.000Z","user_id":1}""",
+      """{"ts":"2024-01-01T00:01:10.000Z","user_id":2}""",
+      """{"ts":"2024-01-01T00:00:20.000Z","user_id":1}""", // late but within watermark
+      """{"ts":"2024-01-01T00:10:00.000Z","user_id":3}""") // advances watermark, closes earlier windows
+    Files.write(srcDir.resolve("e1.json"), String.join("\n", lines: _*).getBytes)
+
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType), StructField("user_id", LongType))))
+      .json(srcDir.toString)
+    val counts = CdcStream.windowedCounts(src, "ts", "2 minutes", "1 minute", Seq("user_id"))
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts").outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("win_counts")
+      .select(col("window_start").cast("string"), col("user_id"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // watermark = 00:10:00 - 2m = 00:08:00 -> the 00:00 and 00:01 windows are closed
+    assert(got.contains(("2024-01-01 00:00:00", 1L, 3L)))
+    assert(got.contains(("2024-01-01 00:01:00", 2L, 1L)))
+  }
+}
