@@ -63,6 +63,29 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q2 shape (no partsupp fixture, so acctbal plays min-cost): the
+    * general SQL entry point — operator S2, the analogue of the
+    * reference's parameterized AQL executor (arangodb/connect.py:28-63).
+    * ONE SQL string runs verbatim on both engines: `spark.sql` here, the
+    * DuckDB oracle as-is. The correlated scalar subquery is decorrelated
+    * by Catalyst into an aggregate + join; region/nation are broadcast.
+    */
+  val q2Sql: String =
+    """SELECT r_name, n_name, s_name, s_acctbal
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal)
+      |                   FROM supplier s2
+      |                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |                   WHERE n2.n_regionkey = r.r_regionkey)
+      |ORDER BY r_name, s_name""".stripMargin
+
+  def q2TopAcctbalSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q2Sql)
+  }
+
   /** TPC-H Q3 shape: shipping-priority top 10. Fact-fact joins shuffle on
     * the order key; customer side is small relative to facts but scales
     * with SF, so AQE decides broadcast vs shuffle at runtime.
@@ -403,6 +426,7 @@ object Relational {
 
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_top_acctbal_sql" -> (q2TopAcctbalSql _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
@@ -421,6 +445,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q2_top_acctbal_sql" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
     "q4_order_priority" -> q4Sql,
     "q5_local_supplier_volume" -> q5Sql,

@@ -134,14 +134,41 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** SQL over the registered dedup view (SURVEY §4 custom-work item 1):
+    * users write plain SQL against `events_current` and transparently get
+    * ReplacingMergeTree-FINAL + soft-delete semantics — no window/version
+    * predicates in user queries.
+    */
+  def r5ReplicaSql(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    ReplicaTable.registerView(events, "events_current",
+      keys = Seq("user_id"), ver = "event_id")
+    spark.sql(
+      """SELECT event_type AS last_type, COUNT(*) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last_value
+        |FROM events_current
+        |GROUP BY event_type ORDER BY last_type""".stripMargin)
+  }
+
+  val r5Sql: String =
+    """SELECT event_type AS last_type, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |GROUP BY event_type ORDER BY last_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "r1_replica_current" -> (r1ReplicaCurrent _),
+    "r5_replica_sql" -> (r5ReplicaSql _),
     "r2_schema_transform" -> (r2SchemaTransform _),
     "r3_envelope" -> (r3Envelope _),
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
     "r1_replica_current" -> r1Sql,
+    "r5_replica_sql" -> r5Sql,
     "r2_schema_transform" -> r2Sql,
     "r3_envelope" -> r3Sql,
     "r4_idempotent_merge" -> r4Sql)

@@ -101,20 +101,29 @@ object CdcStream {
       collectionIds: Seq[String] = Nil,
       initialTick: Option[Long] = None,
       clock: Column = current_timestamp(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: Option[String] = None): StreamingQuery = {
     val changes = pipeline(wal, config, payloadSchema, collectionIds, initialTick, clock)
       .observe("cdc", count(lit(1)).as("rows"),
         min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
-    changes.writeStream
+    val writer = changes.writeStream
+    queryName.foreach(writer.queryName)
+    writer
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val t = SchemaTransform(batch, config,
-          keep = Seq("offset", config.versionColumn, config.deletedColumn)
-            .filter(batch.columns.contains))
-        t.valid.write.mode("append").parquet(tableDir)
-        val errs = t.errors
-        if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
+        // cache: the batch feeds two writes (+ an emptiness probe); without
+        // it each job re-executes the source plan — recomputing the batch
+        // and double-counting the observe() metrics
+        batch.persist()
+        try {
+          val t = SchemaTransform(batch, config,
+            keep = Seq("offset", config.versionColumn, config.deletedColumn)
+              .filter(batch.columns.contains))
+          t.valid.write.mode("append").parquet(tableDir)
+          val errs = t.errors
+          if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Streaming control-plane hooks, replacing the reference's Redis pub/sub
+  * task manager + SMTP alerts + processed-count logs:
+  *
+  *  - V3 processed-count metrics (replication/replicator/store.py:61-91,
+  *    consumer/loader.py:147-154): running totals per query from the
+  *    `observe("cdc", ...)` metrics attached by [[CdcStream]];
+  *  - E2 gap detection (publisher.py:140-141 "ticks lost"): a batch whose
+  *    min observed offset skips past the previous max is reported via
+  *    `onGap` — processing continues, matching the reference;
+  *  - E3 failure alerting (alert/mailer.py:24-38): `onQueryTerminated`
+  *    with an exception fires `onFailure` (the mail hop is out of
+  *    analytic scope; the hook is the seam).
+  */
+final class QueryMonitor(
+    onGap: (String, Long, Long) => Unit = (_, _, _) => (),
+    onFailure: (String, String) => Unit = (_, _) => ())
+  extends StreamingQueryListener {
+
+  private val processed = new ConcurrentHashMap[String, Long]()
+  private val lastMaxOffset = new ConcurrentHashMap[String, Long]()
+  private val lastBatch = new ConcurrentHashMap[String, Long]()
+
+  /** Total rows observed for a query name so far (V3). */
+  def processedCount(name: String): Long = processed.getOrDefault(name, 0L)
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val obs = p.observedMetrics
+    // multiple jobs in one foreachBatch re-report the same batch's
+    // metrics — count each micro-batch exactly once
+    val firstSeen = lastBatch.getOrDefault(name, -1L) < p.batchId
+    lastBatch.merge(name, p.batchId, (a: Long, b: Long) => math.max(a, b))
+    if (firstSeen && obs.containsKey("cdc")) {
+      val row = obs.get("cdc")
+      val rows = if (row.isNullAt(0)) 0L else row.getLong(0)
+      processed.merge(name, rows, (a: Long, b: Long) => a + b)
+      if (!row.isNullAt(1) && !row.isNullAt(2)) {
+        val minOff = row.getLong(1); val maxOff = row.getLong(2)
+        val prev = lastMaxOffset.getOrDefault(name, Long.MinValue)
+        if (prev != Long.MinValue && minOff > prev + 1)
+          onGap(name, prev, minOff) // "asked for X but got Y" — log and continue
+        lastMaxOffset.merge(name, maxOff, (a: Long, b: Long) => math.max(a, b))
+      }
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    event.exception.foreach(e => onFailure(event.id.toString, e))
+}

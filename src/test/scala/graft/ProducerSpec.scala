@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{Producer, QueryMonitor}
+import org.apache.spark.sql.functions._
+
+/** Producer-side message shaping (P3/S5/K1 contract) and the streaming
+  * control-plane listener (V3 counts, E2 gap detection).
+  */
+class ProducerSpec extends SparkSpec {
+
+  private def wal() = {
+    import spark.implicits._
+    Seq(
+      (11L, "11", 2300, "c1", """{"_key":"a","x":1}"""),
+      (12L, "12", 2302, "c2", """{"_key":"b","x":2}"""),
+      (13L, "13", 2300, "c9", """{"x":3}"""))
+      .toDF("offset", "tick", "type", "cuid", "data")
+  }
+
+  test("prepareKafkaMessages: topic from cuid map, key from data._key, value is full entry") {
+    val out = Producer.prepareKafkaMessages(wal(), Map("c1" -> "orders", "c2" -> "users"))
+      .orderBy(col("value"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("orders", "users", null))
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", null))
+    // value round-trips the whole envelope (publisher.py:84 sends the entry)
+    assert(out(0).getString(2).contains("\"offset\":11") &&
+      out(0).getString(2).contains("\"cuid\":\"c1\""))
+  }
+
+  test("prepareKafkaMessagesWithCatalog routes via broadcast join") {
+    import spark.implicits._
+    val catalog = Seq(("c1", "orders"), ("c2", "users")).toDF("cuid", "topic")
+    val out = Producer.prepareKafkaMessagesWithCatalog(wal(), catalog)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(out.orderBy(col("key")).collect().map(_.getString(0)).toSeq ===
+      Seq(null, "orders", "users"))
+  }
+
+  test("QueryMonitor counts processed rows and flags offset gaps") {
+    import java.nio.file.Files
+    import graft.config.{ColumnSpec, TableConfig}
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.types._
+
+    var gaps = List.empty[(Long, Long)]
+    val mon = new QueryMonitor(onGap = (_, prev, next) => gaps ::= (prev, next))
+    spark.streams.addListener(mon)
+    try {
+      val walDir = Files.createTempDirectory("walmon")
+      val tableDir = Files.createTempDirectory("tblmon").resolve("t")
+      // two files -> two micro-batches (maxFilesPerTrigger=1) with an
+      // offset gap between them (13 -> 21)
+      Files.write(walDir.resolve("a.json"), java.util.Arrays.asList(
+        """{"offset":12,"tick":"12","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":1,\"v\":\"1\"}"}""",
+        """{"offset":13,"tick":"13","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":2,\"v\":\"2\"}"}"""))
+      Files.write(walDir.resolve("b.json"), java.util.Arrays.asList(
+        """{"offset":21,"tick":"21","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":3,\"v\":\"3\"}"}"""))
+
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v"))))
+      val q = CdcStream.startReplication(
+        CdcStream.walFileSource(spark, walDir.toString, maxFilesPerTrigger = Some(1)),
+        config,
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+        tableDir.toString, Files.createTempDirectory("ckmon").toString,
+        queryName = Some("mon_test"))
+      q.awaitTermination()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.processedCount("mon_test") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+
+      assert(mon.processedCount("mon_test") === 3)
+      assert(gaps === List((13L, 21L)))
+    } finally spark.streams.removeListener(mon)
+  }
+}
