@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * to 1 Kafka partition per topic for ordering.
   *
   * Scale notes:
-  *  - [[latest]] uses a hash aggregation (`max_by`) rather than a window
-  *    `row_number()`: one shuffle on the key with map-side partial
-  *    aggregation, no per-partition full sort, and no skew from a single
-  *    giant window partition. At 100 TB this is the difference between a
-  *    streaming agg and a spilling sort.
+  *  - [[latest]] aggregates with the custom [[graft.functions.ArgMaxRow]]
+  *    rather than a window `row_number()` (per-partition sort + skew from
+  *    giant key partitions) or the built-in `max_by` (whose struct-typed
+  *    buffer silently degrades HashAggregate to SortAggregate — a full
+  *    sort on both partial and final stages). ArgMaxRow runs on
+  *    ObjectHashAggregateExec: one shuffle on the key, map-side partial
+  *    aggregation, hash grouping, sort only as memory-pressure fallback.
   *  - Ties on the version are broken by the tie-break columns so results
   *    are deterministic under replay (duplicate (key, _ver) rows collapse
   *    to one winner).
@@ -33,10 +35,15 @@ object ReplicaTable {
     * `ReplacingMergeTree(ver)`.
     */
   def latest(df: DataFrame, keys: Seq[String], ver: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
     val payload = struct(df.columns.map(col): _*)
     val ordering = struct((ver +: tieBreak).map(col): _*)
+    val argMax = ColumnShim.column(
+      graft.functions.ArgMaxRow(
+        ColumnShim.expression(ordering),
+        ColumnShim.expression(payload)).toAggregateExpression())
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(payload, ordering).as("_row"))
+      .agg(argMax.as("_row"))
       .select(df.columns.map(c => col(s"_row.$c")): _*)
   }
 
