@@ -30,11 +30,14 @@ object Vectors {
   private val K = 5
   private val NumPlanes = 12
 
-  /** Sequential-left-fold dot product of two float arrays, in double. */
+  /** Sequential-left-fold dot product, as the native codegen'd
+    * [[graft.functions.VecDotFold]] expression — same fold order (and so
+    * bit-identical doubles) as the lambda formulation
+    * `aggregate(zip_with(a,b,*),0d,+)`, but one generated loop per row
+    * instead of interpreted per-element lambdas.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+    graft.functions.VecDotFold.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -92,9 +95,7 @@ object Vectors {
       val hash = H.md5NumberLowerLocal(s"plane:$p")
       val weights = array((0 until 64).map(d =>
         lit((((hash >> d) & 1L) * 2 - 1).toDouble)): _*)
-      val proj = aggregate(
-        zip_with(v, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, t) => acc + t)
+      val proj = graft.functions.VecDotFold.dot(v, weights)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -147,6 +147,36 @@ object CdcStream {
     graft.operators.SnapshotStore.writeSnapshot(spark, latest, tableDir)
   }
 
+  /** Streaming-native latest-state view via arbitrary stateful
+    * processing: per-key state holds the current winner; a new event only
+    * emits (and updates state) when its version advances the key. The
+    * output is a CHANGELOG of the replica view — downstream consumers see
+    * each key's new current row exactly when it changes, without
+    * rescanning the append table. State lives in the Spark state store
+    * (RocksDB/HDFS-backed at scale), replacing the reference's
+    * ClickHouse-side merge entirely for streaming readers.
+    *
+    * Order-independence: same convergence argument as [[ReplicaTable]] —
+    * max-version wins, so replays and out-of-order batches cannot regress
+    * state (a replayed lower version emits nothing).
+    */
+  def statefulLatest[K, T](ds: org.apache.spark.sql.Dataset[T])(
+      key: T => K, ver: T => Long)(
+      implicit ek: org.apache.spark.sql.Encoder[K],
+      et: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, T](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[T], state: org.apache.spark.sql.streaming.GroupState[T]) =>
+          val incoming = rows.maxBy(ver)
+          val advances = state.getOption.forall(cur => ver(incoming) > ver(cur))
+          if (advances) {
+            state.update(incoming)
+            Iterator.single(incoming)
+          } else Iterator.empty
+      }
+
   /** Streaming windowed analytics with late-data handling — the added
     * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
     * tumbling counts, emitted append-mode as windows close.

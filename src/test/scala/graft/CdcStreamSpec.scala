@@ -136,6 +136,39 @@ class CdcStreamSpec extends SparkSpec {
       .collect().head.contains("missing primary key"))
   }
 
+  test("statefulLatest emits a changelog of per-key current rows") {
+    import spark.implicits._
+    val srcDir = tmp("st"); val ckpt = tmp("ck")
+    // one file per micro-batch (maxFilesPerTrigger=1) so state carries
+    // across batches: k=1 advances twice, the stale k=2 update must not emit
+    Files.write(srcDir.resolve("a.json"), java.util.Arrays.asList(
+      """{"k":1,"v":10,"val":"first"}""",
+      """{"k":2,"v":20,"val":"only"}"""))
+    Files.write(srcDir.resolve("b.json"), java.util.Arrays.asList(
+      """{"k":1,"v":30,"val":"newer"}""",
+      """{"k":2,"v":5,"val":"stale"}"""))
+
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType), StructField("v", LongType),
+        StructField("val", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(srcDir.toString)
+      .as[(Long, Long, String)]
+
+    val changelog = CdcStream.statefulLatest(src)(_._1, _._2)
+    val q = changelog.writeStream
+      .format("memory").queryName("st_changelog").outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("st_changelog")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // stale k=2 v=5 must be absent; both k=1 advances present
+    assert(got === Set((1L, 10L, "first"), (2L, 20L, "only"), (1L, 30L, "newer")))
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     val srcDir = tmp("ev"); val ckpt = tmp("ck")
     val lines = Seq(
