@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (SURVEY §4; the reference sidesteps skew by
+  * pinning one Kafka partition per collection — the Spark engine fans out,
+  * so hot keys must be handled).
+  *
+  * Two standard shapes:
+  *  - [[saltedAgg]]: two-phase aggregation — pre-aggregate on
+  *    (key, salt) so a hot key's rows split across `buckets` reducers,
+  *    then finish on (key). Works for any decomposable aggregate
+  *    (count/sum/min/max — pass the partial and final forms).
+  *  - [[saltedJoin]]: replicate the (small) build side `buckets` times
+  *    with an explicit salt, salt the probe side by hash, and join on
+  *    (key, salt) — a hot probe key spreads over `buckets` tasks instead
+  *    of one straggler.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in the engine's sessions) covers sort-merge joins
+  * automatically; these operators are for aggregations and broadcast-side
+  * replication where AQE does not apply.
+  */
+object Salting {
+
+  private val SaltCol = "_salt"
+
+  /** Deterministic salt in [0, buckets) derived from `source` (use a
+    * high-cardinality column, NOT the hot key itself).
+    */
+  def saltExpr(source: Column, buckets: Int): Column =
+    pmod(xxhash64(source), lit(buckets.toLong)).cast("int")
+
+  /** Two-phase skew-safe aggregation.
+    *
+    * @param partial (name -> partial aggregate over the raw rows)
+    * @param merge   (name -> final aggregate over the partial column of
+    *                the same name)
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltSource: Column,
+      buckets: Int,
+      partial: Seq[(String, Column)],
+      merge: Seq[(String, Column)]): DataFrame = {
+    val pre = df
+      .withColumn(SaltCol, saltExpr(saltSource, buckets))
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    pre.groupBy(keys.map(col): _*)
+      .agg(merge.head._2.as(merge.head._1),
+        merge.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Salted equi-join: `build` (small side) is replicated `buckets` times;
+    * `probe` rows are salted deterministically. Result equals
+    * `probe.join(build, keys, joinType)` for inner/left joins.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltSource: Column,
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = probe.withColumn(SaltCol, saltExpr(saltSource, buckets))
+    val replicated = build.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+}
