@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.DecimalType
   * the `events` stream table, plus JSON payload extraction — the added
   * streaming-analytics surface (SURVEY §2.10 "Windows"). Batch forms here
   * (oracle-checkable); the same expressions run under Structured Streaming
-  * with `withWatermark` (see graft.streaming and EventsStreamSpec).
+  * with `withWatermark` (see graft.streaming.CdcStream.windowedCounts and
+  * the watermark test in CdcStreamSpec).
   */
 object Events {
 
