@@ -1,0 +1,88 @@
+package graft
+
+import graft.config.{CastRegistry, ColumnSpec, TableConfig}
+import graft.operators.{ReplicaTable, SchemaTransform}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the two load-bearing semantics (SURVEY §5):
+  *  - dedup order-independence: any permutation/replay of a change log
+  *    converges to the same latest-state table;
+  *  - cast-chain ordering: the first cast in the fallback chain that
+  *    succeeds wins (transformer.py:84-92 semantics).
+  * Deterministic generator driving (fixed seeds) — no scalatest bridge in
+  * the offline dependency set.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val changeGen: Gen[List[(Long, Long, Double, Int)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(1L, 5L)
+      ver <- Gen.choose(1L, 20L)
+      value <- Gen.choose(0, 1000).map(_ / 10.0)
+      deleted <- Gen.oneOf(0, 0, 0, 1)
+    } yield (key, ver, value, deleted))
+  } yield rows
+
+  test("property: latest-state is invariant under permutation and replay") {
+    import spark.implicits._
+    for (seed <- 1L to 10L) {
+      val rows = sample(changeGen, seed)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(rows)
+      val replayed = shuffled ++ rnd.shuffle(rows.take(rows.size / 2 + 1))
+
+      def state(rs: List[(Long, Long, Double, Int)]) =
+        ReplicaTable.current(
+          rs.toDF("k", "_ver", "v", "_deleted"),
+          keys = Seq("k"), ver = "_ver",
+          // (value, deleted) break version ties deterministically so the
+          // property holds even when the generator emits conflicting
+          // payloads at the same (key, ver)
+          tieBreak = Seq("v", "_deleted"))
+          .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+      val base = state(rows)
+      assert(state(shuffled) === base, s"seed=$seed shuffle changed state")
+      assert(state(replayed) === base, s"seed=$seed replay changed state")
+    }
+  }
+
+  test("property: multi-type cast chain — first succeeding cast wins") {
+    import spark.implicits._
+    val inputs = Gen.listOfN(12, Gen.oneOf(
+      Some("42"), Some("3.5"), Some("abc"), Some("true"), Some(""), Some("7"),
+      Some("0.25"), Some("-9"), None))
+    for (seed <- 1L to 10L) {
+      val vals = sample(inputs, seed)
+      val df = vals.map(v => Tuple1(v.orNull)).toDF("raw")
+      val got = df.select(CastRegistry.chain(Seq("int", "float", "str"))(col("raw")).as("out"))
+        .collect().map(r => Option(r.getString(0))).toSeq
+      val expected = vals.map(_.map { s =>
+        val asLong = scala.util.Try(s.trim.toLong).toOption.map(_.toString)
+        val asDouble = scala.util.Try(s.trim.toDouble).toOption.map(_.toString)
+        asLong.orElse(asDouble).getOrElse(s)
+      })
+      assert(got === expected, s"seed=$seed inputs=$vals")
+    }
+  }
+
+  test("property: schema transform never drops and never invents rows") {
+    import spark.implicits._
+    val config = TableConfig("T", Seq(
+      ColumnSpec("Id", Seq("int"), ref = Some("k"), primaryKey = true),
+      ColumnSpec("V", Seq("float"), ref = Some("raw"))))
+    val gen = Gen.listOfN(15, Gen.oneOf(Some("1"), Some("x"), None))
+    for (seed <- 1L to 10L) {
+      val raws = sample(gen, seed)
+      val df = raws.zipWithIndex.map { case (r, i) => (i.toLong, r.orNull) }.toDF("k", "raw")
+      val t = SchemaTransform(df, config)
+      assert(t.valid.count() + t.errors.count() === raws.size.toLong, s"seed=$seed")
+    }
+  }
+}
