@@ -72,4 +72,26 @@ object Multimodal {
       col("media_id"), col("format"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("content_hash"))
+
+  /** Frame sampling over an opaque video-ish payload: fixed-size byte
+    * windows every `stride` bytes stand in for decoded frames (a real
+    * container parser slots into the same shape: one output row per
+    * sampled frame, keyed (media_id, frame_no), payload slice as the
+    * frame). Pure expressions — the explode fans out AFTER the scan, so
+    * frame extraction is distributed and never materializes whole videos
+    * per task beyond the source row.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    // guarded: sequence(0, n-1) DESCENDS for n = 0, and short payloads
+    // yield no frames at all (null -> posexplode_outer -> filtered)
+    val nFrames = when(length(col("payload")) >= frameSize,
+      (length(col("payload")) - frameSize) / stride + 1).otherwise(0)
+    val idx = when(nFrames >= 1, sequence(lit(0), (nFrames - 1).cast("int")))
+    media
+      .select(col("media_id"), col("payload"), posexplode_outer(idx))
+      .select(col("media_id"),
+        col("pos").cast("long").as("frame_no"),
+        col("payload").substr(col("col") * stride + 1, lit(frameSize)).as("frame"))
+      .filter(col("frame").isNotNull)
+  }
 }

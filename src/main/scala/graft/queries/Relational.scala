@@ -424,7 +424,117 @@ object Relational {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q18 shape: customers with any large order (semi-join against a
+    * grouped-having subquery). The inner aggregate shuffles on the order
+    * key; the resulting keeper set is orders-of-magnitude smaller, so AQE
+    * broadcasts it into the semi-join.
+    */
+  def q18LargeOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50""".stripMargin
+
+  /** TPC-H Q19 shape: disjunctive multi-clause predicate over a join —
+    * the classic pushdown test (each disjunct prunes at the scan, the
+    * join keeps a single conjunctive residual).
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+    val cond =
+      (part("p_brand") === "Brand#1" && part("p_size").between(1, 15) &&
+        li("l_quantity").between(1, 20)) ||
+      (part("p_brand") === "Brand#2" && part("p_size").between(10, 30) &&
+        li("l_quantity").between(5, 30))
+    li.join(part, li("l_partkey") === part("p_partkey") && cond)
+      .agg(dsum(li("l_extendedprice") * (lit(1.0) - li("l_discount")), 4).as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30))""".stripMargin
+
+  /** TPC-H Q21-lite shape: orders where SOME line shipped after the order
+    * date proxy AND NO line is a return — exists + not-exists as
+    * left-semi + left-anti joins (Catalyst's decorrelated forms).
+    */
+  def q21SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val late = li.filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    val returned = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    ord.join(late, ord("o_orderkey") === late("l_orderkey"), "left_semi")
+      .join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND l_shipdate > TIMESTAMP '1998-06-01')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |                  AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q22 shape: customers above the average balance with no orders
+    * — a correlated-free scalar subquery (broadcast as a literal-ish
+    * single-row join) + anti-join.
+    */
+  def q22GlobalCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 7).cast("string").as("cgroup"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("cgroup"))
+  }
+
+  val q22Sql: String =
+    """SELECT CAST(c_custkey % 7 AS VARCHAR) AS cgroup, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY cgroup""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q18_large_order_customers" -> (q18LargeOrderCustomers _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q21_semi_anti" -> (q21SemiAnti _),
+    "q22_global_customers" -> (q22GlobalCustomers _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_top_acctbal_sql" -> (q2TopAcctbalSql _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -444,6 +554,10 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q18_large_order_customers" -> q18Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
+    "q21_semi_anti" -> q21Sql,
+    "q22_global_customers" -> q22Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_top_acctbal_sql" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
