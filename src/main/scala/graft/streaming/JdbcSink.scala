@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** JDBC sink edge for live analytical stores (ClickHouse in the
+  * reference's deployment): batched appends per micro-batch — the
+  * reference's `bulk_dict_doc_insert` (clickhouse/connect.py:28-49)
+  * becomes `df.write.jdbc` with `batchsize`, and idempotence comes from
+  * the target being a `ReplacingMergeTree(_ver)` table (duplicate
+  * replays collapse server-side exactly as in the reference).
+  *
+  * Config-only in this environment (no database to connect to); the
+  * operator layer is transport-agnostic, so this sink and the parquet
+  * append sink in [[CdcStream.startReplication]] are interchangeable.
+  */
+object JdbcSink {
+
+  /** Continuous replication into a JDBC table. `batchSize` mirrors the
+    * reference's insert chunking (10k consumer / 100k snapshot).
+    */
+  def start(
+      changes: DataFrame,
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      checkpointDir: String,
+      batchSize: Int = 10000,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("user", user)
+          .option("password", password)
+          .option("batchsize", batchSize)
+          .mode("append")
+          .save()
+      }
+      .start()
+}

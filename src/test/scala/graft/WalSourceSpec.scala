@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 WAL connector: schema, values, and — the point — chunk
+  * pruning from a pushed tick cursor.
+  */
+class WalSourceSpec extends SparkSpec {
+
+  private def writeChunks(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("walsrc")
+    Files.write(dir.resolve("wal-100-199.json"), java.util.Arrays.asList(
+      """{"tick":"100","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":1}","offset":100}""",
+      """{"tick":"150","type":2302,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":2}","offset":150}"""))
+    Files.write(dir.resolve("wal-200-299.json"), java.util.Arrays.asList(
+      """{"tick":"250","type":2300,"db":"d","cuid":"c2","tid":"t","data":"{\"k\":3}","offset":250}"""))
+    Files.write(dir.resolve("wal-300-399.json"), java.util.Arrays.asList(
+      """{"tick":"350","type":2300,"db":"d","cuid":"c1","tid":"t","data":null,"offset":350}"""))
+    Files.write(dir.resolve("not-a-chunk.txt"), java.util.Arrays.asList("ignore me"))
+    dir
+  }
+
+  test("reads all chunks with envelope schema and values") {
+    val dir = writeChunks()
+    val df = spark.read.format("graft.sources.WalSource").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("tick", "type", "db", "cuid", "tid", "data", "offset"))
+    val rows = df.orderBy("offset")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(3), r.getString(5)))
+    assert(rows.toSeq === Seq(
+      ("100", 2300, "c1", """{"k":1}"""),
+      ("150", 2302, "c1", """{"k":2}"""),
+      ("250", 2300, "c2", """{"k":3}"""),
+      ("350", 2300, "c1", null)))
+  }
+
+  test("tick cursor prunes whole chunks before reading") {
+    val dir = writeChunks()
+    val df = spark.read.format("graft.sources.WalSource").load(dir.toString)
+      .filter(col("tick") >= "200")
+    // physical plan shows the pruned scan
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("minTick=200"), s"pushdown missing from plan:\n$scan")
+    // only chunks 200-299 and 300-399 are planned (2 partitions)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 2)
+    // exclusive bound rounds up
+    val df2 = spark.read.format("graft.sources.WalSource").load(dir.toString)
+      .filter(col("tick") > "199")
+    assert(df2.rdd.getNumPartitions === 2)
+  }
+
+  test("composes with the envelope pipeline") {
+    import org.apache.spark.sql.types._
+    val dir = writeChunks()
+    val wal = spark.read.format("graft.sources.WalSource").load(dir.toString)
+    val out = graft.streaming.CdcStream.pipeline(
+      wal,
+      config = graft.config.TableConfig("T", Seq(
+        graft.config.ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true))),
+      payloadSchema = StructType(Seq(StructField("k", LongType))),
+      collectionIds = Seq("c1"),
+      clock = lit("2024-01-01").cast("timestamp"))
+    // c2 filtered (F1), null data tombstone filtered (F2) -> offsets 100,150
+    assert(out.select("offset").orderBy("offset").collect().map(_.getLong(0)).toSeq ===
+      Seq(100L, 150L))
+  }
+}
