@@ -40,11 +40,29 @@ object HashFunctions {
     (0 until 8).foldLeft(0L)((acc, i) => acc | ((d(8 + i) & 0xffL) << (8 * i)))
   }
 
+  /** Signed 64-bit integer from bytes 8..15 of md5(c) read BIG-endian:
+    * one conv over the hex substring, no byte swap. Preferred for hash
+    * families evaluated 16x per row (MinHash lanes) — the generated code
+    * is ~5x smaller than the little-endian form, which matters for both
+    * Janino compile time and the codegen'd hot loop. DuckDB replays it
+    * as CAST('0x' || substring(md5(x),17,16) AS UBIGINT) two's-complement
+    * mapped to BIGINT.
+    */
+  def md5NumberBigEndian(c: Column): Column =
+    conv(substring(md5(c), 17, 16), 16, -10).cast("long")
+
+  /** Driver-side twin of [[md5NumberBigEndian]]. */
+  def md5NumberBigEndianLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    (8 until 16).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+  }
+
   /** Family of 64-bit hash functions indexed by seed (for MinHash):
-    * h_i(x) = md5NumberLower(i || ':' || x).
+    * h_i(x) = md5NumberBigEndian(i || ':' || x).
     */
   def seededHash(seed: Column, c: Column): Column =
-    md5NumberLower(concat(seed.cast("string"), lit(":"), c))
+    md5NumberBigEndian(concat(seed.cast("string"), lit(":"), c))
 
   /** Stable document fingerprint: md5 of whitespace-normalized, lowercased
     * text (the engine's exact-dedup key).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{WrapMulAdd, HashFunctions => H, TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,6 +35,16 @@ object Documents {
     s"""CAST(CAST(md5_number_lower($arg) AS HUGEINT) -
        | CASE WHEN md5_number_lower($arg) >= 9223372036854775808
        |      THEN 18446744073709551616 ELSE 0 END AS BIGINT)""".stripMargin
+
+  /** DuckDB twin of HashFunctions.md5NumberBigEndian: bytes 8..15 of the
+    * md5 hex, parsed big-endian, two's-complement mapped to BIGINT.
+    */
+  private def signedBeMd5Sql(arg: String): String = {
+    val u = s"CAST('0x' || substring(md5($arg), 17, 16) AS UBIGINT)"
+    s"""CAST(CAST($u AS HUGEINT) -
+       | CASE WHEN $u >= 9223372036854775808
+       |      THEN 18446744073709551616 ELSE 0 END AS BIGINT)""".stripMargin
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -207,80 +217,105 @@ object Documents {
     * lanes (the naive layout explodes rows 16x and shuffles a groupBy);
     * per-doc cost is 16 x |shingles| md5s inside whole-stage codegen.
     */
+  /** Multiply-shift lane constants: lane_i(u) = u * A_i + B_i on the
+    * 64-bit ring (A odd => bijection). One md5 per shingle total; the
+    * lanes are two long ops each — vs hashing every shingle once per
+    * lane. Constants are md5-derived so the oracle rebuilds them.
+    */
+  private val LaneA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => H.md5NumberBigEndianLocal(s"a:$i") | 1L)
+  private val LaneB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => H.md5NumberBigEndianLocal(s"b:$i"))
+
   /** MinHash + LSH near-dup detection, the scale path.
     *
-    * Layout: the 16-lane signature is computed as ONE `aggregate` fold
-    * over the shingle array — a single traversal hashing each shingle 16
-    * times, zero shuffles to build signatures (the naive layout explodes
-    * rows 16x and shuffles a groupBy). Bands are then exploded WITH the
-    * full signature as payload, so the band-bucket self-join yields both
-    * candidates AND their signatures in one pass — the overlap estimate
-    * is a wide expression on the joined row and no second join against a
-    * signature table is needed. Shuffle inventory: repartition + band
-    * self-join + distinct + sort, each over doc-count-sized rows.
-    * Bit-reproduced by the oracle via DuckDB's md5_number_lower.
+    * Physical shape (each choice measured — see git history):
+    *  - ONE md5 per shingle (explode + hash Project, codegen'd); the 16
+    *    lanes are wrap-mul-add bijections of that base hash, aggregated
+    *    as 16 min() columns in a single HashAggregate that reuses the
+    *    doc_id repartition (no extra exchange);
+    *  - candidates via groupBy(band, sig) + in-bucket pair expansion —
+    *    NOT a self-join: a self-join re-executes the whole signature
+    *    pipeline for its second side (exchange reuse does not fire
+    *    across AQE stage materialization here), doubling CPU;
+    *  - the signature array rides into the buckets as payload, so the
+    *    overlap estimate is a per-pair expression; no re-join.
+    * Shuffle inventory: repartition, band groupBy, distinct, sort — all
+    * doc-count-sized. Oracle replays lanes bit-for-bit via HUGEINT
+    * modular arithmetic on the unsigned view of the same md5 bytes.
     */
   def d6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // 16 signature lanes via explode + ONE groupBy(doc_id) carrying 16
-    // min() columns. This is deliberately row-level, not array-lambda,
-    // work: HashAggregate update expressions are whole-stage-codegen'd
-    // WITH common-subexpression elimination (1 md5 per row per lane),
-    // whereas higher-order-function lambdas evaluate interpreted with
-    // no CSE. And because `shingled` already hash-partitioned by
-    // doc_id, this aggregate needs NO additional exchange.
-    // the 16 seeded hashes are Project columns (whole-stage codegen with
-    // common-subexpression elimination — exactly 16 md5s per shingle);
-    // the aggregate then only takes min() of attributes, keeping its
-    // generated update code tiny (no 64KB-method fallback risk)
     val sh = shingled(spark, dir)
-      // explode_outer, deliberately: plain explode triggers
-      // InferFiltersFromGenerate, whose inferred size(...)>0 predicate
-      // gets pushed below the exchange with the WHOLE shingle pipeline
-      // inlined — re-running it serially on the pre-shuffle partition.
-      // Upstream size(tokens)>=3 already guarantees non-empty arrays.
+      // explode_outer: plain explode triggers InferFiltersFromGenerate,
+      // whose size(...)>0 predicate is pushed below the exchange with
+      // the whole shingle pipeline inlined (serial re-run on the scan
+      // partition); upstream size(tokens)>=3 already guarantees
+      // non-empty arrays.
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
-      .select(col("doc_id") +:
-        (0 until NumHashes).map(i => H.seededHash(lit(i), col("s")).as(s"h$i")): _*)
+      .select(col("doc_id"), H.md5NumberBigEndian(col("s")).as("h"))
     val mh = sh.groupBy(col("doc_id")).agg(
-      min(col("h0")).as("m0"),
-      (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+        min(WrapMulAdd(col("h"), LaneA(0), LaneB(0))).as("m0"),
+        (1 until NumHashes).map(i =>
+          min(WrapMulAdd(col("h"), LaneA(i), LaneB(i))).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("m"))
     // band signature = "ii:m,ii:m,..." with i ascending — lpad keeps the
     // lexicographic layout of the row-wise formulation / oracle
     def sigCol(b: Int): Column = concat_ws(",",
       (b * BandSize until (b + 1) * BandSize).map(i =>
-        concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"), col(s"m$i").cast("string"))): _*)
-    // bands are exploded WITH the signature lanes as payload, so the
-    // band-bucket self-join yields candidates AND their signatures in
-    // one pass — no second join against a signature table
-    val bandSig = mh.select(col("doc_id") +:
-        explode(array((0 until NumHashes / BandSize).map(b =>
-          struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs") +:
-        (0 until NumHashes).map(i => col(s"m$i")): _*)
-      .select(col("doc_id") +: col("bs.band").as("band") +: col("bs.sig").as("sig") +:
-        (0 until NumHashes).map(i => col(s"m$i")): _*)
+        concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"),
+          element_at(col("m"), i + 1).cast("string"))): _*)
+    val bandSig = mh.select(col("doc_id"), col("m"),
+        explode_outer(array((0 until NumHashes / BandSize).map(b =>
+          struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("m"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // same-bucket docs, sorted by doc_id; each bucket expands to its
+    // ordered pairs (a.doc_id < b.doc_id by construction)
+    val buckets = bandSig.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("m")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = buckets.select(explode_outer(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            y => struct(x.as("a"), y.as("b")))))).as("pr"))
     val matches = (0 until NumHashes)
-      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .map(i => when(element_at(col("pr.a.m"), i + 1) === element_at(col("pr.b.m"), i + 1), 1)
+        .otherwise(0))
       .reduce(_ + _)
-    bandSig.as("x").join(bandSig.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+    pairs
+      .select(col("pr.a.doc_id").as("da"), col("pr.b.doc_id").as("db"),
         (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
       .distinct() // same pair from multiple bands has identical est
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("da"), col("db"))
   }
 
-  val d6Sql: String =
+  val d6Sql: String = {
+    // lane constants as (i, a_lo, a_hi, b) on the unsigned view; the
+    // multiply is split at 2^32 so HUGEINT (signed 128-bit) cannot
+    // overflow: u*a_lo < 2^96 and u*a_hi < 2^96
+    val laneRows = (0 until NumHashes).map { i =>
+      val a = LaneA(i); val b = LaneB(i)
+      val aU = BigInt(java.lang.Long.toUnsignedString(a))
+      s"($i, ${aU % (BigInt(1) << 32)}, ${aU >> 32}, ${java.lang.Long.toUnsignedString(b)})"
+    }.mkString(", ")
     s"""WITH sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |       (SELECT unnest(generate_series(1, 100000)) i)
       |  WHERE i <= len(w) - 2),
+      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM sh),
+      |lanes AS (SELECT * FROM (VALUES $laneRows) t(i, alo, ahi, b)),
       |mh AS (
       |  SELECT doc_id, i,
-      |    MIN(${signedMd5Sql("CAST(i AS VARCHAR) || ':' || s")}) m
-      |  FROM sh, (SELECT unnest(generate_series(0, ${NumHashes - 1})) i)
+      |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
+      |             THEN 18446744073709551616 ELSE 0 END AS BIGINT)) m
+      |  FROM (SELECT doc_id, i,
+      |          ((CAST(u AS HUGEINT) * alo) % 18446744073709551616
+      |           + ((CAST(u AS HUGEINT) * ahi) % 4294967296) * 4294967296
+      |           + b) % 18446744073709551616 AS x
+      |        FROM hs, lanes)
       |  GROUP BY doc_id, i),
       |bs AS (
       |  SELECT doc_id, CAST(i / $BandSize AS INT) band,
@@ -295,6 +330,7 @@ object Documents {
       |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
       |  GROUP BY da, db)
       |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
+  }
 
   /** SimHash sketches (48-bit to stay in positive int64) + near-dup pairs
     * at hamming distance <= 3. Sketch build is one pass; the pair scan

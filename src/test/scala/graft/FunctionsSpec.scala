@@ -37,6 +37,16 @@ class FunctionsSpec extends SparkSpec {
       .select(H.seededHash(lit(0), col("s")).as("h0"), H.seededHash(lit(1), col("s")).as("h1"))
     val r = df.collect().head
     assert(r.getLong(0) !== r.getLong(1))
-    assert(r.getLong(0) === H.md5NumberLowerLocal("0:shingle one"))
+    assert(r.getLong(0) === H.md5NumberBigEndianLocal("0:shingle one"))
+  }
+
+  test("md5NumberBigEndian matches its driver-side twin") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "abc", "0:the quick brown")
+    val got = inputs.toDF("s")
+      .select(H.md5NumberBigEndian(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(got === inputs.map(H.md5NumberBigEndianLocal))
+    // pinned: int.from_bytes(md5(b'abc').digest()[8:16], 'big', signed=True)
+    assert(H.md5NumberBigEndianLocal("abc") === -2984127896297046158L)
   }
 }
