@@ -28,14 +28,6 @@ object Documents {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
-  /** DuckDB SQL for md5_number_lower reinterpreted as SIGNED int64 (the
-    * plain CAST range-checks instead of wrapping two's-complement).
-    */
-  private def signedMd5Sql(arg: String): String =
-    s"""CAST(CAST(md5_number_lower($arg) AS HUGEINT) -
-       | CASE WHEN md5_number_lower($arg) >= 9223372036854775808
-       |      THEN 18446744073709551616 ELSE 0 END AS BIGINT)""".stripMargin
-
   /** DuckDB twin of HashFunctions.md5NumberBigEndian: bytes 8..15 of the
     * md5 hex, parsed big-endian, two's-complement mapped to BIGINT.
     */
@@ -342,8 +334,10 @@ object Documents {
     // replaces the naive 48x row explode + two shuffles; the sketch OR
     // is then a projection over the 48 score columns
     val words = docs(spark, dir)
+      // spread the hash/agg work off the (possibly single) scan split
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode_outer(array_distinct(T.tokens(col("text")))).as("w"))
-      .select(col("doc_id"), H.md5NumberLower(col("w")).as("h"))
+      .select(col("doc_id"), H.md5NumberBigEndian(col("w")).as("h"))
     val scores = words.groupBy(col("doc_id")).agg(
       sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("score0"),
       (1 until 48).map(j =>
@@ -363,7 +357,7 @@ object Documents {
     s"""WITH words AS (
       |  SELECT DISTINCT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)),
-      |hw AS (SELECT doc_id, ${signedMd5Sql("w")} h FROM words),
+      |hw AS (SELECT doc_id, ${signedBeMd5Sql("w")} h FROM words),
       |bits AS (
       |  SELECT doc_id, j,
       |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) score
