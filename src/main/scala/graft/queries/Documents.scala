@@ -388,7 +388,71 @@ object Documents {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
+  /** Char-n-gram language ID, the real profile-based variant: top-20
+    * trigrams per language are learned from the corpus (frequency-ranked,
+    * deterministic ties), every document is scored against every profile
+    * through a broadcast join on the trigram, and the argmax profile wins.
+    * Deterministic end-to-end (integer counts, total tie orders), so the
+    * oracle replays it exactly. One gram explode feeds both the profile
+    * build and the scoring — at scale the profile side is tiny and
+    * broadcast, the scoring side is a scan-shaped aggregation.
+    */
+  def d9LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("plang")).orderBy(col("c").desc, col("g"))))
+      .filter(col("rn") <= 20)
+      .select(col("plang"), col("g"))
+    val score = grams.join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("matches"))
+    val pred = score
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("matches").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .groupBy(col("lang"), coalesce(col("plang"), lit("unknown")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val d9Sql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, substring(text, i, 3) AS g
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+      |  WHERE length(text) >= 3),
+      |prof AS (
+      |  SELECT plang, g FROM (
+      |    SELECT lang AS plang, g, COUNT(*) AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM grams GROUP BY lang, g)
+      |  WHERE rn <= 20),
+      |score AS (
+      |  SELECT doc_id, plang, COUNT(*) AS matches
+      |  FROM grams JOIN prof USING (g)
+      |  GROUP BY doc_id, plang),
+      |pred AS (
+      |  SELECT doc_id, plang FROM (
+      |    SELECT doc_id, plang,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY matches DESC, plang) AS rn
+      |    FROM score)
+      |  WHERE rn = 1)
+      |SELECT d.lang, COALESCE(p.plang, 'unknown') AS lang_pred, COUNT(*) AS n_docs
+      |FROM documents d LEFT JOIN pred p USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d9_langid_ngram" -> (d9LangIdNgram _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_token_stats" -> (d2TokenStats _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -399,6 +463,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d9_langid_ngram" -> d9Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_token_stats" -> d2Sql,
     "d3_quality_score" -> d3Sql,

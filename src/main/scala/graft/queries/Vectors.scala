@@ -165,13 +165,41 @@ object Vectors {
       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Per-label centroid vectors (class centroids — the standard
+    * clustering/labeling primitive): posexplode to (label, dim), one
+    * hash aggregation, exact nano-fixed-point mean so both engines do
+    * pure integer arithmetic (sum of floor(x*1e9), integer-divided by
+    * the count). Output long-form (label, dim, centroid_e9) — arrays
+    * compare poorly across engines; the long form is also what a
+    * downstream ANN index build would consume.
+    */
+  def v4LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .filter(col("pos") < 8) // first 8 dims keep the result compact
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(sum(floor(col("col").cast("double") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      // integer DIV: both engines truncate toward zero (Java / DuckDB //)
+      .select(col("label"), col("dim"), expr("s DIV n").as("centroid_e9"))
+      .orderBy(col("label"), col("dim"))
+
+  val v4Sql: String =
+    """SELECT label, i AS dim,
+      |  CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS centroid_e9
+      |FROM (SELECT label, embedding AS v FROM embeddings),
+      |     (SELECT unnest(generate_series(1, 8)) AS i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "v1_cosine_topk" -> (v1CosineTopk _),
     "v2_lsh_ann" -> (v2LshAnn _),
-    "v3_label_norms" -> (v3LabelNorms _))
+    "v3_label_norms" -> (v3LabelNorms _),
+    "v4_label_centroids" -> (v4LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> v1Sql,
     "v2_lsh_ann" -> v2Sql,
-    "v3_label_norms" -> v3Sql)
+    "v3_label_norms" -> v3Sql,
+    "v4_label_centroids" -> v4Sql)
 }
