@@ -73,6 +73,35 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("content_hash"))
 
+  /** STUB resize: emits target-dimension metadata plus a deterministic
+    * proportional byte sample of the payload (a real image library slots
+    * into the same mapPartitions shape — per-partition codec init, one
+    * output row per input). Downstream schema is the real contract:
+    * (media_id, format, width, height, payload).
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload", "format").mapPartitions { rows =>
+      // real resize would init the codec here, once per partition
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, _) = fakeDecode(payload)
+        // proportional sample: every ceil(w*h / (targetW*targetH))-th byte
+        val ratio = math.max(1, (w.toLong * h / (targetW.toLong * targetH)).toInt)
+        val resized = payload.indices.collect {
+          case i if i % ratio == 0 => payload(i)
+        }.toArray
+        Row(r.getLong(0), r.getString(2), targetW, targetH, resized)
+      }
+    }(enc)
+  }
+
   /** Frame sampling over an opaque video-ish payload: fixed-size byte
     * windows every `stride` bytes stand in for decoded frames (a real
     * container parser slots into the same shape: one output row per

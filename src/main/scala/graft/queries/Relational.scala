@@ -530,7 +530,30 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY 1 ORDER BY cgroup""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
+    * one pass (Expand + single aggregation — Catalyst's grouping-sets
+    * plan), completing the rollup/cube surface next to q10.
+    */
+  def q23CubeFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q23Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q23_cube_flags" -> (q23CubeFlags _),
     "q18_large_order_customers" -> (q18LargeOrderCustomers _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "q21_semi_anti" -> (q21SemiAnti _),
@@ -554,6 +577,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q23_cube_flags" -> q23Sql,
     "q18_large_order_customers" -> q18Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q21_semi_anti" -> q21Sql,
