@@ -40,6 +40,22 @@ case class ArgMaxRow(
   override def nullable: Boolean = true
   override def prettyName: String = "arg_max_row"
 
+  // the SQL surface (GraftExtensions) accepts arbitrary expressions —
+  // guard the struct contract instead of ClassCastException-ing at update
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    payload.dataType match {
+      case _: StructType
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(ordering.dataType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName ordering type ${ordering.dataType.catalogString} is not orderable")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName payload must be a struct, got ${other.catalogString}")
+    }
+
   @transient private lazy val ord =
     TypeUtils.getInterpretedOrdering(ordering.dataType)
 
@@ -48,8 +64,9 @@ case class ArgMaxRow(
   override def update(b: ArgMaxBuffer, input: InternalRow): ArgMaxBuffer = {
     val o = ordering.eval(input)
     if (o != null && (b.ord == null || ord.compare(o, b.ord) > 0)) {
+      val p = payload.eval(input) // nullable struct column -> null payload
       b.ord = InternalRow.copyValue(o)
-      b.row = payload.eval(input).asInstanceOf[InternalRow].copy()
+      b.row = if (p == null) null else p.asInstanceOf[InternalRow].copy()
     }
     b
   }
@@ -75,7 +92,7 @@ case class ArgMaxRow(
       row.pointTo(bytes, bytes.length)
       new ArgMaxBuffer(
         InternalRow.copyValue(row.get(0, ordering.dataType)),
-        row.getStruct(1, payloadFields).copy())
+        if (row.isNullAt(1)) null else row.getStruct(1, payloadFields).copy())
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ArgMaxRow =

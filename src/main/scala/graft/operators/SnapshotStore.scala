@@ -3,16 +3,19 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Snapshot load with atomic swap (reference operator K3:
+/** Snapshot load with crash-recoverable swap (reference operator K3:
   * replication/replicator/store.py:25-49,86-90 — create `<T>Temp`,
   * bulk-load, DROP real, RENAME temp->real).
   *
-  * The reference's drop-then-rename has a visibility gap (readers between
-  * the two DDLs see no table). Here the swap is a filesystem rename into
-  * place after a successful staging write, plus re-pointing the session
-  * view — readers either see the old snapshot or the new one, never
-  * neither. (On HDFS/object stores with atomic rename this is one metadata
-  * op; table formats with transactional commit would subsume this.)
+  * The reference's drop-then-rename has an unrecoverable visibility gap
+  * (a crash between the DDLs loses the table). Here the swap is two
+  * directory renames with rollback: a reader racing the swap can still
+  * observe a missing dir for the instant between them (retry-once
+  * suffices), but a crash mid-swap is recovered by rolling `.old` back
+  * into place, and the data itself is never lost. A table format with
+  * transactional commit (or a version-pointer indirection) would make
+  * the window zero; that is deliberately out of scope for plain parquet
+  * dirs.
   */
 object SnapshotStore {
 
@@ -31,9 +34,15 @@ object SnapshotStore {
     val n = spark.read.parquet(staging.toString).count()
 
     fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    if (!fs.rename(staging, live))
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new IllegalStateException(s"snapshot swap: could not stage out $dir")
+    if (!fs.rename(staging, live)) {
+      // roll the previous snapshot back into place before failing —
+      // never leave the table missing
+      if (hadLive) fs.rename(old, live)
       throw new IllegalStateException(s"snapshot swap failed for $dir")
+    }
     fs.delete(old, true)
     n
   }

@@ -50,7 +50,7 @@ object WalSource {
     * config-driven downstream — SURVEY §1.1).
     */
   val schema: StructType = StructType(Seq(
-    StructField("tick", StringType),
+    StructField("tick", LongType),
     StructField("type", IntegerType),
     StructField("db", StringType),
     StructField("cuid", StringType),
@@ -86,20 +86,21 @@ private class WalScanBuilder(path: String)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case GreaterThanOrEqual("tick", v: String) => true
-      case GreaterThan("tick", v: String)        => true
-      case _                                     => false
+      case GreaterThanOrEqual("tick", _: java.lang.Long) => true
+      case GreaterThan("tick", _: java.lang.Long)        => true
+      case _                                             => false
     }
     accepted.foreach {
-      case GreaterThanOrEqual("tick", v: String) =>
-        minTick = math.max(minTick, v.toLong)
-      case GreaterThan("tick", v: String) =>
-        minTick = math.max(minTick, v.toLong + 1)
+      case GreaterThanOrEqual("tick", v: java.lang.Long) =>
+        minTick = math.max(minTick, v.longValue)
+      case GreaterThan("tick", v: java.lang.Long) =>
+        minTick = math.max(minTick, v.longValue + 1)
       case _ => ()
     }
     pushed = accepted
-    // ticks are strings in the envelope; the numeric file-range prune is
-    // conservative, so Spark must still re-apply the residual predicate
+    // tick is numeric end-to-end (schema LongType), so the file-range
+    // prune and Spark's residual evaluation share one ordering; the
+    // residual is still re-applied for in-chunk precision
     rejected ++ accepted
   }
 
@@ -114,9 +115,15 @@ private class WalScan(path: String, minTick: Long) extends Scan with Batch {
   override def description(): String =
     s"graft WAL scan, minTick=${if (minTick == Long.MinValue) "none" else minTick}"
 
+  // driver-side conf, serialized once and shipped to every reader —
+  // executors have NO SparkContext; getOrCreate() there would try to
+  // construct one and fail on a real cluster
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+    val fs = p.getFileSystem(hadoopConf.value)
     if (!fs.exists(p)) return Array.empty
     fs.listStatus(p).toSeq
       .flatMap { st =>
@@ -129,24 +136,41 @@ private class WalScan(path: String, minTick: Long) extends Scan with Batch {
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new WalReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory(hadoopConf)
+}
+
+/** Minimal serializable Hadoop Configuration carrier (the Spark-internal
+  * equivalent is private[spark]).
+  */
+private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
 
 private case class WalChunkPartition(file: String) extends InputPartition
 
-private class WalReaderFactory extends PartitionReaderFactory {
+private class WalReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WalChunkReader(partition.asInstanceOf[WalChunkPartition].file)
+    new WalChunkReader(partition.asInstanceOf[WalChunkPartition].file, conf)
 }
 
 /** Reads one JSON-lines chunk; Jackson streaming parse per line (no
   * per-row DataFrame machinery), emitting InternalRows directly.
   */
-private class WalChunkReader(file: String) extends PartitionReader[InternalRow] {
+private class WalChunkReader(file: String, conf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val path = new Path(file)
-  private val in = path.getFileSystem(
-    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration).open(path)
+  private val in = path.getFileSystem(conf.value).open(path)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
 
@@ -159,8 +183,12 @@ private class WalChunkReader(file: String) extends PartitionReader[InternalRow] 
           if (n.hasNonNull(f)) UTF8String.fromString(
             if (n.get(f).isTextual) n.get(f).asText else n.get(f).toString)
           else null
+        val tick =
+          if (!n.hasNonNull("tick")) null
+          else if (n.get("tick").isTextual) java.lang.Long.valueOf(n.get("tick").asText.toLong)
+          else java.lang.Long.valueOf(n.get("tick").asLong)
         current = InternalRow(
-          str("tick"),
+          tick,
           if (n.hasNonNull("type")) n.get("type").asInt else null,
           str("db"), str("cuid"), str("tid"), str("data"),
           if (n.hasNonNull("offset")) n.get("offset").asLong else null)

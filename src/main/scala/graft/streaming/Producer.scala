@@ -21,7 +21,10 @@ object Producer {
   def prepareKafkaMessages(wal: DataFrame, topicByCuid: Map[String, String]): DataFrame = {
     val mapping = map(topicByCuid.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     wal.select(
-      element_at(mapping, col("cuid")).as("topic"),
+      // try_element_at: ANSI mode (the engine default) makes element_at
+      // THROW on a missing key — one foreign-collection record would
+      // kill the producer; unknown cuids route to a null topic instead
+      try_element_at(mapping, col("cuid")).as("topic"),
       get_json_object(col("data"), "$._key").as("key"),
       to_json(struct(wal.columns.map(col): _*)).as("value"))
   }

@@ -27,18 +27,18 @@ class WalSourceSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq ===
       Seq("tick", "type", "db", "cuid", "tid", "data", "offset"))
     val rows = df.orderBy("offset")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(3), r.getString(5)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getString(5)))
     assert(rows.toSeq === Seq(
-      ("100", 2300, "c1", """{"k":1}"""),
-      ("150", 2302, "c1", """{"k":2}"""),
-      ("250", 2300, "c2", """{"k":3}"""),
-      ("350", 2300, "c1", null)))
+      (100L, 2300, "c1", """{"k":1}"""),
+      (150L, 2302, "c1", """{"k":2}"""),
+      (250L, 2300, "c2", """{"k":3}"""),
+      (350L, 2300, "c1", null)))
   }
 
   test("tick cursor prunes whole chunks before reading") {
     val dir = writeChunks()
     val df = spark.read.format("graft.sources.WalSource").load(dir.toString)
-      .filter(col("tick") >= "200")
+      .filter(col("tick") >= 200)
     // physical plan shows the pruned scan
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("minTick=200"), s"pushdown missing from plan:\n$scan")
@@ -47,8 +47,22 @@ class WalSourceSpec extends SparkSpec {
     assert(df.count() === 2)
     // exclusive bound rounds up
     val df2 = spark.read.format("graft.sources.WalSource").load(dir.toString)
-      .filter(col("tick") > "199")
+      .filter(col("tick") > 199)
     assert(df2.rdd.getNumPartitions === 2)
+    // numeric semantics end-to-end: 95 >= 200 is false BOTH in the prune
+    // and in the residual (the string form would keep "95" >= "200"
+    // lexicographically... or worse, prune what the residual keeps)
+    assert(spark.read.format("graft.sources.WalSource").load(dir.toString)
+      .filter(col("tick") >= 151).count() === 2)
+  }
+
+  test("Envelope.tickHighPass pushes its cursor into the connector") {
+    val dir = writeChunks()
+    val wal = spark.read.format("graft.sources.WalSource").load(dir.toString)
+    val resumed = graft.operators.Envelope.tickHighPass(wal, Some(200L))
+    val scan = resumed.queryExecution.executedPlan.toString
+    assert(scan.contains("minTick=200"),
+      s"resume cursor did not reach the source:\n$scan")
   }
 
   test("composes with the envelope pipeline") {
