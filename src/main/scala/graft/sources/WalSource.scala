@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,7 +74,7 @@ private class WalTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_wal($path)"
   override def schema(): StructType = WalSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WalScanBuilder(path)
 }
@@ -112,6 +113,8 @@ private class WalScanBuilder(path: String)
 private class WalScan(path: String, minTick: Long) extends Scan with Batch {
   override def readSchema(): StructType = WalSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WalMicroBatchStream(path, minTick, hadoopConf)
   override def description(): String =
     s"graft WAL scan, minTick=${if (minTick == Long.MinValue) "none" else minTick}"
 
@@ -138,6 +141,72 @@ private class WalScan(path: String, minTick: Long) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalReaderFactory(hadoopConf)
+}
+
+/** Streaming offset: the highest chunk lastTick fully consumed — the
+  * engine-native form of the reference's Redis `last-tick` cursor
+  * (replication/producer/publisher.py:24-46). Chunks are the atomic unit
+  * (the WAL producer names them by contained tick range), so a chunk is
+  * in batch (start, end] iff start < lastTick <= end.
+  */
+private case class WalOffset(tick: Long) extends Offset {
+  override def json(): String = tick.toString
+}
+
+/** Micro-batch WAL tail: resumable, checkpointed, chunk-granular.
+  * `latestOffset` discovers new chunks by listing; AvailableNow snapshots
+  * the latest offset up front (SupportsTriggerAvailableNow) so a run
+  * drains exactly the chunks present when it started.
+  */
+private class WalMicroBatchStream(path: String, minTick: Long, conf: SerializableHadoopConf)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def chunks(): Seq[(Long, Long, String)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .flatMap(st => WalSource.tickRange(st.getPath.getName)
+        .map { case (lo, hi) => (lo, hi, st.getPath.toString) })
+      .sortBy(_._2)
+  }
+
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(chunks().lastOption.map(_._2).getOrElse(initialTick))
+
+  private def initialTick: Long = if (minTick == Long.MinValue) 0L else minTick - 1
+
+  override def initialOffset(): Offset = WalOffset(initialTick)
+
+  override def latestOffset(): Offset =
+    WalOffset(availableNowCap.getOrElse(chunks().lastOption.map(_._2).getOrElse(initialTick)))
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; no rate
+  // limiting for the file transport — a batch takes everything up to latest
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset = WalOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WalOffset].tick
+    val hi = end.asInstanceOf[WalOffset].tick
+    chunks().collect {
+      case (_, last, file) if last > lo && last <= hi => WalChunkPartition(file)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new WalReaderFactory(conf)
+
+  override def commit(end: Offset): Unit = () // checkpoint log is the record
+  override def stop(): Unit = ()
 }
 
 /** Minimal serializable Hadoop Configuration carrier (the Spark-internal

@@ -65,6 +65,34 @@ class WalSourceSpec extends SparkSpec {
       s"resume cursor did not reach the source:\n$scan")
   }
 
+  test("micro-batch stream: chunk-granular offsets, checkpoint resume") {
+    val dir = writeChunks()
+    val ckpt = Files.createTempDirectory("walck")
+    val out = Files.createTempDirectory("walout").resolve("t").toString
+
+    def drain(): Long = {
+      // parquet sink: memory sink does not support checkpoint recovery
+      val q = spark.readStream.format("graft.sources.WalSource").load(dir.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+
+    assert(drain() === 4) // all four rows across the three chunks
+    // nothing new -> resume reads nothing (offset already at last chunk)
+    assert(drain() === 4)
+    // a new chunk arrives; resume reads ONLY it
+    Files.write(dir.resolve("wal-400-499.json"), java.util.Arrays.asList(
+      """{"tick":"410","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":9}","offset":410}"""))
+    assert(drain() === 5)
+    val ticks = spark.read.parquet(out).select("tick")
+      .collect().map(_.getLong(0)).sorted
+    assert(ticks.toSeq === Seq(100L, 150L, 250L, 350L, 410L))
+  }
+
   test("composes with the envelope pipeline") {
     import org.apache.spark.sql.types._
     val dir = writeChunks()
