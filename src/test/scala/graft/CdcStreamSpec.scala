@@ -136,6 +136,28 @@ class CdcStreamSpec extends SparkSpec {
       .collect().head.contains("missing primary key"))
   }
 
+  test("replication end-to-end over the custom WAL streaming source") {
+    val walDir = tmp("walsrc"); val tableDir = tmp("tbl")
+    // tick-ranged chunk naming — the WalSource contract
+    Files.write(walDir.resolve("wal-11-13.json"), java.util.Arrays.asList(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.0"}"""),
+      walLine(12, 12, 2300, "c1", """{"k": 2, "v": "2.0"}""")))
+    Files.write(walDir.resolve("wal-14-20.json"), java.util.Arrays.asList(
+      walLine(14, 14, 2302, "c1", """{"k": 2, "v": "0"}"""),
+      walLine(15, 15, 2300, "c1", """{"k": 1, "v": "1.5"}""")))
+
+    val wal = spark.readStream.format("graft.sources.WalSource").load(walDir.toString)
+    val q = CdcStream.startReplication(
+      wal, config, payloadSchema,
+      tableDir.toString, tmp("ck").toString,
+      collectionIds = Seq("c1"), clock = clock)
+    q.awaitTermination()
+
+    val got = current(tableDir).select("K", "V").orderBy("K")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 1.5))) // k=2 deleted, k=1 latest wins
+  }
+
   test("statefulLatest emits a changelog of per-key current rows") {
     import spark.implicits._
     val srcDir = tmp("st"); val ckpt = tmp("ck")
