@@ -47,7 +47,11 @@ object Replication {
     * enforcement. One codegen'd select (see SchemaTransform).
     */
   def r2SchemaTransform(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture arrives as ONE parquet split (single row group): spread
+    // the json-parse + cast work across cores; the sort's sampling pass
+    // re-evaluates the projection, so serial cost would be paid twice
     val events = Tables.load(spark, dir, "events")
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("k_raw", get_json_object(col("props"), "$.k"))
     val config = TableConfig(
       name = "EventFlat",
@@ -79,6 +83,7 @@ object Replication {
     */
   def r3Envelope(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
     // deterministic WAL shaping: signup -> txn marker (filtered), error ->
     // REMOVE, rest -> UPSERT; every 50th click becomes a tombstone.
     val wal = events.select(
