@@ -165,6 +165,59 @@ object Vectors {
       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Embedding-cosine near-duplicate DEDUP (completes the dedup family
+    * next to exact/MinHash/SimHash/Jaccard): candidate pairs from shared
+    * LSH buckets (random-hyperplane signatures — same-bucket vectors
+    * agree on all 12 plane signs), then the exact cosine filter at 0.9.
+    * The self-join is on the bucket key, so candidate generation is one
+    * doc-count shuffle, not a cross join; recall follows the LSH
+    * bucketing (near-identical vectors land together).
+    */
+  def v5EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture vectors are random (max pairwise cosine ~0.5), so — as
+    // d1 does for exact dedup — plant near-duplicates: a clone of every
+    // vector with its first component scaled. All perturbation happens
+    // in DOUBLE (after the cast) so the oracle's arithmetic is
+    // bit-identical.
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
+    val all = base.unionByName(clone)
+      .select(col("vec_id"), col("v"), lshBucket(col("v")).as("bucket"))
+    val cos = (dot(col("a.v"), col("b.v")) /
+      (norm(col("a.v")) * norm(col("b.v")))).as("cosine")
+    all.as("a").join(all.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos)
+      .filter(col("cosine") >= 0.9)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val v5Sql: String = {
+    val planeSigSql = (0 until NumPlanes).map { p =>
+      val h = H.md5NumberLowerLocal(s"plane:$p")
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |  i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)), (acc, x) -> acc + x) > 0
+         |  THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+      |  FROM base),
+      |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
+      |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b)
+      |SELECT a.vec_id va, b.vec_id vb,
+      |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+      |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.9
+      |ORDER BY va, vb""".stripMargin
+  }
+
   /** Per-label centroid vectors (class centroids — the standard
     * clustering/labeling primitive): posexplode to (label, dim), one
     * hash aggregation, exact nano-fixed-point mean so both engines do
@@ -195,11 +248,13 @@ object Vectors {
     "v1_cosine_topk" -> (v1CosineTopk _),
     "v2_lsh_ann" -> (v2LshAnn _),
     "v3_label_norms" -> (v3LabelNorms _),
-    "v4_label_centroids" -> (v4LabelCentroids _))
+    "v4_label_centroids" -> (v4LabelCentroids _),
+    "v5_embedding_neardup" -> (v5EmbeddingNeardup _))
 
   val oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> v1Sql,
     "v2_lsh_ann" -> v2Sql,
     "v3_label_norms" -> v3Sql,
-    "v4_label_centroids" -> v4Sql)
+    "v4_label_centroids" -> v4Sql,
+    "v5_embedding_neardup" -> v5Sql)
 }
