@@ -451,8 +451,60 @@ object Documents {
       |FROM documents d LEFT JOIN pred p USING (doc_id)
       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
 
+  /** Winnowing document fingerprints (the MOSS scheme, upgrading d4's
+    * whole-document hash): rolling 8-char-gram hashes (h*31 xor code on
+    * the wrapping 64-bit ring — mul via WrapMulAdd since ANSI throws on
+    * overflow, xor instead of + so the char step cannot overflow), then
+    * the min hash of every 4-gram window, deduplicated. Robust to local
+    * edits: only windows overlapping a change alter their fingerprint,
+    * so shared regions between near-dup docs keep shared fingerprints —
+    * the join key for partial-overlap detection at scale.
+    */
+  def d11Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8; val W = 4
+    def gramHash(text: Column, i: Column): Column =
+      aggregate(sequence(lit(0), lit(K - 1)), lit(0L),
+        (h, j) => WrapMulAdd(h, 31L, 0L)
+          .bitwiseXOR(ascii(text.substr(i + j, lit(1))).cast("long")))
+    docs(spark, dir)
+      .filter(length(col("text")) >= K + W - 1)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - (K - 1)),
+          i => gramHash(col("text"), i)).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("hs")) - (W - 1)),
+          p => array_min(slice(col("hs"), p, lit(W))))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d11Sql: String = {
+    val wrapXor =
+      """xor(CAST((((CAST(h AS HUGEINT) + CASE WHEN h < 0 THEN 18446744073709551616 ELSE 0 END) * 31)
+        |      % 18446744073709551616) -
+        |      CASE WHEN (((CAST(h AS HUGEINT) + CASE WHEN h < 0 THEN 18446744073709551616 ELSE 0 END) * 31)
+        |      % 18446744073709551616) >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT), c)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+      |hs AS (SELECT doc_id,
+      |  list_transform(generate_series(1, length(text) - 7),
+      |    i -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(i, i + 7), j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+      |      (h, c) -> $wrapXor)) AS hs
+      |  FROM d),
+      |fp AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(hs) - 3), p -> list_min(hs[p:p+3]))) AS fps
+      |  FROM hs)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints, list_min(fps) AS min_fp
+      |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "d9_langid_ngram" -> (d9LangIdNgram _),
+    "d11_winnowing" -> (d11Winnowing _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_token_stats" -> (d2TokenStats _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -464,6 +516,7 @@ object Documents {
 
   val oracles: Map[String, String] = Map(
     "d9_langid_ngram" -> d9Sql,
+    "d11_winnowing" -> d11Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_token_stats" -> d2Sql,
     "d3_quality_score" -> d3Sql,
