@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed all-pairs expansion within equi-key buckets — the scale-safe
+  * core of the near-duplicate family (SimHash banding, MinHash LSH buckets,
+  * shingle inverted-index joins).
+  *
+  * Semantics: every unordered pair of distinct rows sharing `keys`, emitted
+  * exactly once as struct columns (a, b) with a.`ord` < b.`ord`. Requires
+  * (`keys`, `ord`) to be unique per row (near-dup callers use doc_id).
+  *
+  * Why not `groupBy + collect_list` + in-row expansion: a hot bucket with K
+  * rows materializes K structs — and K^2 pair structs — inside ONE row of
+  * ONE task; at 100 TB a skewed bucket OOMs that task long before the work
+  * itself is infeasible. Why not a plain self-join on `keys`: sort-merge
+  * buffers the full matching group and streams all K^2 rows through a
+  * single task — spill-safe, but a straggler (AQE skew-split cannot divide
+  * a single join key).
+  *
+  * This operator blocks each bucket into chunks of `chunkSize` rows
+  * (ordered by `ord`): the left side keeps its own chunk id, the right side
+  * replicates each row down to every chunk id <= its own, and the join runs
+  * on (keys, chunk). A K-row bucket spreads its K^2/2 pairs over
+  * ~ceil(K/chunkSize)^2/2 independent join groups — task memory AND task
+  * time are bounded by chunkSize^2 regardless of skew. Replication costs
+  * K^2/(2*chunkSize) extra rows, a factor `chunkSize` cheaper than the pair
+  * output those rows produce. Rows in chunk i precede rows in chunk j > i
+  * in `ord` order, so the a < b condition is free across chunks and a
+  * row_number comparison inside the diagonal.
+  *
+  * Buckets of size 1 are dropped before the join (they cannot pair), and
+  * `maxBucket` optionally drops over-capacity buckets wholesale — the
+  * document-frequency cap used by shingle joins, where a key shared by
+  * thousands of rows contributes candidate volume but no discrimination.
+  */
+object BlockedSelfJoin {
+
+  def pairs(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      chunkSize: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(col(ord))
+    // same partitioning+ordering as `w`, so both window expressions run in
+    // one WindowExec over one exchange
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val payload = struct(df.columns.map(col): _*)
+    val chunked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bn", count(lit(1)).over(wAll))
+      .filter(col("__bn") >= 2 &&
+        maxBucket.map(cap => col("__bn") <= cap).getOrElse(lit(true)))
+      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("int"))
+      // lazy local checkpoint: both join sides read ONE materialization of
+      // the (often expensive) upstream pipeline + bucket window. Without
+      // it AQE plans the two sides as independent stages and recomputes
+      // the whole subtree twice (plain ReuseExchange fires only with AQE
+      // off). Lazy, so building the DataFrame stays side-effect free; the
+      // blocks are reference-counted by the ContextCleaner once the query
+      // is gone. At real cluster scale this is where a production
+      // pipeline would persist signatures to a table instead.
+      .localCheckpoint(false)
+    val left = chunked.select(
+      kcols ++ Seq(col("__chunk").as("__c"), col("__rn").as("__ra"), payload.as("a")): _*)
+    val right = chunked.select(
+      kcols ++ Seq(explode(sequence(lit(0), col("__chunk"))).as("__c"),
+        col("__rn").as("__rb"), payload.as("b")): _*)
+    left.join(right, keys :+ "__c")
+      .filter(col("__ra") < col("__rb"))
+      .select(col("a"), col("b"))
+  }
+}

@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale tiers (100 TB):
   *  - exact dedup and fingerprints are a single hash-shuffle;
-  *  - n-gram Jaccard self-joins on the shingle — exact but quadratic on
-  *    hot shingles (correctness tier; fine to SF~1);
+  *  - n-gram Jaccard joins docs through an inverted shingle index with a
+  *    document-frequency cap on hot shingles (exact for every pair that
+  *    shares at least one discriminating shingle);
   *  - MinHash+LSH is the scale path: fixed 16-hash signature per doc, one
   *    shuffle per band on (band, signature) — candidate generation is
   *    linear in docs, independent of pairwise similarity structure;
-  *  - SimHash gives constant-size sketches for hamming-distance dedup.
+  *  - SimHash gives constant-size sketches for hamming-distance dedup,
+  *    paired by pigeonhole banding (4 x 12 bits), never all-pairs.
+  * All bucket pair expansions go through
+  * [[graft.operators.BlockedSelfJoin]], which chunk-blocks hot buckets so
+  * no task sees more than chunkSize^2 pairs regardless of skew.
   * All hashes are md5-derived (see HashFunctions) so the DuckDB oracle
   * replays them bit-for-bit.
   */
@@ -156,15 +161,29 @@ object Documents {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via shingle
-    * self-join. Correctness tier: exact but join-heavy; the LSH variant
-    * below is the 100 TB path.
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via an inverted
+    * shingle index: pairs of docs sharing a shingle, one aggregation for
+    * the intersection size.
+    *
+    * Scale controls:
+    *  - a document-frequency cap ([[D5MaxShingleDf]]) drops shingles
+    *    appearing in more than that many docs BEFORE pair expansion — a
+    *    ubiquitous shingle contributes candidate volume, not
+    *    discrimination, and is the classic quadratic blowup of inverted-
+    *    index joins (a boilerplate header shared by 1M docs is 10^12
+    *    pairs). At threshold 0.8 a dropped hot shingle only lowers the
+    *    intersection count for pairs that still share >= 1 rare shingle;
+    *    pairs supported ONLY by ubiquitous shingles are not near-dups.
+    *    The DuckDB oracle applies the same cap, so the check stays exact.
+    *  - surviving buckets expand through
+    *    [[graft.operators.BlockedSelfJoin]], so even a df-cap-sized
+    *    bucket never concentrates its pairs in one task.
     */
   def d5NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // |shingles| rides along as explode payload (constant per doc, so it
     // can sit in the groupBy key) — no separate sizes table, no
-    // post-aggregation joins; the whole query is scan -> self-join ->
-    // one aggregation. Join key is a 64-bit hash of the shingle, not
+    // post-aggregation joins; the whole query is scan -> pair expansion
+    // -> one aggregation. Join key is a 64-bit hash of the shingle, not
     // the string: narrower shuffle rows and cheaper equality; xxhash64
     // is internal-only (never surfaced), collision odds over |distinct
     // shingles| are ~n^2/2^65.
@@ -178,8 +197,9 @@ object Documents {
       // Upstream size(tokens)>=3 already guarantees non-empty arrays.
       .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
-    sh.as("a")
-      .join(sh.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+    graft.operators.BlockedSelfJoin
+      .pairs(sh, Seq("k"), "doc_id", chunkSize = 1024,
+        maxBucket = Some(D5MaxShingleDf))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -189,15 +209,23 @@ object Documents {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Shingles seen in more docs than this are dropped from d5's candidate
+    * generation (document-frequency cap; mirrored in the DuckDB oracle).
+    */
+  val D5MaxShingleDf = 50
+
   val d5Sql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |       (SELECT unnest(generate_series(1, 100000)) i)
       |  WHERE i <= len(w) - 2),
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |shc AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)
+      |        WHERE df <= $D5MaxShingleDf),
       |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT da, db, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
       |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
@@ -226,15 +254,17 @@ object Documents {
     *    lanes are wrap-mul-add bijections of that base hash, aggregated
     *    as 16 min() columns in a single HashAggregate that reuses the
     *    doc_id repartition (no extra exchange);
-    *  - candidates via groupBy(band, sig) + in-bucket pair expansion —
-    *    NOT a self-join: a self-join re-executes the whole signature
-    *    pipeline for its second side (exchange reuse does not fire
-    *    across AQE stage materialization here), doubling CPU;
+    *  - candidates via (band, sig) bucket pair expansion through
+    *    [[graft.operators.BlockedSelfJoin]]: buckets are chunk-blocked so
+    *    a skewed bucket spreads its K^2 pairs across tasks, and the
+    *    expensive signature pipeline below the bucket exchange is
+    *    computed once and reused by both join sides;
     *  - the signature array rides into the buckets as payload, so the
     *    overlap estimate is a per-pair expression; no re-join.
-    * Shuffle inventory: repartition, band groupBy, distinct, sort — all
-    * doc-count-sized. Oracle replays lanes bit-for-bit via HUGEINT
-    * modular arithmetic on the unsigned view of the same md5 bytes.
+    * Shuffle inventory: repartition, bucket window, pair join, distinct,
+    * sort — all candidate-count-sized. Oracle replays lanes bit-for-bit
+    * via HUGEINT modular arithmetic on the unsigned view of the same md5
+    * bytes.
     */
   def d6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
@@ -262,24 +292,22 @@ object Documents {
           struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("m"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // same-bucket docs, sorted by doc_id; each bucket expands to its
-    // ordered pairs (a.doc_id < b.doc_id by construction)
-    val buckets = bandSig.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("m")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = buckets.select(explode_outer(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            y => struct(x.as("a"), y.as("b")))))).as("pr"))
+    // same-bucket pair expansion via BlockedSelfJoin: a hot (band, sig)
+    // bucket is chunk-blocked across tasks instead of materializing K
+    // structs + K^2 pairs inside one collect_list row — the signature
+    // array rides along as join payload, so the overlap estimate is still
+    // a per-pair expression with no re-join
+    val pairs = graft.operators.BlockedSelfJoin
+      .pairs(bandSig, Seq("band", "sig"), "doc_id", chunkSize = 256)
     val matches = (0 until NumHashes)
-      .map(i => when(element_at(col("pr.a.m"), i + 1) === element_at(col("pr.b.m"), i + 1), 1)
+      .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
         .otherwise(0))
       .reduce(_ + _)
     pairs
-      .select(col("pr.a.doc_id").as("da"), col("pr.b.doc_id").as("db"),
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
-      .distinct() // same pair from multiple bands has identical est
       .filter(col("est_jaccard") >= 0.5)
+      .distinct() // same pair from multiple bands has identical est
       .orderBy(col("da"), col("db"))
   }
 
@@ -325,9 +353,15 @@ object Documents {
   }
 
   /** SimHash sketches (48-bit to stay in positive int64) + near-dup pairs
-    * at hamming distance <= 3. Sketch build is one pass; the pair scan
-    * here is all-pairs (oracle tier) — at scale you band the simhash
-    * exactly like LSH.
+    * at hamming distance <= 3, found by pigeonhole banding: the 48 bits
+    * split into 4 bands of 12; two sketches within hamming 3 differ in at
+    * most 3 bands, so they agree EXACTLY on at least one band — candidates
+    * are same-band-value pairs, a bucketed equality problem, never an
+    * all-pairs scan. Exact: same output as the naive quadratic join, but
+    * candidate volume is sum of bucket^2 over band buckets (linear for
+    * real corpora where near-dup clusters are small), and hot buckets are
+    * chunk-blocked by [[graft.operators.BlockedSelfJoin]] so no single
+    * task ever sees more than chunkSize^2 pairs.
     */
   def d7Simhash(spark: SparkSession, dir: String): DataFrame = {
     // one groupBy(doc_id) with 48 partially-aggregated bit-score sums
@@ -346,10 +380,19 @@ object Documents {
       (0 until 48).map(j =>
           when(col(s"score$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _).as("simhash"))
-    sketch.as("a").join(sketch.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val banded = sketch.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 12).bitwiseAND(lit(0xfffL))): _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("bkey"))
+    graft.operators.BlockedSelfJoin
+      .pairs(banded, Seq("band", "bkey"), "doc_id", chunkSize = 1024)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      // the same pair matches in every band it agrees on — dedupe once,
+      // after the hamming filter has cut the candidate volume
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.BlockedSelfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BlockedSelfJoin must emit exactly the pair set of a naive self-join,
+  * for any chunk size — including chunk sizes that force multi-chunk
+  * buckets on a heavily skewed fixture.
+  */
+class BlockedSelfJoinSpec extends SparkSpec {
+
+  private def naivePairs(df: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col(s"x.$ord") < col(s"y.$ord")
+    df.as("x").join(df.as("y"), cond)
+      .select(col(s"x.$ord").as("ia"), col(s"y.$ord").as("ib"))
+  }
+
+  private def skewed = {
+    import spark.implicits._
+    // one hot bucket of 200 rows, several mid buckets, a singleton tail;
+    // ids interleaved so chunk order != insertion order
+    val rows =
+      (1 to 200).map(i => ("hot", 0, i * 7 % 1000 * 1000 + i)) ++
+        (1 to 17).map(i => ("mid", 1, i)) ++
+        (1 to 17).map(i => ("mid", 2, i + 100)) ++
+        (1 to 3).map(i => (s"tail$i", i, i))
+    rows.toDF("k1", "k2", "id").withColumn("payload", col("id") * 2)
+  }
+
+  test("pair set equals the naive self-join for every chunking regime") {
+    val df = skewed
+    val expected = naivePairs(df, Seq("k1", "k2"), "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(expected.size === 200 * 199 / 2 + 2 * 17 * 16 / 2)
+
+    for (chunk <- Seq(1, 7, 64, 100000)) {
+      val got = BlockedSelfJoin.pairs(df, Seq("k1", "k2"), "id", chunk)
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got === expected, s"chunkSize=$chunk")
+    }
+  }
+
+  test("pairs carry full payload on both sides, a.ord < b.ord") {
+    val got = BlockedSelfJoin.pairs(skewed, Seq("k1", "k2"), "id", 16)
+      .select(col("a.id").as("ia"), col("a.payload").as("pa"),
+        col("b.id").as("ib"), col("b.payload").as("pb"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(0) < r.getInt(2))
+      assert(r.getInt(1) === r.getInt(0) * 2 && r.getInt(3) === r.getInt(2) * 2)
+    }
+  }
+
+  test("maxBucket drops over-capacity buckets wholesale (df-cap)") {
+    val df = skewed
+    val got = BlockedSelfJoin.pairs(df, Seq("k1", "k2"), "id", 16, maxBucket = Some(50))
+      .select(col("a.k1")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("mid")) // hot capped out, singletons cannot pair
+    val capped = BlockedSelfJoin.pairs(df, Seq("k1", "k2"), "id", 16, maxBucket = Some(50)).count()
+    assert(capped === 2 * 17 * 16 / 2)
+  }
+
+  test("empty input and all-singleton input produce no pairs") {
+    import spark.implicits._
+    val singletons = (1 to 10).map(i => (s"k$i", i)).toDF("k", "id")
+    assert(BlockedSelfJoin.pairs(singletons, Seq("k"), "id", 8).count() === 0)
+    assert(BlockedSelfJoin.pairs(singletons.limit(0), Seq("k"), "id", 8).count() === 0)
+  }
+}
