@@ -18,6 +18,9 @@ import org.apache.spark.sql.types._
   *     (reference: transformer.py:78-79).
   *   - `primaryKey`: missing value rejects the whole row
   *     (reference: transformer.py:70-71).
+  *   - `chType`: the target engine's column type for DDL generation — the
+  *     reference reads it only for the primary key
+  *     (replication/schema/helper.py:79-86).
   */
 final case class ColumnSpec(
     name: String,
@@ -25,7 +28,8 @@ final case class ColumnSpec(
     ref: Option[String] = None,
     default: Option[Any] = None,
     required: Boolean = false,
-    primaryKey: Boolean = false) {
+    primaryKey: Boolean = false,
+    chType: Option[String] = None) {
   def sourceField: String = ref.getOrElse(name)
 }
 
@@ -46,6 +50,12 @@ final case class TableConfig(
   require(columns.nonEmpty, s"table $name has no columns")
 
   def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
+
+  /** DDL type of the (first) primary key — reference
+    * `get_type_of_primary_key` (replication/schema/helper.py:79-86).
+    */
+  def primaryKeyChType: Option[String] =
+    columns.find(_.primaryKey).flatMap(_.chType)
 
   /** Target schema (all columns nullable — constraint enforcement happens in
     * SchemaTransform's validity predicate, not the storage schema).

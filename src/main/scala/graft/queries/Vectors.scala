@@ -103,12 +103,24 @@ object Vectors {
 
   /** ANN via LSH buckets: same-bucket candidates only, cosine top-3 within
     * the bucket. Trades recall for a candidate set ~N/2^planes per query.
+    *
+    * The fixture's random vectors are mutually near-orthogonal, so no two
+    * ever shared a 12-plane bucket and the query returned (correctly but
+    * vacuously) zero rows. As d1/v5 do, plant a near-duplicate clone of
+    * every vector (first component scaled, arithmetic in DOUBLE so the
+    * oracle replays it): clones land in their original's bucket, so every
+    * query provably retrieves neighbors through the ANN path. At real
+    * scale the corpus itself provides the bucket mates.
     */
   def v2LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
+    val e = base.unionByName(clone).withColumn("bucket", lshBucket(col("v")))
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("bucket"))
+    val cands = e.select(col("vec_id").as("cid"), col("v").as("ce"), col("bucket"))
     val cos = (dot(col("qe"), col("ce")) /
       (norm(col("qe")) * norm(col("ce")))).as("cosine")
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -128,7 +140,14 @@ object Vectors {
          |  i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)), (acc, x) -> acc + x) > 0
          |  THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+      |  FROM base),
       |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
       |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b),
       |scored AS (

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.config.TableConfig
+import graft.operators.{SchemaTransform, SnapshotStore}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Resync orchestrator: the snapshot -> CDC handoff that makes a replica
+  * convergent despite the snapshot scan and the change stream overlapping.
+  *
+  * Reference: `synchronizer` (replication/replicator/sync.py:75-160)
+  * drives stop-consumers -> snapshot -> restart-consumers; the load-bearing
+  * step is recording the WAL's current tick BEFORE the snapshot scan
+  * (replication/replicator/store.py:51-58) so CDC resumes from that tick.
+  * Changes that land during the scan are then seen twice — once inside the
+  * snapshot, once replayed by CDC — and collapse, because CDC versions
+  * (Envelope.verExpr, strictly positive) always exceed the snapshot's
+  * `_ver = 0` and the versioned read view keeps max-version per key.
+  * Changes strictly older than the captured tick are dropped by the F3
+  * high-pass, so a resync never resurrects pre-snapshot state.
+  *
+  * The Kafka topic delete/create and pm2 process choreography of the
+  * reference collapse into Spark-native equivalents: a fresh checkpoint
+  * directory IS the "new topic" (offsets restart), and the returned
+  * StreamingQuery handle replaces the process manager.
+  */
+object Sync {
+
+  /** Outcome of a resync: the tick CDC resumed from, snapshot row/reject
+    * counts (the reference's processed-documents log, store.py:84-91), and
+    * the running replication query.
+    */
+  final case class Resync(
+      initialTick: Long,
+      snapshotRows: Long,
+      snapshotRejects: Long,
+      query: StreamingQuery)
+
+  /** Current last tick of a WAL chunk directory — the engine's
+    * `wal.get_last_tick()` (store.py:53-58). 0 for an empty/absent WAL
+    * (CDC then replays from the beginning, which is also convergent).
+    */
+  def currentTick(spark: SparkSession, walDir: String): Long = {
+    val p = new Path(walDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .flatMap(st => graft.sources.WalSource.tickRange(st.getPath.getName))
+      .map(_._2)
+      .maxOption
+      .getOrElse(0L)
+  }
+
+  /** Snapshot the source collection through the schema transform into the
+    * replica table (atomic swap), dead-lettering rejects. Snapshot rows
+    * carry `_ver = 0` / `_deleted = 0` and a null offset: any CDC row
+    * (whose version encodes the UTC date) outranks them.
+    */
+  def snapshot(
+      spark: SparkSession,
+      collection: DataFrame,
+      config: TableConfig,
+      tableDir: String): (Long, Long) = {
+    val t = SchemaTransform(collection, config)
+    val rows = t.valid
+      .withColumn("offset", lit(null).cast("long"))
+      .withColumn(config.versionColumn, lit(0L))
+      .withColumn(config.deletedColumn, lit(0))
+    val n = SnapshotStore.writeSnapshot(spark, rows, tableDir)
+    val rejects = t.errors
+    val nRejects = rejects.count()
+    if (nRejects > 0)
+      rejects.write.mode("append").parquet(tableDir + ".deadletter")
+    (n, nRejects)
+  }
+
+  /** Full resync of one collection: capture tick -> snapshot -> start CDC
+    * from that tick. `wal` is the streaming envelope frame (file or Kafka
+    * transport); `walDir` is the chunk directory the tick cursor is read
+    * from. `checkpointDir` must be fresh (a resync restarts the offset
+    * history exactly as the reference recreates its topic).
+    */
+  def resync(
+      spark: SparkSession,
+      collection: DataFrame,
+      wal: DataFrame,
+      walDir: String,
+      config: TableConfig,
+      payloadSchema: StructType,
+      tableDir: String,
+      checkpointDir: String,
+      collectionIds: Seq[String] = Nil,
+      clock: Column = current_timestamp(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: Option[String] = None): Resync = {
+    // tick FIRST, then scan: anything committed after this point may be in
+    // the snapshot AND in the replayed stream — that overlap is the safe
+    // direction (idempotent); ticking after the scan would LOSE changes
+    val tick = currentTick(spark, walDir)
+    val (rows, rejects) = snapshot(spark, collection, config, tableDir)
+    val query = CdcStream.startReplication(
+      wal, config, payloadSchema, tableDir, checkpointDir,
+      collectionIds = collectionIds, initialTick = Some(tick),
+      clock = clock, trigger = trigger, queryName = queryName)
+    Resync(tick, rows, rejects, query)
+  }
+
+  /** F5 table-allowlist validation (reference replicate.py:8-23): every
+    * requested table must be in the configured sync list; violations fail
+    * fast with the full allowlist in the message.
+    */
+  def validateTables(requested: Seq[String], allowed: Seq[String]): Seq[String] = {
+    val notAllowed = requested.filterNot(allowed.contains)
+    require(notAllowed.isEmpty,
+      s"tables ${notAllowed.mkString(", ")} are not allowed. " +
+        s"Allowed tables: ${allowed.sorted.mkString(", ")}")
+    requested
+  }
+}

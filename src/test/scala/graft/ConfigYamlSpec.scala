@@ -1,0 +1,126 @@
+package graft
+
+import graft.config.{ColumnSpec, ConfigYaml, TableConfig}
+import graft.operators.SchemaTransform
+
+/** YAML table-config loading: the reference's tables/test.yaml shape must
+  * produce the same TableConfig (and the same transform behavior) as the
+  * hand-built Scala equivalent.
+  */
+class ConfigYamlSpec extends SparkSpec {
+
+  // structurally equivalent to the reference's tables/test.yaml
+  // (readme.md:115-142): DDL literal block, buffer block (ignored),
+  // properties with ref/required/default/custom transform, primary_key
+  private val yaml =
+    """---
+      |table: |
+      |  CREATE TABLE Test
+      |  (
+      |      `Id`   Int64,
+      |      `Name` String
+      |  ) ENGINE = ReplacingMergeTree(_ver)
+      |        PRIMARY KEY (Id, Name)
+      |
+      |table_name: Test
+      |
+      |buffer:
+      |  num_layers: 1
+      |  min_time: 15
+      |  max_rows: 2000
+      |
+      |schema:
+      |  properties:
+      |    Id:
+      |      type: int
+      |      ref: _key # arango column name
+      |      ch_type: Int64
+      |    Name:
+      |      type: str
+      |      ref: name
+      |      required: true
+      |    Answers:
+      |      type: to_array # custom transform function
+      |      default: [ ]
+      |    SubmittedOn:
+      |      type: from_datetime
+      |      ref: submitted_on
+      |    Score:
+      |      type: [ int, str ]
+      |      default: '0'
+      |    _rev:
+      |      type: str
+      |      default: ''
+      |    _ver:
+      |      type: int
+      |      default: 1
+      |    _deleted:
+      |      type: int
+      |      default: 0
+      |  primary_key: Id
+      |""".stripMargin
+
+  test("parses the reference YAML shape into a TableConfig") {
+    val cfg = ConfigYaml.tableConfig(yaml)
+    assert(cfg.name === "Test")
+    // _ver/_deleted are engine-synthesized, not transform columns
+    assert(cfg.columns.map(_.name) ===
+      Seq("Id", "Name", "Answers", "SubmittedOn", "Score", "_rev"))
+
+    val id = cfg.columns.head
+    assert(id === ColumnSpec("Id", Seq("int"), ref = Some("_key"),
+      primaryKey = true, chType = Some("Int64")))
+    assert(cfg.primaryKeys === Seq("Id"))
+    assert(cfg.primaryKeyChType === Some("Int64"))
+
+    val name = cfg.columns(1)
+    assert(name.required && name.ref === Some("name"))
+
+    val answers = cfg.columns(2)
+    assert(answers.types === Seq("to_array"))
+    assert(answers.default.get.asInstanceOf[Array[String]].toSeq === Nil)
+
+    assert(cfg.columns(3).types === Seq("from_datetime"))
+    // inline list = ordered multi-type fallback chain
+    assert(cfg.columns(4).types === Seq("int", "str"))
+    assert(cfg.columns(4).default === Some("0"))
+    assert(cfg.columns(5).default === Some(""))
+  }
+
+  test("yaml-loaded config transforms identically to the code-built config") {
+    import spark.implicits._
+    val docs = Seq(
+      ("10", Some("alice"), Some("a,b"), Some("2024-01-02 03:04:05"), Some("7")),
+      ("11", None, None, None, None)) // missing required name -> reject
+      .toDF("_key", "name", "answers_csv", "submitted_on", "score")
+      .withColumnRenamed("answers_csv", "Answers")
+      .withColumnRenamed("score", "Score")
+
+    val fromYaml = ConfigYaml.tableConfig(yaml)
+    val handBuilt = TableConfig("Test", Seq(
+      ColumnSpec("Id", Seq("int"), ref = Some("_key"), primaryKey = true, chType = Some("Int64")),
+      ColumnSpec("Name", Seq("str"), ref = Some("name"), required = true),
+      ColumnSpec("Answers", Seq("to_array"), default = Some(Array.empty[String])),
+      ColumnSpec("SubmittedOn", Seq("from_datetime"), ref = Some("submitted_on")),
+      ColumnSpec("Score", Seq("int", "str"), default = Some("0")),
+      ColumnSpec("_rev", Seq("str"), default = Some(""))))
+    assert(fromYaml.columns.map(_.name) === handBuilt.columns.map(_.name))
+
+    val a = SchemaTransform(docs, fromYaml)
+    val b = SchemaTransform(docs, handBuilt)
+    assert(a.valid.collect().toSeq === b.valid.collect().toSeq)
+    assert(a.valid.count() === 1 && a.errors.count() === 1)
+    val row = a.valid.head
+    assert(row.getLong(row.fieldIndex("Id")) === 10L)
+    assert(row.getSeq[String](row.fieldIndex("Answers")) === Seq("a", "b"))
+  }
+
+  test("parser handles literal blocks, comments, and inline lists") {
+    val n = ConfigYaml.parse(yaml)
+    val ddl = n.get("table").get.asInstanceOf[String]
+    assert(ddl.startsWith("CREATE TABLE Test") && ddl.contains("PRIMARY KEY (Id, Name)"))
+    val buffer = n.obj("buffer")
+    assert(buffer.get("min_time") === Some(15L))
+    assert(n.obj("schema").get("primary_key") === Some("Id"))
+  }
+}
