@@ -108,6 +108,30 @@ object Sync {
     Resync(tick, rows, rejects, query)
   }
 
+  /** Resync against a [[graft.sources.CollectionSource]] — the transport-
+    * agnostic form: a live connector implementation drops in without any
+    * change here (SURVEY §7.1 seam).
+    */
+  def resync(
+      spark: SparkSession,
+      source: graft.sources.CollectionSource,
+      config: TableConfig,
+      payloadSchema: StructType,
+      tableDir: String,
+      checkpointDir: String,
+      collectionIds: Seq[String],
+      clock: Column,
+      trigger: Trigger,
+      queryName: Option[String]): Resync = {
+    val tick = source.currentTick(spark)
+    val (rows, rejects) = snapshot(spark, source.snapshot(spark), config, tableDir)
+    val query = CdcStream.startReplication(
+      source.changes(spark), config, payloadSchema, tableDir, checkpointDir,
+      collectionIds = collectionIds, initialTick = Some(tick),
+      clock = clock, trigger = trigger, queryName = queryName)
+    Resync(tick, rows, rejects, query)
+  }
+
   /** F5 table-allowlist validation (reference replicate.py:8-23): every
     * requested table must be in the configured sync list; violations fail
     * fast with the full allowlist in the message.

@@ -38,6 +38,44 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join really fires on a genuinely skewed join key") {
+    import spark.implicits._
+    // one key carrying ~100k rows against a flat tail; thresholds lowered
+    // so the skew detector triggers at test scale (defaults are 256MB)
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+
+      val probe = ((1 to 100000).map(i => ("hot", i.toLong)) ++
+        (1 to 200).map(i => (s"k${i % 50}", i.toLong))).toDF("k", "v")
+      val build = ((1 to 50).map(i => (s"k$i", s"t$i")) :+ (("hot", "H"))).toDF("k", "tag")
+
+      val joined = probe.join(build, Seq("k"))
+      // collect() executes THIS DataFrame's QueryExecution (count() would
+      // plan a separate aggregate query, leaving this plan un-finalized)
+      // tail keys are k0..k49, build has k1..k50: the 4 k0 rows miss
+      assert(joined.collect().length === 100000 + 196)
+      // the executed adaptive plan must contain a skew-split shuffle read
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+        s"no AQE skew split in plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("SQL functions registered by GraftExtensions work end-to-end") {
     GraftExtensions.register(spark)
     val dot = spark.sql(

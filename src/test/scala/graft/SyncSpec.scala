@@ -97,6 +97,24 @@ class SyncSpec extends SparkSpec {
     assert(current(tableDir) === Map(1L -> 1.9, 3L -> 3.0, 4L -> 4.0))
   }
 
+  test("resync over the CollectionSource seam (transport-agnostic form)") {
+    import spark.implicits._
+    val walDir = tmp("wal"); val tableDir = tmp("tbl"); val colDir = tmp("col")
+    Files.write(walDir.resolve("wal-11-20.json"), java.util.Arrays.asList(
+      walLine(20, 20, 2300, """{"k": 4, "v": "4.0"}""")))
+    Seq((1L, "1.5"), (4L, "4.0")).toDF("k", "v")
+      .write.mode("overwrite").parquet(colDir.toString)
+
+    val source = graft.sources.FileCollectionSource(colDir.toString, walDir.toString)
+    val r = Sync.resync(spark, source, config, payloadSchema,
+      tableDir.toString, tmp("ck").toString, Seq("c1"), clock,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), None)
+    r.query.awaitTermination()
+
+    assert(r.initialTick === 20L && r.snapshotRows === 2L)
+    assert(current(tableDir) === Map(1L -> 1.5, 4L -> 4.0))
+  }
+
   test("snapshot rejects go to the dead-letter table") {
     import spark.implicits._
     val tableDir = tmp("tbl")
