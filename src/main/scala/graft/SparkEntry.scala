@@ -18,12 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Replication.defs ++ Events.defs ++
-      Documents.defs ++ Vectors.defs ++ MultimodalQ.defs
+      Documents.defs ++ Vectors.defs ++ MultimodalQ.defs ++ Pipeline.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Replication.oracles ++ Events.oracles ++
-      Documents.oracles ++ Vectors.oracles ++ MultimodalQ.oracles
+      Documents.oracles ++ Vectors.oracles ++ MultimodalQ.oracles ++
+      Pipeline.oracles
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup family: context-window
+  * chunking, deterministic split assignment, benchmark decontamination, and
+  * TF-IDF term scoring. Everything is expression-level (codegen'd, no UDFs)
+  * and every query has a bit-exact DuckDB oracle twin.
+  *
+  * Scale stances:
+  *  - chunking and split assignment are pure projections — scan-speed at
+  *    any corpus size;
+  *  - decontamination is an inverted-index semi-join where the benchmark
+  *    side is tiny by construction (eval sets are KBs against a 100 TB
+  *    corpus) and broadcast;
+  *  - TF-IDF shuffles on (doc, term) then term — both hash aggregations
+  *    with map-side partial combine; the corpus-size scalar N arrives via
+  *    a broadcast one-row join, never a collect.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Context-window size / stride (tokens). Production values would be
+    * e.g. 2048/1536; small constants keep the fixture output meaningful.
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Shingle width for decontamination. Production pipelines use 13-gram
+    * exact-match decontamination (the GPT-3 recipe); the fixture's
+    * shared-vocabulary texts only collide at 3-grams, so the width is a
+    * constant, not a design difference.
+    */
+  private val DecontamN = 3
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** p1: split each document into overlapping context windows. A chunk
+    * starts every `ChunkStride` tokens; the count is
+    * 1 + ceil(max(0, len - ChunkSize) / ChunkStride), so the last window
+    * is the first one to reach the end of the document (no degenerate
+    * all-inside-previous tails). Emits the chunk's token count and an
+    * md5 of its text — the downstream join key for chunk-level dedup.
+    */
+  def p1Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val len = size(col("w"))
+    val nChunks = lit(1) +
+      ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
+    docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), nChunks - 1)).as("k"))
+      .select(col("doc_id"), (col("k") + 1).cast("long").as("chunk_id"),
+        slice(col("w"), col("k") * ChunkStride + 1, lit(ChunkSize)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val p1Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (
+      |  SELECT doc_id, k + 1 AS chunk_id,
+      |    w[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize] AS cw
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(ceil(greatest(len(w) - $ChunkSize, 0) / $ChunkStride.0) AS INT))) AS k))
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(cw) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(cw, ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** p2: deterministic train/val/test assignment — the standard
+    * hash-bucket split (stable under reprocessing, independent of row
+    * order and partitioning, unlike randomSplit). Bucket = first 8 md5
+    * hex chars of the doc id, mod 100: 0-79 train, 80-89 val, 90-99 test.
+    */
+  def p2SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("split"))
+  }
+
+  val p2Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_chars,
+      |          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS b
+      |        FROM documents))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc_id
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  /** p3: benchmark decontamination — flag training documents sharing an
+    * n-gram with the held-out benchmark set (doc_id % 97 == 0 stands in
+    * for the eval set). The benchmark side is broadcast: real eval sets
+    * are a few MB against a 100 TB corpus, so the scan side never
+    * shuffles on the n-gram; join key is the 64-bit shingle hash (same
+    * collision argument as d5).
+    */
+  def p3Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= DecontamN)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), T.shingles(col("toks"), DecontamN).as("shs"))
+      .select(col("doc_id"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("k"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("k"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(bench), Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p3Sql: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - ${DecontamN - 1}),
+      |bench AS (SELECT s, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT t.doc_id, COUNT(*) AS n_hits,
+      |  COUNT(DISTINCT b.bench_id) AS n_bench_docs
+      |FROM train t JOIN bench b ON t.s = b.s
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** p4: top-5 TF-IDF terms per document (doc_id < 20). The idf is the
+    * exact rational N/df instead of ln(N/df): one IEEE division is
+    * bit-identical across engines, while libm log implementations are
+    * not — and the RANKING is the same either way (ln is monotone).
+    */
+  def p4Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double")).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.filter(col("doc_id") < 20)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val p4Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+      |  FROM tf JOIN df USING (term), n),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored WHERE doc_id < 20)
+      |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "p1_chunking" -> (p1Chunking _),
+    "p2_split_assign" -> (p2SplitAssign _),
+    "p3_decontaminate" -> (p3Decontaminate _),
+    "p4_tfidf" -> (p4Tfidf _))
+
+  val oracles: Map[String, String] = Map(
+    "p1_chunking" -> p1Sql,
+    "p2_split_assign" -> p2Sql,
+    "p3_decontaminate" -> p3Sql,
+    "p4_tfidf" -> p4Sql)
+}

@@ -65,6 +65,25 @@ class BlockedSelfJoinSpec extends SparkSpec {
     assert(capped === 2 * 17 * 16 / 2)
   }
 
+  test("d6 MinHash LSH survives a pathological single-bucket corpus") {
+    // 600 identical documents: every doc lands in the SAME (band, sig)
+    // bucket in all 4 bands — the exact shape that OOM'd the old
+    // collect_list expansion. With chunkSize=256 the bucket splits into
+    // 3 chunks; the full quadratic pair set must still come out, once.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d6skew")
+    dir.toFile.deleteOnExit()
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    (1 to 600).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = graft.queries.Documents.d6MinhashLsh(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 600 * 599 / 2) // every unordered pair exactly once
+    assert(out.forall(_._3 === 1.0))     // identical docs: est jaccard 1
+    assert(out.toSet.size === out.length)
+  }
+
   test("empty input and all-singleton input produce no pairs") {
     import spark.implicits._
     val singletons = (1 to 10).map(i => (s"k$i", i)).toDF("k", "id")
