@@ -98,15 +98,126 @@ object Events {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** As-of join — each purchase matched to the user's most recent prior
+    * (or simultaneous) click. Implemented WITHOUT a join: both sides
+    * union into one stream and a running `last(click_ts)` window carries
+    * the build side forward — one shuffle on the key, no per-row probe,
+    * no range-join blowup. This is the scale-preferred form of as-of on
+    * Spark: a join-based formulation re-buffers the build side per probe
+    * row, while the union-window is a single sort per user. The fixture
+    * has no (user_id, ts) ties, and the build side sorts BEFORE the probe
+    * side at equal timestamps, matching DuckDB's inclusive `ASOF LEFT
+    * JOIN ... ON a.ts >= b.ts`.
+    */
+  def w5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("ts"), lit(0).as("side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    probe.unionByName(build)
+      .withColumn("click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .cast("double").divide(1e6).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val w5Sql: String =
+    """SELECT a.event_id, a.user_id, a.ts AS purchase_ts, b.ts AS click_ts,
+      |  CAST(epoch_us(a.ts) - epoch_us(b.ts) AS DOUBLE) / 1e6 AS gap_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
+  /** Range join, window-frame form: per event, the same user's activity in
+    * the strictly-preceding hour. The naive formulation is a self-join on
+    * `user_id` with a `b.ts IN [a.ts-1h, a.ts)` residual — quadratic in
+    * events-per-user-hour; when the range condition is anchored to the
+    * row's own ordering column, a RANGE window frame computes it in one
+    * sort per user with zero join. Frame bounds are in microseconds (the
+    * fixture's native tick), end bound -1us = strictly before.
+    */
+  def w6RangeActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, -1L)
+    Tables.load(spark, dir, "events")
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .withColumn("value_prev_hour",
+        coalesce(sum(col("value").cast(DecimalType(18, 2))).over(w),
+          lit(0).cast(DecimalType(18, 2))).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_prev_hour"),
+        col("value_prev_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val w6Sql: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_prev_hour,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) OVER w,
+      |       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS value_prev_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
+  /** Hash-sampling distinct-count sketch (theta-sketch mechanics, made
+    * deterministic): count the distinct users whose md5 falls in the
+    * lowest 1/8 of hash space, scale by 8. At 100 TB this replaces a full
+    * `COUNT(DISTINCT)` with a distinct-aggregation over an 8x-smaller,
+    * hash-uniform subset — bounded memory, one shuffle, and mergeable
+    * across partitions/days by construction (the sample is a pure
+    * predicate of the value). The exact count rides along here only so
+    * the oracle exposes the estimate's error.
+    */
+  def w7DistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.HashFunctions.md5NumberBigEndian(
+      col("user_id").cast("string"))
+    Tables.load(spark, dir, "events")
+      .withColumn("in_sample", h >= 0 && h < (1L << 61))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_distinct"),
+        countDistinct(when(col("in_sample"), col("user_id"))).as("n_sampled"))
+      .withColumn("estimate", col("n_sampled") * 8)
+      .orderBy(col("event_type"))
+  }
+
+  val w7Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_distinct,
+      |  COUNT(DISTINCT CASE WHEN CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 17, 16) AS UBIGINT)
+      |        < 2305843009213693952 THEN user_id END) AS n_sampled,
+      |  COUNT(DISTINCT CASE WHEN CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 17, 16) AS UBIGINT)
+      |        < 2305843009213693952 THEN user_id END) * 8 AS estimate
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "w1_tumbling" -> (w1Tumbling _),
     "w2_sliding" -> (w2Sliding _),
     "w3_session" -> (w3Session _),
-    "w4_json_extract" -> (w4JsonExtract _))
+    "w4_json_extract" -> (w4JsonExtract _),
+    "w5_asof_join" -> (w5AsofJoin _),
+    "w6_range_activity" -> (w6RangeActivity _),
+    "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
     "w1_tumbling" -> w1Sql,
     "w2_sliding" -> w2Sql,
     "w3_session" -> w3Sql,
-    "w4_json_extract" -> w4Sql)
+    "w4_json_extract" -> w4Sql,
+    "w5_asof_join" -> w5Sql,
+    "w6_range_activity" -> w6Sql,
+    "w7_distinct_sketch" -> w7Sql)
 }
