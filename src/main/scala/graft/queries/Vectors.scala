@@ -263,17 +263,96 @@ object Vectors {
       |     (SELECT unnest(generate_series(1, 8)) AS i)
       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  /** IVF-Flat ANN: the second scale path next to v2's LSH. A coarse
+    * quantizer (per-label centroids, learned from the data itself —
+    * nano-fixed-point means so both engines build IDENTICAL centroids)
+    * partitions vectors into cells by max-dot assignment; a query probes
+    * only its own cell and ranks candidates by exact cosine. The
+    * centroid table is 10 rows and broadcast, assignment is a projection
+    * + per-vector argmax, candidate generation is one shuffle on the
+    * cell id — at 100 TB the cell assignment is the partition key the
+    * vector table would be bucketed by, and nprobe>1 is a union over
+    * cell ids.
+    */
+  def v6IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // centroids: exact integer mean per (label, dim), then back to double
+    val centLong = base
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    val centroids = centLong.groupBy(col("label").as("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col("cell"),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    // cell assignment: argmax dot over the broadcast centroid table
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+    val cands = assigned
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+    val cos = (dot(col("qe"), col("ce")) /
+      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cos)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v6Sql: String =
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1),
+      |n AS (SELECT vec_id, v, cell, sqrt(${dotSql("v", "v")}) nrm FROM assigned),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cosine
+      |  FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rank
+      |  FROM scored)
+      |SELECT qid, rank, cid, cosine FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "v1_cosine_topk" -> (v1CosineTopk _),
     "v2_lsh_ann" -> (v2LshAnn _),
     "v3_label_norms" -> (v3LabelNorms _),
     "v4_label_centroids" -> (v4LabelCentroids _),
-    "v5_embedding_neardup" -> (v5EmbeddingNeardup _))
+    "v5_embedding_neardup" -> (v5EmbeddingNeardup _),
+    "v6_ivf_ann" -> (v6IvfAnn _))
 
   val oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> v1Sql,
     "v2_lsh_ann" -> v2Sql,
     "v3_label_norms" -> v3Sql,
     "v4_label_centroids" -> v4Sql,
-    "v5_embedding_neardup" -> v5Sql)
+    "v5_embedding_neardup" -> v5Sql,
+    "v6_ivf_ann" -> v6Sql)
 }

@@ -177,6 +177,46 @@ object CdcStream {
           } else Iterator.empty
       }
 
+  /** Streaming exact dedup with bounded state: the first arrival of each
+    * key wins; re-deliveries within the watermark horizon are dropped and
+    * the per-key state expires once the watermark passes it — so the
+    * state store holds one horizon's worth of keys, not the stream's
+    * lifetime. This is the transport-level companion to the versioned
+    * sink ([[ReplicaTable]] collapses duplicates at read; this prevents
+    * them from landing at all when the event carries its own identity).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Time-bounded stream-stream inner join: each left event pairs with
+    * right events of the same key whose timestamp lies in
+    * [left.ts - bound, left.ts]. Both sides are watermarked so the join
+    * state evicts rows older than the horizon — the standard
+    * click-to-purchase attribution shape. `bound` and `watermark` are
+    * SQL interval strings (e.g. "1 hour").
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      bound: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $bound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Streaming windowed analytics with late-data handling — the added
     * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
     * tumbling counts, emitted append-mode as windows close.

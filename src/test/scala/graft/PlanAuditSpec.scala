@@ -14,10 +14,13 @@ class PlanAuditSpec extends SparkSpec {
     *    (the exact baseline the ANN variants are judged against);
     *  - p4: the corpus-size scalar N arrives as a one-row broadcast;
     *  - q22: rows compared against a one-row global aggregate (scalar
-    *    subquery — every engine broadcasts the scalar).
+    *    subquery — every engine broadcasts the scalar);
+    *  - v6: IVF cell assignment scores every vector against the 10-row
+    *    broadcast centroid table — a small-side cross product by
+    *    definition of a coarse quantizer.
     */
   private val nestedLoopByDesign =
-    Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers")
+    Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.CdcStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming dedup and stream-stream interval join (SURVEY §2.10): state
+  * stays bounded by the watermark, results match the batch semantics.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("id", LongType), StructField("ts", TimestampType),
+    StructField("payload", StringType)))
+
+  test("dedupStream drops re-deliveries of the same key across batches") {
+    val src = tmp("dd-src"); val ckpt = tmp("dd-ck")
+    // one file per micro-batch: the duplicate id=1 arrives again in batch 2
+    Files.write(src.resolve("b1.json"), java.util.Arrays.asList(
+      """{"id":1,"ts":"2024-01-01T00:00:10.000Z","payload":"first"}""",
+      """{"id":2,"ts":"2024-01-01T00:00:20.000Z","payload":"two"}"""))
+    Files.write(src.resolve("b2.json"), java.util.Arrays.asList(
+      """{"id":1,"ts":"2024-01-01T00:05:00.000Z","payload":"dup"}""",
+      """{"id":3,"ts":"2024-01-01T00:06:00.000Z","payload":"three"}"""))
+
+    val stream = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).json(src.toString)
+    val q = CdcStream.dedupStream(stream, Seq("id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dd_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("dd_out")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got === Set((1L, "first"), (2L, "two"), (3L, "three")))
+  }
+
+  test("streamIntervalJoin pairs events within the bound, evicts beyond it") {
+    val clicks = tmp("cl"); val buys = tmp("by"); val ckpt = tmp("jj-ck")
+    Files.write(clicks.resolve("c.json"), java.util.Arrays.asList(
+      """{"id":7,"ts":"2024-01-01T00:10:00.000Z","payload":"click-in-window"}""",
+      """{"id":7,"ts":"2024-01-01T00:40:00.000Z","payload":"click-after"}""",
+      """{"id":7,"ts":"2023-12-31T22:00:00.000Z","payload":"click-too-old"}""",
+      """{"id":8,"ts":"2024-01-01T00:15:00.000Z","payload":"other-user"}"""))
+    Files.write(buys.resolve("b.json"), java.util.Arrays.asList(
+      """{"id":7,"ts":"2024-01-01T00:30:00.000Z","payload":"purchase"}"""))
+
+    val clickStream = spark.readStream.schema(eventSchema).json(clicks.toString)
+      .select(col("id"), col("ts").as("click_ts"), col("payload").as("click"))
+    val buyStream = spark.readStream.schema(eventSchema).json(buys.toString)
+      .select(col("id"), col("ts").as("buy_ts"), col("payload").as("buy"))
+
+    val q = CdcStream.streamIntervalJoin(
+        buyStream, clickStream,
+        key = "id", leftTs = "buy_ts", rightTs = "click_ts",
+        bound = "1 hour", watermark = "2 hours")
+      .select(col("l.id"), col("click"))
+      .writeStream.format("memory").queryName("jj_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("jj_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // only the click within [buy-1h, buy] for the same user joins
+    assert(got === Set((7L, "click-in-window")))
+  }
+}
