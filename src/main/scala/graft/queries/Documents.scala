@@ -545,7 +545,85 @@ object Documents {
       |FROM fp ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicate-cluster assignment: connected components over the union of
+    * two pair sources — exact content equality and normalized-fingerprint
+    * equality (the d4 normalizer) — so transitive duplicates land in ONE
+    * cluster with one keeper. The corpus is deterministically tripled
+    * (exact copy at +1M; whitespace-mangled copy at +2M for even ids,
+    * uniquified for odd ids) so clusters provably exist at every size the
+    * operator must handle: {orig, exact, mangled} triples, {orig, exact}
+    * pairs, and filtered-out singletons.
+    *
+    * Scale shape: edges are STARS (each bucket member → bucket min), so
+    * the edge list is linear in docs — never the quadratic within-bucket
+    * pair expansion; the component join in
+    * [[graft.operators.ConnectedComponents]] is equi-key per round.
+    * The whitespace-only mangle is deliberate: Spark and DuckDB disagree
+    * on full Unicode case mapping (ß → SS), but both collapse `\s+`
+    * identically, so the oracle replays the fingerprint bit-for-bit.
+    */
+  def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val mangled = when(col("doc_id") % 2 === 0,
+        concat(lit("  "), regexp_replace(col("text"), " ", "   ")))
+      .otherwise(concat(col("text"), lit(" uniq "), col("doc_id")))
+    val corpus = d
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(d.select((col("doc_id") + 2000000).as("doc_id"), mangled.as("text")))
+      .localCheckpoint(false) // read 3x below (two key projections + nodes)
+    val keyed = corpus
+      .select(col("doc_id"), concat(lit("c:"), md5(col("text"))).as("k"))
+      .unionByName(corpus
+        .select(col("doc_id"), concat(lit("f:"), H.fingerprint(col("text"))).as("k")))
+    val wb = Window.partitionBy(col("k"))
+    val edges = keyed
+      .select(col("doc_id").as("src"), min(col("doc_id")).over(wb).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val labels = graft.operators.ConnectedComponents.run(
+      corpus.select(col("doc_id").as("id")), edges)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .filter(col("cluster_size") >= 2)
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val d12Sql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN '  ' || regexp_replace(text, ' ', '   ', 'g')
+      |         ELSE text || ' uniq ' || doc_id END
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, 'c:' || md5(text) AS k FROM corpus
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'f:' || md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |  FROM corpus),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY k) AS dst
+      |    FROM keyed)
+      |  WHERE src <> dst),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |walk(id, comp) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+      |sized AS (
+      |  SELECT comp AS cluster_id, id AS doc_id,
+      |    COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |  FROM cc)
+      |SELECT cluster_id, doc_id, cluster_size FROM sized
+      |WHERE cluster_size >= 2 ORDER BY cluster_id, doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d12_dup_clusters" -> (d12DupClusters _),
     "d9_langid_ngram" -> (d9LangIdNgram _),
     "d11_winnowing" -> (d11Winnowing _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -558,6 +636,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d12_dup_clusters" -> d12Sql,
     "d9_langid_ngram" -> d9Sql,
     "d11_winnowing" -> d11Sql,
     "d1_exact_dedup" -> d1Sql,
