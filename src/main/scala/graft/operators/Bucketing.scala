@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Co-located storage for repeated equi-joins: write both sides bucketed
+  * (hash-partitioned into files) and sorted on the join key, and every
+  * subsequent join/aggregation on that key runs with ZERO shuffle — the
+  * sort-merge join reads matching buckets pairwise. At 100 TB this is the
+  * difference between re-shuffling the fact table on every pipeline run
+  * and shuffling it once at ingest: the replica tables this engine
+  * maintains (SURVEY §2.2) are written once and joined by every
+  * downstream query, the textbook bucketing case.
+  *
+  * Contract for the shuffle-free plan (all asserted in BucketingSpec):
+  *  - both sides bucketed with the SAME bucket count on the join key;
+  *  - bucket count chosen for target-scale task size (≈ table bytes /
+  *    128 MB), NOT the session's shuffle partitions;
+  *  - `sortBy` on the key so the merge join needs no per-task sort.
+  */
+object Bucketing {
+
+  /** Writes `df` as a bucketed+sorted managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      key: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Joins two same-bucketed tables on their bucket key — plans as a
+    * merge join over co-located buckets, no exchange on either side.
+    */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Proof that bucketed co-location removes the join shuffle entirely:
+  * the same join over plain tables plans two exchanges, over bucketed
+  * tables plans none, and both return identical rows.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize THIS QueryExecution before reading its plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("joining same-bucketed tables is exchange-free and value-identical") {
+    val orders = (0L until 1000L).map(i => (i, s"o$i")).toDF("k", "ov")
+    val items = (0L until 3000L).map(i => (i % 1000L, s"i$i")).toDF("k", "iv")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(orders, "bk_orders", 4, "k")
+      Bucketing.writeBucketed(items, "bk_items", 4, "k")
+
+      val bucketed = Bucketing.coLocatedJoin(spark, "bk_orders", "bk_items", "k")
+      val bucketedPlan = planOf(bucketed)
+      assert(!bucketedPlan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$bucketedPlan")
+      assert(bucketedPlan.contains("SortMergeJoin"))
+
+      val plain = orders.join(items, "k")
+      assert(planOf(plain).contains("Exchange"),
+        "control: the un-bucketed join must shuffle for this test to prove anything")
+
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getString(1), r.getString(2))
+      assert(bucketed.collect().map(key).sorted.toSeq ===
+        plain.collect().map(key).sorted.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_items")
+    }
+  }
+
+  test("groupBy on the bucket key also skips the exchange") {
+    val events = (0L until 2000L).map(i => (i % 500L, i)).toDF("k", "amt")
+    try {
+      Bucketing.writeBucketed(events, "bk_events", 4, "k")
+      val agg = spark.table("bk_events").groupBy("k").agg(sum("amt").as("s"))
+      val plan = planOf(agg)
+      assert(!plan.contains("Exchange"),
+        s"aggregation on the bucket key should not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_events")
+    }
+  }
+}
