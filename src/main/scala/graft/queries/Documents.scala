@@ -622,7 +622,63 @@ object Documents {
       |SELECT cluster_id, doc_id, cluster_size FROM sized
       |WHERE cluster_size >= 2 ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** PII scrubbing — the cleaning stage between dedup and training:
+    * detect and redact email addresses and phone-shaped tokens, report
+    * per-doc detection counts plus a hash of the redacted text (the hash
+    * proves REPLACEMENT semantics match the oracle, not just counts).
+    * The fixture has no natural PII, so it is planted deterministically
+    * (emails on every 3rd doc, phones on every 5th) — the same
+    * non-vacuousness trick as d1/v2.
+    *
+    * Scale shape: pure per-row projection (regex count + replace), no
+    * shuffle at all except the output sort — embarrassingly parallel at
+    * any corpus size. Patterns are chosen from the regex subset where
+    * Java (Spark) and RE2 (DuckDB) agree: character classes, bounded
+    * repetition, no backreferences or lookaround.
+    */
+  def d13PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    val planted = concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" or 555-"), lpad(col("doc_id") % 10000, 4, "0")))
+        .otherwise(lit("")))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d13Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    COALESCE(text, '')
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN ' reach me at user' || doc_id || '@example.com'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |            ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '555-[0-9]{4}', '[PHONE]', 'g')) AS scrub_hash
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d13_pii_scrub" -> (d13PiiScrub _),
     "d12_dup_clusters" -> (d12DupClusters _),
     "d9_langid_ngram" -> (d9LangIdNgram _),
     "d11_winnowing" -> (d11Winnowing _),
@@ -636,6 +692,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d13_pii_scrub" -> d13Sql,
     "d12_dup_clusters" -> d12Sql,
     "d9_langid_ngram" -> d9Sql,
     "d11_winnowing" -> d11Sql,

@@ -552,7 +552,38 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** Exact interpolated percentiles per group (the inverse-distribution
+    * aggregate class: median/p25/p95), completing the aggregate surface
+    * next to sum/avg/count-distinct/sketches.
+    *
+    * Scale note: Spark's exact `percentile` holds a value→count map per
+    * group, so memory is O(distinct values per group) — safe here because
+    * l_quantity is integral with ~50 distinct values at ANY corpus size.
+    * For unbounded-cardinality metrics (raw prices) the scale path is
+    * `percentile_approx` (mergeable t-digest, bounded memory); it is
+    * deliberately not oracle-checked because its error contract differs
+    * per engine. Both engines interpolate at p*(n-1), so the exact form
+    * hash-matches bit-for-bit.
+    */
+  def q24Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+      |  quantile_cont(l_quantity, 0.5)  AS med_qty,
+      |  quantile_cont(l_quantity, 0.95) AS p95_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q24_quantiles" -> (q24Quantiles _),
     "q23_cube_flags" -> (q23CubeFlags _),
     "q18_large_order_customers" -> (q18LargeOrderCustomers _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
@@ -577,6 +608,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q24_quantiles" -> q24Sql,
     "q23_cube_flags" -> q23Sql,
     "q18_large_order_customers" -> q18Sql,
     "q19_disjunctive_revenue" -> q19Sql,
