@@ -677,7 +677,58 @@ object Documents {
       |    '555-[0-9]{4}', '[PHONE]', 'g')) AS scrub_hash
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota sampling — the data-mixing stage: keep the top-K
+    * docs per source by quality (lexical diversity, ties by doc_id) and
+    * report each source's kept count, sampling rate, and quality floor.
+    * This is how a 100 TB corpus gets rebalanced before training: a
+    * boilerplate-heavy source contributes its K best docs, not its size.
+    *
+    * Scale shape: the rank-then-filter compiles to Spark's
+    * WindowGroupLimit — each map task pre-prunes to its local top-K
+    * BEFORE the shuffle on `source`, so the exchange carries
+    * O(K × partitions) rows per source, not the source's full volume
+    * (asserted in PlanAuditSpec). Source totals come from a separate
+    * hash aggregation joined back by broadcast — deliberately NOT a
+    * count-over-unbounded-window, which would need every row in the
+    * partition and defeat the group-limit pruning.
+    */
+  def d14SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = T.tokens(col("text"))
+    val scored = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), T.lexicalDiversity(w).as("q"))
+    val totals = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val rw = Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("q")).as("min_kept_q"))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept") / col("n_docs")).as("sample_rate"), col("min_kept_q"))
+      .orderBy(col("source"))
+  }
+
+  val d14Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source, len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS q
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') w
+      |        FROM documents WHERE text IS NOT NULL)),
+      |kept AS (
+      |  SELECT source, q FROM (
+      |    SELECT source, q,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10),
+      |k AS (SELECT source, COUNT(*) AS n_kept, MIN(q) AS min_kept_q
+      |      FROM kept GROUP BY source),
+      |t AS (SELECT source, COUNT(*) AS n_docs FROM scored GROUP BY source)
+      |SELECT source, n_docs, n_kept,
+      |  n_kept / CAST(n_docs AS DOUBLE) AS sample_rate, min_kept_q
+      |FROM k JOIN t USING (source) ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d14_source_quota" -> (d14SourceQuota _),
     "d13_pii_scrub" -> (d13PiiScrub _),
     "d12_dup_clusters" -> (d12DupClusters _),
     "d9_langid_ngram" -> (d9LangIdNgram _),
@@ -692,6 +743,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d14_source_quota" -> d14Sql,
     "d13_pii_scrub" -> d13Sql,
     "d12_dup_clusters" -> d12Sql,
     "d9_langid_ngram" -> d9Sql,

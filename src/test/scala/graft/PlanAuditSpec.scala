@@ -37,6 +37,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d14 quota sampling pre-prunes to top-K before the shuffle") {
+    val plan = graft.queries.Documents.d14SourceQuota(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=K filter did not compile to a group limit (the exchange " +
+        s"would carry every row per source):\n$plan")
+  }
+
+  /** Selective scans must reach parquet as pushed filters — a scan that
+    * filters AFTER reading every row pays full I/O at 100 TB. Checked on
+    * representative queries with a constant predicate on a scanned
+    * column (dynamic/derived predicates can't push by nature).
+    */
+  test("constant predicates reach the parquet scan as PushedFilters") {
+    val pushdownQueries =
+      Seq("q3_shipping_priority", "q6_forecast_revenue", "q21_semi_anti")
+    for (name <- pushdownQueries) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo|In)".r
+      assert(pushed.findFirstIn(plan).isDefined,
+        s"$name scan has no pushed comparison filter:\n$plan")
+    }
+  }
+
   test("every catalog query has a DuckDB oracle (except documented rows-only)") {
     val rowsOnly = Set("m2_decode_features") // stubbed codec, not SQL-expressible
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
