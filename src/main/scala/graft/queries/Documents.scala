@@ -727,7 +727,52 @@ object Documents {
       |  n_kept / CAST(n_docs AS DOUBLE) AS sample_rate, min_kept_q
       |FROM k JOIN t USING (source) ORDER BY source""".stripMargin
 
+  /** Within-document repetition (Gopher-style quality rule): the fraction
+    * of a doc's word bigrams taken by its single most repeated bigram.
+    * Boilerplate and degenerate generations score high and get filtered
+    * before training; natural prose stays low.
+    *
+    * Scale shape: the same inverted-index aggregation as TF-IDF — explode
+    * bigrams, count per (doc, gram), max per doc; both aggregations are
+    * hash-based with map-side partials, and the bigram count rides in the
+    * grouping key (constant per doc) so no separate sizes table or join
+    * exists. Same HOF hygiene as [[shingled]]: repartition before the
+    * interpreted transform, aliased projection so CollapseProject cannot
+    * inline the split per element_at.
+    */
+  def d15Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 2)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
+        explode(col("gs")).as("g"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        (col("top_count") / col("n_bigrams").cast("double")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  val d15Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, len(w) - 1 AS n_bigrams,
+      |        unnest(list_transform(generate_series(1, len(w) - 1),
+      |                              i -> w[i] || ' ' || w[i+1])) AS g
+      |      FROM toks WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, n_bigrams, g, COUNT(*) AS c
+      |      FROM g GROUP BY doc_id, n_bigrams, g)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  MAX(c) AS top_count,
+      |  MAX(c) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
+      |FROM c GROUP BY doc_id, n_bigrams ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d15_repetition" -> (d15Repetition _),
     "d14_source_quota" -> (d14SourceQuota _),
     "d13_pii_scrub" -> (d13PiiScrub _),
     "d12_dup_clusters" -> (d12DupClusters _),
@@ -743,6 +788,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d15_repetition" -> d15Sql,
     "d14_source_quota" -> d14Sql,
     "d13_pii_scrub" -> d13Sql,
     "d12_dup_clusters" -> d12Sql,

@@ -217,6 +217,28 @@ object CdcStream {
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Streaming sessionization: gap-based session windows per key, closed
+    * and emitted once the watermark passes the gap — the streaming twin
+    * of the batch w3_session query. `session_window` merges adjacent
+    * state natively (no custom flatMapGroupsWithState needed for plain
+    * gap sessions), and state per key is bounded by open sessions within
+    * the watermark horizon.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming windowed analytics with late-data handling — the added
     * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
     * tumbling counts, emitted append-mode as windows close.

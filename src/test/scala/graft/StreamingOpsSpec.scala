@@ -45,6 +45,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === Set((1L, "first"), (2L, "two"), (3L, "three")))
   }
 
+  test("sessionizeStream closes gap-separated sessions per key") {
+    val src = tmp("ss-src"); val ckpt = tmp("ss-ck")
+    // user 1: two bursts 30 min apart (gap 10 min => two sessions);
+    // user 2: one event. The sentinel advances the watermark past every
+    // other session's end; its OWN session stays open in state and must
+    // NOT be emitted — append mode only releases closed sessions.
+    Files.write(src.resolve("e.json"), java.util.Arrays.asList(
+      """{"id":1,"ts":"2024-01-01T00:00:00.000Z","payload":"a"}""",
+      """{"id":1,"ts":"2024-01-01T00:05:00.000Z","payload":"b"}""",
+      """{"id":1,"ts":"2024-01-01T00:35:00.000Z","payload":"c"}""",
+      """{"id":2,"ts":"2024-01-01T00:01:00.000Z","payload":"d"}""",
+      """{"id":99,"ts":"2024-01-01T06:00:00.000Z","payload":"sentinel"}"""))
+
+    val stream = spark.readStream.schema(eventSchema).json(src.toString)
+    val q = CdcStream.sessionizeStream(stream, "id", "ts",
+        gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("ss_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ss_out")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("streamIntervalJoin pairs events within the bound, evicts beyond it") {
     val clicks = tmp("cl"); val buys = tmp("by"); val ckpt = tmp("jj-ck")
     Files.write(clicks.resolve("c.json"), java.util.Arrays.asList(
