@@ -203,7 +203,34 @@ object Events {
       |        < 2305843009213693952 THEN user_id END) * 8 AS estimate
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** PIVOT: one row per day, one column per event type. Pivot values are
+    * passed EXPLICITLY — omitting them makes Spark run a distinct-values
+    * job over the whole table before it can even plan, and yields a
+    * data-dependent schema no downstream contract can rely on. With fixed
+    * values this compiles to one conditional hash aggregation (a single
+    * shuffle on day), same as the oracle's COUNT(*) FILTER form.
+    */
+  def w8PivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+
+  val w8Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w8_pivot_daily" -> (w8PivotDaily _),
     "w1_tumbling" -> (w1Tumbling _),
     "w2_sliding" -> (w2Sliding _),
     "w3_session" -> (w3Session _),
@@ -213,6 +240,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w8_pivot_daily" -> w8Sql,
     "w1_tumbling" -> w1Sql,
     "w2_sliding" -> w2Sql,
     "w3_session" -> w3Sql,

@@ -582,7 +582,44 @@ object Relational {
       |  quantile_cont(l_quantity, 0.95) AS p95_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** FULL OUTER join — the one join type the catalog lacked: reconcile
+    * per-nation premium-customer counts against low-balance suppliers,
+    * keeping nations present on either side only (24 one-sided rows at
+    * sf0.001, so both outer directions are genuinely exercised).
+    *
+    * Scale note: both inputs are pre-aggregated to one row per nation
+    * BEFORE the join, so the full-outer shuffle carries group counts,
+    * not base rows — the reconciliation pattern for comparing two 100 TB
+    * fact tables is aggregate-then-outer-join, never the reverse.
+    */
+  def q25FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 1000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q25Sql: String =
+    """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      |      WHERE c_acctbal > 5000 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal < 1000 GROUP BY s_nationkey) s
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q25_full_outer" -> (q25FullOuter _),
     "q24_quantiles" -> (q24Quantiles _),
     "q23_cube_flags" -> (q23CubeFlags _),
     "q18_large_order_customers" -> (q18LargeOrderCustomers _),
@@ -608,6 +645,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q25_full_outer" -> q25Sql,
     "q24_quantiles" -> q24Sql,
     "q23_cube_flags" -> q23Sql,
     "q18_large_order_customers" -> q18Sql,
