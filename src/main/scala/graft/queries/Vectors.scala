@@ -340,7 +340,73 @@ object Vectors {
       |SELECT qid, rank, cid, cosine FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** Int8 scalar quantization — the compression stage before ANN at
+    * 100 TB: per-dimension min/max over the corpus (one aggregation,
+    * 64 rows out), then a pure projection mapping every float to a
+    * [0,255] level, reported as the quantized checksum plus the worst
+    * per-vector reconstruction error in fixed-point. 4x memory and
+    * bandwidth off the vector table with a measured error bound.
+    *
+    * Parity: min/max are order-free (no summation), the quantize/
+    * dequantize formulas are written with IDENTICAL operation order in
+    * both engines, outputs are integers (floor / fixed-point e6) so no
+    * cross-row float summation exists; constant dimensions (mx = mn)
+    * quantize to 0 by an explicit guard in BOTH engines rather than
+    * relying on engine-specific NaN ordering inside the clamp.
+    */
+  def v7Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val stats = base.select(posexplode(col("v")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(
+        transform(col("s"), c => c.getField("mn")).as("mns"),
+        transform(col("s"), c => c.getField("mx")).as("mxs"))
+    val qExpr = transform(sequence(lit(1), lit(64)), i =>
+      when(element_at(col("mxs"), i) > element_at(col("mns"), i),
+        least(lit(255.0), greatest(lit(0.0),
+          floor(((element_at(col("v"), i) - element_at(col("mns"), i)) * lit(255.0)) /
+            (element_at(col("mxs"), i) - element_at(col("mns"), i))))))
+        .otherwise(lit(0.0)))
+    val errExpr = transform(sequence(lit(1), lit(64)), i =>
+      abs(element_at(col("v"), i) -
+        (element_at(col("qv"), i) / lit(255.0) *
+          (element_at(col("mxs"), i) - element_at(col("mns"), i)) +
+          element_at(col("mns"), i))))
+    base.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), col("mns"), col("mxs"), qExpr.as("qv"))
+      .select(col("vec_id"), col("qv"), errExpr.as("err"))
+      .select(col("vec_id"),
+        aggregate(col("qv"), lit(0.0), (acc, x) => acc + x).cast("long").as("sum_q"),
+        floor(array_max(col("err")) * lit(1e6)).cast("long").as("max_err_e6"))
+      .orderBy(col("vec_id"))
+  }
+
+  val v7Sql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |stats AS (SELECT i AS dim, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |          FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY i),
+      |packed AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      |           FROM stats),
+      |qd AS (SELECT vec_id, v, mns, mxs,
+      |    list_transform(generate_series(1, 64), i -> CASE WHEN mxs[i] > mns[i]
+      |      THEN least(255.0, greatest(0.0,
+      |             floor(((v[i] - mns[i]) * 255.0) / (mxs[i] - mns[i]))))
+      |      ELSE 0.0 END) AS qv
+      |  FROM base, packed),
+      |e AS (SELECT vec_id, qv,
+      |    list_transform(generate_series(1, 64), i ->
+      |      abs(v[i] - (qv[i] / 255.0 * (mxs[i] - mns[i]) + mns[i]))) AS err
+      |  FROM qd)
+      |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |  CAST(floor(list_max(err) * 1e6) AS BIGINT) AS max_err_e6
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v7_quantize" -> (v7Quantize _),
     "v1_cosine_topk" -> (v1CosineTopk _),
     "v2_lsh_ann" -> (v2LshAnn _),
     "v3_label_norms" -> (v3LabelNorms _),
@@ -349,6 +415,7 @@ object Vectors {
     "v6_ivf_ann" -> (v6IvfAnn _))
 
   val oracles: Map[String, String] = Map(
+    "v7_quantize" -> v7Sql,
     "v1_cosine_topk" -> v1Sql,
     "v2_lsh_ann" -> v2Sql,
     "v3_label_norms" -> v3Sql,

@@ -17,10 +17,12 @@ class PlanAuditSpec extends SparkSpec {
     *    subquery — every engine broadcasts the scalar);
     *  - v6: IVF cell assignment scores every vector against the 10-row
     *    broadcast centroid table — a small-side cross product by
-    *    definition of a coarse quantizer.
+    *    definition of a coarse quantizer;
+    *  - v7: the per-dim min/max stats arrive as a one-row broadcast.
     */
   private val nestedLoopByDesign =
-    Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann")
+    Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
+      "v7_quantize")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
