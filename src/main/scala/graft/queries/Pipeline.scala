@@ -192,13 +192,89 @@ object Pipeline {
       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** p5: the end-to-end training-data pipeline as ONE declarative plan —
+    * fingerprint dedup (d4 semantics) → PII scrub (d13 semantics) →
+    * quality gate (d3 thresholds) → deterministic split (p2 buckets) →
+    * per-split summary. Each stage was verified in isolation; this query
+    * verifies the COMPOSITION, which is what a user actually runs.
+    *
+    * Scale shape: one shuffle for the dedup window on the fingerprint,
+    * then pure projections until the final 3-row aggregation — Catalyst
+    * fuses scrub/score/split into the post-window projection, so the
+    * whole pipeline after dedup is scan-speed. No stage materializes an
+    * intermediate corpus.
+    */
+  def p5PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    val wf = Window.partitionBy(graft.functions.HashFunctions.fingerprint(col("text")))
+    val keepers = docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        min(col("doc_id")).over(wf).as("keeper"))
+      .filter(col("doc_id") === col("keeper"))
+    val scrubbed = keepers.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("t"))
+    val toks = T.tokens(col("t"))
+    val scored = scrubbed
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        T.lexicalDiversity(toks).as("q"))
+      .filter(col("n_tokens") >= 40 && col("q") > 0.3)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    scored
+      .select(col("doc_id"), col("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("split"))
+  }
+
+  val p5Sql: String =
+    """WITH keep AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      MIN(doc_id) OVER (PARTITION BY
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keeper
+      |    FROM documents)
+      |  WHERE doc_id = keeper),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '555-[0-9]{4}', '[PHONE]', 'g') AS t
+      |  FROM keep),
+      |scored AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS q
+      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM scrub)
+      |  WHERE len(w) >= 40
+      |    AND len(list_distinct(w)) / CAST(len(w) AS DOUBLE) > 0.3),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, n_tokens,
+      |          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |               AS UBIGINT) % 100 AS b
+      |        FROM scored))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p5_pipeline_e2e" -> (p5PipelineE2e _),
     "p1_chunking" -> (p1Chunking _),
     "p2_split_assign" -> (p2SplitAssign _),
     "p3_decontaminate" -> (p3Decontaminate _),
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p5_pipeline_e2e" -> p5Sql,
     "p1_chunking" -> p1Sql,
     "p2_split_assign" -> p2Sql,
     "p3_decontaminate" -> p3Sql,
