@@ -44,6 +44,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("a replica stored bucketed by key gives an exchange-free dedup view") {
+    // the payoff case: the append-only versioned store is written once,
+    // bucketed on its primary key, and every latest-version-wins read
+    // (the engine's hottest recurring aggregation) runs with no shuffle
+    val rows = Seq(
+      (1L, 1L, 0, "a-v1"), (1L, 2L, 0, "a-v2"),
+      (2L, 1L, 0, "b-v1"), (2L, 2L, 1, "b-tomb"),
+      (3L, 5L, 0, "c-v5")).toDF("k", "_ver", "_deleted", "payload")
+    try {
+      Bucketing.writeBucketed(rows, "bk_replica", 4, "k")
+      val view = graft.operators.ReplicaTable.current(
+        spark.table("bk_replica"), Seq("k"), "_ver")
+      val got = view.collect().map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got === Set((1L, "a-v2"), (3L, "c-v5"))) // key 2 tombstoned
+      val plan = view.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"dedup view over the bucketed replica should not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_replica")
+    }
+  }
+
   test("groupBy on the bucket key also skips the exchange") {
     val events = (0L until 2000L).map(i => (i % 500L, i)).toDF("k", "amt")
     try {
