@@ -291,10 +291,15 @@ object Vectors {
     // cell assignment: argmax dot over the broadcast centroid table
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
+    // lazy localCheckpoint: `assigned` feeds BOTH the query side and the
+    // candidate side; without it the scoring+argmax subtree is planned
+    // twice (Spark plans are trees, and AQE misses sibling exchange
+    // reuse) — one materialization, read twice
     val assigned = base.crossJoin(broadcast(centroids))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
+      .localCheckpoint(false)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
     val cands = assigned

@@ -64,6 +64,50 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Shuffle-count goldens: every exchange is a full network pass over
+    * the data at 100 TB, so a query silently gaining one is a perf
+    * regression even while its values stay correct. Ceilings were
+    * recorded from the current plans (regenerate with the
+    * [[ShuffleGolden]] main); a count above its golden fails, a count
+    * below means the golden should be lowered.
+    */
+  test("no catalog query shuffles more than its recorded golden") {
+    val golden = Map(
+      "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
+      "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
+      "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
+      "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
+      "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,
+      "p2_split_assign" -> 2, "p3_decontaminate" -> 3, "p4_tfidf" -> 6,
+      "p5_pipeline_e2e" -> 3, "q10_rollup" -> 2, "q11_setops" -> 2,
+      "q12_antijoin" -> 2, "q13_part_stats" -> 3, "q14_promo_share" -> 1,
+      "q15_small_qty_revenue" -> 2, "q16_large_orders" -> 1,
+      "q17_distinct_agg" -> 3, "q18_large_order_customers" -> 1,
+      "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 2,
+      "q21_semi_anti" -> 2, "q22_global_customers" -> 3,
+      "q23_cube_flags" -> 2, "q24_quantiles" -> 2, "q25_full_outer" -> 3,
+      "q2_top_acctbal_sql" -> 2, "q3_shipping_priority" -> 1,
+      "q4_order_priority" -> 2, "q5_local_supplier_volume" -> 2,
+      "q6_forecast_revenue" -> 1, "q7_top_customers" -> 1,
+      "q8_yearly_nation_revenue" -> 2, "q9_window_rank" -> 2,
+      "r1_replica_current" -> 2, "r2_schema_transform" -> 2,
+      "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
+      "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
+      "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
+      "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "w1_tumbling" -> 2,
+      "w2_sliding" -> 2, "w3_session" -> 2, "w4_json_extract" -> 2,
+      "w5_asof_join" -> 2, "w6_range_activity" -> 2,
+      "w7_distinct_sketch" -> 3, "w8_pivot_daily" -> 3)
+    val missing = SparkEntry.queries.keySet -- golden.keySet
+    assert(missing.isEmpty, s"queries without a shuffle golden: $missing")
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = ShuffleGolden.count(fn(spark, dir).queryExecution.executedPlan)
+      assert(n <= golden(name),
+        s"$name shuffles $n times, golden is ${golden(name)} — plan regressed")
+    }
+  }
+
   test("every catalog query has a DuckDB oracle (except documented rows-only)") {
     val rowsOnly = Set("m2_decode_features") // stubbed codec, not SQL-expressible
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
