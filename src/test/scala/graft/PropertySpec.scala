@@ -72,6 +72,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: int8 quantization error stays within half a level of the widest dim") {
+    // the analytic bound for floor-quantization to 256 levels: per-dim
+    // error < range/255, so the per-vector max error is < the widest
+    // dim's range/255. Checked against the real fixture, independent of
+    // the DuckDB oracle (which proves parity, not the BOUND).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stats = graft.Tables.load(spark, dir, "embeddings")
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .groupBy(col("pos")).agg((max(col("col")) - min(col("col"))).as("range"))
+      .agg(max(col("range"))).head().getDouble(0)
+    val worst = graft.queries.Vectors.v7Quantize(spark, dir)
+      .agg(max(col("max_err_e6"))).head().getLong(0)
+    assert(worst <= math.ceil(stats / 255.0 * 1e6).toLong,
+      s"max reconstruction error $worst e-6 exceeds the analytic bound " +
+        s"${stats / 255.0} for the widest dimension range $stats")
+  }
+
   test("property: schema transform never drops and never invents rows") {
     import spark.implicits._
     val config = TableConfig("T", Seq(
