@@ -72,6 +72,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("statefulLatestTws matches the changelog contract on the new state API") {
+    import spark.implicits._
+    val src = tmp("tws-src"); val ckpt = tmp("tws-ck")
+    Files.write(src.resolve("a.json"), java.util.Arrays.asList(
+      """{"k":1,"v":10,"val":"first"}""",
+      """{"k":2,"v":20,"val":"only"}"""))
+    Files.write(src.resolve("b.json"), java.util.Arrays.asList(
+      """{"k":1,"v":30,"val":"newer"}""",
+      """{"k":2,"v":5,"val":"stale"}"""))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("k", LongType),
+          StructField("v", LongType), StructField("val", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src.toString)
+        .as[(Long, Long, String)]
+
+      val changelog = CdcStream.statefulLatestTws(stream)(_._1, _._2)
+      val q = changelog.writeStream
+        .format("memory").queryName("tws_changelog").outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val got = spark.table("tws_changelog")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // same golden as the flatMapGroupsWithState form: stale k=2 absent
+      assert(got === Set((1L, 10L, "first"), (2L, 20L, "only"), (1L, 30L, "newer")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamIntervalJoin pairs events within the bound, evicts beyond it") {
     val clicks = tmp("cl"); val buys = tmp("by"); val ckpt = tmp("jj-ck")
     Files.write(clicks.resolve("c.json"), java.util.Arrays.asList(
