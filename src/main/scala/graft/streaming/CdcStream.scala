@@ -185,6 +185,14 @@ object CdcStream {
     * lifetime. At 100 TB of keys that eviction is the difference between
     * bounded and unbounded state. Requires the RocksDB state store
     * provider (`spark.sql.streaming.stateStore.providerClass`).
+    *
+    * Operational note: a TTL flips the operator into processing-time
+    * mode, where TTL maintenance keeps scheduling micro-batches even
+    * with no input (regardless of trigger) — `Trigger.AvailableNow`
+    * never self-terminates and `processAllAvailable` never finds a
+    * quiet moment on a TTL'd query. A TTL'd query is a long-lived
+    * service: manage its lifetime explicitly (StreamingQuery.stop or
+    * the [[Supervisor]]).
     */
   def statefulLatestTws[K, T](
       ds: org.apache.spark.sql.Dataset[T],
@@ -207,8 +215,11 @@ object CdcStream {
         } else Iterator.empty
       }
     }
+    // state TTL is defined against processing time, so the time mode
+    // must follow the ttl choice — TTL with TimeMode.None is rejected
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(key)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(processor, timeMode, OutputMode.Update())
   }
 
   /** Streaming exact dedup with bounded state: the first arrival of each

@@ -105,6 +105,29 @@ class StreamingOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       // same golden as the flatMapGroupsWithState form: stale k=2 absent
       assert(got === Set((1L, 10L, "first"), (2L, 20L, "only"), (1L, 30L, "newer")))
+
+      // the TTL path flips the operator into processing-time mode; with a
+      // horizon far beyond the test, semantics must be unchanged. NOTE:
+      // processing-time state TTL keeps the query scheduling maintenance
+      // batches indefinitely (AvailableNow never self-terminates and
+      // processAllAvailable never finds a quiet moment — documented on
+      // statefulLatestTws), so the test polls the sink for the expected
+      // changelog and then stops the query explicitly.
+      val ckpt2 = tmp("tws-ck2")
+      val withTtl = CdcStream.statefulLatestTws(stream,
+        ttl = Some(java.time.Duration.ofHours(1)))(_._1, _._2)
+      val q2 = withTtl.writeStream
+        .format("memory").queryName("tws_ttl").outputMode("update")
+        .option("checkpointLocation", ckpt2.toString)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (spark.table("tws_ttl").count() < 3 && System.nanoTime() < deadline)
+          Thread.sleep(250)
+      } finally q2.stop()
+      val got2 = spark.table("tws_ttl")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got2 === got)
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
