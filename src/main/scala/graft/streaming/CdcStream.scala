@@ -222,6 +222,23 @@ object CdcStream {
       .transformWithState(processor, timeMode, OutputMode.Update())
   }
 
+  /** Stream-static dedup lookup: incoming documents join against the
+    * STATIC corpus index (content hash → keeper id) to be flagged as
+    * duplicates in-flight, without any stream state — the static side is
+    * re-read per micro-batch, so compacting/re-snapshotting the index
+    * picks up new corpus versions between batches. At scale the index is
+    * a bucketed table on the hash ([[graft.operators.Bucketing]]), making
+    * the per-batch join exchange-free on the static side. New docs whose
+    * hash misses the index pass through with `dup_of` null.
+    */
+  def streamStaticDedup(
+      newDocs: DataFrame,
+      index: DataFrame,
+      hashCol: String,
+      keeperCol: String): DataFrame =
+    newDocs.join(index.select(col(hashCol), col(keeperCol).as("dup_of")),
+      Seq(hashCol), "left")
+
   /** Streaming exact dedup with bounded state: the first arrival of each
     * key wins; re-deliveries within the watermark horizon are dropped and
     * the per-key state expires once the watermark passes it — so the

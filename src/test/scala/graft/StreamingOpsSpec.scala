@@ -136,6 +136,28 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamStaticDedup flags incoming docs against the static corpus index") {
+    import spark.implicits._
+    val src = tmp("ssd-src"); val ckpt = tmp("ssd-ck")
+    Files.write(src.resolve("in.json"), java.util.Arrays.asList(
+      """{"id":100,"ts":"2024-01-01T00:00:00.000Z","payload":"known-text"}""",
+      """{"id":101,"ts":"2024-01-01T00:00:01.000Z","payload":"fresh-text"}"""))
+
+    val index = Seq(("known-text", 7L)).toDF("payload", "keeper_id")
+    val stream = spark.readStream.schema(eventSchema).json(src.toString)
+    val q = CdcStream.streamStaticDedup(stream, index, "payload", "keeper_id")
+      .select(col("id"), col("dup_of"))
+      .writeStream.format("memory").queryName("ssd_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ssd_out")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got === Set((100L, Some(7L)), (101L, None)))
+  }
+
   test("streamIntervalJoin pairs events within the bound, evicts beyond it") {
     val clicks = tmp("cl"); val buys = tmp("by"); val ckpt = tmp("jj-ck")
     Files.write(clicks.resolve("c.json"), java.util.Arrays.asList(
