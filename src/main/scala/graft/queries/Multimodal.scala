@@ -34,16 +34,52 @@ object MultimodalQ {
       |  COUNT(DISTINCT md5(text)) AS n_distinct
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
-  /** mapPartitions decode stub: not SQL-expressible (rows-only check);
-    * proves the per-partition batch plumbing runs distributed.
+  /** mapPartitions decode: the per-partition batch plumbing runs
+    * distributed, and because the stub codec is deterministic wraparound
+    * arithmetic over the payload bytes, the ORACLE replays it in SQL
+    * (list_reduce over ascii codes with the d11 wrap-mul recipe) — so
+    * even the codec-stub path is value-checked, not just rows-counted.
+    * Averages are written as sum/count explicitly so both engines
+    * perform one IEEE division over exact integer sums.
     */
   def m2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     M.decodeFeatures(media(spark, dir))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
-        avg(col("width")).as("avg_width"),
-        avg(col("height")).as("avg_height"))
+        sum(col("width")).as("sw"), sum(col("height")).as("sh"))
+      .select(col("format"), col("n_media"),
+        (col("sw") / col("n_media")).as("avg_width"),
+        (col("sh") / col("n_media")).as("avg_height"))
       .orderBy(col("format"))
+
+  val m2Sql: String = {
+    // graft.operators.Multimodal.fakeDecode twin: h := h*31 + byte on the
+    // wrapping signed-64 ring (HUGEINT detour, two's-complement mapping),
+    // then w/ht from floorMod(h, 512) and floorMod(floorDiv(h, 512), 512)
+    def wrapU(e: String) =
+      s"(CAST($e AS HUGEINT) + CASE WHEN $e < 0 THEN 18446744073709551616 ELSE 0 END)"
+    val step = s"(${wrapU("h")} * 31 + c) % 18446744073709551616"
+    val wrap31plus =
+      s"""CAST($step - CASE WHEN $step >= 9223372036854775808
+         |  THEN 18446744073709551616 ELSE 0 END AS BIGINT)""".stripMargin
+    s"""WITH b AS (
+      |  SELECT 'text/' || lang AS format,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS BIGINT),
+      |        list_transform(generate_series(1, length(text)),
+      |          j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+      |      (h, c) -> $wrap31plus) AS h
+      |  FROM documents),
+      |d AS (
+      |  SELECT format,
+      |    64 + ((h % 512) + 512) % 512 AS w,
+      |    64 + ((((h - (((h % 512) + 512) % 512)) // 512) % 512) + 512) % 512 AS ht
+      |  FROM b)
+      |SELECT format, COUNT(*) AS n_media,
+      |  CAST(SUM(w) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_width,
+      |  CAST(SUM(ht) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_height
+      |FROM d GROUP BY format ORDER BY format""".stripMargin
+  }
 
   /** Frame sampling: 16-byte windows every 8 bytes over the payload —
     * the shape of video frame extraction (one row per sampled frame),
@@ -78,9 +114,8 @@ object MultimodalQ {
     "m2_decode_features" -> (m2DecodeFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
 
-  // m2 is intentionally absent here: mapPartitions decode is not
-  // SQL-expressible -> rows-only check per the driver contract.
   val oracles: Map[String, String] = Map(
     "m1_media_metadata" -> m1Sql,
+    "m2_decode_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql)
 }

@@ -109,7 +109,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("every catalog query has a DuckDB oracle (except documented rows-only)") {
-    val rowsOnly = Set("m2_decode_features") // stubbed codec, not SQL-expressible
+    val rowsOnly = Set.empty[String] // every query is oracle-checked as of r2
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
