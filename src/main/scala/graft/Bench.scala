@@ -33,11 +33,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
+    // min over N runs per query (default 2): the minimum is the standard
+    // noise-floor estimator — shared-box scheduling noise only ever ADDS
+    // time, so the best observation is the closest to the engine's true
+    // cost. Override with SPARK_GRAFT_BENCH_RUNS=1 for a single pass.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
