@@ -71,6 +71,49 @@ object ReplicaTable {
       tieBreak: Seq[String] = Nil): DataFrame =
     latest(base.unionByName(changes), keys, ver, tieBreak)
 
+  /** Materialize the replica's storage from its declarative config — the
+    * engine's DDL path (reference: the literal `table` DDL block in each
+    * tables/<name>.yaml, executed against ClickHouse). Spark-natively that
+    * means: target schema from the config's cast chain, plus the
+    * `_ver`/`_deleted` bookkeeping columns, as a managed parquet table
+    * BUCKETED on the primary key — so every [[latest]]/[[current]] read
+    * over it plans with zero exchanges (see BucketingSpec) and appends
+    * from any number of writers co-locate by key. Bucket count is a
+    * capacity decision (≈ table bytes / 128 MB at target scale), not the
+    * session's shuffle-partition setting.
+    */
+  def createTable(
+      spark: org.apache.spark.sql.SparkSession,
+      config: graft.config.TableConfig,
+      numBuckets: Int): Unit = {
+    import org.apache.spark.sql.types._
+    require(config.primaryKeys.nonEmpty,
+      s"table ${config.name} has no primary key to bucket by")
+    val schema = StructType(
+      config.structType.fields.toSeq ++ Seq(
+        StructField(config.versionColumn, LongType),
+        StructField(config.deletedColumn, IntegerType)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.format("parquet")
+      .bucketBy(numBuckets, config.primaryKeys.head, config.primaryKeys.tail: _*)
+      .sortBy(config.primaryKeys.head, config.primaryKeys.tail: _*)
+      .saveAsTable(config.name)
+  }
+
+  /** Append a (schema-transformed) batch into the bucketed replica table.
+    * Storage stays append-only; readers collapse via [[current]]. The
+    * writer must re-declare the table's bucketing (Spark rejects a
+    * mismatched spec rather than silently de-bucketing — the guarantee
+    * the exchange-free read depends on), so the bucket count travels
+    * with the call.
+    */
+  def appendBatch(df: DataFrame, config: graft.config.TableConfig,
+      numBuckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, config.primaryKeys.head, config.primaryKeys.tail: _*)
+      .sortBy(config.primaryKeys.head, config.primaryKeys.tail: _*)
+      .saveAsTable(config.name)
+
   /** Register `current` as a temp view so `spark.sql` users transparently
     * get ReplacingMergeTree-FINAL semantics (SURVEY §4 custom-work item 1).
     */

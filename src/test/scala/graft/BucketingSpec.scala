@@ -66,6 +66,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("config-declared replica table: create bucketed, append, read exchange-free") {
+    val cfg = graft.config.TableConfig("bk_cfg_replica", Seq(
+      graft.config.ColumnSpec("Id", Seq("int"), primaryKey = true),
+      graft.config.ColumnSpec("Name", Seq("str"))))
+    try {
+      graft.operators.ReplicaTable.createTable(spark, cfg, numBuckets = 4)
+      val b1 = Seq((1L, "a", 1L, 0), (2L, "b", 1L, 0))
+        .toDF("Id", "Name", "_ver", "_deleted")
+      val b2 = Seq((1L, "a2", 2L, 0), (2L, "b", 2L, 1)) // replay-ish overlap
+        .toDF("Id", "Name", "_ver", "_deleted")
+      graft.operators.ReplicaTable.appendBatch(b1, cfg, numBuckets = 4)
+      graft.operators.ReplicaTable.appendBatch(b2, cfg, numBuckets = 4)
+
+      val view = graft.operators.ReplicaTable.current(
+        spark.table(cfg.name), cfg.primaryKeys, "_ver")
+      val got = view.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "a2"))) // Id=2 tombstoned at v2
+      val plan = view.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"config-declared replica read should not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_cfg_replica")
+    }
+  }
+
   test("groupBy on the bucket key also skips the exchange") {
     val events = (0L until 2000L).map(i => (i % 500L, i)).toDF("k", "amt")
     try {
