@@ -37,7 +37,8 @@ object Bench {
     // noise-floor estimator — shared-box scheduling noise only ever ADDS
     // time, so the best observation is the closest to the engine's true
     // cost. Override with SPARK_GRAFT_BENCH_RUNS=1 for a single pass.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -39,6 +39,11 @@ object ConnectedComponents {
     * `src`/`dst` in either orientation, duplicates allowed.
     * @return one row per node: (`id`, `comp`) with `comp` = min node id
     * reachable from `id` (its own id for isolated nodes).
+    *
+    * NOTE: unlike ordinary catalog operators this EXECUTES at call time
+    * (the convergence loop needs an action per round — inherent to any
+    * data-dependent iterative algorithm); callers wanting only the final
+    * plan still pay the full fixpoint.
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))

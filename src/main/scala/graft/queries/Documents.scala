@@ -564,6 +564,13 @@ object Documents {
     */
   def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    // the +1M/+2M copy offsets require doc_id < 1e6 — a collision would
+    // corrupt clusters IDENTICALLY in both engines, so the oracle gate
+    // could never catch it; fail loudly instead (the query is already
+    // eager through the CC fixpoint, so this action adds no new shape)
+    val maxId = d.agg(max(col("doc_id"))).head()
+    require(maxId.isNullAt(0) || maxId.getLong(0) < 1000000L,
+      s"corpus-tripling offsets assume doc_id < 1e6; found ${maxId.get(0)}")
     val mangled = when(col("doc_id") % 2 === 0,
         concat(lit("  "), regexp_replace(col("text"), " ", "   ")))
       .otherwise(concat(col("text"), lit(" uniq "), col("doc_id")))
@@ -637,8 +644,8 @@ object Documents {
     * repetition, no backreferences or lookaround.
     */
   def d13PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phoneRe = "555-[0-9]{4}"
+    val emailRe = graft.functions.PiiPatterns.Email
+    val phoneRe = graft.functions.PiiPatterns.Phone
     val planted = concat(
       coalesce(col("text"), lit("")),
       when(col("doc_id") % 3 === 0,
@@ -658,8 +665,10 @@ object Documents {
       .orderBy(col("doc_id"))
   }
 
-  val d13Sql: String =
-    """WITH planted AS (
+  val d13Sql: String = {
+    val em = graft.functions.PiiPatterns.Email
+    val ph = graft.functions.PiiPatterns.Phone
+    s"""WITH planted AS (
       |  SELECT doc_id,
       |    COALESCE(text, '')
       |    || CASE WHEN doc_id % 3 = 0
@@ -670,12 +679,13 @@ object Documents {
       |            ELSE '' END AS t
       |  FROM documents)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
       |  md5(regexp_replace(
-      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      |    '555-[0-9]{4}', '[PHONE]', 'g')) AS scrub_hash
+      |    regexp_replace(t, '$em', '[EMAIL]', 'g'),
+      |    '$ph', '[PHONE]', 'g')) AS scrub_hash
       |FROM planted ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-source quota sampling — the data-mixing stage: keep the top-K
     * docs per source by quality (lexical diversity, ties by doc_id) and

@@ -41,6 +41,9 @@ object MultimodalQ {
     * even the codec-stub path is value-checked, not just rows-counted.
     * Averages are written as sum/count explicitly so both engines
     * perform one IEEE division over exact integer sums.
+    * Same encoding coupling as m3: Spark folds over UTF-8 payload BYTES
+    * while the oracle folds over per-character code points — equal only
+    * because the fixture text is pure ASCII.
     */
   def m2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     M.decodeFeatures(media(spark, dir))

@@ -205,8 +205,8 @@ object Pipeline {
     * intermediate corpus.
     */
   def p5PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phoneRe = "555-[0-9]{4}"
+    val emailRe = graft.functions.PiiPatterns.Email
+    val phoneRe = graft.functions.PiiPatterns.Phone
     val wf = Window.partitionBy(graft.functions.HashFunctions.fingerprint(col("text")))
     val keepers = docs(spark, dir)
       .select(col("doc_id"), col("text"),
@@ -233,19 +233,21 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
-  val p5Sql: String =
-    """WITH keep AS (
+  val p5Sql: String = {
+    val em = graft.functions.PiiPatterns.Email
+    val ph = graft.functions.PiiPatterns.Phone
+    s"""WITH keep AS (
       |  SELECT doc_id, text FROM (
       |    SELECT doc_id, text,
       |      MIN(doc_id) OVER (PARTITION BY
-      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keeper
+      |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keeper
       |    FROM documents)
       |  WHERE doc_id = keeper),
       |scrub AS (
       |  SELECT doc_id,
       |    regexp_replace(regexp_replace(text,
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      |      '555-[0-9]{4}', '[PHONE]', 'g') AS t
+      |      '$em', '[EMAIL]', 'g'),
+      |      '$ph', '[PHONE]', 'g') AS t
       |  FROM keep),
       |scored AS (
       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
@@ -265,6 +267,7 @@ object Pipeline {
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  MIN(doc_id) AS min_doc_id
       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
 
   val defs: Map[String, Q] = Map(
     "p5_pipeline_e2e" -> (p5PipelineE2e _),

@@ -178,13 +178,21 @@ object CdcStream {
       }
 
   /** [[statefulLatest]] re-expressed on Spark 4's arbitrary-state API
-    * (`transformWithState` + typed `ValueState`): identical changelog
-    * contract, plus the thing the old API cannot express — NATIVE per-key
-    * state TTL, so replica keys idle past the horizon are evicted by the
-    * state store itself instead of accumulating for the stream's
-    * lifetime. At 100 TB of keys that eviction is the difference between
-    * bounded and unbounded state. Requires the RocksDB state store
-    * provider (`spark.sql.streaming.stateStore.providerClass`).
+    * (`transformWithState` + typed `ValueState`): the same changelog
+    * contract while state lives, plus the thing the old API cannot
+    * express — NATIVE per-key state TTL, so replica keys idle past the
+    * horizon are evicted by the state store itself instead of
+    * accumulating for the stream's lifetime. At 100 TB of keys that
+    * eviction is the difference between bounded and unbounded state.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    *
+    * TTL TRADE-OFF: eviction forgets the key's current version, so a
+    * replay of an OLDER version arriving after expiry is accepted as new
+    * — the order-independence guarantee only holds within the TTL
+    * horizon. Set the TTL no shorter than the transport's replay window
+    * (e.g. Kafka retention); with `ttl = None` the guarantee is
+    * unconditional, matching [[statefulLatest]] exactly.
     *
     * Operational note: a TTL flips the operator into processing-time
     * mode, where TTL maintenance keeps scheduling micro-batches even

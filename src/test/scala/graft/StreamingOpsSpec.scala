@@ -9,12 +9,27 @@ import org.apache.spark.sql.types._
 /** Streaming dedup and stream-stream interval join (SURVEY §2.10): state
   * stays bounded by the watermark, results match the batch semantics.
   */
-class StreamingOpsSpec extends SparkSpec {
+class StreamingOpsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // deleteOnExit only removes EMPTY dirs, and these fill with source
+  // files and RocksDB checkpoints — delete recursively after the suite
+  private val created = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
 
   private def tmp(prefix: String) = {
     val p = Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    created += p
     p
+  }
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    created.foreach { root =>
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
   }
 
   private val eventSchema = StructType(Seq(
