@@ -6,23 +6,30 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.FunctionShim
 
-/** Session extensions: expose the engine's custom Catalyst expressions to
-  * SQL users. Install at build time
+/** Session extensions: expose the engine's custom Catalyst expressions and
+  * analysis rules to SQL users. Install at build time
   * (`.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)`), or on a live session with
-  * [[GraftExtensions.register]].
+  * `.withExtensions(new GraftExtensions)`); for an already-built session
+  * [[GraftExtensions.register]] installs the functions (analysis rules
+  * cannot be added to a live session — Spark fixes the analyzer at
+  * session construction).
   *
   *  - `arg_max_row(ordering, payload)`: hash-friendly argmax aggregate
   *    (the ReplacingMergeTree-FINAL primitive) — see
   *    [[graft.functions.ArgMaxRow]];
   *  - `vec_dot_fold(a, b)`: codegen'd sequential-fold dot product for
-  *    similarity search — see [[graft.functions.VecDotFold]].
+  *    similarity search — see [[graft.functions.VecDotFold]];
+  *  - [[graft.plans.ReplicaFinalRule]]: rewrites catalog scans of
+  *    registered replica tables into their latest-version-wins read view
+  *    (transparent ReplacingMergeTree-FINAL semantics).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPostHocResolutionRule(session => graft.plans.ReplicaFinalRule(session))
+  }
 }
 
 object GraftExtensions {

@@ -189,12 +189,33 @@ object ConfigYaml {
       require(t.endsWith("]"), s"unterminated inline list: $t")
       val inner = t.substring(1, t.length - 1).trim
       if (inner.isEmpty) Vector.empty[Any]
-      else inner.split(",").toVector.map(x => scalar(x))
+      else splitInline(inner, t).map(x => scalar(x))
     } else if (t == "true") true
     else if (t == "false") false
     else if (t == "null" || t == "~") null
     else if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1)
     else if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1)
     else t.toLongOption.getOrElse(t.toDoubleOption.getOrElse(t))
+  }
+
+  /** Split an inline list body on TOP-LEVEL commas only: a comma inside a
+    * quoted scalar (`['a, b', c]`) is content, not a separator — splitting
+    * on every comma would silently corrupt the value, the one malformed-
+    * input shape worse than failing loudly. Unterminated quotes do fail
+    * loudly like every other parse error here.
+    */
+  private def splitInline(inner: String, whole: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    inner.foreach { ch =>
+      if (quote != 0) { cur.append(ch); if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"') { cur.append(ch); quote = ch }
+      else if (ch == ',') { out += cur.toString; cur.clear() }
+      else cur.append(ch)
+    }
+    require(quote == 0, s"unterminated quote in inline list: $whole")
+    out += cur.toString
+    out.result()
   }
 }

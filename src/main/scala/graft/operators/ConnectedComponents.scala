@@ -1,42 +1,115 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by min-label propagation — the stage
-  * that turns pairwise duplicate EDGES into actionable duplicate CLUSTERS
-  * (keep one representative, drop the rest). The reference delegates all
-  * analytics to ClickHouse, which has no iterative graph operator at all;
-  * this is part of the added LLM-pipeline surface (SURVEY §2.11).
+/** Distributed connected components — the stage that turns pairwise
+  * duplicate EDGES into actionable duplicate CLUSTERS (keep one
+  * representative, drop the rest). The reference delegates all analytics
+  * to ClickHouse, which has no iterative graph operator at all; this is
+  * part of the added LLM-pipeline surface (SURVEY §2.11).
   *
-  * Algorithm: every node starts labeled with its own id; each round, every
-  * node adopts the minimum label among itself and its neighbors; at the
-  * fixpoint the label is the minimum node id of the component. Rounds
-  * needed = graph diameter.
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SoCC'14). Each round rewires the edge set toward the
+  * component minimum:
+  *  - large-star: every node points its STRICTLY LARGER neighbors at the
+  *    minimum of its neighborhood (including itself);
+  *  - small-star: every node points its smaller neighbors (and itself) at
+  *    the minimum of its smaller neighborhood.
+  * The fixpoint is a star per component centered on the component's
+  * minimum node id, reached in O(log² n) rounds REGARDLESS of graph
+  * diameter — a path graph of length 10⁶ converges in ~20 rounds where
+  * plain min-label propagation needs 10⁶. Dedup graphs (bucket stars)
+  * converge in 2–3.
   *
   * Scale shape (100 TB):
-  *  - each round is ONE shuffle join (labels ⋈ edges on src) + ONE hash
-  *    aggregation (min label per dst) + a left join back — all equi-key,
-  *    no all-pairs anywhere;
-  *  - the symmetric edge list is materialized once (lazy localCheckpoint)
-  *    and re-read every round instead of recomputing its upstream;
-  *  - per-round `localCheckpoint` truncates the lineage so the plan does
-  *    not grow with the iteration count (the classic iterative-Spark
-  *    failure mode); at real cluster scale a production job would persist
-  *    labels to a table between rounds for fault tolerance;
-  *  - dedup graphs are shallow: when edges come from shared-key buckets
-  *    (content hash, MinHash band, SimHash band), components are unions
-  *    of stars around bucket minima, so the diameter — and the round
-  *    count — is small regardless of corpus size. For adversarially deep
-  *    graphs the alternating large-star/small-star scheme (Kiveris et
-  *    al., "Connected Components in MapReduce and Beyond") bounds rounds
-  *    at O(log² n); this implementation keeps the simpler propagation and
-  *    makes non-convergence loud instead of silent.
+  *  - each star op is ONE hash aggregation (min per endpoint) + ONE
+  *    equi-join back to the edges — no all-pairs anywhere; edges stay
+  *    oriented (src > dst) between rounds so only large-star pays the
+  *    symmetrize union;
+  *  - every round's edge set is re-materialized through a [[RoundStore]],
+  *    truncating the lineage so the plan does not grow with iteration
+  *    count (the classic iterative-Spark failure mode);
+  *  - [[TableRounds]] is the production store: rounds persist to
+  *    alternating BUCKETED catalog tables, so a lost executor recomputes
+  *    from durable parquet instead of killing the job (the failure mode
+  *    of `localCheckpoint`, whose blocks are executor-local and
+  *    non-resilient). [[CheckpointRounds]] remains for small/ephemeral
+  *    graphs where table churn isn't worth it;
+  *  - convergence is a deterministic set-equality check (count match +
+  *    empty EXCEPT), not a hash compare.
   */
 object ConnectedComponents {
 
+  /** Per-round materialization strategy for the iterative edge set. */
+  sealed trait RoundStore {
+    /** Materialize this round's edges; the returned frame must be safe to
+      * read repeatedly without recomputing upstream. */
+    def put(df: DataFrame, round: Int): DataFrame
+  }
+
+  /** Executor-local eager checkpoint: cheapest, but blocks are lost with
+    * their executor — use for tests and small ephemeral graphs only. */
+  case object CheckpointRounds extends RoundStore {
+    override def put(df: DataFrame, round: Int): DataFrame = df.localCheckpoint()
+  }
+
+  /** Durable rounds: each edge set is written to one of two alternating
+    * managed tables (`<prefix>_0`/`<prefix>_1`), bucketed + sorted on
+    * `src`, and read back from the catalog — executor loss recomputes
+    * from parquet, and the previous round stays readable for the
+    * convergence compare. Tables are dropped and recreated on the next
+    * [[run]] with the same prefix; the final round's table intentionally
+    * outlives the call (the returned labels read from it).
+    */
+  final case class TableRounds(spark: SparkSession, prefix: String, numBuckets: Int = 8)
+      extends RoundStore {
+    private def name(round: Int) = s"${prefix}_${round % 2}"
+    private[ConnectedComponents] def reset(): Unit =
+      Seq(0, 1).foreach(g => ReplicaTable.dropTableAndLocation(spark, s"${prefix}_$g"))
+    override def put(df: DataFrame, round: Int): DataFrame = {
+      val n = name(round)
+      ReplicaTable.dropTableAndLocation(spark, n)
+      df.write.format("parquet")
+        .bucketBy(numBuckets, "src").sortBy("src")
+        .saveAsTable(n)
+      spark.table(n)
+    }
+  }
+
+  /** large-star: for each node u (over the symmetric adjacency), emit
+    * (v, min(Γ(u) ∪ u)) for every neighbor v > u. Output stays oriented
+    * src > dst. Preserves connectivity; never drops a component member.
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: input oriented src > dst; for each node u, point u and
+    * all its smaller neighbors at m = min of those neighbors. Output stays
+    * oriented src > dst.
+    */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    val moved = e.join(mins, "src")
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.select(col("src"), col("m").as("dst"))
+    moved.unionByName(self)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** @param nodes one column `id` (numeric); @param edges columns
-    * `src`/`dst` in either orientation, duplicates allowed.
+    * `src`/`dst` in either orientation, duplicates and self-loops allowed.
     * @return one row per node: (`id`, `comp`) with `comp` = min node id
     * reachable from `id` (its own id for isolated nodes).
     *
@@ -45,33 +118,38 @@ object ConnectedComponents {
     * data-dependent iterative algorithm); callers wanting only the final
     * plan still pay the full fixpoint.
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(false)
-
-    var labels = nodes.select(col("id"), col("id").as("comp"))
-    var converged = false
+  def run(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50,
+      store: RoundStore = CheckpointRounds): DataFrame = {
+    store match { case t: TableRounds => t.reset(); case _ => }
+    var e = store.put(
+      edges.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct(), 0)
+    var count = e.count()
+    var converged = count == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = labels.join(sym, labels("id") === sym("src"))
-        .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("nmin"))
-      // eager checkpoint: one materialization serves the convergence
-      // check AND the next round's input
-      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          coalesce(col("nmin") < col("comp"), lit(false)).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      val next = store.put(smallStar(largeStar(e)), iter + 1)
+      val nextCount = next.count()
+      // equal cardinality + next ⊆ prev ⇒ identical edge sets (both distinct)
+      converged = nextCount == count && next.except(e).isEmpty
+      e = next
+      count = nextCount
       iter += 1
     }
     require(converged,
       s"connected components did not converge within $maxIters rounds " +
-        "(graph diameter exceeds the bound — raise maxIters or switch " +
-        "to alternating large/small-star)")
-    labels
+        "(two-phase star rounds are O(log² n) — this indicates a bug or " +
+        "an absurd maxIters; raise it only with evidence)")
+    // fixpoint is a star per component: every non-root node has exactly
+    // one (node, root) edge; roots and isolated nodes label themselves
+    nodes.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

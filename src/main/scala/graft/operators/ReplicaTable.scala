@@ -82,6 +82,21 @@ object ReplicaTable {
     * capacity decision (≈ table bytes / 128 MB at target scale), not the
     * session's shuffle-partition setting.
     */
+  /** Drop `name` from the catalog AND clear its default managed location.
+    * In-memory catalogs forget tables across sessions while their
+    * directories survive, so a bare `DROP TABLE IF EXISTS` in a fresh
+    * session leaves orphan files that fail the next create with
+    * LOCATION_ALREADY_EXISTS — the DDL path must be re-runnable.
+    */
+  def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def createTable(
       spark: org.apache.spark.sql.SparkSession,
       config: graft.config.TableConfig,
@@ -89,6 +104,9 @@ object ReplicaTable {
     import org.apache.spark.sql.types._
     require(config.primaryKeys.nonEmpty,
       s"table ${config.name} has no primary key to bucket by")
+    // CREATE OR REPLACE: the reference re-runs its DDL freely
+    // (clickhouse/connect.py drop/create); orphan locations must not wedge it
+    dropTableAndLocation(spark, config.name)
     val schema = StructType(
       config.structType.fields.toSeq ++ Seq(
         StructField(config.versionColumn, LongType),
@@ -98,6 +116,16 @@ object ReplicaTable {
       .bucketBy(numBuckets, config.primaryKeys.head, config.primaryKeys.tail: _*)
       .sortBy(config.primaryKeys.head, config.primaryKeys.tail: _*)
       .saveAsTable(config.name)
+    // declare the replica contract in the catalog: with GraftExtensions
+    // installed, every scan of this table is transparently rewritten into
+    // current() — the table IS a ReplacingMergeTree to its readers
+    // (graft.plans.ReplicaFinalRule; reference readme.md:89-91)
+    import graft.plans.ReplicaFinalRule._
+    spark.sql(
+      s"ALTER TABLE `${config.name}` SET TBLPROPERTIES (" +
+        s"'$KeysProp'='${config.primaryKeys.mkString(",")}'," +
+        s"'$VerProp'='${config.versionColumn}'," +
+        s"'$DeletedProp'='${config.deletedColumn}')")
   }
 
   /** Append a (schema-transformed) batch into the bucketed replica table.

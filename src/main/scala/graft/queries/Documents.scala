@@ -587,7 +587,10 @@ object Documents {
       .select(col("doc_id").as("src"), min(col("doc_id")).over(wb).as("dst"))
       .filter(col("src") =!= col("dst"))
     val labels = graft.operators.ConnectedComponents.run(
-      corpus.select(col("doc_id").as("id")), edges)
+      corpus.select(col("doc_id").as("id")), edges,
+      // durable rounds: each star iteration persists to a bucketed catalog
+      // table, so executor loss recomputes from parquet (VERDICT r2 #2)
+      store = graft.operators.ConnectedComponents.TableRounds(spark, "cc_d12"))
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)

@@ -112,13 +112,18 @@ object Events {
   def w5AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val probe = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("tie"))
     val build = ev.filter(col("event_type") === "click")
       .select(lit(null).cast("long").as("event_id"), col("user_id"),
-        col("ts"), lit(0).as("side"))
+        col("ts"), lit(0).as("side"), col("event_id").as("tie"))
+    // final `tie` key: on real data two clicks CAN share (user_id, ts);
+    // without a total order the carried build row would be
+    // nondeterministic (harmless here where only ts is carried, but this
+    // operator is the general as-of form — keep it deterministic)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
+      .orderBy(col("ts"), col("side"), col("tie"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     probe.unionByName(build)
       .withColumn("click_ts",

@@ -164,9 +164,49 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |GROUP BY event_type ORDER BY last_type""".stripMargin
 
+  /** Transparent FINAL (SURVEY §4 custom-work item 1, full form): the table
+    * is DECLARED a replica at DDL time ([[ReplicaTable.createTable]] writes
+    * the contract into TBLPROPERTIES) and plain SQL against the RAW table
+    * name returns the merged, tombstone-free state — no view registration,
+    * no window predicate, nothing session-local. The rewrite is
+    * [[graft.plans.ReplicaFinalRule]], injected by [[graft.GraftExtensions]].
+    * The second append replays the tail of the batch, so a hash match
+    * against the once-applied oracle also proves at-least-once idempotence
+    * through the DDL + catalog path.
+    */
+  def r7TransparentFinal(spark: SparkSession, dir: String): DataFrame = {
+    val versioned = Tables.load(spark, dir, "events").select(
+      col("user_id").as("UserId"),
+      col("event_type").as("Kind"),
+      col("value").as("Amount"),
+      col("event_id").as("_ver"),
+      (col("event_type") === "error").cast("int").as("_deleted"))
+    val cfg = TableConfig("events_replica", Seq(
+      ColumnSpec("UserId", Seq("int"), primaryKey = true),
+      ColumnSpec("Kind", Seq("str")),
+      ColumnSpec("Amount", Seq("float"))))
+    ReplicaTable.createTable(spark, cfg, numBuckets = 8) // create-or-replace
+    ReplicaTable.appendBatch(versioned, cfg, numBuckets = 8)
+    ReplicaTable.appendBatch(versioned.filter(col("_ver") >= 9000), cfg, numBuckets = 8)
+    spark.sql(
+      """SELECT Kind AS last_type, COUNT(*) AS n_users,
+        |       CAST(SUM(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_last_value
+        |FROM events_replica
+        |GROUP BY Kind ORDER BY last_type""".stripMargin)
+  }
+
+  val r7Sql: String =
+    """SELECT event_type AS last_type, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |GROUP BY event_type ORDER BY last_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "r1_replica_current" -> (r1ReplicaCurrent _),
     "r5_replica_sql" -> (r5ReplicaSql _),
+    "r7_transparent_final" -> (r7TransparentFinal _),
     "r2_schema_transform" -> (r2SchemaTransform _),
     "r3_envelope" -> (r3Envelope _),
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
@@ -174,6 +214,7 @@ object Replication {
   val oracles: Map[String, String] = Map(
     "r1_replica_current" -> r1Sql,
     "r5_replica_sql" -> r5Sql,
+    "r7_transparent_final" -> r7Sql,
     "r2_schema_transform" -> r2Sql,
     "r3_envelope" -> r3Sql,
     "r4_idempotent_merge" -> r4Sql)

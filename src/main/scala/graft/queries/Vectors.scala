@@ -345,6 +345,134 @@ object Vectors {
       |SELECT qid, rank, cid, cosine FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** IVF with nprobe=2 AND measured recall — the knob a real ANN user
+    * turns first when single-probe recall disappoints. Every vector LIVES
+    * in its nearest cell (crank=1, same assignment as v6); each QUERY
+    * probes its top-2 cells and ranks the union's candidates by exact
+    * cosine. The output reports, per query, the candidate-set sizes and
+    * the top-3 hit counts against the EXACT brute-force top-3 for both
+    * probe depths side by side — recall is measured in the query itself,
+    * not asserted offline. hits_2p >= hits_1p always: the 2-probe
+    * candidate set is a superset, and any candidate that displaces an
+    * exact-top-3 member from the approx top-3 must itself be exact-top-3.
+    *
+    * Scale shape: identical to v6 (broadcast 10-row centroid table, one
+    * shuffle on the cell id for candidate generation) — nprobe only
+    * multiplies the QUERY side's cell fan-out, not the data layout. The
+    * exact side is the v1 baseline restricted to the same 10 queries
+    * (broadcast Q × scan N, linear in N). Both probe depths rank inside
+    * ONE window pass (r2 = plain row_number; r1 = running count of
+    * crank-1 rows), so measuring recall costs no extra shuffle.
+    */
+  def v8IvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centLong = base
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    val centroids = centLong.groupBy(col("label").as("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col("cell"),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
+    // one assignment pass keeps BOTH the home cell (crank=1, where the
+    // vector lives) and the second-closest cell (crank=2, what a query
+    // additionally probes); materialized once, read by both sides
+    val ranked = base.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id"), col("v"), col("cell"), col("crank"))
+      .localCheckpoint(false)
+    val cands = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+    val queries = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"), col("crank"))
+    val scored = broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("crank"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val withRanks = scored
+      .withColumn("r2", row_number().over(wq))
+      .withColumn("r1", when(col("crank") === 1,
+        sum(when(col("crank") === 1, 1).otherwise(0))
+          .over(wq.rowsBetween(Window.unboundedPreceding, 0))))
+    // exact ground truth: brute force over the FULL corpus (v1's shape)
+    val qfull = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"))
+    val exact = broadcast(qfull)
+      .join(base.select(col("vec_id").as("cid"), col("v").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+      .withColumn("er", row_number().over(wq))
+      .filter(col("er") <= 3)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    withRanks.join(broadcast(exact), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("crank") === 1, 1L).otherwise(0L)).as("cand_1p"),
+        count(lit(1)).as("cand_2p"),
+        sum(when(col("hit") === 1 && col("crank") === 1 && col("r1") <= 3, 1L)
+          .otherwise(0L)).as("hits_1p"),
+        sum(when(col("hit") === 1 && col("r2") <= 3, 1L).otherwise(0L)).as("hits_2p"))
+      .orderBy(col("qid"))
+  }
+
+  val v8Sql: String =
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |ranked AS (
+      |  SELECT vec_id, v, cell, rn AS crank FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn <= 2),
+      |n AS (SELECT vec_id, v, cell, crank, sqrt(${dotSql("v", "v")}) nrm FROM ranked),
+      |cands AS (SELECT vec_id cid, v, nrm, cell FROM n WHERE crank = 1),
+      |q AS (SELECT vec_id qid, v, nrm, cell, crank FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, c.cid, q.crank,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+      |wr AS (
+      |  SELECT qid, cid, crank,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r2,
+      |    CASE WHEN crank = 1 THEN
+      |      SUM(CASE WHEN crank = 1 THEN 1 ELSE 0 END) OVER (
+      |        PARTITION BY qid ORDER BY cosine DESC, cid ROWS UNBOUNDED PRECEDING)
+      |    END AS r1
+      |  FROM scored),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3)
+      |SELECT w.qid,
+      |  CAST(SUM(CASE WHEN w.crank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cand_1p,
+      |  COUNT(*) AS cand_2p,
+      |  CAST(SUM(CASE WHEN e.cid IS NOT NULL AND w.crank = 1 AND w.r1 <= 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS hits_1p,
+      |  CAST(SUM(CASE WHEN e.cid IS NOT NULL AND w.r2 <= 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS hits_2p
+      |FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid
+      |GROUP BY w.qid ORDER BY qid""".stripMargin
+
   /** Int8 scalar quantization — the compression stage before ANN at
     * 100 TB: per-dimension min/max over the corpus (one aggregation,
     * 64 rows out), then a pure projection mapping every float to a
@@ -417,7 +545,8 @@ object Vectors {
     "v3_label_norms" -> (v3LabelNorms _),
     "v4_label_centroids" -> (v4LabelCentroids _),
     "v5_embedding_neardup" -> (v5EmbeddingNeardup _),
-    "v6_ivf_ann" -> (v6IvfAnn _))
+    "v6_ivf_ann" -> (v6IvfAnn _),
+    "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
     "v7_quantize" -> v7Sql,
@@ -426,5 +555,6 @@ object Vectors {
     "v3_label_norms" -> v3Sql,
     "v4_label_centroids" -> v4Sql,
     "v5_embedding_neardup" -> v5Sql,
-    "v6_ivf_ann" -> v6Sql)
+    "v6_ivf_ann" -> v6Sql,
+    "v8_ivf_nprobe" -> v8Sql)
 }

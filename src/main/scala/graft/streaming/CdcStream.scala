@@ -68,15 +68,15 @@ object CdcStream {
       .select(from_json(col("value").cast("string"), Envelope.walSchema).as("w"), col("offset"))
       .select(col("w.*"), col("offset"))
 
-  /** The full logical pipeline over a (streaming or batch) envelope frame:
-    * F1 op/collection filter, F2/F3 + P2 via Envelope.preProcess, then the
-    * P1 schema transform. Returns the typed change rows; transform rejects
-    * are split off inside the sink (foreachBatch) where both halves can be
-    * written.
+  /** The envelope half of the pipeline over a (streaming or batch) frame:
+    * F1 op/collection filter, then F2/F3 + P2 via Envelope.preProcess.
+    * The P1 schema transform deliberately happens LATER, inside the
+    * foreachBatch sink, where the valid/reject split can write both
+    * halves — so the frame returned here is envelope-typed, NOT yet
+    * config-typed.
     */
   def pipeline(
       wal: DataFrame,
-      config: TableConfig,
       payloadSchema: StructType,
       collectionIds: Seq[String] = Nil,
       initialTick: Option[Long] = None,
@@ -103,12 +103,12 @@ object CdcStream {
       clock: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow(),
       queryName: Option[String] = None): StreamingQuery = {
-    val changes = pipeline(wal, config, payloadSchema, collectionIds, initialTick, clock)
+    val changes = pipeline(wal, payloadSchema, collectionIds, initialTick, clock)
       .observe("cdc", count(lit(1)).as("rows"),
         min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
     val writer = changes.writeStream
     queryName.foreach(writer.queryName)
-    writer
+    val query = writer
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -127,7 +127,16 @@ object CdcStream {
         ()
       }
       .start()
+    activeWriters.put(tableDir, query)
+    query
   }
+
+  /** tableDir -> the replication query currently appending there; consulted
+    * by [[compact]] so a swap can never race a live writer. Keyed by the
+    * exact `tableDir` string both calls received.
+    */
+  private val activeWriters =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
 
   /** Read view over the appended table: ReplacingMergeTree-FINAL +
     * `_deleted = 0`, i.e. what a reference reader gets from ClickHouse.
@@ -138,11 +147,26 @@ object CdcStream {
 
   /** OPTIMIZE FINAL analogue: rewrite the append-table down to its latest
     * versions (tombstones kept — they still shadow older resurrecting
-    * rows on replay). Uses the atomic snapshot swap, so concurrent readers
+    * rows on replay). Uses the atomic snapshot swap, so concurrent READERS
     * see old-or-new, never a half-written table.
+    *
+    * The WRITER must be stopped (or AvailableNow-drained) first: a
+    * micro-batch appended between the read and the swap would be moved
+    * aside and deleted while its checkpoint offsets stay committed —
+    * silent data loss. Compacting against a `tableDir` whose
+    * [[startReplication]] query is still active therefore fails fast
+    * (best-effort: the guard keys on the exact `tableDir` string; writers
+    * started outside this object are the caller's responsibility).
     */
   def compact(spark: SparkSession, tableDir: String, keys: Seq[String],
       ver: String = "_ver"): Long = {
+    val writer = activeWriters.get(tableDir)
+    if (writer != null && writer.isActive)
+      throw new IllegalStateException(
+        s"compact('$tableDir') while replication query '${writer.name}' is " +
+          "still appending there — stop it (or use Trigger.AvailableNow and " +
+          "awaitTermination) first; an append racing the swap would be " +
+          "silently lost while its checkpoint offsets stay committed")
     val latest = ReplicaTable.latest(spark.read.parquet(tableDir), keys, ver)
     graft.operators.SnapshotStore.writeSnapshot(spark, latest, tableDir)
   }

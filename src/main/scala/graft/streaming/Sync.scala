@@ -64,17 +64,24 @@ object Sync {
       collection: DataFrame,
       config: TableConfig,
       tableDir: String): (Long, Long) = {
-    val t = SchemaTransform(collection, config)
-    val rows = t.valid
-      .withColumn("offset", lit(null).cast("long"))
-      .withColumn(config.versionColumn, lit(0L))
-      .withColumn(config.deletedColumn, lit(0))
-    val n = SnapshotStore.writeSnapshot(spark, rows, tableDir)
-    val rejects = t.errors
-    val nRejects = rejects.count()
-    if (nRejects > 0)
-      rejects.write.mode("append").parquet(tableDir + ".deadletter")
-    (n, nRejects)
+    // this is by definition the full-corpus path: persist the source so the
+    // valid write, the reject count and the reject write all run off ONE
+    // collection scan (MEMORY_AND_DISK — at snapshot scale the spill is a
+    // local shadow copy, still cheaper than three scans over the source)
+    val cached = collection.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = SchemaTransform(cached, config)
+      val rows = t.valid
+        .withColumn("offset", lit(null).cast("long"))
+        .withColumn(config.versionColumn, lit(0L))
+        .withColumn(config.deletedColumn, lit(0))
+      val n = SnapshotStore.writeSnapshot(spark, rows, tableDir)
+      val rejects = t.errors
+      val nRejects = rejects.count()
+      if (nRejects > 0)
+        rejects.write.mode("append").parquet(tableDir + ".deadletter")
+      (n, nRejects)
+    } finally cached.unpersist()
   }
 
   /** Full resync of one collection: capture tick -> snapshot -> start CDC

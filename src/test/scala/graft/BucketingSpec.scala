@@ -79,11 +79,14 @@ class BucketingSpec extends SparkSpec {
       graft.operators.ReplicaTable.appendBatch(b1, cfg, numBuckets = 4)
       graft.operators.ReplicaTable.appendBatch(b2, cfg, numBuckets = 4)
 
-      val view = graft.operators.ReplicaTable.current(
-        spark.table(cfg.name), cfg.primaryKeys, "_ver")
+      // the DDL path declares the replica contract in the catalog, so the
+      // bare table scan IS the FINAL view (graft.plans.ReplicaFinalRule) —
+      // no manual current() wrapping
+      val view = spark.table(cfg.name)
       val got = view.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got === Set((1L, "a2"))) // Id=2 tombstoned at v2
       val plan = view.queryExecution.executedPlan.toString
+      assert(plan.contains("arg_max_row"), s"transparent FINAL missing:\n$plan")
       assert(!plan.contains("Exchange"),
         s"config-declared replica read should not shuffle:\n$plan")
     } finally {

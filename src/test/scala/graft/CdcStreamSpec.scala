@@ -122,6 +122,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact() refuses to run while the table's replication query is active") {
+    val walDir = tmp("wal"); val tableDir = tmp("tbl")
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.0"}""")))
+    val q = CdcStream.startReplication(
+      CdcStream.walFileSource(spark, walDir.toString), config, payloadSchema,
+      tableDir.toString, tmp("ck").toString, collectionIds = Seq("c1"),
+      initialTick = Some(10L), clock = clock,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      // a racing compact would move a committed-but-unswapped append aside
+      // and delete it — the guard must fail fast instead
+      val e = intercept[IllegalStateException] {
+        CdcStream.compact(spark, tableDir.toString, keys = Seq("K"))
+      }
+      assert(e.getMessage.contains("still appending"))
+    } finally { q.stop(); q.awaitTermination() }
+    // writer stopped -> compact proceeds
+    assert(CdcStream.compact(spark, tableDir.toString, keys = Seq("K")) === 1)
+  }
+
   test("transform rejects land in the dead-letter table") {
     val walDir = tmp("wal"); val tableDir = tmp("tbl")
     writeWal(walDir, "b1.json", Seq(

@@ -123,4 +123,13 @@ class ConfigYamlSpec extends SparkSpec {
     assert(buffer.get("min_time") === Some(15L))
     assert(n.obj("schema").get("primary_key") === Some("Id"))
   }
+
+  test("inline lists respect quoted commas and reject unterminated quotes") {
+    val n = ConfigYaml.parse("vals: ['a, b', c, \"d,e\"]\n")
+    assert(n.get("vals") === Some(Vector("a, b", "c", "d,e")))
+    val e = intercept[IllegalArgumentException] {
+      ConfigYaml.parse("bad: ['a, b]\n")
+    }
+    assert(e.getMessage.contains("unterminated quote"))
+  }
 }

@@ -1,26 +1,51 @@
 package graft
 
 import graft.operators.ConnectedComponents
+import graft.operators.ConnectedComponents.TableRounds
 import org.apache.spark.sql.functions._
 
-/** Min-label propagation: multi-hop convergence, isolated nodes, edge
-  * orientation/duplicates, and the loud non-convergence guard.
+/** Two-phase (large-star/small-star) connected components: multi-hop
+  * convergence, adversarial diameters, isolated nodes, edge orientation/
+  * duplicates, agreement with a driver-side union-find, the durable
+  * table-backed round store, and the loud non-convergence guard.
   */
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
   private def labelsOf(nodes: Seq[Long], edges: Seq[(Long, Long)],
-      maxIters: Int = 50): Map[Long, Long] =
+      maxIters: Int = 50,
+      store: ConnectedComponents.RoundStore = ConnectedComponents.CheckpointRounds): Map[Long, Long] =
     ConnectedComponents.run(
-        nodes.toDF("id"), edges.toDF("src", "dst"), maxIters)
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxIters, store)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("path graph needs one hop per round and still converges to the min") {
+  /** Reference implementation: driver-side union-find. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("path graph converges to the min at the far end") {
     // worst-case orientation: the min id sits at the far end of a chain
     val got = labelsOf(
       nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L),
       edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)))
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("adversarial diameter: a 200-hop path converges in far fewer rounds than hops") {
+    // plain min-label propagation would need 200 rounds (> maxIters);
+    // the star alternation is O(log² n) regardless of diameter
+    val n = 201L
+    val nodes = (0L until n)
+    val edges = (1L until n).map(i => (i, i - 1))
+    val got = labelsOf(nodes, edges, maxIters = 15)
+    assert(got.values.toSet === Set(0L))
   }
 
   test("separate components keep separate minima; isolated nodes self-label") {
@@ -39,12 +64,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("random graphs agree with a driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val nodes = (0L until 60L)
+      val edges = Seq.fill(70)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      assert(labelsOf(nodes, edges) === unionFind(nodes, edges))
+    }
+  }
+
+  test("durable table-backed rounds produce the same labels and survive in the catalog") {
+    val nodes = (0L until 30L)
+    val edges = (1L until 30L).map(i => (i, i - 1)) // one long chain
+    try {
+      val got = labelsOf(nodes, edges, store = TableRounds(spark, "cc_spec", numBuckets = 4))
+      assert(got.values.toSet === Set(0L))
+      // the final round's edges live in a catalog table (durable lineage
+      // root), not an executor-local checkpoint block
+      val gens = Seq("cc_spec_0", "cc_spec_1").filter(spark.catalog.tableExists)
+      assert(gens.nonEmpty, "at least the final-round generation table must exist")
+    } finally Seq("cc_spec_0", "cc_spec_1")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("non-convergence inside the round bound fails loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       labelsOf(
         nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L),
         edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)),
-        maxIters = 2)
+        maxIters = 1)
     }
     assert(e.getMessage.contains("did not converge"))
   }

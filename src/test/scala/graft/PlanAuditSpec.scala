@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkSpec {
       "q8_yearly_nation_revenue" -> 2, "q9_window_rank" -> 2,
       "r1_replica_current" -> 2, "r2_schema_transform" -> 2,
       "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
+      "r7_transparent_final" -> 2,
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
       "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "w1_tumbling" -> 2,
@@ -106,6 +107,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= golden(name),
         s"$name shuffles $n times, golden is ${golden(name)} — plan regressed")
     }
+  }
+
+  test("r7's raw-table SQL carries the injected FINAL rewrite (ArgMaxRow, no manual view)") {
+    val plan = SparkEntry.queries("r7_transparent_final")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("arg_max_row"),
+      s"replica scan was not rewritten into the versioned FINAL view:\n$plan")
   }
 
   test("every catalog query has a DuckDB oracle (except documented rows-only)") {

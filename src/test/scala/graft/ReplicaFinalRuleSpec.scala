@@ -1,0 +1,86 @@
+package graft
+
+import graft.config.{ColumnSpec, TableConfig}
+import graft.operators.ReplicaTable
+
+/** Transparent ReplacingMergeTree-FINAL semantics: a table created through
+  * the DDL path is read — by PLAIN SQL over its raw name, with no view
+  * registration — as its latest-version-wins, tombstone-free state
+  * (graft.plans.ReplicaFinalRule via GraftExtensions).
+  */
+class ReplicaFinalRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = TableConfig("rfr_replica", Seq(
+    ColumnSpec("Id", Seq("int"), primaryKey = true),
+    ColumnSpec("Name", Seq("str"))))
+
+  private def withReplica[A](body: => A): A =
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${cfg.name}")
+      ReplicaTable.createTable(spark, cfg, numBuckets = 4)
+      val b1 = Seq((1L, "a-v1", 1L, 0), (2L, "b-v1", 1L, 0), (3L, "c-v1", 1L, 0))
+        .toDF("Id", "Name", "_ver", "_deleted")
+      val b2 = Seq((1L, "a-v2", 2L, 0), (2L, "b-tomb", 2L, 1), (3L, "c-v1", 1L, 0))
+        .toDF("Id", "Name", "_ver", "_deleted") // replays (3, v1): idempotent
+      ReplicaTable.appendBatch(b1, cfg, numBuckets = 4)
+      ReplicaTable.appendBatch(b2, cfg, numBuckets = 4)
+      body
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${cfg.name}")
+
+  test("plain SQL over the raw table name returns the merged FINAL state") {
+    withReplica {
+      val got = spark.sql(s"SELECT Id, Name FROM ${cfg.name} ORDER BY Id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "a-v2"), (3L, "c-v1"))) // Id=2 tombstoned
+    }
+  }
+
+  test("the rewrite injects ArgMaxRow and stays exchange-free on the bucketed PK") {
+    withReplica {
+      val df = spark.sql(s"SELECT Id, Name FROM ${cfg.name}")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("arg_max_row"),
+        s"replica scan should carry the injected argmax aggregate:\n$optimized")
+      df.collect()
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("ObjectHashAggregate"),
+        s"argmax must plan hash-based, not sort-based:\n$physical")
+      assert(!physical.contains("Exchange"),
+        s"FINAL view over the PK-bucketed replica must not shuffle:\n$physical")
+    }
+  }
+
+  test("re-analysis of a plan embedding a rewritten scan does not stack a second merge") {
+    withReplica {
+      spark.table(cfg.name).createOrReplaceTempView("rfr_view")
+      try {
+        val df = spark.sql("SELECT Id, Name FROM rfr_view WHERE Id > 0")
+        val aggs = df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        assert(aggs.size === 1, s"expected exactly one injected aggregate:\n${df.queryExecution.optimizedPlan}")
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+      } finally spark.catalog.dropTempView("rfr_view")
+    }
+  }
+
+  test("self-join of a replica table resolves (both sides independently merged)") {
+    withReplica {
+      val n = spark.sql(
+        s"SELECT COUNT(*) FROM ${cfg.name} a JOIN ${cfg.name} b ON a.Id = b.Id")
+        .head().getLong(0)
+      assert(n === 2) // two live keys join 1:1 with themselves
+    }
+  }
+
+  test("the append path still writes raw versioned rows (storage untouched by the rewrite)") {
+    withReplica {
+      val location = spark.sql(s"DESCRIBE TABLE EXTENDED ${cfg.name}")
+        .collect().find(_.getString(0) == "Location").get.getString(1)
+      val raw = spark.read.parquet(location.stripPrefix("file:"))
+      assert(raw.count() === 6, "all six appended rows, duplicates and tombstones included")
+      assert(spark.table(cfg.name).count() === 2, "reader sees the merged view")
+    }
+  }
+}

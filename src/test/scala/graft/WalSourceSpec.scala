@@ -99,8 +99,6 @@ class WalSourceSpec extends SparkSpec {
     val wal = spark.read.format("graft.sources.WalSource").load(dir.toString)
     val out = graft.streaming.CdcStream.pipeline(
       wal,
-      config = graft.config.TableConfig("T", Seq(
-        graft.config.ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true))),
       payloadSchema = StructType(Seq(StructField("k", LongType))),
       collectionIds = Seq("c1"),
       clock = lit("2024-01-01").cast("timestamp"))
