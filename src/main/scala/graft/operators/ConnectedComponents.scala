@@ -61,12 +61,15 @@ object ConnectedComponents {
     * from parquet, and the previous round stays readable for the
     * convergence compare. Tables are dropped and recreated on the next
     * [[run]] with the same prefix; the final round's table intentionally
-    * outlives the call (the returned labels read from it).
+    * outlives the call (the returned labels read from it) — the CALLER
+    * owns its lifetime and should [[reset]] once the labels are consumed.
+    * Prefixes are catalog-global: pass a per-run unique prefix (see
+    * `Documents.d12DupClusters`) unless runs are strictly serialized.
     */
   final case class TableRounds(spark: SparkSession, prefix: String, numBuckets: Int = 8)
       extends RoundStore {
     private def name(round: Int) = s"${prefix}_${round % 2}"
-    private[ConnectedComponents] def reset(): Unit =
+    def reset(): Unit =
       Seq(0, 1).foreach(g => ReplicaTable.dropTableAndLocation(spark, s"${prefix}_$g"))
     override def put(df: DataFrame, round: Int): DataFrame = {
       val n = name(round)
@@ -146,6 +149,15 @@ object ConnectedComponents {
       s"connected components did not converge within $maxIters rounds " +
         "(two-phase star rounds are O(log² n) — this indicates a bug or " +
         "an absurd maxIters; raise it only with evidence)")
+    // the labeling below assumes a STAR fixpoint (each non-root node has
+    // exactly one parent edge); a non-star fixpoint would silently emit
+    // duplicate label rows — make that contract violation fail loudly.
+    // One extra agg job over the final, already-materialized edge set.
+    require(e.groupBy(col("src"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .filter(col("n") > 1).isEmpty,
+      "converged edge set is not a star (a node has multiple parents) — " +
+        "labeling would duplicate rows; this indicates a star-round bug")
     // fixpoint is a star per component: every non-root node has exactly
     // one (node, root) edge; roots and isolated nodes label themselves
     nodes.select(col("id"))

@@ -82,17 +82,26 @@ object ReplicaTable {
     * capacity decision (≈ table bytes / 128 MB at target scale), not the
     * session's shuffle-partition setting.
     */
-  /** Drop `name` from the catalog AND clear its default managed location.
+  /** Drop `name` from the catalog AND clear its storage location.
     * In-memory catalogs forget tables across sessions while their
     * directories survive, so a bare `DROP TABLE IF EXISTS` in a fresh
     * session leaves orphan files that fail the next create with
     * LOCATION_ALREADY_EXISTS — the DDL path must be re-runnable.
+    *
+    * The location comes from the catalog when the table exists (a table
+    * created with an explicit/external LOCATION does not live at the
+    * default managed path — deleting the default path would destroy an
+    * unrelated directory and leave the real data behind); the
+    * default-path fallback covers only the orphan-directory case where
+    * the catalog has already forgotten the table.
     */
   def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val catalog = spark.sessionState.catalog
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident))
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

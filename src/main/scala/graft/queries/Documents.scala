@@ -562,6 +562,13 @@ object Documents {
     * on full Unicode case mapping (ß → SS), but both collapse `\s+`
     * identically, so the oracle replays the fingerprint bit-for-bit.
     */
+  /** Prefix of the previous d12 run's round tables (this JVM): the next
+    * run drops them — by then their labels are consumed — so repeated
+    * bench/verify invocations don't accumulate tables in the warehouse.
+    */
+  private val lastCcPrefix =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     // the +1M/+2M copy offsets require doc_id < 1e6 — a collision would
@@ -586,11 +593,18 @@ object Documents {
     val edges = keyed
       .select(col("doc_id").as("src"), min(col("doc_id")).over(wb).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // durable rounds: each star iteration persists to a bucketed catalog
+    // table, so executor loss recomputes from parquet (VERDICT r2 #2).
+    // The prefix is per-run unique so two concurrent d12 runs (or two
+    // sessions sharing a warehouse) never drop each other's round tables
+    // mid-iteration; the PREVIOUS run's surviving final table is
+    // reclaimed here, once its labels have necessarily been consumed.
+    val prefix = s"cc_d12_${java.lang.Long.toHexString(System.nanoTime())}"
+    Option(lastCcPrefix.getAndSet(prefix)).foreach(p =>
+      graft.operators.ConnectedComponents.TableRounds(spark, p).reset())
     val labels = graft.operators.ConnectedComponents.run(
       corpus.select(col("doc_id").as("id")), edges,
-      // durable rounds: each star iteration persists to a bucketed catalog
-      // table, so executor loss recomputes from parquet (VERDICT r2 #2)
-      store = graft.operators.ConnectedComponents.TableRounds(spark, "cc_d12"))
+      store = graft.operators.ConnectedComponents.TableRounds(spark, prefix))
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)

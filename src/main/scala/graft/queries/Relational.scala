@@ -505,6 +505,32 @@ object Relational {
       |                  AND l_returnflag = 'R')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q20 shape: suppliers with SOME qualifying part whose
+    * post-cutoff shipped quantity clears a threshold — a correlated
+    * EXISTS over a GROUP BY + HAVING aggregate subquery, the one
+    * decorrelation pattern the q-family didn't yet exercise. Runs as
+    * plain SQL so CATALYST does the decorrelation (RewriteDomainJoins →
+    * left-semi over the pre-aggregated inner side); PlanAuditSpec pins
+    * the no-BNLJ outcome. The threshold sum is DECIMAL so Spark's and
+    * DuckDB's aggregation orders cannot flip rows across it.
+    */
+  def q20QualifiedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q20Sql)
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_suppkey = s_suppkey
+      |    AND p_size < 20 AND p_name LIKE '%a%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  GROUP BY l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** TPC-H Q22 shape: customers above the average balance with no orders
     * — a correlated-free scalar subquery (broadcast as a literal-ish
     * single-row join) + anti-join.
@@ -624,6 +650,7 @@ object Relational {
     "q23_cube_flags" -> (q23CubeFlags _),
     "q18_large_order_customers" -> (q18LargeOrderCustomers _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q20_qualified_suppliers" -> (q20QualifiedSuppliers _),
     "q21_semi_anti" -> (q21SemiAnti _),
     "q22_global_customers" -> (q22GlobalCustomers _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -650,6 +677,7 @@ object Relational {
     "q23_cube_flags" -> q23Sql,
     "q18_large_order_customers" -> q18Sql,
     "q19_disjunctive_revenue" -> q19Sql,
+    "q20_qualified_suppliers" -> q20Sql,
     "q21_semi_anti" -> q21Sql,
     "q22_global_customers" -> q22Sql,
     "q1_pricing_summary" -> q1Sql,

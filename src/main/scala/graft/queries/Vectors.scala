@@ -471,7 +471,7 @@ object Vectors {
       |  CAST(SUM(CASE WHEN e.cid IS NOT NULL AND w.r2 <= 3
       |    THEN 1 ELSE 0 END) AS BIGINT) AS hits_2p
       |FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid
-      |GROUP BY w.qid ORDER BY qid""".stripMargin
+      |GROUP BY w.qid ORDER BY w.qid""".stripMargin
 
   /** Int8 scalar quantization — the compression stage before ANN at
     * 100 TB: per-dimension min/max over the corpus (one aggregation,

@@ -18,11 +18,13 @@ class PlanAuditSpec extends SparkSpec {
     *  - v6: IVF cell assignment scores every vector against the 10-row
     *    broadcast centroid table — a small-side cross product by
     *    definition of a coarse quantizer;
-    *  - v7: the per-dim min/max stats arrive as a one-row broadcast.
+    *  - v7: the per-dim min/max stats arrive as a one-row broadcast;
+    *  - v8: carries v1's exact brute-force side in-query as the recall
+    *    ground truth (same broadcast-Q x scan-N shape as v1).
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
-      "v7_quantize")
+      "v7_quantize", "v8_ivf_nprobe")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -85,6 +87,7 @@ class PlanAuditSpec extends SparkSpec {
       "q15_small_qty_revenue" -> 2, "q16_large_orders" -> 1,
       "q17_distinct_agg" -> 3, "q18_large_order_customers" -> 1,
       "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 2,
+      "q20_qualified_suppliers" -> 4,
       "q21_semi_anti" -> 2, "q22_global_customers" -> 3,
       "q23_cube_flags" -> 2, "q24_quantiles" -> 2, "q25_full_outer" -> 3,
       "q2_top_acctbal_sql" -> 2, "q3_shipping_priority" -> 1,
@@ -96,7 +99,8 @@ class PlanAuditSpec extends SparkSpec {
       "r7_transparent_final" -> 2,
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
-      "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "w1_tumbling" -> 2,
+      "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "v8_ivf_nprobe" -> 3,
+      "w1_tumbling" -> 2,
       "w2_sliding" -> 2, "w3_session" -> 2, "w4_json_extract" -> 2,
       "w5_asof_join" -> 2, "w6_range_activity" -> 2,
       "w7_distinct_sketch" -> 3, "w8_pivot_daily" -> 3)
