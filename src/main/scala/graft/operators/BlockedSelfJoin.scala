@@ -38,34 +38,36 @@ import org.apache.spark.sql.functions._
   */
 object BlockedSelfJoin {
 
-  def pairs(
+  /** The chunk assignment: bucket rows numbered/ counted within their key
+    * group, singleton (and over-cap) buckets dropped, chunk id attached.
+    * Both window expressions share one WindowExec over one exchange.
+    */
+  private def chunk(
       df: DataFrame,
       keys: Seq[String],
       ord: String,
       chunkSize: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int]): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
     val kcols = keys.map(col)
     val w = Window.partitionBy(kcols: _*).orderBy(col(ord))
-    // same partitioning+ordering as `w`, so both window expressions run in
-    // one WindowExec over one exchange
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val payload = struct(df.columns.map(col): _*)
-    val chunked = df
+    df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__bn", count(lit(1)).over(wAll))
       .filter(col("__bn") >= 2 &&
         maxBucket.map(cap => col("__bn") <= cap).getOrElse(lit(true)))
       .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("int"))
-      // lazy local checkpoint: both join sides read ONE materialization of
-      // the (often expensive) upstream pipeline + bucket window. Without
-      // it AQE plans the two sides as independent stages and recomputes
-      // the whole subtree twice (plain ReuseExchange fires only with AQE
-      // off). Lazy, so building the DataFrame stays side-effect free; the
-      // blocks are reference-counted by the ContextCleaner once the query
-      // is gone. At real cluster scale this is where a production
-      // pipeline would persist signatures to a table instead.
-      .localCheckpoint(false)
+  }
+
+  /** The pair expansion over a MATERIALIZED chunked frame: left keeps its
+    * chunk, right replicates down to every chunk <= its own, equi-join on
+    * (keys, chunk), a < b via the row numbers.
+    */
+  private def expand(chunked: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    val payload = struct(
+      chunked.columns.filterNot(_.startsWith("__")).map(col).toSeq: _*)
     val left = chunked.select(
       kcols ++ Seq(col("__chunk").as("__c"), col("__rn").as("__ra"), payload.as("a")): _*)
     val right = chunked.select(
@@ -74,5 +76,58 @@ object BlockedSelfJoin {
     left.join(right, keys :+ "__c")
       .filter(col("__ra") < col("__rb"))
       .select(col("a"), col("b"))
+  }
+
+  def pairs(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      chunkSize: Int,
+      maxBucket: Option[Int] = None): DataFrame =
+    // lazy local checkpoint: both join sides read ONE materialization of
+    // the (often expensive) upstream pipeline + bucket window. Without
+    // it AQE plans the two sides as independent stages and recomputes
+    // the whole subtree twice (plain ReuseExchange fires only with AQE
+    // off). Lazy, so building the DataFrame stays side-effect free; the
+    // blocks are reference-counted by the ContextCleaner once the query
+    // is gone. Executor-local blocks are NOT fault tolerant — for the
+    // long-running production form see [[pairsPersisted]].
+    expand(chunk(df, keys, ord, chunkSize, maxBucket).localCheckpoint(false), keys)
+
+  /** Production variant (VERDICT r2 #4): the chunked signature frame is
+    * persisted to a catalog table BUCKETED on the bucket keys, and both
+    * join sides read it back from durable parquet — executor loss
+    * recomputes from storage instead of killing the job, and the
+    * signature table is reusable across pipeline runs (incremental dedup
+    * re-reads it instead of recomputing every signature).
+    *
+    * Plan shape on the re-read: HashPartitioning(keys) from the bucketed
+    * files satisfies the join's ClusteredDistribution(keys :+ chunk) —
+    * same-key rows are co-located by the LAYOUT, so the expansion joins
+    * with ZERO exchanges (asserted in BlockedSelfJoinSpec); only the
+    * per-task merge sort on (keys, chunk) remains. Two session confs
+    * gate this plan (both conservative defaults, not correctness):
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` (the
+    * disable-heuristic doesn't recognize superset-key joins as
+    * interesting) and `spark.sql.requireAllClusterKeysForCoPartition=
+    * false` (co-partitioning on the bucket-key SUBSET is the point —
+    * chunk exists only to split buckets already co-located by key).
+    */
+  def pairsPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      chunkSize: Int,
+      table: String,
+      numBuckets: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
+    ReplicaTable.dropTableAndLocation(spark, table)
+    chunk(df, keys, ord, chunkSize, maxBucket)
+      .write.format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+    expand(spark.table(table), keys)
   }
 }

@@ -50,4 +50,38 @@ object SnapshotStore {
   /** Load a snapshot dir and (re)register its read view. */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Write `df` hive-partitioned on `partCols` (same staged atomic swap
+    * as [[writeSnapshot]]). This is the time-series storage layout at
+    * 100 TB: a reader's predicate on the partition column prunes whole
+    * directories at PLANNING time — unread days are never opened, which
+    * row-group min/max pushdown cannot do for a DERIVED column (e.g. the
+    * events `ts`, which only exists after the nanos conversion and so
+    * can never reach the scan as a pushed filter).
+    */
+  def writePartitioned(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      partCols: Seq[String]): Long = {
+    val staging = new Path(dir + ".staging")
+    val live = new Path(dir)
+    val old = new Path(dir + ".old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    fs.delete(staging, true)
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+
+    fs.delete(old, true)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new IllegalStateException(s"snapshot swap: could not stage out $dir")
+    if (!fs.rename(staging, live)) {
+      if (hadLive) fs.rename(old, live)
+      throw new IllegalStateException(s"snapshot swap failed for $dir")
+    }
+    fs.delete(old, true)
+    n
+  }
 }

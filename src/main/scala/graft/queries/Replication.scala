@@ -203,7 +203,129 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |GROUP BY event_type ORDER BY last_type""".stripMargin
 
+  /** The FULL §3.1 replication lifecycle as an oracle-checked query (the
+    * r2-verdict item 5 gate): tick capture -> snapshot through the schema
+    * transform (atomic swap) -> overlapping CDC replay from the captured
+    * tick -> steady-state continuation on the SAME checkpoint -> versioned
+    * read view. Everything the SyncSpec fixtures exercise, but over the
+    * real `events` fixture with a DuckDB oracle on the converged table.
+    *
+    * Timeline (ids are dense 0..n-1; cuts scale with the fixture):
+    *  - pre-history  [0, cutB):   folded into the collection state —
+    *    the per-user latest row is what the snapshot scan sees;
+    *  - WAL chunk A  [cutA, cutB): on disk BEFORE the resync, so the
+    *    captured tick is cutB-1; F3 high-passes everything below it and
+    *    REPLAYS exactly the cutB-1 row — the snapshot/CDC overlap row,
+    *    which must collapse idempotently (its CDC `_ver` > snapshot 0);
+    *  - WAL chunk B  [cutB, n):   written after the resync drains, applied
+    *    by a continuation query on the same checkpoint; `error` events are
+    *    REMOVE ops -> tombstones the read view must hide.
+    *
+    * The driver-side `collect` here synthesizes the WAL FIXTURE (a
+    * bounded 10% slice — the transport that already exists in a real
+    * deployment); the operators under test (snapshot write, streaming
+    * pipeline, dedup view) all run distributed.
+    */
+  def r6ResyncE2e(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val stats = events.agg(
+      max(col("event_id")), min(col("event_id")), count(lit(1))).head()
+    val n = stats.getLong(0) + 1
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n,
+      s"resync timeline assumes dense event_id 0..n-1; got min=${stats.get(1)} " +
+        s"count=${stats.get(2)} max+1=$n")
+    val cutA = n * 9 / 10
+    val cutB = n * 19 / 20
+    val base = Files.createTempDirectory("r6_resync")
+    val walDir = Files.createDirectories(base.resolve("wal"))
+    val tableDir = base.resolve("table").toString
+    val ckpt = base.resolve("ck").toString
+
+    def writeChunk(lo: Long, hi: Long): Unit = {
+      val lines = events
+        .filter(col("event_id") >= lo && col("event_id") <= hi)
+        .collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val op = if (r.getString(2) == "error") Envelope.OpRemove else Envelope.OpUpsert
+          // Double.toString is the shortest round-tripping form: the value
+          // survives parquet -> JSON -> from_json bit-exactly
+          val v = if (r.isNullAt(3)) "null" else r.getDouble(3).toString
+          val data = s"""{"u": ${r.getLong(1)}, "v": $v}""".replace("\"", "\\\"")
+          s"""{"offset":$id,"tick":"$id","type":$op,"db":"d","cuid":"c1","tid":"t","data":"$data"}"""
+        }
+      Files.write(walDir.resolve(s"wal-$lo-$hi.json"), lines.toSeq.asJava)
+    }
+
+    val cfg = TableConfig("UserState", Seq(
+      ColumnSpec("UserId", Seq("int"), ref = Some("u"), primaryKey = true),
+      ColumnSpec("LastValue", Seq("float"), ref = Some("v"))))
+    val payloadSchema = StructType(Seq(
+      StructField("u", LongType), StructField("v", DoubleType)))
+    val clock = lit("2024-01-01").cast("timestamp")
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val collection = events.filter(col("event_id") < cutB)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("user_id").as("u"), col("value").as("v"))
+
+    writeChunk(cutA, cutB - 1)
+    def wal = spark.readStream.format("graft.sources.WalSource").load(walDir.toString)
+    val r = graft.streaming.Sync.resync(spark, collection, wal, walDir.toString,
+      cfg, payloadSchema, tableDir, ckpt, collectionIds = Seq("c1"), clock = clock)
+    r.query.awaitTermination()
+    require(r.initialTick == cutB - 1, s"captured tick ${r.initialTick} != ${cutB - 1}")
+
+    writeChunk(cutB, n - 1)
+    val q2 = graft.streaming.CdcStream.startReplication(wal, cfg, payloadSchema,
+      tableDir, ckpt, collectionIds = Seq("c1"),
+      initialTick = Some(r.initialTick), clock = clock)
+    q2.awaitTermination()
+
+    graft.streaming.CdcStream.currentView(spark, tableDir, keys = Seq("UserId"))
+      .select(col("UserId"), col("LastValue"))
+      .orderBy(col("UserId"))
+  }
+
+  /** Oracle twin: snapshot = per-user latest below cutB; CDC = per-user
+    * latest at/above cutB, plus the single replayed overlap row (tick
+    * cutB-1) for users with no later change; CDC beats snapshot, and an
+    * `error`-typed CDC winner is a tombstone (row hidden).
+    */
+  val r6Sql: String =
+    """WITH m AS (SELECT max(event_id) + 1 AS n FROM events),
+      |pre AS (
+      |  SELECT user_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events, m WHERE event_id < (n * 19) // 20),
+      |snap AS (SELECT user_id, value FROM pre WHERE rn = 1),
+      |overlap AS (
+      |  SELECT user_id, event_type, value FROM events, m
+      |  WHERE event_id = (n * 19) // 20 - 1),
+      |post AS (
+      |  SELECT user_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events, m WHERE event_id >= (n * 19) // 20),
+      |cdc AS (
+      |  SELECT user_id, event_type, value FROM post WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, event_type, value FROM overlap o
+      |  WHERE NOT EXISTS (SELECT 1 FROM post p WHERE p.user_id = o.user_id)),
+      |fin AS (
+      |  SELECT COALESCE(c.user_id, s.user_id) AS uid,
+      |    CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE s.value END AS val,
+      |    c.event_type AS typ
+      |  FROM snap s FULL JOIN cdc c ON s.user_id = c.user_id)
+      |SELECT uid AS UserId, val AS LastValue FROM fin
+      |WHERE typ IS NULL OR typ <> 'error'
+      |ORDER BY UserId""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r6_resync_e2e" -> (r6ResyncE2e _),
     "r1_replica_current" -> (r1ReplicaCurrent _),
     "r5_replica_sql" -> (r5ReplicaSql _),
     "r7_transparent_final" -> (r7TransparentFinal _),
@@ -212,6 +334,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r6_resync_e2e" -> r6Sql,
     "r1_replica_current" -> r1Sql,
     "r5_replica_sql" -> r5Sql,
     "r7_transparent_final" -> r7Sql,

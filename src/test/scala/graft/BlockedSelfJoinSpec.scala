@@ -84,6 +84,40 @@ class BlockedSelfJoinSpec extends SparkSpec {
     assert(out.toSet.size === out.length)
   }
 
+  test("pairsPersisted: identical pair set, zero exchanges on the re-read expansion") {
+    val df = skewed
+    val expected = BlockedSelfJoin.pairs(df, Seq("k1", "k2"), "id", 16)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // DisableUnnecessaryBucketedScan only recognizes exact-key joins as
+    // "interesting"; the (keys, chunk) superset join needs the bucketed
+    // layout kept on both sides
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // co-partitioning on the bucket keys (a subset of the join keys —
+    // chunk only exists to split buckets) is exactly what we want here;
+    // Spark's conservative default demands the full key set
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val persisted = BlockedSelfJoin.pairsPersisted(
+        spark, df, Seq("k1", "k2"), "id", 16, table = "bsj_sig", numBuckets = 4)
+      val got = persisted.select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got === expected)
+      // the payoff: both sides read co-located buckets of the signature
+      // table — HashPartitioning(keys) satisfies the (keys, chunk) join's
+      // distribution, so the expansion itself never shuffles
+      val plan = persisted.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"persisted-signature expansion should be exchange-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      graft.operators.ReplicaTable.dropTableAndLocation(spark, "bsj_sig")
+    }
+  }
+
   test("empty input and all-singleton input produce no pairs") {
     import spark.implicits._
     val singletons = (1 to 10).map(i => (s"k$i", i)).toDF("k", "id")

@@ -96,6 +96,7 @@ class PlanAuditSpec extends SparkSpec {
       "q8_yearly_nation_revenue" -> 2, "q9_window_rank" -> 2,
       "r1_replica_current" -> 2, "r2_schema_transform" -> 2,
       "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
+      "r6_resync_e2e" -> 2, "w9_partition_pruned" -> 2,
       "r7_transparent_final" -> 2,
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
@@ -118,6 +119,15 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("arg_max_row"),
       s"replica scan was not rewritten into the versioned FINAL view:\n$plan")
+  }
+
+  test("w9 prunes day partitions at planning time (PartitionFilters, not row pushdown)") {
+    val plan = SparkEntry.queries("w9_partition_pruned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pf = """PartitionFilters: \[[^\]]*event_date[^\]]*\]""".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"w9 scan has no partition filter on event_date — the date predicate " +
+        s"is filtering rows instead of skipping day directories:\n$plan")
   }
 
   test("every catalog query has a DuckDB oracle (except documented rows-only)") {
