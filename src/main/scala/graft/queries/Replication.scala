@@ -203,6 +203,86 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |GROUP BY event_type ORDER BY last_type""".stripMargin
 
+  /** The YAML a user would write for the r8 table — exercises the three
+    * cast families the first config table (r5/r7) didn't: `from_datetime`
+    * (ISO string -> timestamp), the `to_array` CUSTOM transformer
+    * (reference tables/transform.py:1-8), and an ordered multi-type
+    * fallback chain `[float, str]` (reference transformer.py:84-92 —
+    * first cast that succeeds wins), plus a `default` on a field the
+    * source never carries. Parsed by the same [[ConfigYaml]] loader the
+    * reference's yaml files go through (ConfigYamlSpec pins the parse).
+    */
+  val r8Yaml: String =
+    """table_name: event_profile
+      |schema:
+      |  primary_key: Id
+      |  properties:
+      |    Id:
+      |      type: int
+      |      ref: event_id
+      |      required: true
+      |    At:
+      |      type: from_datetime
+      |      ref: ts_iso
+      |    Tags:
+      |      type: to_array
+      |      ref: tag_csv
+      |    KV:
+      |      type: [float, str]
+      |      ref: kv
+      |    Chan:
+      |      type: str
+      |      ref: channel
+      |      default: unknown
+      |""".stripMargin
+
+  /** Second config-declared table through the full DDL path (VERDICT r2
+    * #6): YAML -> [[ConfigYaml.tableConfig]] -> bucketed CREATE with the
+    * replica TBLPROPERTIES -> [[SchemaTransform]] append (tail replayed
+    * once, proving at-least-once idempotence) -> plain SQL on the RAW
+    * table name, merged transparently by ReplicaFinalRule. The aggregate
+    * touches every exercised cast: timestamps (min/max At), the split
+    * array (element_at + size), the fallback result (distinct KV mixes
+    * the float-branch "87.0" strings with the str-branch event types by
+    * id parity), and the defaulted Chan.
+    */
+  def r8YamlDdlReplica(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.config.ConfigYaml.tableConfig(r8Yaml)
+    val source = Tables.load(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+      concat(col("event_type"), lit(","),
+        get_json_object(col("props"), "$.k")).as("tag_csv"),
+      when(col("event_id") % 2 === 0, get_json_object(col("props"), "$.k"))
+        .otherwise(col("event_type")).as("kv"))
+    ReplicaTable.createTable(spark, cfg, numBuckets = 8)
+    val rows = SchemaTransform(source, cfg).valid
+      .withColumn(cfg.versionColumn, col("Id"))
+      .withColumn(cfg.deletedColumn, lit(0))
+    ReplicaTable.appendBatch(rows, cfg, numBuckets = 8)
+    ReplicaTable.appendBatch(rows.filter(col("Id") % 10 === 0), cfg, numBuckets = 8)
+    spark.sql(
+      """SELECT element_at(Tags, 1) AS tag0, Chan,
+        |  COUNT(*) AS n, COUNT(DISTINCT KV) AS n_kv,
+        |  MIN(At) AS first_at, MAX(At) AS last_at,
+        |  CAST(SUM(size(Tags)) AS BIGINT) AS total_tags
+        |FROM event_profile GROUP BY tag0, Chan ORDER BY tag0""".stripMargin)
+  }
+
+  val r8Sql: String =
+    """WITH p AS (
+      |  SELECT event_id AS Id, ts AS At,
+      |    str_split(event_type || ',' || json_extract_string(props, '$.k'), ',') AS Tags,
+      |    CASE WHEN event_id % 2 = 0
+      |         THEN CAST(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
+      |         ELSE event_type END AS KV,
+      |    'unknown' AS Chan
+      |  FROM events)
+      |SELECT Tags[1] AS tag0, Chan, COUNT(*) AS n, COUNT(DISTINCT KV) AS n_kv,
+      |  MIN(At) AS first_at, MAX(At) AS last_at,
+      |  CAST(SUM(len(Tags)) AS BIGINT) AS total_tags
+      |FROM p GROUP BY tag0, Chan ORDER BY tag0""".stripMargin
+
   /** The FULL §3.1 replication lifecycle as an oracle-checked query (the
     * r2-verdict item 5 gate): tick capture -> snapshot through the schema
     * transform (atomic swap) -> overlapping CDC replay from the captured
@@ -325,6 +405,7 @@ object Replication {
       |ORDER BY UserId""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "r8_yaml_ddl_replica" -> (r8YamlDdlReplica _),
     "r6_resync_e2e" -> (r6ResyncE2e _),
     "r1_replica_current" -> (r1ReplicaCurrent _),
     "r5_replica_sql" -> (r5ReplicaSql _),
@@ -334,6 +415,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r8_yaml_ddl_replica" -> r8Sql,
     "r6_resync_e2e" -> r6Sql,
     "r1_replica_current" -> r1Sql,
     "r5_replica_sql" -> r5Sql,

@@ -124,6 +124,24 @@ class ConfigYamlSpec extends SparkSpec {
     assert(n.obj("schema").get("primary_key") === Some("Id"))
   }
 
+  test("r8's second config table parses with datetime/custom-array/fallback/default rows") {
+    val cfg = ConfigYaml.tableConfig(graft.queries.Replication.r8Yaml)
+    assert(cfg.name === "event_profile")
+    assert(cfg.columns.map(_.name) === Seq("Id", "At", "Tags", "KV", "Chan"))
+    assert(cfg.primaryKeys === Seq("Id"))
+    assert(cfg.columns(1).types === Seq("from_datetime"))
+    assert(cfg.columns(2).types === Seq("to_array")) // custom transformer
+    assert(cfg.columns(3).types === Seq("float", "str")) // ordered fallback
+    assert(cfg.columns(4).default === Some("unknown"))
+    // fallback chain: numeric strings take the float branch (re-cast to the
+    // final str type), non-numeric fall through unchanged
+    import org.apache.spark.sql.functions.lit
+    val chain = graft.config.CastRegistry.chain(Seq("float", "str")) _
+    val row = spark.range(1).select(
+      chain(lit("87")).as("num"), chain(lit("view")).as("txt")).head()
+    assert(row.getString(0) === "87.0" && row.getString(1) === "view")
+  }
+
   test("inline lists respect quoted commas and reject unterminated quotes") {
     val n = ConfigYaml.parse("vals: ['a, b', c, \"d,e\"]\n")
     assert(n.get("vals") === Some(Vector("a, b", "c", "d,e")))

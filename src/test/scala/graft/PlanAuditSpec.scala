@@ -96,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
       "q8_yearly_nation_revenue" -> 2, "q9_window_rank" -> 2,
       "r1_replica_current" -> 2, "r2_schema_transform" -> 2,
       "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
-      "r6_resync_e2e" -> 2, "w9_partition_pruned" -> 2,
+      "r6_resync_e2e" -> 2, "r8_yaml_ddl_replica" -> 3,
+      "w9_partition_pruned" -> 2,
       "r7_transparent_final" -> 2,
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
