@@ -569,6 +569,28 @@ object Documents {
   private val lastCcPrefix =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Remove round-table DIRECTORIES orphaned by earlier JVMs: the
+    * in-memory catalog forgets `cc_d12_*` tables at process exit while
+    * their warehouse dirs survive, so repeated bench/verify processes
+    * would otherwise accumulate one final-table dir each. Only dirs not
+    * in THIS session's catalog and untouched for >30 min are removed —
+    * a concurrently running d12 (unique prefix, minutes old) is never
+    * swept.
+    */
+  private def sweepOrphanRoundDirs(spark: SparkSession): Unit = {
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(warehouse)) return
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    fs.listStatus(warehouse).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("cc_d12_") && st.getModificationTime < cutoff &&
+          !spark.catalog.tableExists(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     // the +1M/+2M copy offsets require doc_id < 1e6 — a collision would
@@ -602,6 +624,7 @@ object Documents {
     val prefix = s"cc_d12_${java.lang.Long.toHexString(System.nanoTime())}"
     Option(lastCcPrefix.getAndSet(prefix)).foreach(p =>
       graft.operators.ConnectedComponents.TableRounds(spark, p).reset())
+    sweepOrphanRoundDirs(spark)
     val labels = graft.operators.ConnectedComponents.run(
       corpus.select(col("doc_id").as("id")), edges,
       store = graft.operators.ConnectedComponents.TableRounds(spark, prefix))

@@ -333,6 +333,72 @@ object CdcStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** A closed gap-session: [start, end] in event-time millis plus the
+    * event count. Emitted by [[sessionizeTws]] exactly once per session.
+    */
+  final case class GapSession(key: Long, start: Long, end: Long, n: Long)
+
+  /** Gap sessionization on RAW timer state — the event-time-timer leg of
+    * `transformWithState` that the `session_window` builtin
+    * ([[sessionizeStream]]) hides. Sessions live in a ListState (any
+    * number of OPEN sessions per key: a late event inside the watermark
+    * can extend a session backwards, bridge-merge two open sessions, or
+    * open an older one while a newer one is already open); every input
+    * re-registers a timer at session end + gap, and
+    * `handleExpiredTimer` emits — exactly once, in start order — every
+    * session the WATERMARK has passed, then drops it from state. Stale
+    * timers (their session since merged away or extended) fire as no-ops.
+    *
+    * Scale shape: state per key = open sessions within the watermark
+    * horizon (bounded), timers are per (key, timestamp) and deduplicated
+    * by the store; everything runs on the same RocksDB-backed
+    * transformWithState operator as [[statefulLatestTws]].
+    */
+  def sessionizeTws(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      gapMs: Long,
+      watermark: String): org.apache.spark.sql.Dataset[GapSession] = {
+    import org.apache.spark.sql.{Encoders, Dataset}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val sessEnc = Encoders.product[(Long, Long, Long)]
+    val processor = new StatefulProcessor[Long, (Long, java.sql.Timestamp), GapSession] {
+      @transient private var open: ListState[(Long, Long, Long)] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit =
+        open = getHandle.getListState("open", sessEnc, TTLConfig.NONE)
+      override def handleInputRows(k: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+          tv: TimerValues): Iterator[GapSession] = {
+        var ss = open.get().toList // (start, end, n)
+        rows.foreach { case (_, t) =>
+          val ts = t.getTime
+          // merge the event and every session it touches into one
+          val (touch, rest) = ss.partition(s => ts >= s._1 - gapMs && ts <= s._2 + gapMs)
+          val merged = ((ts, ts, 1L) :: touch).reduce((a, b) =>
+            (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
+          ss = merged :: rest
+        }
+        open.put(ss.toArray)
+        ss.foreach(s => getHandle.registerTimer(s._2 + gapMs))
+        Iterator.empty
+      }
+      override def handleExpiredTimer(k: Long, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[GapSession] = {
+        val wm = tv.getCurrentWatermarkInMs
+        val (closed, stillOpen) = open.get().toList.partition(_._2 + gapMs <= wm)
+        if (stillOpen.isEmpty) open.clear() else open.put(stillOpen.toArray)
+        closed.sortBy(_._1).iterator.map(s => GapSession(k, s._1, s._2, s._3))
+      }
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(key).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)](Encoders.product[(Long, java.sql.Timestamp)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.product[GapSession])
+  }
+
   /** Streaming windowed analytics with late-data handling — the added
     * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
     * tumbling counts, emitted append-mode as windows close.

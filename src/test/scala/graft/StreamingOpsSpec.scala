@@ -87,6 +87,53 @@ class StreamingOpsSpec extends SparkSpec
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("sessionizeTws: timer-emitted sessions, late bridge event merges two open sessions") {
+    val src = tmp("st-src"); val ckpt = tmp("st-ck")
+    // batch 1: user 1 forms TWO open sessions ([00:00,00:05] and [00:20]
+    // — 00:20 > 00:05 + 10min gap), user 2 one singleton
+    Files.write(src.resolve("a.json"), java.util.Arrays.asList(
+      """{"id":1,"ts":"2024-01-01T00:00:00.000Z","payload":"a"}""",
+      """{"id":1,"ts":"2024-01-01T00:05:00.000Z","payload":"b"}""",
+      """{"id":1,"ts":"2024-01-01T00:20:00.000Z","payload":"c"}""",
+      """{"id":2,"ts":"2024-01-01T00:01:00.000Z","payload":"d"}"""))
+    // batch 2: the LATE bridge at 00:12 touches both (within gap of 00:05
+    // and of 00:20) -> the two sessions must merge into one
+    Files.write(src.resolve("b.json"), java.util.Arrays.asList(
+      """{"id":1,"ts":"2024-01-01T00:12:00.000Z","payload":"bridge"}"""))
+    // batch 3: sentinel advances the watermark (2h delay) past every
+    // session end + gap; its own session stays open and is never emitted
+    Files.write(src.resolve("c.json"), java.util.Arrays.asList(
+      """{"id":99,"ts":"2024-01-01T06:00:00.000Z","payload":"sentinel"}"""))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.sessionizeTws(stream, "id", "ts",
+          gapMs = 10 * 60 * 1000L, watermark = "2 hours")
+        .writeStream.format("memory").queryName("st_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      def m(min: Long) = base + min * 60000L
+      val got = spark.table("st_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (1L, m(0), m(20), 4L), // merged: a, b, bridge, c
+        (2L, m(1), m(1), 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("statefulLatestTws matches the changelog contract on the new state API") {
     import spark.implicits._
     val src = tmp("tws-src"); val ckpt = tmp("tws-ck")
