@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.config.TableConfig
 import graft.operators.{Envelope, ReplicaTable, SchemaTransform}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -111,19 +112,40 @@ object CdcStream {
     val query = writer
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // cache: the batch feeds two writes (+ an emptiness probe); without
-        // it each job re-executes the source plan — recomputing the batch
-        // and double-counting the observe() metrics
-        batch.persist()
-        try {
-          val t = SchemaTransform(batch, config,
-            keep = Seq("offset", config.versionColumn, config.deletedColumn)
-              .filter(batch.columns.contains))
-          t.valid.write.mode("append").parquet(tableDir)
-          val errs = t.errors
-          if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
-        } finally batch.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent sink commit: foreachBatch is at-least-once — after a
+        // failure between the parquet append and the checkpoint commit,
+        // the SAME batchId is re-delivered and a bare append would store
+        // the rows twice (semantically harmless under the versioned read
+        // view, which collapses duplicate (key, _ver) rows, but storage
+        // and scan cost double with every crash). A per-batch marker
+        // INSIDE the checkpoint directory — so its lifecycle is exactly
+        // the offset log's: fresh checkpoint = fresh ledger, resumed
+        // checkpoint = resumed ledger — downgrades that to exactly-once
+        // storage except for a crash inside the marker write itself,
+        // where the read view still gives exactly-once SEMANTICS.
+        // (The same (appId, version) pattern transactional table formats
+        // expose; plain parquet dirs get it via the marker.)
+        val fs = new Path(checkpointDir).getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new Path(new Path(checkpointDir, "graft-sink-commits"),
+          f"batch-$batchId%020d")
+        if (!fs.exists(marker)) {
+          // cache: the batch feeds two writes (+ an emptiness probe); without
+          // it each job re-executes the source plan — recomputing the batch
+          // and double-counting the observe() metrics
+          batch.persist()
+          try {
+            val t = SchemaTransform(batch, config,
+              keep = Seq("offset", config.versionColumn, config.deletedColumn)
+                .filter(batch.columns.contains))
+            t.valid.write.mode("append").parquet(tableDir)
+            val errs = t.errors
+            if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
+          } finally batch.unpersist()
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
         ()
       }
       .start()

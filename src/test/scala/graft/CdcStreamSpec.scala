@@ -106,6 +106,35 @@ class CdcStreamSpec extends SparkSpec {
     assert(spark.read.parquet(tableDir.toString).count() > 3)
   }
 
+  test("sink commit ledger: a re-delivered batchId is not appended twice") {
+    val walDir = tmp("wal"); val ckpt = tmp("ck")
+    writeWal(walDir, "b1.json", Seq(
+      walLine(11, 11, 2300, "c1", """{"k": 1, "v": "1.5"}""")))
+
+    // normal run: data lands and the batch marker is written
+    val t1 = tmp("tbl1")
+    runOnce(walDir, t1, ckpt)
+    assert(spark.read.parquet(t1.toString).count() === 1)
+    val commits = ckpt.resolve("graft-sink-commits")
+    // one marker per delivered batch (trailing empty batches included)
+    assert(Files.exists(commits.resolve(f"batch-${0L}%020d")))
+
+    // a marker pre-seeded in a FRESH checkpoint simulates the retry of a
+    // batch whose sink write already committed: the foreachBatch body
+    // must skip the append entirely (no table dir is ever created)
+    val ckpt2 = tmp("ck2")
+    val t2 = tmp("tbl2").resolve("t") // not created: skip must never write it
+    val pre = ckpt2.resolve("graft-sink-commits")
+    Files.createDirectories(pre)
+    Files.write(pre.resolve(f"batch-${0L}%020d"), Array.empty[Byte])
+    val q = CdcStream.startReplication(
+      CdcStream.walFileSource(spark, walDir.toString),
+      config, payloadSchema, t2.toString, ckpt2.toString,
+      collectionIds = Seq("c1"), initialTick = Some(10L), clock = clock)
+    q.awaitTermination()
+    assert(!Files.exists(t2), "pre-committed batch was appended again")
+  }
+
   test("compact() collapses storage without changing the read view") {
     val walDir = tmp("wal"); val tableDir = tmp("tbl")
     writeWal(walDir, "b1.json", Seq(

@@ -90,6 +90,24 @@ class PropertySpec extends SparkSpec {
         s"${stats / 255.0} for the widest dimension range $stats")
   }
 
+  test("property: IVF nprobe=2 dominates nprobe=1 (candidates and recall, per query)") {
+    // the documented v8 invariant, checked on the real fixture
+    // independently of the oracle: the 2-probe candidate set is a strict
+    // superset of the 1-probe set, and any candidate displacing an
+    // exact-top-3 member from the approx top-3 is itself exact-top-3, so
+    // per-query hits can only improve with the extra probe.
+    val rows = graft.queries.Vectors.v8IvfNprobe(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, c1, c2, h1, h2) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c2 >= c1, s"qid=$qid: 2-probe candidates $c2 < 1-probe $c1")
+      assert(h2 >= h1, s"qid=$qid: 2-probe hits $h2 < 1-probe $h1")
+      assert(h2 <= 3 && h1 <= 3, s"qid=$qid: hits exceed top-3")
+    }
+  }
+
   test("property: schema transform never drops and never invents rows") {
     import spark.implicits._
     val config = TableConfig("T", Seq(
