@@ -248,13 +248,25 @@ object Replication {
     */
   def r8YamlDdlReplica(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.config.ConfigYaml.tableConfig(r8Yaml)
-    val source = Tables.load(spark, dir, "events").select(
-      col("event_id"),
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
-      concat(col("event_type"), lit(","),
-        get_json_object(col("props"), "$.k")).as("tag_csv"),
-      when(col("event_id") % 2 === 0, get_json_object(col("props"), "$.k"))
-        .otherwise(col("event_type")).as("kv"))
+    // The fixture arrives as ONE parquet split (single row group), and
+    // PushDownPredicates inlines SchemaTransform's whole validity array
+    // below any repartition onto that split — serializing the heavy
+    // parse work onto one task. The lazy localCheckpoint is a plan
+    // barrier: the projected source materializes once across all cores
+    // and the validity filter runs parallel above it. (At real scale the
+    // pushed-down reject filter is the RIGHT plan — many input splits
+    // parallelize it and rejects never reach the shuffle; the barrier
+    // compensates for the fixture's un-splittable layout.)
+    val source = Tables.load(spark, dir, "events")
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        concat(col("event_type"), lit(","),
+          get_json_object(col("props"), "$.k")).as("tag_csv"),
+        when(col("event_id") % 2 === 0, get_json_object(col("props"), "$.k"))
+          .otherwise(col("event_type")).as("kv"))
+      .localCheckpoint(false)
     ReplicaTable.createTable(spark, cfg, numBuckets = 8)
     val rows = SchemaTransform(source, cfg).valid
       .withColumn(cfg.versionColumn, col("Id"))

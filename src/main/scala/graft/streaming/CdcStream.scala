@@ -145,6 +145,13 @@ object CdcStream {
           } finally batch.unpersist()
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
+          // bounded ledger: only the LATEST uncommitted batch can ever be
+          // re-delivered, so markers far behind are dead weight — drop
+          // one trailing marker per commit (O(1), no directory listing;
+          // a continuously running query keeps a sliding ~100-marker
+          // window instead of one file per batch forever)
+          if (batchId >= 100)
+            fs.delete(new Path(marker.getParent, f"batch-${batchId - 100}%020d"), false)
         }
         ()
       }
