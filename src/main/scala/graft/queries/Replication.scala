@@ -49,10 +49,14 @@ object Replication {
   def r2SchemaTransform(spark: SparkSession, dir: String): DataFrame = {
     // the fixture arrives as ONE parquet split (single row group): spread
     // the json-parse + cast work across cores; the sort's sampling pass
-    // re-evaluates the projection, so serial cost would be paid twice
+    // re-evaluates the projection, so serial cost would be paid twice.
+    // The lazy localCheckpoint stops PushDownPredicates from inlining the
+    // validity array below the repartition onto the single split (same
+    // barrier + rationale as r8_yaml_ddl_replica).
     val events = Tables.load(spark, dir, "events")
       .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+      .localCheckpoint(false)
     val config = TableConfig(
       name = "EventFlat",
       columns = Seq(
