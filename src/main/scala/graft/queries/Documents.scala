@@ -197,9 +197,8 @@ object Documents {
       // Upstream size(tokens)>=3 already guarantees non-empty arrays.
       .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
-    graft.operators.BlockedSelfJoin
-      .pairs(sh, Seq("k"), "doc_id", chunkSize = 1024,
-        maxBucket = Some(D5MaxShingleDf))
+    candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
+        tag = "d5", maxBucket = Some(D5MaxShingleDf))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -213,6 +212,34 @@ object Documents {
     * generation (document-frequency cap; mirrored in the DuckDB oracle).
     */
   val D5MaxShingleDf = 50
+
+  /** Candidate-pair expansion for the near-dup family, routed by the
+    * session conf `graft.neardup.persistPairs`:
+    *  - unset/false (default): in-query form — one lazy localCheckpoint
+    *    materialization, best for interactive/bench runs;
+    *  - true: [[graft.operators.BlockedSelfJoin.pairsPersisted]] — the
+    *    signature stage persists to a bucketed catalog table
+    *    (`graft_sig_<tag>`) and the expansion re-reads co-located
+    *    buckets; durable across executor loss and reusable by the next
+    *    pipeline run. Output is IDENTICAL either way (BlockedSelfJoinSpec
+    *    asserts it on d5/d6/d7 over the real fixture). The fixed table
+    *    name assumes serialized runs (the production pipeline shape);
+    *    concurrent ad-hoc sessions should keep the default path.
+    */
+  private def candidatePairs(
+      spark: SparkSession,
+      df: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      chunkSize: Int,
+      tag: String,
+      maxBucket: Option[Int] = None): DataFrame =
+    if (spark.conf.getOption("graft.neardup.persistPairs").contains("true"))
+      graft.operators.BlockedSelfJoin.pairsPersisted(
+        spark, df, keys, ord, chunkSize, table = s"graft_sig_$tag",
+        numBuckets = 8, maxBucket = maxBucket)
+    else
+      graft.operators.BlockedSelfJoin.pairs(df, keys, ord, chunkSize, maxBucket)
 
   val d5Sql: String =
     s"""WITH sh AS (
@@ -297,8 +324,8 @@ object Documents {
     // structs + K^2 pairs inside one collect_list row — the signature
     // array rides along as join payload, so the overlap estimate is still
     // a per-pair expression with no re-join
-    val pairs = graft.operators.BlockedSelfJoin
-      .pairs(bandSig, Seq("band", "sig"), "doc_id", chunkSize = 256)
+    val pairs = candidatePairs(spark, bandSig, Seq("band", "sig"), "doc_id",
+      chunkSize = 256, tag = "d6")
     val matches = (0 until NumHashes)
       .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
         .otherwise(0))
@@ -385,8 +412,8 @@ object Documents {
           shiftrightunsigned(col("simhash"), b * 12).bitwiseAND(lit(0xfffL))): _*)))
       .select(col("doc_id"), col("simhash"),
         col("pos").as("band"), col("col").as("bkey"))
-    graft.operators.BlockedSelfJoin
-      .pairs(banded, Seq("band", "bkey"), "doc_id", chunkSize = 1024)
+    candidatePairs(spark, banded, Seq("band", "bkey"), "doc_id",
+        chunkSize = 1024, tag = "d7")
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
