@@ -32,6 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format("graft.sources.WalSource").load(dir)`
   * (or with `.option("path", dir)`); one partition per chunk file.
+  * Streaming reads accept `.option("maxChunksPerTrigger", n)` — admission
+  * control bounding each micro-batch to n chunks, so a catch-up replay
+  * over a long retained log proceeds in bounded batches instead of one
+  * giant one (AvailableNow honors the limit across multiple batches).
   */
 class WalSource extends TableProvider {
 
@@ -76,10 +80,11 @@ private class WalTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WalScanBuilder(path)
+    new WalScanBuilder(path,
+      Option(options.get("maxChunksPerTrigger")).map(_.toInt))
 }
 
-private class WalScanBuilder(path: String)
+private class WalScanBuilder(path: String, maxChunksPerTrigger: Option[Int])
   extends ScanBuilder with SupportsPushDownFilters {
 
   private var minTick: Long = Long.MinValue
@@ -107,14 +112,15 @@ private class WalScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WalScan(path, minTick)
+  override def build(): Scan = new WalScan(path, minTick, maxChunksPerTrigger)
 }
 
-private class WalScan(path: String, minTick: Long) extends Scan with Batch {
+private class WalScan(path: String, minTick: Long,
+    maxChunksPerTrigger: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = WalSource.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(path, minTick, hadoopConf)
+    new WalMicroBatchStream(path, minTick, hadoopConf, maxChunksPerTrigger)
   override def description(): String =
     s"graft WAL scan, minTick=${if (minTick == Long.MinValue) "none" else minTick}"
 
@@ -158,7 +164,8 @@ private case class WalOffset(tick: Long) extends Offset {
   * the latest offset up front (SupportsTriggerAvailableNow) so a run
   * drains exactly the chunks present when it started.
   */
-private class WalMicroBatchStream(path: String, minTick: Long, conf: SerializableHadoopConf)
+private class WalMicroBatchStream(path: String, minTick: Long,
+    conf: SerializableHadoopConf, maxChunksPerTrigger: Option[Int])
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def chunks(): Seq[(Long, Long, String)] = {
@@ -183,15 +190,31 @@ private class WalMicroBatchStream(path: String, minTick: Long, conf: Serializabl
   override def latestOffset(): Offset =
     WalOffset(availableNowCap.getOrElse(chunks().lastOption.map(_._2).getOrElse(initialTick)))
 
-  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; no rate
-  // limiting for the file transport — a batch takes everything up to latest
+  // Admission control (SupportsTriggerAvailableNow extends
+  // SupportsAdmissionControl): `maxChunksPerTrigger` bounds each
+  // micro-batch to N chunks — the knob that keeps a catch-up replay over
+  // months of retained log from planning one giant batch (memory, skew,
+  // checkpoint-commit latency all scale with batch size). AvailableNow
+  // honors the limit by running MULTIPLE batches up to the prepared cap.
   override def latestOffset(
       start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val startTick = start.asInstanceOf[WalOffset].tick
+    val pending = chunks()
+      .filter(_._2 > startTick)
+      .filter(c => availableNowCap.forall(c._2 <= _))
+    val taken = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _                => pending
+    }
+    WalOffset(taken.lastOption.map(_._2).getOrElse(startTick))
+  }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    maxChunksPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
 
   override def deserializeOffset(json: String): Offset = WalOffset(json.trim.toLong)
 

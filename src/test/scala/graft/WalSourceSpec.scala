@@ -93,6 +93,27 @@ class WalSourceSpec extends SparkSpec {
     assert(ticks.toSeq === Seq(100L, 150L, 250L, 350L, 410L))
   }
 
+  test("maxChunksPerTrigger bounds each micro-batch; AvailableNow still drains all") {
+    val dir = writeChunks()
+    val ckpt = Files.createTempDirectory("walck2")
+    var batches = 0
+    val q = spark.readStream.format("graft.sources.WalSource")
+      .option("maxChunksPerTrigger", "1")
+      .load(dir.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1; ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // three chunks -> three rate-limited one-chunk batches, not one big one
+    assert(batches === 3)
+    val progressed = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(progressed.forall(_ <= 2), s"a batch exceeded one chunk: ${progressed.mkString(",")}")
+  }
+
   test("composes with the envelope pipeline") {
     import org.apache.spark.sql.types._
     val dir = writeChunks()
