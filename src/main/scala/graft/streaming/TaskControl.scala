@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+import scala.collection.concurrent.TrieMap
+
+/** Transport-agnostic task control plane: the reference's per-consumer
+  * Redis pub/sub RPC (replication/consumer/task.py:77-107 — commands on
+  * `{name}:manager`, replies published to `{name}:task:<verb>`) mapped
+  * onto Spark streaming queries. The verb surface and reply topics are
+  * reproduced exactly (`ACTIVE`/`INACTIVE`/`RESTARTING`/`COMPLETE`/
+  * `PING`/`INFO`, task.py:82-107); the BUS is a seam — `publish` is a
+  * callback, so a live deployment wires Redis/Kafka/HTTP while tests
+  * capture replies directly. Status names follow the reference's
+  * `Status` enum (task.py:15-22).
+  *
+  * Restart POLICY stays in [[Supervisor]] (task.py:123-152); this class
+  * is the remote-control surface. A task's supervisor can be registered
+  * so `INFO` reports its counters, mirroring the reference's
+  * `number_of_restarts` / `current_number_of_restarts` fields.
+  */
+final class TaskControl(
+    starters: Map[String, () => StreamingQuery],
+    publish: (String, String) => Unit,
+    supervisors: Map[String, Supervisor] = Map.empty,
+    maxRestarts: Int = 3,
+    minUptime: Int = 60) {
+
+  private val running = TrieMap.empty[String, StreamingQuery]
+  private val stopped = TrieMap.empty[String, String] // name -> final status
+
+  /** Reference `Status.name` for one task. */
+  def status(name: String): String =
+    running.get(name) match {
+      case Some(q) if q.isActive => "ACTIVE"
+      case Some(q) if q.exception.isDefined => "ERROR"
+      case Some(_) => stopped.getOrElse(name, "INACTIVE")
+      case None => stopped.getOrElse(name, "NOT_STARTED")
+    }
+
+  private def start(name: String): Unit =
+    if (!running.get(name).exists(_.isActive)) {
+      val starter = starters.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown task: $name"))
+      running.put(name, starter())
+      stopped.remove(name)
+    }
+
+  private def stop(name: String, finalStatus: String): Unit = {
+    running.get(name).filter(_.isActive).foreach(_.stop())
+    stopped.put(name, finalStatus)
+  }
+
+  /** Handle one command for `name` — the body of the reference's
+    * `on_message` (task.py:80-107), replies on the same topics.
+    */
+  def onMessage(name: String, message: String): Unit = message match {
+    case "ACTIVE" =>
+      start(name); publish(s"$name:task:start", status(name))
+    case "INACTIVE" =>
+      stop(name, "INACTIVE"); publish(s"$name:task:stop", status(name))
+    case "RESTARTING" =>
+      stop(name, "INACTIVE"); start(name)
+      publish(s"$name:task:restart", status(name))
+    case "COMPLETE" =>
+      stop(name, "COMPLETE"); publish(s"$name:task:finish", status(name))
+    case "PING" =>
+      publish(s"$name:task:ping", "OK")
+    case "INFO" =>
+      val sup = supervisors.get(name)
+      val lastFailed = running.get(name).flatMap(_.exception)
+        .map(_.getMessage).orElse(sup.flatMap(_.lastError)).getOrElse("")
+      publish(s"$name:task:info",
+        s"""{"status": "${status(name)}", "last_failed": "${lastFailed.replace("\"", "'")}", """ +
+          s""""number_of_restarts": ${sup.map(_.totalFailures).getOrElse(0)}, """ +
+          s""""current_number_of_restarts": ${sup.map(_.rapidFailures).getOrElse(0)}, """ +
+          s""""max_restarts": $maxRestarts, "min_up_time": $minUptime}""")
+    case other =>
+      throw new IllegalArgumentException(s"unknown command for $name: $other")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.TaskControl
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's task RPC surface (task.py:77-107) over real streaming
+  * queries: verbs drive query lifecycle, replies land on the exact
+  * `{name}:task:<verb>` topics with the reference's status names.
+  */
+class TaskControlSpec extends SparkSpec {
+
+  private def harness() = {
+    val replies = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val ckptRoot = java.nio.file.Files.createTempDirectory("tc")
+    var n = 0
+    val starter = () => {
+      n += 1
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckptRoot/c$n")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+    }
+    val tc = new TaskControl(Map("orders" -> starter),
+      (topic, msg) => replies += (topic -> msg))
+    (tc, replies)
+  }
+
+  test("PING replies OK; INFO reports NOT_STARTED before any start") {
+    val (tc, replies) = harness()
+    tc.onMessage("orders", "PING")
+    tc.onMessage("orders", "INFO")
+    assert(replies.head === ("orders:task:ping" -> "OK"))
+    assert(replies(1)._1 === "orders:task:info")
+    assert(replies(1)._2.contains(""""status": "NOT_STARTED""""))
+  }
+
+  test("ACTIVE starts, INACTIVE stops, RESTARTING cycles, COMPLETE finishes") {
+    val (tc, replies) = harness()
+    try {
+      tc.onMessage("orders", "ACTIVE")
+      assert(replies.last === ("orders:task:start" -> "ACTIVE"))
+      assert(tc.status("orders") === "ACTIVE")
+
+      tc.onMessage("orders", "INACTIVE")
+      assert(replies.last === ("orders:task:stop" -> "INACTIVE"))
+
+      tc.onMessage("orders", "RESTARTING")
+      assert(replies.last === ("orders:task:restart" -> "ACTIVE"))
+
+      tc.onMessage("orders", "COMPLETE")
+      assert(replies.last === ("orders:task:finish" -> "COMPLETE"))
+      assert(tc.status("orders") === "COMPLETE")
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
+  test("unknown task and unknown verb fail loudly") {
+    val (tc, _) = harness()
+    intercept[IllegalArgumentException] { tc.onMessage("nope", "ACTIVE") }
+    intercept[IllegalArgumentException] { tc.onMessage("orders", "FROB") }
+  }
+}
