@@ -21,19 +21,25 @@ object TextFunctions {
   def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Distinct word k-shingles: ["a b c", "b c d", ...]. Built with
-    * sequence+transform (codegen'd), no explode needed until the caller
-    * wants rows.
+  /** Positional word k-grams: element i (0-based) is the k-gram starting
+    * at token i+1 — ["a b c", "b c d", ...], duplicates preserved so the
+    * array index IS the token position. Built with sequence+transform
+    * (codegen'd), no explode needed until the caller wants rows.
     */
-  def shingles(words: Column, k: Int): Column = {
+  def kgrams(words: Column, k: Int): Column = {
     // guard: sequence(1, n) DESCENDS when n < 1, so short docs must
     // short-circuit to an empty array instead
     val n = size(words) - (k - 1)
     when(n >= 1,
-      array_distinct(transform(sequence(lit(1), n), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*))))
+      transform(sequence(lit(1), n), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word k-shingles (set semantics — the near-dup family's
+    * similarity universe).
+    */
+  def shingles(words: Column, k: Int): Column = array_distinct(kgrams(words, k))
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

@@ -856,7 +856,153 @@ object Documents {
       |  MAX(c) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
       |FROM c GROUP BY doc_id, n_bigrams ORDER BY doc_id""".stripMargin
 
+  /** k-gram width for duplicated-span detection. Production substring
+    * dedup uses ~50-token spans (Lee et al. 2021); the fixture's planted
+    * clones share shorter runs, so the width is a constant, not a design
+    * difference.
+    */
+  val D16KgramWidth = 8
+
+  /** Exact duplicated-substring spans — the suffix-array training-data
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") re-expressed as a distributed k-gram
+    * pipeline: a token 8-gram occurring in >= 2 distinct documents marks
+    * every one of its token positions; overlapping or adjacent marked
+    * positions merge into maximal per-document spans (the memorized
+    * regions a pipeline would clip before training).
+    *
+    * Scale shape — unlike the pair-expansion near-dup family, substring
+    * marking NEVER forms document pairs, so there is no quadratic stage
+    * to cap and a boilerplate k-gram shared by 1M docs costs 1M marked
+    * positions (linear), not 10^12 pairs:
+    *  - positions come from one posexplode of the positional k-gram
+    *    array (scan-shaped);
+    *  - "duplicated" = distinct-doc count >= 2 per k-gram hash: two hash
+    *    aggregations with map-side partial combine;
+    *  - marking is a left-semi join on the 64-bit k-gram hash (narrow
+    *    shuffle rows; same xxhash64 collision-odds argument as d5 — the
+    *    oracle joins on the raw k-gram string, ~n^2/2^65 disagreement
+    *    odds);
+    *  - span merge is the classic interval-union window: running max of
+    *    span ends over the per-doc position order opens a new span when
+    *    the gap exceeds the k-gram width; ONE shuffle on doc_id, both
+    *    window frames share its sort.
+    */
+  def d16SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = D16KgramWidth
+    // same HOF hygiene as [[shingled]]: repartition spreads the
+    // interpreted k-gram lambdas, aliased projections keep
+    // CollapseProject from inlining the tokenizer per element_at, and
+    // posexplode_outer avoids InferFiltersFromGenerate pushing the
+    // whole pipeline below the exchange (arrays are non-empty by the
+    // pushed-down size(tokens) >= k filter)
+    val kg = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= k)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), posexplode_outer(T.kgrams(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    val dup = kg.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val marked = kg.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("is_new",
+        when(col("pos") > coalesce(max(col("pos")).over(prev), lit(-k.toLong)) + k, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("is_new")).over(ord))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val d16Sql: String = {
+    val k = D16KgramWidth
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |kg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS g
+      |       FROM toks, unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)
+      |       WHERE len(w) >= $k),
+      |dup AS (SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM kg JOIN dup USING (g)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$k) + $k
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM p),
+      |s AS (SELECT doc_id, pos,
+      |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |      FROM m)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
+      |  MAX(pos) + $k - MIN(pos) AS dup_tokens
+      |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** Per-language sampling rates (permille) for d17 — the data-mixing
+    * config a production run would load from YAML; a lang absent from
+    * the map falls back to 100 permille.
+    */
+  val D17RatesPermille: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 300, "es" -> 250, "fr" -> 200, "zh" -> 150)
+
+  /** Deterministic stratified (per-language) Bernoulli sampling — the
+    * rate-based half of data mixing (d14 is the top-K-by-quality half):
+    * keep a doc iff pmod(md5_64(doc_id:lang), 1000) < rate(lang).
+    *
+    * Hash-gated so the sample is reproducible under ANY partitioning or
+    * arrival order, needs no seeded RNG state, and composes with
+    * incremental ingestion — a document's fate never changes as the
+    * corpus grows, so re-running over 100 TB + a new shard resamples
+    * only the shard. Physical shape: broadcast join against the
+    * rate config table over a pure projection, then one aggregation.
+    */
+  def d17StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = spark.createDataFrame(D17RatesPermille)
+      .toDF("lang", "permille")
+    val gate = org.apache.spark.sql.functions.pmod(
+      H.md5NumberBigEndian(
+        concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+      lit(1000L))
+    docs(spark, dir)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("keep", gate < coalesce(col("permille"), lit(100)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"),
+        max(when(col("keep"), col("doc_id"))).as("last_kept"))
+      .withColumn("realized_rate", col("n_kept") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val d17Sql: String = {
+    val rateRows = D17RatesPermille
+      .map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+    val h = signedBeMd5Sql("CAST(doc_id AS VARCHAR) || ':' || lang")
+    s"""WITH rates(lang, permille) AS (VALUES $rateRows),
+      |g AS (SELECT d.lang, d.doc_id,
+      |        ((($h) % 1000) + 1000) % 1000
+      |          < COALESCE(r.permille, 100) AS keep
+      |      FROM documents d LEFT JOIN rates r USING (lang))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN keep THEN doc_id END) AS first_kept,
+      |  MAX(CASE WHEN keep THEN doc_id END) AS last_kept,
+      |  SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+      |    AS realized_rate
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d17_stratified_sample" -> (d17StratifiedSample _),
+    "d16_substring_spans" -> (d16SubstringSpans _),
     "d15_repetition" -> (d15Repetition _),
     "d14_source_quota" -> (d14SourceQuota _),
     "d13_pii_scrub" -> (d13PiiScrub _),
@@ -873,6 +1019,8 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d17_stratified_sample" -> d17Sql,
+    "d16_substring_spans" -> d16Sql,
     "d15_repetition" -> d15Sql,
     "d14_source_quota" -> d14Sql,
     "d13_pii_scrub" -> d13Sql,

@@ -273,7 +273,60 @@ object Events {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin
 
+  /** w10 interval length — also the bucket width, see [[w10IntervalJoin]]. */
+  private val W10IntervalUs: Long = 30L * 60 * 1000000
+
+  /** General interval join via temporal bucketing. Each user's activity
+    * interval is [first event, first event + 30 min); count every event
+    * (from ANY user) falling inside each interval.
+    *
+    * Spark has no native interval-join operator: the raw predicate
+    * `s <= ts AND ts < e` plans as a BroadcastNestedLoopJoin — O(|iv|*|ev|)
+    * work with a driver-built build side, the classic range-join
+    * scale-killer (and w6's RANGE-frame trick only applies when the range
+    * is anchored to the probe row's own ordering column). The generic
+    * scale path is bucket decomposition: quantize time into buckets as
+    * wide as the MAXIMUM interval length. An interval then overlaps at
+    * most 2 consecutive buckets (a bounded explode); a point lives in
+    * exactly 1, so the bucket equi-join + residual range filter is exact
+    * and duplicate-free by construction (the point side is never
+    * replicated — no post-join distinct). Both sides can be arbitrarily
+    * large: no broadcast, no BNLJ, one hash shuffle each on a key whose
+    * fan-out is bounded by 2. Variable-length intervals change only the
+    * sequence() bound (ceil(len/B)+1 buckets).
+    */
+  def w10IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val b = W10IntervalUs // bucket width = max interval length
+    val ev = Tables.load(spark, dir, "events")
+    val iv = ev.groupBy(col("user_id").as("owner"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"))
+      .withColumn("e_us", col("s_us") + b)
+      .withColumn("bkt",
+        explode(sequence(floor(col("s_us") / b).cast("long"),
+          floor((col("e_us") - 1) / b).cast("long"))))
+    val pts = ev.select(unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("bkt", floor(col("ts_us") / b).cast("long"))
+    iv.join(pts,
+        iv("bkt") === pts("bkt") &&
+          pts("ts_us") >= iv("s_us") && pts("ts_us") < iv("e_us"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("owner"))
+  }
+
+  val w10Sql: String =
+    """WITH iv AS (SELECT user_id AS owner, MIN(ts) AS s,
+      |              MIN(ts) + INTERVAL 30 MINUTE AS e
+      |            FROM events GROUP BY user_id)
+      |SELECT owner, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+      |GROUP BY owner ORDER BY owner""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w10_interval_join" -> (w10IntervalJoin _),
     "w9_partition_pruned" -> (w9PartitionPruned _),
     "w8_pivot_daily" -> (w8PivotDaily _),
     "w1_tumbling" -> (w1Tumbling _),
@@ -285,6 +338,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w10_interval_join" -> w10Sql,
     "w9_partition_pruned" -> w9Sql,
     "w8_pivot_daily" -> w8Sql,
     "w1_tumbling" -> w1Sql,

@@ -269,7 +269,55 @@ object Pipeline {
       |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Packing lanes / per-bin token budget for p6. Production values:
+    * lanes ~ cluster cores, budget ~ global-batch tokens (e.g. 4M).
+    */
+  private val PackLanes = 8
+  private val PackBudget = 512L
+
+  /** p6: token-budget sharding (training-batch packing): assign documents
+    * to fixed-token-budget bins. Globally-ordered first-fit packing is
+    * inherently sequential (each bin depends on every earlier doc), and a
+    * single ORDER BY cumulative-sum window collapses the plan to ONE
+    * partition — the non-distributed trap. The scale form hash-partitions
+    * docs into independent packing lanes and packs each lane by running
+    * token count in doc_id order: one window partition per lane, so lanes
+    * scale with the cluster, no lane needs another lane's state, and the
+    * assignment is deterministic under any physical order. Bin overfill
+    * vs the budget is bounded by the longest single document.
+    */
+  def p6PackBudget(spark: SparkSession, dir: String): DataFrame = {
+    val lane = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % PackLanes
+    val cum = Window.partitionBy(col("lane")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), lane.as("lane"),
+        size(T.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tok")).over(cum), lit(0L)) / PackBudget)
+          .cast("long"))
+      .groupBy(col("lane"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy(col("lane"), col("bin"))
+  }
+
+  val p6Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |             AS UBIGINT) % $PackLanes AS BIGINT) AS lane
+      |      FROM documents),
+      |c AS (SELECT lane, doc_id, n_tok,
+      |        COALESCE(SUM(n_tok) OVER (PARTITION BY lane ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM d)
+      |SELECT lane, CAST(cum // $PackBudget AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY lane, bin ORDER BY lane, bin""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p6_pack_budget" -> (p6PackBudget _),
     "p5_pipeline_e2e" -> (p5PipelineE2e _),
     "p1_chunking" -> (p1Chunking _),
     "p2_split_assign" -> (p2SplitAssign _),
@@ -277,6 +325,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p6_pack_budget" -> p6Sql,
     "p5_pipeline_e2e" -> p5Sql,
     "p1_chunking" -> p1Sql,
     "p2_split_assign" -> p2Sql,

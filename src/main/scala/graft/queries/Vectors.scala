@@ -538,7 +538,157 @@ object Vectors {
       |  CAST(floor(list_max(err) * 1e6) AS BIGINT) AS max_err_e6
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** PQ geometry: 64 dims = 4 subspaces x 16 dims. */
+  private val PqM = 4
+  private val PqSubDim = 16
+
+  /** Product quantization + asymmetric-distance search (v9) — the vector
+    * compression stage BETWEEN v7's scalar int8 (4x) and full vectors:
+    * each 16-dim subvector is replaced by the id of its nearest
+    * sub-codebook centroid, so a vector stores PqM small codes (with a
+    * 256-entry codebook, 64 floats -> 4 bytes = 64x). Queries stay
+    * full-precision and score against candidate RECONSTRUCTIONS —
+    * asymmetric distance, quantization error on one side only.
+    *
+    * Codebooks here are the per-label means sliced per subspace — the
+    * same deterministic fixed-point quantizer v6/v8 use, so the oracle
+    * rebuilds them bit-for-bit (a production build would Lloyd-iterate
+    * the same assignment pipeline; the iteration count is a config, not
+    * a structural change). Scoring reconstructs recon = concat of coded
+    * sub-centroids and ranks by exact cosine against recon — LOGICALLY
+    * identical to classic LUT-ADC (dot(q, recon) = sum_m LUT_m[code_m]);
+    * the per-query lookup table is the broadcast-side micro-optimization
+    * of the same math.
+    *
+    * Scale shape: the whole codebook is PqM x cells sub-vectors — KBs —
+    * so it broadcasts as ONE packed row and code assignment becomes a
+    * pure projection (argmin fold over the broadcast cells, exactly how
+    * production PQ coders run inside the scan): ZERO per-vector
+    * shuffles. The scored scan is v1's broadcast-Q x N shape over the
+    * coded table, and composes with v6's IVF layout (probe a cell, then
+    * ADC-rank inside it — IVF-PQ) for sublinear candidate generation.
+    * True cosine rides along per result row, so the quantization loss is
+    * measured in-query (v7/v8 discipline), not asserted offline.
+    */
+  def v9PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // per-label fixed-point means (identical to v6), sliced per subspace
+    val centLong = base
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    // one packed row: book[m+1] = the cells of subspace m, sorted by
+    // cell id — the fold below visits them in that order, so "strictly
+    // less" keeps the lowest cell on exact ties (row_number parity).
+    // Built from ONE aggregation of the (label, dim, ce9) rows: the
+    // sorted flat list has exactly 64 entries per label, so cell ci's
+    // subspace-m slice sits at offsets ci*64 + m*16 + (1..16).
+    val packed = centLong
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("label"), col("dim"), col("ce9")))).as("l"))
+      .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        transform(sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
+          struct(
+            element_at(col("l"), ci * 64 + 1).getField("label").as("cell"),
+            transform(sequence(lit(1), lit(PqSubDim)), j =>
+              element_at(col("l"), ci * 64 + m * PqSubDim + j)
+                .getField("ce9").cast("double") / 1e9).as("csub"))))
+        .as("book"))
+    // coding = projection: per subspace, argmin-L2 fold over the
+    // broadcast cells; recon is the coded sub-centroids concatenated.
+    // Same HOF hygiene as the near-dup family: repartition spreads the
+    // interpreted lambdas off the single scan split, and recon is an
+    // aliased projection (multi-referenced below, so CollapseProject
+    // cannot inline the fold into every consumer).
+    val reconExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val sub = slice(col("v"), m * PqSubDim + 1, lit(PqSubDim))
+      aggregate(element_at(col("book"), m + 1),
+        struct(lit(Double.MaxValue).as("d2"),
+          lit(null).cast("array<double>").as("csub")),
+        (acc, c) => {
+          val diff = zip_with(sub, c.getField("csub"), (a, b) => a - b)
+          val d2 = dot(diff, diff)
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("csub").as("csub")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("csub"))
+    }))
+    val coded = base
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), reconExpr.as("recon"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"))
+    val cands = coded.select(col("vec_id").as("cid"), col("recon"),
+      col("v").as("cv"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_cosine").desc, col("cid"))
+    broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("recon")) /
+          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+        (dot(col("qe"), col("cv")) /
+          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("adc_cosine"), col("true_cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v9Sql: String = {
+    val subDot16 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |subc AS (
+      |  SELECT cell, m, cvec[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS csub
+      |  FROM cent, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |subs AS (
+      |  SELECT vec_id, v, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sub
+      |  FROM base, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |codes AS (
+      |  SELECT vec_id, v, m, csub FROM (
+      |    SELECT s.vec_id, s.v, s.m, c.csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${subDot16("s.sub", "c.csub")}, c.cell) AS rn
+      |    FROM subs s JOIN subc c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |recon AS (
+      |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon, any_value(v) AS cv
+      |  FROM codes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qe FROM base WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, r.vec_id AS cid,
+      |    ${dotSql("q.qe", "r.recon")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("r.recon", "r.recon")}))
+      |      AS adc_cosine,
+      |    ${dotSql("q.qe", "r.cv")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("r.cv", "r.cv")}))
+      |      AS true_cosine
+      |  FROM q JOIN recon r ON q.qid <> r.vec_id)
+      |SELECT qid, rank, cid, adc_cosine, true_cosine FROM (
+      |  SELECT qid, cid, adc_cosine, true_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_cosine DESC, cid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v9_pq_adc" -> (v9PqAdc _),
     "v7_quantize" -> (v7Quantize _),
     "v1_cosine_topk" -> (v1CosineTopk _),
     "v2_lsh_ann" -> (v2LshAnn _),
@@ -549,6 +699,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v9_pq_adc" -> v9Sql,
     "v7_quantize" -> v7Sql,
     "v1_cosine_topk" -> v1Sql,
     "v2_lsh_ann" -> v2Sql,

@@ -20,11 +20,14 @@ class PlanAuditSpec extends SparkSpec {
     *    definition of a coarse quantizer;
     *  - v7: the per-dim min/max stats arrive as a one-row broadcast;
     *  - v8: carries v1's exact brute-force side in-query as the recall
-    *    ground truth (same broadcast-Q x scan-N shape as v1).
+    *    ground truth (same broadcast-Q x scan-N shape as v1);
+    *  - v9: ADC scoring is the broadcast-Q x scan-N exhaustive form over
+    *    the compressed codes (the IVF-PQ composition with v6's cell
+    *    layout is what bounds the scan at 100 TB).
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
-      "v7_quantize", "v8_ivf_nprobe")
+      "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -79,6 +82,8 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      "d16_substring_spans" -> 4, "d17_stratified_sample" -> 2,
+      "p6_pack_budget" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,
       "p2_split_assign" -> 2, "p3_decontaminate" -> 3, "p4_tfidf" -> 6,
@@ -102,6 +107,10 @@ class PlanAuditSpec extends SparkSpec {
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
       "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "v8_ivf_nprobe" -> 3,
+      // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
+      // repartition + top-k window + output sort; the per-vector coding
+      // itself is shuffle-free (projection over the broadcast book)
+      "v9_pq_adc" -> 5,
       "w1_tumbling" -> 2,
       "w2_sliding" -> 2, "w3_session" -> 2, "w4_json_extract" -> 2,
       "w5_asof_join" -> 2, "w6_range_activity" -> 2,

@@ -1,0 +1,140 @@
+package graft
+
+import graft.queries.{Documents, Events, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data operators: duplicated-substring spans (d16),
+  * stratified sampling (d17), interval join (w10), token-budget packing
+  * (p6). Each is checked against an independently computed expected —
+  * hand-built corpora for the span semantics, a naive quadratic join for
+  * the bucketed interval join — plus the determinism/partition-
+  * independence invariants the operators promise.
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Write an inline documents corpus to a temp fixture dir. */
+  private def corpusDir(texts: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_fixture").toString
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Unique filler tokens that can never collide across docs. */
+  private def filler(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$tag$i")
+
+  test("d16: cross-doc duplicated 8-gram runs merge into maximal spans") {
+    val shared = (0 until 12).map(i => s"dup$i") // 12-token shared block
+    val blockA = (0 until 9).map(i => s"blka$i") // two separated 9-token blocks
+    val blockB = (0 until 9).map(i => s"blkb$i")
+    val doc1 = filler("a", 4) ++ shared ++ filler("b", 14) // shared at pos 5..16
+    val doc2 = filler("c", 2) ++ shared ++ filler("d", 6) // shared at pos 3..14
+    val doc3 = blockA ++ filler("e", 10) ++ blockB // two spans, gap 10 > 8
+    val doc4 = blockB ++ filler("f", 12) ++ blockA
+    val doc5 = filler("g", 30) // shares nothing
+    val dir = corpusDir(Seq(
+      1L -> doc1.mkString(" "), 2L -> doc2.mkString(" "),
+      3L -> doc3.mkString(" "), 4L -> doc4.mkString(" "),
+      5L -> doc5.mkString(" ")))
+    val got = Documents.d16SubstringSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 shared tokens -> 8-gram starts s..s+4 -> one merged span of 12
+    assert(got === Array(
+      (1L, 5L, 16L, 12L), (2L, 3L, 14L, 12L),
+      (3L, 1L, 9L, 9L), (3L, 20L, 28L, 9L), // two spans, NOT merged across the gap
+      (4L, 1L, 9L, 9L), (4L, 22L, 30L, 9L)))
+  }
+
+  test("d16: within-doc repeats of a single-doc k-gram do not mark spans") {
+    // the same 8-gram twice in ONE doc is not cross-doc duplication
+    val block = (0 until 8).map(i => s"rep$i")
+    val dir = corpusDir(Seq(
+      1L -> (block ++ filler("x", 10) ++ block).mkString(" "),
+      2L -> filler("y", 20).mkString(" ")))
+    assert(Documents.d16SubstringSpans(spark, dir).count() === 0)
+  }
+
+  test("d16: adjacent marked blocks merge across a zero-gap boundary") {
+    // doc1 shares block P with doc2 and the IMMEDIATELY FOLLOWING block Q
+    // with doc3; the two marked regions touch, so doc1 gets ONE span
+    val p = (0 until 8).map(i => s"p$i")
+    val q = (0 until 8).map(i => s"q$i")
+    val dir = corpusDir(Seq(
+      1L -> (p ++ q).mkString(" "),
+      2L -> (filler("u", 3) ++ p).mkString(" "),
+      3L -> (q ++ filler("v", 3)).mkString(" ")))
+    val got = Documents.d16SubstringSpans(spark, dir)
+      .filter(col("doc_id") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 16L, 16L)))
+  }
+
+  test("w10: bucketed interval join equals the naive range join") {
+    val ev = Tables.load(spark, sf, "events")
+    val iv = ev.groupBy(col("user_id").as("owner"))
+      .agg(min(col("ts")).as("s"))
+      .withColumn("e", col("s") + expr("INTERVAL 30 MINUTES"))
+    // naive quadratic reference (fine at sf0.001)
+    val naive = iv.join(ev, ev("ts") >= iv("s") && ev("ts") < iv("e"))
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Events.w10IntervalJoin(spark, sf)
+      .select(col("owner"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
+  test("p6: lanes are token-complete, bins contiguous, assignment order-independent") {
+    val out = Pipeline.p6PackBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bins within a lane are contiguous from 0
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins === (0L until bins.length).toArray)
+    }
+    // lane token totals equal the corpus totals (nothing dropped/duplicated)
+    val laneTotals = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val expected = Tables.load(spark, sf, "documents")
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 8).as("lane"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lane").agg(sum("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(laneTotals === expected)
+  }
+
+  test("d17: a document's sampling fate is independent of the surrounding corpus") {
+    // incremental-ingestion property: the kept count over a restriction
+    // equals restricting the kept set — i.e. rates on disjoint halves sum
+    val full = Documents.d17StratifiedSample(spark, sf)
+      .select(col("lang"), col("n_kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.load(spark, sf, "documents")
+    def keptOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val gate = org.apache.spark.sql.functions.pmod(
+        graft.functions.HashFunctions.md5NumberBigEndian(
+          concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+        lit(1000L))
+      val rates = Documents.D17RatesPermille.toMap
+      df.withColumn("keep",
+          gate < element_at(
+            typedLit(rates.map { case (k, v) => k -> v.toLong }), col("lang")))
+        .filter(col("keep"))
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val lo = keptOf(docs.filter(col("doc_id") % 2 === 0))
+    val hi = keptOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (lo.keySet ++ hi.keySet)
+      .map(k => k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
+    assert(merged === full.filter(_._2 > 0))
+  }
+}
