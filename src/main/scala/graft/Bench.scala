@@ -34,21 +34,29 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
-    // min over N runs per query (default 2): the minimum is the standard
-    // noise-floor estimator — shared-box scheduling noise only ever ADDS
-    // time, so the best observation is the closest to the engine's true
-    // cost. Override with SPARK_GRAFT_BENCH_RUNS=1 for a single pass.
+    // min over N whole-catalog PASSES (default 2): the minimum is the
+    // standard noise-floor estimator — shared-box scheduling noise only
+    // ever ADDS time, so the best observation is the closest to the
+    // engine's true cost. The repeats are pass-level (run the whole
+    // catalog, then run it again), NOT per-query back-to-back: observed
+    // co-tenant stalls on this box last tens of seconds, so consecutive
+    // runs of one query land inside the SAME stall and the min keeps the
+    // inflation (measured: a pure-projection query at 40s in one pass,
+    // 0.9s in a pass minutes later). Temporally separated observations
+    // make the min a real floor. Override passes with
+    // SPARK_GRAFT_BENCH_RUNS=1 for a single sweep.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(2).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to runs; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val t = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val results = ordered.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -316,7 +316,52 @@ object Pipeline {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY lane, bin ORDER BY lane, bin""".stripMargin
 
+  /** p7: one-pass column profiling — null counts, exact distinct counts,
+    * min/max per column of the corpus table, the stats pass an ingestion
+    * pipeline runs before schema/partitioning decisions (and the input
+    * to the YAML table configs the replication layer consumes).
+    *
+    * Physical shape: ONE scan computes every column's stats in a single
+    * aggregation (the oracle's UNION ALL form scans the table once per
+    * column — 5x the I/O; at 100 TB the single-scan form is the whole
+    * point). The multiple exact COUNT(DISTINCT)s plan as one Expand
+    * (row-multiply by #columns) feeding one aggregate — the costed-in
+    * price of exactness; the 100 TB knob is swapping each for
+    * approx_count_distinct (HLL, same plan shape, no Expand), kept exact
+    * here so the DuckDB oracle can replay the values.
+    */
+  def p7Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    docs(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"),
+        col(s"${c}_max").as("max_val"))): _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  val p7Sql: String = Seq("doc_id", "text", "lang", "source", "n_chars")
+    .map(c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   val defs: Map[String, Q] = Map(
+    "p7_profile" -> (p7Profile _),
     "p6_pack_budget" -> (p6PackBudget _),
     "p5_pipeline_e2e" -> (p5PipelineE2e _),
     "p1_chunking" -> (p1Chunking _),
@@ -325,6 +370,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p7_profile" -> p7Sql,
     "p6_pack_budget" -> p6Sql,
     "p5_pipeline_e2e" -> p5Sql,
     "p1_chunking" -> p1Sql,
