@@ -945,6 +945,76 @@ object Documents {
       |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** The write side of substring dedup: re-emit affected documents with
+    * their duplicated spans REMOVED (the clip step a training pipeline
+    * runs after d16's detection — Lee et al. 2021 drop the repeated
+    * bytes, not the whole document). Tokens whose position falls inside
+    * any of the doc's spans are filtered out; output is the clipped
+    * text's hash plus before/after token counts, value-exact vs the
+    * oracle replaying the same span arithmetic.
+    *
+    * Scale shape: d16's span pipeline plus ONE extra aggregation
+    * (spans -> per-doc list; spans per doc are few) and an equi-join
+    * back to the corpus, then a pure projection — the clip itself is
+    * per-row lambda work, O(tokens x spans) with tiny span counts.
+    */
+  def d18ClipSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spanList = d16SubstringSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    docs(spark, dir)
+      .join(spanList, Seq("doc_id"))
+      .select(col("doc_id"), col("sp"),
+        T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), col("toks"), col("sp"),
+        filter(sequence(lit(1L), size(col("toks")).cast("long")), i =>
+          !exists(col("sp"), s =>
+            i >= s.getField("s") && i <= s.getField("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(col("kept"), i => element_at(col("toks"), i.cast("int")))))
+          .as("clipped_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String = {
+    val k = D16KgramWidth
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |kg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS g
+      |       FROM toks, unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)
+      |       WHERE len(w) >= $k),
+      |dup AS (SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM kg JOIN dup USING (g)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$k) + $k
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM p),
+      |sid AS (SELECT doc_id, pos,
+      |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |      FROM m),
+      |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
+      |          FROM sid GROUP BY doc_id, span_id),
+      |sl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS sp
+      |       FROM spans GROUP BY doc_id),
+      |clip AS (SELECT t.doc_id, t.w, sl.sp,
+      |           list_filter(generate_series(1, len(t.w)), i ->
+      |             len(list_filter(sl.sp, x -> i >= x.s AND i <= x.e)) = 0) AS kept
+      |         FROM toks t JOIN sl USING (doc_id))
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+      |  -- concat_ws over an empty array is '' — a fully-clipped doc
+      |  -- must hash the empty string in both engines
+      |  md5(COALESCE(array_to_string(list_transform(kept, i -> w[i]), ' '), ''))
+      |    AS clipped_hash
+      |FROM clip ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-language sampling rates (permille) for d17 — the data-mixing
     * config a production run would load from YAML; a lang absent from
     * the map falls back to 100 permille.
@@ -1001,6 +1071,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d18_clip_spans" -> (d18ClipSpans _),
     "d17_stratified_sample" -> (d17StratifiedSample _),
     "d16_substring_spans" -> (d16SubstringSpans _),
     "d15_repetition" -> (d15Repetition _),
@@ -1019,6 +1090,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d18_clip_spans" -> d18Sql,
     "d17_stratified_sample" -> d17Sql,
     "d16_substring_spans" -> d16Sql,
     "d15_repetition" -> d15Sql,

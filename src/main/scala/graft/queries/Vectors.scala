@@ -687,7 +687,111 @@ object Vectors {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** One distributed Lloyd (k-means) iteration — the codebook/centroid
+    * LEARNING step the IVF (v6/v8) and PQ (v9) quantizers consume:
+    * assign every vector to its nearest centroid by L2, then recompute
+    * each cell's mean and within-cell inertia. Init is the deterministic
+    * label-mean quantizer, so engines (and rounds) agree bit-for-bit;
+    * iterating is running the same query on its own output.
+    *
+    * Scale shape — the canonical "k-means on Spark" plan:
+    *  - assignment is a PURE PROJECTION: the centroid set is KBs,
+    *    broadcast as one packed row, argmin computed by a fold over the
+    *    broadcast cells (no join, no shuffle — same trick as v9's
+    *    coder);
+    *  - the update step is ONE hash aggregation on (cell, dim) with
+    *    map-side partial combine — the only shuffle that scales with
+    *    data;
+    *  - means and inertia are fixed-point longs (floor e9), so the
+    *    cross-row sums that k-means needs are order-free and
+    *    oracle-exact — the classic float-summation nondeterminism of
+    *    distributed k-means is engineered out rather than tolerated.
+    * Output: the first 8 dims of each updated centroid plus membership
+    * and inertia per cell (the convergence diagnostics a caller watches
+    * between iterations).
+    */
+  def v10KmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centLong = base
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    // all centroids packed into one broadcast row, sorted by cell so the
+    // argmin fold's strictly-less keeps the lowest cell on exact ties
+    val packed = centLong
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("label"), col("dim"), col("ce9")))).as("l"))
+      .select(transform(
+        sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
+          struct(
+            element_at(col("l"), ci * 64 + 1).getField("label").as("cell"),
+            transform(sequence(lit(1), lit(64)), j =>
+              element_at(col("l"), ci * 64 + j)
+                .getField("ce9").cast("double") / 1e9).as("cvec")))
+        .as("cents"))
+    val bestExpr = aggregate(col("cents"),
+      struct(lit(Double.MaxValue).as("d2"), lit(null).cast("long").as("cell")),
+      (acc, c) => {
+        val diff = zip_with(col("v"), c.getField("cvec"), (a, b) => a - b)
+        val d2 = dot(diff, diff)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cell").as("cell")))
+          .otherwise(acc)
+      })
+    val assigned = base
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), bestExpr.as("best"))
+      .select(col("v"), col("best").getField("cell").as("cell"),
+        floor(col("best").getField("d2") * lit(1e9)).cast("long").as("d2e9"))
+    assigned
+      .select(col("cell"), col("d2e9"), posexplode(col("v")))
+      .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+        count(lit(1)).as("n_members"),
+        sum(col("d2e9")).as("inertia_e9"))
+      .filter(col("dim") <= 8)
+      .select(col("cell").cast("long").as("cell"),
+        col("dim").cast("long").as("dim"),
+        expr("s DIV n_members").as("ce9"),
+        col("n_members"), col("inertia_e9"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val v10Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |a AS (
+      |  SELECT vec_id, v, cell, d2 FROM (
+      |    SELECT b.vec_id, b.v, c.cell, ${l2("b.v", "c.cvec")} AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${l2("b.v", "c.cvec")}, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1)
+      |SELECT CAST(cell AS BIGINT) AS cell, CAST(i AS BIGINT) AS dim,
+      |  CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9,
+      |  COUNT(*) AS n_members,
+      |  CAST(SUM(CAST(floor(d2 * 1e9) AS BIGINT)) AS BIGINT) AS inertia_e9
+      |FROM a, (SELECT unnest(generate_series(1, 8)) i)
+      |GROUP BY cell, i ORDER BY cell, dim""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v10_kmeans_iter" -> (v10KmeansIter _),
     "v9_pq_adc" -> (v9PqAdc _),
     "v7_quantize" -> (v7Quantize _),
     "v1_cosine_topk" -> (v1CosineTopk _),
@@ -699,6 +803,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v10_kmeans_iter" -> v10Sql,
     "v9_pq_adc" -> v9Sql,
     "v7_quantize" -> v7Sql,
     "v1_cosine_topk" -> v1Sql,

@@ -23,11 +23,14 @@ class PlanAuditSpec extends SparkSpec {
     *    ground truth (same broadcast-Q x scan-N shape as v1);
     *  - v9: ADC scoring is the broadcast-Q x scan-N exhaustive form over
     *    the compressed codes (the IVF-PQ composition with v6's cell
-    *    layout is what bounds the scan at 100 TB).
+    *    layout is what bounds the scan at 100 TB);
+    *  - v10: k-means assignment reads the packed one-row centroid
+    *    broadcast next to every vector — the projection-shaped argmin by
+    *    construction.
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
-      "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc")
+      "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -83,6 +86,7 @@ class PlanAuditSpec extends SparkSpec {
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
       "d16_substring_spans" -> 4, "d17_stratified_sample" -> 2,
+      "d18_clip_spans" -> 6, "v10_kmeans_iter" -> 5,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,

@@ -76,6 +76,51 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === Array((1L, 16L, 16L)))
   }
 
+  test("d18: clipping removes exactly the spanned tokens; untouched docs are absent") {
+    val shared = (0 until 12).map(i => s"dup$i")
+    val doc1 = filler("a", 4) ++ shared ++ filler("b", 14) // span 5..16
+    val doc2 = filler("c", 2) ++ shared ++ filler("d", 6) // span 3..14
+    val doc5 = filler("g", 30)
+    val dir = corpusDir(Seq(
+      1L -> doc1.mkString(" "), 2L -> doc2.mkString(" "), 5L -> doc5.mkString(" ")))
+    val got = Documents.d18ClipSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val clipped1 = (filler("a", 4) ++ filler("b", 14)).mkString(" ")
+    val clipped2 = (filler("c", 2) ++ filler("d", 6)).mkString(" ")
+    assert(got === Array(
+      (1L, 30L, 18L, md5hex(clipped1)),
+      (2L, 20L, 8L, md5hex(clipped2))))
+  }
+
+  test("d18: a fully-duplicated doc clips to the empty string") {
+    val block = (0 until 10).map(i => s"z$i")
+    val dir = corpusDir(Seq(
+      1L -> block.mkString(" "),
+      2L -> (filler("h", 5) ++ block ++ filler("k", 5)).mkString(" ")))
+    val row1 = Documents.d18ClipSpans(spark, dir)
+      .filter(col("doc_id") === 1).collect().head
+    assert(row1.getLong(2) === 0L) // n_kept
+    // md5 of the empty string — both engines must agree here (the
+    // DuckDB array_to_string([]) NULL trap)
+    assert(row1.getString(3) === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("v10: cell memberships partition the corpus; centroid dims complete") {
+    val out = graft.queries.Vectors.v10KmeansIter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.load(spark, sf, "embeddings").count()
+    // per-cell membership is constant across its dims and sums to N
+    val perCell = out.groupBy(_._1).map { case (c, rows) =>
+      assert(rows.map(_._4).distinct.length === 1, s"cell $c n_members varies by dim")
+      assert(rows.map(_._2).sorted === (1L to 8L).toArray, s"cell $c dims incomplete")
+      rows.head._4
+    }
+    assert(perCell.sum === total)
+  }
+
   test("w10: bucketed interval join equals the naive range join") {
     val ev = Tables.load(spark, sf, "events")
     val iv = ev.groupBy(col("user_id").as("owner"))
