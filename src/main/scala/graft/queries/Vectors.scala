@@ -713,12 +713,34 @@ object Vectors {
   def v10KmeansIter(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centLong = base
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    kmeansStep(spark, base, labelMeans(base))
+      .filter(col("dim") <= 8)
+      .select(col("cell").cast("long").as("cell"),
+        col("dim").cast("long").as("dim"),
+        col("ce9"), col("n_members"), col("inertia_e9"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  /** Deterministic init for [[kmeansStep]]: per-label fixed-point means
+    * as (label, dim, ce9) rows — the same coarse quantizer v6/v8/v9 use.
+    */
+  private[graft] def labelMeans(base: DataFrame): DataFrame = base
+    .select(col("label"), posexplode(col("v")))
+    .groupBy(col("label"), (col("pos") + 1).as("dim"))
+    .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
+      count(lit(1)).as("n"))
+    .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+
+  /** One Lloyd step: assign every `base` vector (columns vec_id, v) to
+    * its nearest centroid from `centLong` (columns label, dim, ce9 —
+    * 64 dims per label), then recompute per-cell fixed-point means,
+    * membership, and assignment inertia. Emits ALL 64 dims per cell, so
+    * the output feeds straight back in as the next step's `centLong`
+    * (iterate-until-converged is a driver loop over this function;
+    * empty cells drop out, as in classic Lloyd).
+    */
+  private[graft] def kmeansStep(
+      spark: SparkSession, base: DataFrame, centLong: DataFrame): DataFrame = {
     // all centroids packed into one broadcast row, sorted by cell so the
     // argmin fold's strictly-less keeps the lowest cell on exact ties
     val packed = centLong
@@ -754,12 +776,8 @@ object Vectors {
       .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
         count(lit(1)).as("n_members"),
         sum(col("d2e9")).as("inertia_e9"))
-      .filter(col("dim") <= 8)
-      .select(col("cell").cast("long").as("cell"),
-        col("dim").cast("long").as("dim"),
-        expr("s DIV n_members").as("ce9"),
+      .select(col("cell"), col("dim"), expr("s DIV n_members").as("ce9"),
         col("n_members"), col("inertia_e9"))
-      .orderBy(col("cell"), col("dim"))
   }
 
   val v10Sql: String = {

@@ -121,6 +121,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(perCell.sum === total)
   }
 
+  test("v10: Lloyd iteration is monotone — assignment inertia never increases") {
+    val V = graft.queries.Vectors
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def inertia(step: org.apache.spark.sql.DataFrame): Long =
+      step.filter(col("dim") === 1)
+        .agg(sum(col("inertia_e9"))).collect().head.getLong(0)
+    val s1 = V.kmeansStep(spark, base, V.labelMeans(base))
+    val i1 = inertia(s1)
+    val s2 = V.kmeansStep(spark, base,
+      s1.select(col("cell").as("label"), col("dim"), col("ce9")))
+    // J(assign_2, C_1) <= J(assign_1, C_1) <= J(assign_1, C_0): argmin
+    // reassignment and mean-optimality; the e-9 fixed-point rounding of
+    // the means perturbs J orders of magnitude below inertia_e9's scale
+    assert(inertia(s2) <= i1, s"inertia rose: $i1 -> ${inertia(s2)}")
+  }
+
   test("w10: bucketed interval join equals the naive range join") {
     val ev = Tables.load(spark, sf, "events")
     val iv = ev.groupBy(col("user_id").as("owner"))
