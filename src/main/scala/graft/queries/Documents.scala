@@ -887,6 +887,16 @@ object Documents {
     *    span ends over the per-doc position order opens a new span when
     *    the gap exceeds the k-gram width; ONE shuffle on doc_id, both
     *    window frames share its sort.
+    *
+    * Plan note: the k-gram pipeline feeds both the dup-hash aggregation
+    * and the probe side, and column pruning makes the two subtrees
+    * non-identical, so the tokenize+posexplode runs twice (fully
+    * parallel; the dup-hash side arrives at the probe as a broadcast at
+    * fixture scale). A production run over a reused corpus would persist
+    * the (h, doc_id, pos) index to a bucketed table once — the
+    * [[graft.operators.BlockedSelfJoin.pairsPersisted]] analogue — and
+    * both consumers (and d18's clip pass) would read it back
+    * exchange-free.
     */
   def d16SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = D16KgramWidth
