@@ -892,27 +892,13 @@ object Documents {
     * and the probe side, and column pruning makes the two subtrees
     * non-identical, so the tokenize+posexplode runs twice (fully
     * parallel; the dup-hash side arrives at the probe as a broadcast at
-    * fixture scale). A production run over a reused corpus would persist
-    * the (h, doc_id, pos) index to a bucketed table once — the
-    * [[graft.operators.BlockedSelfJoin.pairsPersisted]] analogue — and
-    * both consumers (and d18's clip pass) would read it back
-    * exchange-free.
+    * fixture scale). The production form for a reused corpus is the
+    * conf-gated [[kgramIndex]] persisted path — the
+    * [[graft.operators.BlockedSelfJoin.pairsPersisted]] analogue.
     */
   def d16SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = D16KgramWidth
-    // same HOF hygiene as [[shingled]]: repartition spreads the
-    // interpreted k-gram lambdas, aliased projections keep
-    // CollapseProject from inlining the tokenizer per element_at, and
-    // posexplode_outer avoids InferFiltersFromGenerate pushing the
-    // whole pipeline below the exchange (arrays are non-empty by the
-    // pushed-down size(tokens) >= k filter)
-    val kg = docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= k)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .select(col("doc_id"), posexplode_outer(T.kgrams(col("toks"), k)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        xxhash64(col("col")).as("h"))
+    val kg = kgramIndex(spark, dir)
     val dup = kg.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -953,6 +939,43 @@ object Documents {
       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
       |  MAX(pos) + $k - MIN(pos) AS dup_tokens
       |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** Positional k-gram occurrence rows (doc_id, pos, h) — the shared
+    * input of d16's detection and (through it) d18's clipping. Routed by
+    * the session conf `graft.substring.persistIndex`:
+    *  - unset/false (default): in-query form. Same HOF hygiene as
+    *    [[shingled]]: repartition spreads the interpreted k-gram
+    *    lambdas, aliased projections keep CollapseProject from inlining
+    *    the tokenizer per element_at, and posexplode_outer avoids
+    *    InferFiltersFromGenerate pushing the whole pipeline below the
+    *    exchange (arrays are non-empty by the pushed size filter).
+    *  - true: the index persists ONCE to `graft_kgram_idx`, BUCKETED on
+    *    h — the dup-hash aggregation and the probe side then re-read
+    *    co-located buckets from durable parquet instead of each
+    *    recomputing the tokenize+explode (and the layout satisfies both
+    *    consumers' distributions, so neither adds an exchange). Durable
+    *    across executor loss and reusable by the next run — incremental
+    *    substring dedup appends the new shard's k-grams instead of
+    *    re-tokenizing 100 TB. The fixed table name assumes serialized
+    *    runs (the production pipeline shape), like `pairsPersisted`.
+    */
+  private def kgramIndex(spark: SparkSession, dir: String): DataFrame = {
+    val k = D16KgramWidth
+    val kg = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= k)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), posexplode_outer(T.kgrams(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    if (spark.conf.getOption("graft.substring.persistIndex").contains("true")) {
+      graft.operators.ReplicaTable.dropTableAndLocation(spark, "graft_kgram_idx")
+      kg.write.format("parquet")
+        .bucketBy(8, "h").sortBy("h")
+        .saveAsTable("graft_kgram_idx")
+      spark.table("graft_kgram_idx")
+    } else kg
   }
 
   /** The write side of substring dedup: re-emit affected documents with
