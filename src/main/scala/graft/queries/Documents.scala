@@ -920,7 +920,11 @@ object Documents {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  val d16Sql: String = {
+  /** Shared detection-CTE prefix of the d16 and d18 oracles (toks →
+    * k-grams → dup hashes → marked positions → span ids) — ONE copy, so
+    * the two oracles can never disagree about what a span is.
+    */
+  private def substringDetectionCte: String = {
     val k = D16KgramWidth
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |kg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS g
@@ -933,12 +937,17 @@ object Documents {
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$k) + $k
       |             THEN 1 ELSE 0 END AS is_new
       |      FROM p),
-      |s AS (SELECT doc_id, pos,
+      |sid AS (SELECT doc_id, pos,
       |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-      |      FROM m)
+      |      FROM m)""".stripMargin
+  }
+
+  val d16Sql: String = {
+    val k = D16KgramWidth
+    s"""$substringDetectionCte
       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
       |  MAX(pos) + $k - MIN(pos) AS dup_tokens
-      |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+      |FROM sid GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
   }
 
   /** Positional k-gram occurrence rows (doc_id, pos, h) — the shared
@@ -1015,20 +1024,7 @@ object Documents {
 
   val d18Sql: String = {
     val k = D16KgramWidth
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |kg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS g
-      |       FROM toks, unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)
-      |       WHERE len(w) >= $k),
-      |dup AS (SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
-      |p AS (SELECT doc_id, pos FROM kg JOIN dup USING (g)),
-      |m AS (SELECT doc_id, pos,
-      |        CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$k) + $k
-      |             THEN 1 ELSE 0 END AS is_new
-      |      FROM p),
-      |sid AS (SELECT doc_id, pos,
-      |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-      |      FROM m),
+    s"""$substringDetectionCte,
       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
       |          FROM sid GROUP BY doc_id, span_id),
       |sl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS sp

@@ -278,12 +278,7 @@ object Vectors {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // centroids: exact integer mean per (label, dim), then back to double
-    val centLong = base
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    val centLong = labelMeans(base)
     val centroids = centLong.groupBy(col("label").as("cell"))
       .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
       .select(col("cell"),
@@ -367,12 +362,7 @@ object Vectors {
   def v8IvfNprobe(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centLong = base
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    val centLong = labelMeans(base)
     val centroids = centLong.groupBy(col("label").as("cell"))
       .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
       .select(col("cell"),
@@ -574,12 +564,7 @@ object Vectors {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // per-label fixed-point means (identical to v6), sliced per subspace
-    val centLong = base
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("dim"), expr("s DIV n").as("ce9"))
+    val centLong = labelMeans(base)
     // one packed row: book[m+1] = the cells of subspace m, sorted by
     // cell id — the fold below visits them in that order, so "strictly
     // less" keeps the lowest cell on exact ties (row_number parity).

@@ -81,7 +81,15 @@ private class WalTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WalScanBuilder(path,
-      Option(options.get("maxChunksPerTrigger")).map(_.toInt))
+      Option(options.get("maxChunksPerTrigger")).map { raw =>
+        // validate at option-parse time (as the Kafka/file sources do):
+        // 0/negative would silently pin the offset forever — an
+        // AvailableNow run "completes" having drained nothing
+        val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"maxChunksPerTrigger must be a positive integer, got '$raw'"))
+        require(n > 0, s"maxChunksPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 private class WalScanBuilder(path: String, maxChunksPerTrigger: Option[Int])

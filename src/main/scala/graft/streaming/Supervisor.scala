@@ -21,8 +21,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class Supervisor(
     start: () => StreamingQuery,
-    maxRestarts: Int = 3,
-    minUptimeMillis: Long = 60000L,
+    val maxRestarts: Int = 3,
+    val minUptimeMillis: Long = 60000L,
     restartDelayMillis: Long = 30000L,
     now: () => Long = System.currentTimeMillis,
     sleep: Long => Unit = Thread.sleep) {

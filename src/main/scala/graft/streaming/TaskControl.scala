@@ -28,6 +28,15 @@ final class TaskControl(
   private val running = TrieMap.empty[String, StreamingQuery]
   private val stopped = TrieMap.empty[String, String] // name -> final status
 
+  /** Serializes state transitions: commands may arrive on concurrent
+    * transport threads, and an unsynchronized check-then-act start would
+    * let two ACTIVEs (or ACTIVE racing RESTARTING) both see "not active"
+    * and start two queries — the first one unreferenced, unstoppable,
+    * and double-processing into the sink. Command rate is human/control
+    * scale, so one lock is the right tool.
+    */
+  private val transition = new Object
+
   /** Reference `Status.name` for one task. */
   def status(name: String): String =
     running.get(name) match {
@@ -37,17 +46,34 @@ final class TaskControl(
       case None => stopped.getOrElse(name, "NOT_STARTED")
     }
 
-  private def start(name: String): Unit =
+  private def start(name: String): Unit = transition.synchronized {
     if (!running.get(name).exists(_.isActive)) {
       val starter = starters.getOrElse(name,
         throw new IllegalArgumentException(s"unknown task: $name"))
       running.put(name, starter())
       stopped.remove(name)
     }
+  }
 
-  private def stop(name: String, finalStatus: String): Unit = {
-    running.get(name).filter(_.isActive).foreach(_.stop())
-    stopped.put(name, finalStatus)
+  private def stop(name: String, finalStatus: String): Unit =
+    transition.synchronized {
+      running.get(name).filter(_.isActive).foreach(_.stop())
+      stopped.put(name, finalStatus)
+    }
+
+  /** JSON string escape for the INFO reply: streaming failure messages
+    * are multi-line by construction (StreamingQueryException embeds the
+    * query-status block), so quote-swapping alone would emit invalid
+    * JSON exactly when the diagnostics matter most.
+    */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** Handle one command for `name` — the body of the reference's
@@ -69,11 +95,17 @@ final class TaskControl(
       val sup = supervisors.get(name)
       val lastFailed = running.get(name).flatMap(_.exception)
         .map(_.getMessage).orElse(sup.flatMap(_.lastError)).getOrElse("")
+      // policy numbers come from the task's REGISTERED supervisor when
+      // one exists — reporting this class's defaults while a custom
+      // Supervisor enforces different limits would misstate the restart
+      // policy to the operator
+      val maxR = sup.map(_.maxRestarts).getOrElse(maxRestarts)
+      val minU = sup.map(_.minUptimeMillis / 1000).getOrElse(minUptime.toLong)
       publish(s"$name:task:info",
-        s"""{"status": "${status(name)}", "last_failed": "${lastFailed.replace("\"", "'")}", """ +
+        s"""{"status": "${status(name)}", "last_failed": "${jsonEscape(lastFailed)}", """ +
           s""""number_of_restarts": ${sup.map(_.totalFailures).getOrElse(0)}, """ +
           s""""current_number_of_restarts": ${sup.map(_.rapidFailures).getOrElse(0)}, """ +
-          s""""max_restarts": $maxRestarts, "min_up_time": $minUptime}""")
+          s""""max_restarts": $maxR, "min_up_time": $minU}""")
     case other =>
       throw new IllegalArgumentException(s"unknown command for $name: $other")
   }

@@ -59,4 +59,44 @@ class TaskControlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { tc.onMessage("nope", "ACTIVE") }
     intercept[IllegalArgumentException] { tc.onMessage("orders", "FROB") }
   }
+
+  test("concurrent ACTIVE commands start exactly one query") {
+    // check-then-act regression: two transport threads racing ACTIVE must
+    // not both observe "not active" and invoke the starter twice — the
+    // loser's query would run unreferenced and double-process forever
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckptRoot = java.nio.file.Files.createTempDirectory("tc_race")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val starter = () => {
+      started.incrementAndGet()
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$ckptRoot/c${started.get()}")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+    }
+    val tc = new TaskControl(Map("orders" -> starter), (_, _) => ())
+    try {
+      val threads = (1 to 4).map(_ => new Thread(() => {
+        gate.await()
+        tc.onMessage("orders", "ACTIVE")
+      }))
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(started.get() === 1,
+        s"racing ACTIVEs started ${started.get()} queries")
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
+  test("INFO's failure-message escape yields valid JSON for multi-line errors") {
+    // StreamingQueryException messages are multi-line by construction
+    // (they embed the '=== Streaming Query ===' block) — the reply must
+    // escape them, not just swap quote characters
+    val tc = new TaskControl(Map.empty, (_, _) => ())
+    val escaped = tc.jsonEscape(
+      "line one\n=== Streaming Query ===\r\"quoted\"\tand\u0001ctl\\path")
+    assert(!escaped.exists(_ < ' '), s"raw control chars survive: $escaped")
+    assert(escaped ===
+      """line one\n=== Streaming Query ===\r\"quoted\"\tand""" +
+        "\\u0001" + """ctl\\path""")
+  }
 }
