@@ -920,6 +920,56 @@ object Documents {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The second Gopher repetition rule next to d15's top-bigram share:
+    * the fraction of a document's word 3-grams that belong to a 3-gram
+    * occurring more than once IN THAT DOCUMENT ("fraction of tokens in
+    * duplicated n-grams"). Template/boilerplate text scores high.
+    *
+    * Same scale stance as d15: the statistic is entirely within one row,
+    * so no (doc, gram) explode+shuffle — sort the positional 3-gram
+    * array and fold run lengths once, a pure projection at any corpus
+    * size. Counts are exact ints, so the final ratio is one IEEE
+    * division and bit-matches the oracle.
+    */
+  def d19DupNgramFraction(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 3)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), array_sort(T.kgrams(col("toks"), 3)).as("g3"))
+      .select(col("doc_id"), size(col("g3")).cast("long").as("n_grams"),
+        // instances inside runs of length >= 2, via one linear fold over
+        // the sorted grams: state (prev, run length, closed dup count)
+        aggregate(col("g3"),
+          struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("d")),
+          (acc, x) => {
+            val same = x <=> acc.getField("p")
+            val closed = acc.getField("d") +
+              when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L))
+            struct(x.as("p"),
+              when(same, acc.getField("r") + 1).otherwise(lit(1L)).as("r"),
+              when(same, acc.getField("d")).otherwise(closed).as("d"))
+          },
+          acc => acc.getField("d") +
+            when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L)))
+          .as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        (col("dup_grams") / col("n_grams").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+
+  val d19Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(w) - 2),
+      |                              i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM toks WHERE len(w) >= 3),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+      |  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared detection-CTE prefix of the d16 and d18 oracles (toks →
     * k-grams → dup hashes → marked positions → span ids) — ONE copy, so
     * the two oracles can never disagree about what a span is.
@@ -1100,6 +1150,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d19_dup_ngram_fraction" -> (d19DupNgramFraction _),
     "d18_clip_spans" -> (d18ClipSpans _),
     "d17_stratified_sample" -> (d17StratifiedSample _),
     "d16_substring_spans" -> (d16SubstringSpans _),
@@ -1119,6 +1170,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d19_dup_ngram_fraction" -> d19Sql,
     "d18_clip_spans" -> d18Sql,
     "d17_stratified_sample" -> d17Sql,
     "d16_substring_spans" -> d16Sql,
