@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the persisted index/signature defaults re-read bucketed tables;
+      // these two let the bucket LAYOUT carry the join/agg distribution
+      // (exchange-free re-reads — see BlockedSelfJoin.pairsPersisted)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

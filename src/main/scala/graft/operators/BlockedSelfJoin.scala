@@ -123,11 +123,33 @@ object BlockedSelfJoin {
       numBuckets: Int = 8,
       maxBucket: Option[Int] = None): DataFrame = {
     ReplicaTable.dropTableAndLocation(spark, table)
+    persistChunked(df, keys, ord, chunkSize, table, numBuckets, maxBucket)
+    expandPairs(spark.table(table), keys)
+  }
+
+  /** Write half of [[pairsPersisted]]: chunk and save to `table`,
+    * bucketed+sorted on the bucket keys. Exposed separately so callers
+    * with a reuse policy (fingerprint-scoped names via
+    * [[PersistedIndex.ensure]]) can skip the write when the table is
+    * already built.
+    */
+  def persistChunked(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      chunkSize: Int,
+      table: String,
+      numBuckets: Int = 8,
+      maxBucket: Option[Int] = None): Unit =
     chunk(df, keys, ord, chunkSize, maxBucket)
       .write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
-    expand(spark.table(table), keys)
-  }
+
+  /** Read half of [[pairsPersisted]]: the pair expansion over a chunked
+    * frame read back from a bucketed table.
+    */
+  def expandPairs(chunked: DataFrame, keys: Seq[String]): DataFrame =
+    expand(chunked, keys)
 }

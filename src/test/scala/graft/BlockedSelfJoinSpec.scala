@@ -118,20 +118,22 @@ class BlockedSelfJoinSpec extends SparkSpec {
     }
   }
 
-  test("d5/d6/d7 produce identical output through the persisted-signature path") {
+  test("d5/d6/d7: persisted-signature default matches the in-query form") {
     val dir = "/root/testdata/sf0.001"
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
     val names = Seq("d5_ngram_jaccard", "d6_minhash_lsh", "d7_simhash")
-    val inQuery = names.map(n => n -> run(n)).toMap
-    spark.conf.set("graft.neardup.persistPairs", "true")
-    try names.foreach { n =>
-      assert(run(n) === inQuery(n), s"$n differs through pairsPersisted")
-      assert(inQuery(n).nonEmpty, s"$n comparison is vacuous")
+    try {
+      val persisted = names.map(n => n -> run(n)).toMap // default path
+      spark.conf.set("graft.neardup.persistPairs", "false")
+      names.foreach { n =>
+        assert(run(n) === persisted(n), s"$n differs between persisted and in-query")
+        assert(persisted(n).nonEmpty, s"$n comparison is vacuous")
+      }
     } finally {
       spark.conf.unset("graft.neardup.persistPairs")
       Seq("d5", "d6", "d7").foreach(t =>
-        graft.operators.ReplicaTable.dropTableAndLocation(spark, s"graft_sig_$t"))
+        graft.operators.PersistedIndex.dropAll(spark, s"graft_sig_$t"))
     }
   }
 

@@ -85,8 +85,11 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
-      "d16_substring_spans" -> 4, "d17_stratified_sample" -> 2,
-      "d18_clip_spans" -> 6, "d19_dup_ngram_fraction" -> 2,
+      // d16/d18 read the persisted bucketed k-gram index (the default
+      // since r5): detection keeps only the span-merge window + output
+      // sort; clipping adds the span-list agg + corpus join
+      "d16_substring_spans" -> 2, "d17_stratified_sample" -> 2,
+      "d18_clip_spans" -> 4, "d19_dup_ngram_fraction" -> 2,
       "v10_kmeans_iter" -> 5,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,

@@ -30,6 +30,10 @@ object ShuffleGolden {
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
+      // match SparkSpec/Bench/Verify: persisted-index re-reads ride the
+      // bucket layout, so goldens must be generated under the same confs
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match Bench/Verify: persisted-index re-reads ride the bucket layout
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -121,17 +121,13 @@ class TrainingOpsSpec extends SparkSpec {
     assert(perCell.sum === total)
   }
 
-  test("d16/d18: identical output through the persisted k-gram index, with fewer exchanges") {
+  test("d16/d18: persisted k-gram index (the default) matches the in-query form, with fewer exchanges") {
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
-    val inQuery = Seq("d16_substring_spans", "d18_clip_spans")
-      .map(n => n -> run(n)).toMap
-    spark.conf.set("graft.substring.persistIndex", "true")
     try {
-      inQuery.foreach { case (n, expected) =>
-        assert(run(n) === expected, s"$n differs through the persisted index")
-        assert(expected.nonEmpty, s"$n comparison is vacuous")
-      }
+      // default path: ONE fingerprint-scoped index build feeds both
+      val persisted = Seq("d16_substring_spans", "d18_clip_spans")
+        .map(n => n -> run(n)).toMap
       // the payoff: dup detection and the probe both read co-located
       // h-buckets of the persisted index — the in-query form's double
       // k-gram computation and its two repartitions are gone
@@ -140,9 +136,14 @@ class TrainingOpsSpec extends SparkSpec {
           .queryExecution.executedPlan)
       assert(persistedShuffles <= 2, // span-merge window + output sort
         s"persisted-index d16 shuffles $persistedShuffles times")
+      spark.conf.set("graft.substring.persistIndex", "false")
+      persisted.foreach { case (n, expected) =>
+        assert(run(n) === expected, s"$n differs between index and in-query forms")
+        assert(expected.nonEmpty, s"$n comparison is vacuous")
+      }
     } finally {
       spark.conf.unset("graft.substring.persistIndex")
-      graft.operators.ReplicaTable.dropTableAndLocation(spark, "graft_kgram_idx")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_idx")
     }
   }
 
