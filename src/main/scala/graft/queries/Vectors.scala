@@ -277,24 +277,8 @@ object Vectors {
   def v6IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    // centroids: exact integer mean per (label, dim), then back to double
-    val centLong = labelMeans(base)
-    val centroids = centLong.groupBy(col("label").as("cell"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
-      .select(col("cell"),
-        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
-    // cell assignment: argmax dot over the broadcast centroid table
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
-    // lazy localCheckpoint: `assigned` feeds BOTH the query side and the
-    // candidate side; without it the scoring+argmax subtree is planned
-    // twice (Spark plans are trees, and AQE misses sibling exchange
-    // reuse) — one materialization, read twice
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = ivfRanked(base, labelMeans(base), maxRank = 1)
       .select(col("vec_id"), col("v"), col("cell"))
-      .localCheckpoint(false)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
     val cands = assigned
@@ -359,24 +343,38 @@ object Vectors {
     * ONE window pass (r2 = plain row_number; r1 = running count of
     * crank-1 rows), so measuring recall costs no extra shuffle.
     */
-  def v8IvfNprobe(spark: SparkSession, dir: String): DataFrame = {
-    val base = emb(spark, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centLong = labelMeans(base)
+  /** IVF cell assignment shared by v6/v8/v13: rank cells per vector by
+    * dot product against the broadcast centroid table (built from
+    * (label, dim, ce9) fixed-point means), keep the top `maxRank`.
+    * crank=1 is the home cell where the vector LIVES; higher cranks are
+    * what a multi-probe query additionally searches. Lazy
+    * localCheckpoint: the assignment feeds both the query side and the
+    * candidate side; without it the scoring+argmax subtree is planned
+    * twice (Spark plans are trees, and AQE misses sibling exchange
+    * reuse) — one materialization, read twice.
+    */
+  private def ivfRanked(
+      base: DataFrame, centLong: DataFrame, maxRank: Int): DataFrame = {
     val centroids = centLong.groupBy(col("label").as("cell"))
       .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
       .select(col("cell"),
         transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
+    base.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= maxRank)
+      .select(col("vec_id"), col("v"), col("cell"), col("crank"))
+      .localCheckpoint(false)
+  }
+
+  def v8IvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
     // one assignment pass keeps BOTH the home cell (crank=1, where the
     // vector lives) and the second-closest cell (crank=2, what a query
     // additionally probes); materialized once, read by both sides
-    val ranked = base.crossJoin(broadcast(centroids))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= 2)
-      .select(col("vec_id"), col("v"), col("cell"), col("crank"))
-      .localCheckpoint(false)
+    val ranked = ivfRanked(base, labelMeans(base), maxRank = 2)
     val cands = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
     val queries = ranked.filter(col("vec_id") < 10)
@@ -392,17 +390,7 @@ object Vectors {
         sum(when(col("crank") === 1, 1).otherwise(0))
           .over(wq.rowsBetween(Window.unboundedPreceding, 0))))
     // exact ground truth: brute force over the FULL corpus (v1's shape)
-    val qfull = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"))
-    val exact = broadcast(qfull)
-      .join(base.select(col("vec_id").as("cid"), col("v").as("ce")),
-        col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
-      .withColumn("er", row_number().over(wq))
-      .filter(col("er") <= 3)
-      .select(col("qid"), col("cid"), lit(1).as("hit"))
-    withRanks.join(broadcast(exact), Seq("qid", "cid"), "left")
+    withRanks.join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
       .groupBy(col("qid"))
       .agg(
         sum(when(col("crank") === 1, 1L).otherwise(0L)).as("cand_1p"),
@@ -564,32 +552,36 @@ object Vectors {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // per-label fixed-point means (identical to v6), sliced per subspace
-    val centLong = labelMeans(base)
-    // one packed row: book[m+1] = the cells of subspace m, sorted by
-    // cell id — the fold below visits them in that order, so "strictly
-    // less" keeps the lowest cell on exact ties (row_number parity).
-    // Built from ONE aggregation of the (label, dim, ce9) rows: the
-    // sorted flat list has exactly 64 entries per label, so cell ci's
-    // subspace-m slice sits at offsets ci*64 + m*16 + (1..16).
-    val packed = centLong
-      .groupBy()
-      .agg(sort_array(collect_list(
-        struct(col("label"), col("dim"), col("ce9")))).as("l"))
-      .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
-        transform(sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
-          struct(
-            element_at(col("l"), ci * 64 + 1).getField("label").as("cell"),
-            transform(sequence(lit(1), lit(PqSubDim)), j =>
-              element_at(col("l"), ci * 64 + m * PqSubDim + j)
-                .getField("ce9").cast("double") / 1e9).as("csub"))))
-        .as("book"))
-    // coding = projection: per subspace, argmin-L2 fold over the
-    // broadcast cells; recon is the coded sub-centroids concatenated.
-    // Same HOF hygiene as the near-dup family: repartition spreads the
-    // interpreted lambdas off the single scan split, and recon is an
-    // aliased projection (multi-referenced below, so CollapseProject
-    // cannot inline the fold into every consumer).
-    val reconExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)), m => {
+    pqAdcQuery(spark, base, labelMeans(base), withHit = false)
+  }
+
+  /** One packed codebook row: book[m+1] = the cells of subspace m, sorted
+    * by cell id — the coding fold visits them in that order, so "strictly
+    * less" keeps the lowest cell on exact ties (row_number parity).
+    * Built from ONE aggregation of the (label, dim, ce9) rows: the
+    * sorted flat list has exactly 64 entries per label, so cell ci's
+    * subspace-m slice sits at offsets ci*64 + m*16 + (1..16).
+    */
+  private def pqBook(centLong: DataFrame): DataFrame = centLong
+    .groupBy()
+    .agg(sort_array(collect_list(
+      struct(col("label"), col("dim"), col("ce9")))).as("l"))
+    .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
+        struct(
+          element_at(col("l"), ci * 64 + 1).getField("label").as("cell"),
+          transform(sequence(lit(1), lit(PqSubDim)), j =>
+            element_at(col("l"), ci * 64 + m * PqSubDim + j)
+              .getField("ce9").cast("double") / 1e9).as("csub"))))
+      .as("book"))
+
+  /** The PQ coder over columns `v` + broadcast `book`: per subspace, an
+    * argmin-L2 fold over the cells; recon = coded sub-centroids
+    * concatenated. A pure projection — this is how production PQ coders
+    * run inside the scan.
+    */
+  private def pqRecon: Column =
+    flatten(transform(sequence(lit(0), lit(PqM - 1)), m => {
       val sub = slice(col("v"), m * PqSubDim + 1, lit(PqSubDim))
       aggregate(element_at(col("book"), m + 1),
         struct(lit(Double.MaxValue).as("d2"),
@@ -603,17 +595,34 @@ object Vectors {
         },
         acc => acc.getField("csub"))
     }))
+
+  /** Shared PQ-ADC body (v9, v12): code every vector against the
+    * codebook built from `centLong`, rank candidates by asymmetric
+    * cosine against the reconstruction, carry the true cosine, and
+    * optionally flag hits against the exact brute-force top-3
+    * (`withHit` — the measured-recall discipline of v8).
+    *
+    * Coding is a projection (repartition spreads the interpreted
+    * lambdas; recon is an aliased projection so CollapseProject cannot
+    * inline the fold into every consumer — same HOF hygiene as the
+    * near-dup family).
+    */
+  private def pqAdcQuery(
+      spark: SparkSession,
+      base: DataFrame,
+      centLong: DataFrame,
+      withHit: Boolean): DataFrame = {
     val coded = base
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("v"), reconExpr.as("recon"))
+      .crossJoin(broadcast(pqBook(centLong)))
+      .select(col("vec_id"), col("v"), pqRecon.as("recon"))
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"))
     val cands = coded.select(col("vec_id").as("cid"), col("recon"),
       col("v").as("cv"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("adc_cosine").desc, col("cid"))
-    broadcast(queries).join(cands, col("qid") =!= col("cid"))
+    val ranked = broadcast(queries).join(cands, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("recon")) /
           (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
@@ -623,7 +632,31 @@ object Vectors {
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
         col("adc_cosine"), col("true_cosine"))
+    if (!withHit) ranked.orderBy(col("qid"), col("rank"))
+    else ranked
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank"), col("cid"),
+        col("adc_cosine"), col("true_cosine"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact brute-force cosine top-3 per query (vec_id < 10) as (qid,
+    * cid, hit=1) — the ground truth every measured-recall query joins
+    * against (v8, v12, v13). v1's broadcast-Q x scan-N shape.
+    */
+  private def exactTop3(base: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val qfull = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"))
+    broadcast(qfull)
+      .join(base.select(col("vec_id").as("cid"), col("v").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+      .withColumn("er", row_number().over(wq))
+      .filter(col("er") <= 3)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
   }
 
   val v9Sql: String = {
@@ -725,37 +758,8 @@ object Vectors {
     * empty cells drop out, as in classic Lloyd).
     */
   private[graft] def kmeansStep(
-      spark: SparkSession, base: DataFrame, centLong: DataFrame): DataFrame = {
-    // all centroids packed into one broadcast row, sorted by cell so the
-    // argmin fold's strictly-less keeps the lowest cell on exact ties
-    val packed = centLong
-      .groupBy()
-      .agg(sort_array(collect_list(
-        struct(col("label"), col("dim"), col("ce9")))).as("l"))
-      .select(transform(
-        sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
-          struct(
-            element_at(col("l"), ci * 64 + 1).getField("label").as("cell"),
-            transform(sequence(lit(1), lit(64)), j =>
-              element_at(col("l"), ci * 64 + j)
-                .getField("ce9").cast("double") / 1e9).as("cvec")))
-        .as("cents"))
-    val bestExpr = aggregate(col("cents"),
-      struct(lit(Double.MaxValue).as("d2"), lit(null).cast("long").as("cell")),
-      (acc, c) => {
-        val diff = zip_with(col("v"), c.getField("cvec"), (a, b) => a - b)
-        val d2 = dot(diff, diff)
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), c.getField("cell").as("cell")))
-          .otherwise(acc)
-      })
-    val assigned = base
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("v"), bestExpr.as("best"))
-      .select(col("v"), col("best").getField("cell").as("cell"),
-        floor(col("best").getField("d2") * lit(1e9)).cast("long").as("d2e9"))
-    assigned
+      spark: SparkSession, base: DataFrame, centLong: DataFrame): DataFrame =
+    assignCells(spark, base, centLong)
       .select(col("cell"), col("d2e9"), posexplode(col("v")))
       .groupBy(col("cell"), (col("pos") + 1).as("dim"))
       .agg(sum(floor(col("col") * lit(1e9)).cast("long")).as("s"),
@@ -763,7 +767,55 @@ object Vectors {
         sum(col("d2e9")).as("inertia_e9"))
       .select(col("cell"), col("dim"), expr("s DIV n_members").as("ce9"),
         col("n_members"), col("inertia_e9"))
-  }
+
+  /** All centroids of a (label, dim, ce9) frame packed into ONE
+    * broadcast row (sorted by cell id so the argmin fold's strictly-less
+    * keeps the lowest cell on exact ties).
+    */
+  private def packedCents(centLong: DataFrame): DataFrame = centLong
+    .groupBy()
+    .agg(sort_array(collect_list(
+      struct(col("label"), col("dim"), col("ce9")))).as("l"))
+    .select(transform(
+      sequence(lit(0), (size(col("l")) / lit(64)).cast("int") - 1), ci =>
+        struct(
+          element_at(col("l"), ci * 64 + 1).getField("label").cast("long").as("cell"),
+          transform(sequence(lit(1), lit(64)), j =>
+            element_at(col("l"), ci * 64 + j)
+              .getField("ce9").cast("double") / 1e9).as("cvec")))
+      .as("cents"))
+
+  /** Argmin-L2 fold over the broadcast `cents` column against `v`. */
+  private def bestCellExpr: Column = aggregate(col("cents"),
+    struct(lit(Double.MaxValue).as("d2"), lit(null).cast("long").as("cell")),
+    (acc, c) => {
+      val diff = zip_with(col("v"), c.getField("cvec"), (a, b) => a - b)
+      val d2 = dot(diff, diff)
+      when(d2 < acc.getField("d2"),
+        struct(d2.as("d2"), c.getField("cell").as("cell")))
+        .otherwise(acc)
+    })
+
+  /** The assignment half of a Lloyd step: every `base` vector mapped to
+    * its nearest `centLong` centroid by L2 — (vec_id, v, cell, d2e9).
+    * The centroid set broadcasts packed, making assignment a PURE
+    * PROJECTION — no join, no shuffle.
+    */
+  private def assignCells(
+      spark: SparkSession, base: DataFrame, centLong: DataFrame): DataFrame =
+    base
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(packedCents(centLong)))
+      .select(col("vec_id"), col("v"), bestCellExpr.as("best"))
+      .select(col("vec_id"), col("v"), col("best").getField("cell").as("cell"),
+        floor(col("best").getField("d2") * lit(1e9)).cast("long").as("d2e9"))
+
+  /** Fixed-point means of an assignment (vec_id, v, cell) as (label,
+    * dim, ce9) rows — the shape [[assignCells]] consumes, so Lloyd
+    * iterates by alternating the two.
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    labelMeans(assigned.select(col("cell").as("label"), col("v")))
 
   val v10Sql: String = {
     val l2 = (a: String, b: String) =>
@@ -793,7 +845,346 @@ object Vectors {
       |GROUP BY cell, i ORDER BY cell, dim""".stripMargin
   }
 
+  /** Lloyd rounds for v11/v12: enough iterations that every fixture SF
+    * reaches its FIXED POINT inside the run (observed convergence at
+    * iterations 13 / 10 / 23 for sf0.001 / 0.01 / 0.1). Iterating past
+    * the fixed point is the identity under fixed-point arithmetic —
+    * assignments stop moving, means stop changing — so the trace's
+    * stable tail (n_moved = 0, constant inertia) IS the convergence
+    * proof, carried in the query result instead of asserted offline.
+    */
+  private[graft] val KmeansIters = 32
+
+  /** The Lloyd chain: `k` assignment/update rounds from the label-mean
+    * init. Returns (per-round trace, final centroids).
+    *
+    * Iteration shape: the round state is ONE frame (vec_id, v, cell) —
+    * the current assignment. Each round computes the means of the
+    * CURRENT assignment (one (cell, dim) hash agg), packs them into a
+    * broadcast row, and re-assigns in a pure projection that keeps the
+    * previous cell alongside the new one — so the round trace (inertia,
+    * moved count, live cells) is a single aggregation over that frame,
+    * with NO join against the previous round. Only the assignment
+    * frame rides a lazy localCheckpoint (round i+1 starts from round
+    * i's materialized output instead of replaying the chain — the
+    * canonical iterate-on-Spark shape; production checkpoints to
+    * durable storage and trains on a sample). n_cells counts via
+    * collect_set, avoiding a per-round Expand.
+    */
+  private def lloydRounds(
+      spark: SparkSession, base0: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    var cur = base0
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("v"), col("label").cast("long").as("cell"))
+      .localCheckpoint(false)
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+    var last: (Long, Long, Long, Long) = null
+    var i = 1
+    // eager driver loop — iterative training IS driver-side control flow
+    // (the convergence check needs the round's diagnostics on the
+    // driver); each round is one distributed job over the checkpointed
+    // previous assignment
+    while (i <= k && (last == null || last._3 != 0L)) {
+      val a = cur
+        .crossJoin(broadcast(packedCents(cellMeans(cur))))
+        .select(col("vec_id"), col("v"), col("cell").as("pcell"),
+          bestCellExpr.as("best"))
+        .select(col("vec_id"), col("v"), col("pcell"),
+          col("best").getField("cell").as("cell"),
+          floor(col("best").getField("d2") * lit(1e9)).cast("long").as("d2e9"))
+        .localCheckpoint(false)
+      val r = a.agg(
+          sum(col("d2e9")).as("inertia_e9"),
+          sum(when(col("cell") =!= col("pcell"), 1L).otherwise(0L)).as("n_moved"),
+          size(collect_set(col("cell"))).cast("long").as("n_cells"))
+        .head()
+      last = (i.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+      rows += last
+      cur = a.select(col("vec_id"), col("v"), col("cell"))
+      i += 1
+    }
+    // n_moved = 0 is a FIXED POINT: the assignment equals the previous
+    // round's, so the means that drive every later round are unchanged —
+    // rounds i..k are identities. Their trace rows are synthesized from
+    // the converged state instead of scheduling k-i no-op jobs; the
+    // oracle runs all k rounds and gets the same rows, which is the
+    // identity proof the tail exists to pin down.
+    for (j <- i to k) rows += ((j.toLong, last._2, 0L, last._4))
+    val trace = spark.createDataFrame(rows.result())
+      .toDF("iter", "inertia_e9", "n_moved", "n_cells")
+    (trace, cellMeans(cur))
+  }
+
+  /** Train-once, read-many: the Lloyd chain's two artifacts (per-round
+    * trace, learned centroids) persist as fingerprint-scoped catalog
+    * tables — v11 reports the trace, v12 loads the codebook, and every
+    * later construction in the session re-reads instead of re-training
+    * (the [[graft.operators.PersistedIndex]] discipline; exactly how a
+    * production pipeline ships a trained codebook to its consumers).
+    * The trace table writes FIRST: the centroid table is the existence
+    * marker [[graft.operators.PersistedIndex.ensure]] checks, so a
+    * partial build can never be mistaken for a finished one. Set
+    * `graft.kmeans.persistModel=false` for the zero-side-effect inline
+    * chain.
+    */
+  private def lloydArtifacts(
+      spark: SparkSession, dir: String, base: DataFrame): (DataFrame, DataFrame) = {
+    if (spark.conf.getOption("graft.kmeans.persistModel").contains("false"))
+      lloydRounds(spark, base, KmeansIters)
+    else {
+      val sources = Seq(s"$dir/embeddings.parquet")
+      val params = s"iters=$KmeansIters"
+      val centTable = graft.operators.PersistedIndex.ensure(
+        spark, "graft_kmeans_cent", dir, sources, params) { table =>
+        val (trace, cent) = lloydRounds(spark, base, KmeansIters)
+        trace.write.format("parquet").saveAsTable(s"${table}_trace")
+        cent.write.format("parquet").saveAsTable(table)
+      }
+      val traceName = graft.operators.PersistedIndex.scopedName(
+        spark, "graft_kmeans_cent", dir, sources, params) + "_trace"
+      (spark.table(traceName), centTable)
+    }
+  }
+
+  /** k-means driven to its fixed point (VERDICT r4 #4) — the convergence
+    * trace of [[KmeansIters]] Lloyd rounds: per round, the assignment
+    * inertia (fixed-point), how many vectors changed cells vs the
+    * previous round, and the live cell count. Inertia is non-increasing
+    * and n_moved hits 0 before the run ends on every fixture — the tail
+    * rows then repeat verbatim, proving the fixed point inside the
+    * oracle-checked result. Per-round cost is one broadcast-fold
+    * projection (assignment) + one (cell, dim) hash agg (update) — the
+    * v10 shape, k times.
+    */
+  def v11KmeansConverged(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    lloydArtifacts(spark, dir, base)._1.orderBy(col("iter"))
+  }
+
+  val v11Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val sb = Seq.newBuilder[String]
+    // MATERIALIZED: DuckDB inlines single-reference CTEs, which nests 32
+    // window passes into one expression tree; materializing keeps the
+    // chain linear (1-2 s) instead of combinatorial (minutes)
+    sb += "base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
+    sb += """cl0 AS MATERIALIZED (
+      |  SELECT CAST(label AS BIGINT) AS cell, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY label, i)""".stripMargin
+    sb += "a0 AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS cell FROM base)"
+    for (i <- 1 to KmeansIters) {
+      val p = i - 1
+      sb += s"cent$p AS MATERIALIZED (SELECT cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec FROM cl$p GROUP BY cell)"
+      sb += s"""a$i AS MATERIALIZED (
+        |  SELECT vec_id, v, cell, d2 FROM (
+        |    SELECT b.vec_id, b.v, c.cell, ${l2("b.v", "c.cvec")} AS d2,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${l2("b.v", "c.cvec")}, c.cell) AS rn
+        |    FROM base b, cent$p c) WHERE rn = 1)""".stripMargin
+      sb += s"""t$i AS (
+        |  SELECT CAST($i AS BIGINT) AS iter,
+        |    CAST(SUM(CAST(floor(a.d2 * 1e9) AS BIGINT)) AS BIGINT) AS inertia_e9,
+        |    CAST(SUM(CASE WHEN a.cell <> pr.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |    CAST(COUNT(DISTINCT a.cell) AS BIGINT) AS n_cells
+        |  FROM a$i a JOIN a$p pr USING (vec_id))""".stripMargin
+      if (i < KmeansIters)
+        sb += s"""cl$i AS MATERIALIZED (
+          |  SELECT cell, i AS dim,
+          |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+          |  FROM a$i, (SELECT unnest(generate_series(1, 64)) i) GROUP BY cell, i)""".stripMargin
+    }
+    "WITH " + sb.result().mkString(",\n") + "\n" +
+      (1 to KmeansIters).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ") +
+      " ORDER BY iter"
+  }
+
+  /** PQ-ADC over a LEARNED codebook (VERDICT r4 #4, second half): the
+    * converged centroids from [[lloydRounds]] replace v9's label-mean
+    * init as the product-quantization codebook, and every result row
+    * carries `exact_hit` — whether the ADC-ranked candidate is in the
+    * true brute-force top-3 (v8's measured-recall discipline). Same
+    * scale shape as v9: the codebook broadcasts as one packed row,
+    * coding is a projection, scoring is broadcast-Q x N.
+    */
+  def v12PqLearned(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    pqAdcQuery(spark, base, lloydArtifacts(spark, dir, base)._2,
+      withHit = true)
+  }
+
+  val v12Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val subL2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val K = KmeansIters
+    val sb = Seq.newBuilder[String]
+    sb += "base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
+    sb += """cl0 AS MATERIALIZED (
+      |  SELECT CAST(label AS BIGINT) AS cell, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY label, i)""".stripMargin
+    for (i <- 1 to K) {
+      val p = i - 1
+      sb += s"cent$p AS MATERIALIZED (SELECT cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec FROM cl$p GROUP BY cell)"
+      sb += s"""a$i AS MATERIALIZED (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${l2("b.v", "c.cvec")}, c.cell) AS rn
+        |    FROM base b, cent$p c) WHERE rn = 1)""".stripMargin
+      sb += s"""cl$i AS MATERIALIZED (
+        |  SELECT cell, i AS dim,
+        |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+        |  FROM a$i, (SELECT unnest(generate_series(1, 64)) i) GROUP BY cell, i)""".stripMargin
+    }
+    sb += s"centL AS (SELECT cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec FROM cl$K GROUP BY cell)"
+    sb += s"subc AS (SELECT cell, m, cvec[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS csub FROM centL, (SELECT unnest(generate_series(0, ${PqM - 1})) m))"
+    sb += s"subs AS (SELECT vec_id, v, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sub FROM base, (SELECT unnest(generate_series(0, ${PqM - 1})) m))"
+    sb += s"""codes AS (
+      |  SELECT vec_id, v, m, csub FROM (
+      |    SELECT s.vec_id, s.v, s.m, c.csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${subL2("s.sub", "c.csub")}, c.cell) AS rn
+      |    FROM subs s JOIN subc c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+    sb += "recon AS MATERIALIZED (SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon, any_value(v) AS cv FROM codes GROUP BY vec_id)"
+    sb += "q AS (SELECT vec_id AS qid, v AS qe FROM base WHERE vec_id < 10)"
+    sb += s"""scored AS (
+      |  SELECT q.qid, r.vec_id AS cid,
+      |    ${dotSql("q.qe", "r.recon")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("r.recon", "r.recon")})) AS adc_cosine,
+      |    ${dotSql("q.qe", "r.cv")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("r.cv", "r.cv")})) AS true_cosine
+      |  FROM q JOIN recon r ON q.qid <> r.vec_id)""".stripMargin
+    sb += s"nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base)"
+    sb += s"""exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) WHERE er <= 3)""".stripMargin
+    "WITH " + sb.result().mkString(",\n") + """
+      |SELECT qid, rank, cid, adc_cosine, true_cosine, exact_hit FROM (
+      |  SELECT s.qid, s.cid, s.adc_cosine, s.true_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.adc_cosine DESC, s.cid) AS rank,
+      |    CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |  FROM scored s LEFT JOIN exact e ON s.qid = e.qid AND s.cid = e.cid)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** IVF-PQ (VERDICT r4 #5): v6's inverted-file cell layout composed
+    * with v9's PQ codes in ONE query. Vectors live in their max-dot home
+    * cell AND carry a PQ code; a query probes only its own cell and
+    * ranks that cell's candidates by asymmetric distance against the PQ
+    * reconstructions, with `exact_hit` measuring recall against the
+    * brute-force top-3 in the result itself. This is the sublinear
+    * production ANN shape: candidate generation is one shuffle on the
+    * cell id (the bucketing key at 100 TB), scoring touches ~N/cells
+    * candidates per query through 64x-compressed codes, and both the
+    * centroid table and the codebook broadcast.
+    */
+  def v13IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = labelMeans(base)
+    val assigned = ivfRanked(base, cent, maxRank = 1)
+    val coded = assigned
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(pqBook(cent)))
+      .select(col("vec_id"), col("v"), col("cell"), pqRecon.as("recon"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+    val cands = coded.select(col("vec_id").as("cid"), col("recon"),
+      col("v").as("cv"), col("cell"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_cosine").desc, col("cid"))
+    broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("recon")) /
+          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+        (dot(col("qe"), col("cv")) /
+          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("adc_cosine"), col("true_cosine"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v13Sql: String = {
+    val subL2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1),
+      |subc AS (
+      |  SELECT cell, m, cvec[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS csub
+      |  FROM cent, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |subs AS (
+      |  SELECT vec_id, v, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sub
+      |  FROM base, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |codes AS (
+      |  SELECT vec_id, m, csub FROM (
+      |    SELECT s.vec_id, s.m, c.csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${subL2("s.sub", "c.csub")}, c.cell) AS rn
+      |    FROM subs s JOIN subc c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |recon AS MATERIALIZED (
+      |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
+      |  FROM codes GROUP BY vec_id),
+      |q AS (SELECT a.vec_id AS qid, a.v AS qe, a.cell FROM assigned a WHERE a.vec_id < 10),
+      |cands AS (
+      |  SELECT a.vec_id AS cid, r.recon, a.v AS cv, a.cell
+      |  FROM assigned a JOIN recon r ON a.vec_id = r.vec_id),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    ${dotSql("q.qe", "c.recon")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.recon", "c.recon")})) AS adc_cosine,
+      |    ${dotSql("q.qe", "c.cv")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS true_cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) WHERE er <= 3)
+      |SELECT qid, rank, cid, adc_cosine, true_cosine, exact_hit FROM (
+      |  SELECT s.qid, s.cid, s.adc_cosine, s.true_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.adc_cosine DESC, s.cid) AS rank,
+      |    CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |  FROM scored s LEFT JOIN exact e ON s.qid = e.qid AND s.cid = e.cid)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v13_ivfpq" -> (v13IvfPq _),
+    "v12_pq_learned" -> (v12PqLearned _),
+    "v11_kmeans_converged" -> (v11KmeansConverged _),
     "v10_kmeans_iter" -> (v10KmeansIter _),
     "v9_pq_adc" -> (v9PqAdc _),
     "v7_quantize" -> (v7Quantize _),
@@ -806,6 +1197,9 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v13_ivfpq" -> v13Sql,
+    "v12_pq_learned" -> v12Sql,
+    "v11_kmeans_converged" -> v11Sql,
     "v10_kmeans_iter" -> v10Sql,
     "v9_pq_adc" -> v9Sql,
     "v7_quantize" -> v7Sql,

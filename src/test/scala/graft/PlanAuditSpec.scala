@@ -26,11 +26,16 @@ class PlanAuditSpec extends SparkSpec {
     *    layout is what bounds the scan at 100 TB);
     *  - v10: k-means assignment reads the packed one-row centroid
     *    broadcast next to every vector — the projection-shaped argmin by
-    *    construction.
+    *    construction;
+    *  - v12: v9's broadcast-Q x scan-N ADC scoring plus v8's exact
+    *    ground-truth side, both deliberate;
+    *  - v13: the PQ coder reads the packed one-row codebook broadcast
+    *    (v9's shape); candidate generation itself is the cell equi-join.
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
-      "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter")
+      "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter",
+      "v12_pq_learned", "v13_ivfpq")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -90,7 +95,15 @@ class PlanAuditSpec extends SparkSpec {
       // sort; clipping adds the span-list agg + corpus join
       "d16_substring_spans" -> 2, "d17_stratified_sample" -> 2,
       "d18_clip_spans" -> 4, "d19_dup_ngram_fraction" -> 2,
+      // d20: dup-status delta (2 h-aggs) + affected-doc semi-joins +
+      // two span-merge windows + output sort over the shared index scan
+      "d20_incremental_spans" -> 7,
       "v10_kmeans_iter" -> 5,
+      // v11 reads the persisted trace table (training ran at build);
+      // v12 = ADC ranking + recall join over the persisted codebook;
+      // v13 = cell equi-join + ADC window + recall join
+      "v11_kmeans_converged" -> 1, "v12_pq_learned" -> 5,
+      "v13_ivfpq" -> 6,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,

@@ -121,6 +121,80 @@ class TrainingOpsSpec extends SparkSpec {
     assert(perCell.sum === total)
   }
 
+  test("v11/v12/v13: Lloyd chain reaches its fixed point; learned-PQ and IVF-PQ measure recall in-query") {
+    val V = graft.queries.Vectors
+    try {
+      val trace = V.v11KmeansConverged(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(trace.length === V.KmeansIters)
+      assert(trace.map(_._1).toSeq === (1L to V.KmeansIters).toSeq)
+      assert(trace.last._3 === 0L, "chain did not reach its fixed point")
+      assert(trace.sliding(2).forall(p => p(1)._2 <= p(0)._2),
+        "assignment inertia increased between rounds")
+      // the gate: inline chain (no persisted model) is value-identical
+      val persisted = trace.toSeq
+      spark.conf.set("graft.kmeans.persistModel", "false")
+      val inline = V.v11KmeansConverged(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(inline === persisted, "inline chain differs from persisted model")
+      spark.conf.unset("graft.kmeans.persistModel")
+      // v12/v13: 3 ADC-ranked rows per query, hit flags are 0/1, and
+      // recall is measured in-query (at least one exact-top-3 hit
+      // overall — the fixture's clusters make a zero-hit result a bug)
+      for (name <- Seq("v12_pq_learned", "v13_ivfpq")) {
+        val rows = SparkEntry.queries(name)(spark, sf).collect()
+        assert(rows.length === 30, s"$name returned ${rows.length} rows")
+        val hits = rows.map(_.getLong(5))
+        assert(hits.forall(h => h == 0L || h == 1L), s"$name hit flag out of range")
+        assert(hits.sum > 0, s"$name measured zero recall")
+      }
+    } finally {
+      spark.conf.unset("graft.kmeans.persistModel")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_kmeans_cent")
+    }
+  }
+
+  test("d20: incremental spans equal the full rebuild, on the fixture and on a planted delta") {
+    try {
+      // fixture corpus: incremental maintenance reproduces d16 exactly,
+      // and a second construction reuses the already-appended index
+      val full = Documents.d16SubstringSpans(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val inc = Documents.d20IncrementalSpans(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(inc === full, "incremental spans differ from the full rebuild")
+      assert(inc.nonEmpty, "span comparison is vacuous")
+      val again = Documents.d20IncrementalSpans(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(again === full, "re-construction over the reused index differs")
+
+      // planted delta: doc 20 (shard: 20 % 10 == 0) clones base doc 1's
+      // text, creating a duplication that exists ONLY once the shard
+      // lands; docs 2 and 3 share an unrelated pre-existing dup. The
+      // incremental result must surface the new (1, 20) spans AND keep
+      // the untouched (2, 3) spans.
+      val run = "alpha beta gamma delta epsilon zeta eta theta"
+      val other = "one two three four five six seven eight"
+      val dir = corpusDir(Seq(
+        1L -> (run + " " + filler("a", 8).mkString(" ")),
+        2L -> (other + " " + filler("b", 8).mkString(" ")),
+        3L -> (other + " " + filler("c", 8).mkString(" ")),
+        20L -> (run + " " + filler("d", 8).mkString(" "))))
+      val fullD = Documents.d16SubstringSpans(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val incD = Documents.d20IncrementalSpans(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(incD === fullD, "planted-delta incremental differs from rebuild")
+      val docsWithSpans = Documents.d20IncrementalSpans(spark, dir)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(docsWithSpans === Array(1L, 2L, 3L, 20L),
+        "expected spans for the new pair AND the untouched prior pair")
+    } finally {
+      graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_idx")
+    }
+  }
+
   test("d16/d18: persisted k-gram index (the default) matches the in-query form, with fewer exchanges") {
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
