@@ -54,18 +54,29 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(2).max(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to runs; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val t = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      // only a COMPLETED pass records a timing: a throwing query must
+      // not enter `best` with its elapsed-until-failure time and
+      // masquerade as a fast one (ADVICE r4) — it lands in `failed`
+      // instead (cleared if a later pass succeeds)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: $e")
+      }
     }
-    val results = ordered.map { case (name, _) => name -> best(name) }
+    val neverRan = (failed -- best.keySet).toSeq.sorted
+    val results = ordered.flatMap { case (name, _) => best.get(name).map(name -> _) }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val fs = neverRan.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

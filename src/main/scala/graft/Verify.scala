@@ -22,6 +22,12 @@ object Verify {
     // optional subset for local iteration: GRAFT_ONLY=q1_x,q2_y
     val only = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a mistyped name would silently yield an empty successful run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_ONLY names not in the catalog: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

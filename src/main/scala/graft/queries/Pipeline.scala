@@ -328,13 +328,22 @@ object Pipeline {
     * (row-multiply by #columns) feeding one aggregate — the costed-in
     * price of exactness; the 100 TB knob is swapping each for
     * approx_count_distinct (HLL, same plan shape, no Expand), kept exact
-    * here so the DuckDB oracle can replay the values.
+    * by default so the DuckDB oracle can replay the values. The 100 TB
+    * form is one conf away: `graft.profile.approxDistinct=true` swaps
+    * every distinct count for the HLL sketch — the plan loses its
+    * Expand (asserted in PlanAuditSpec), columns and semantics are
+    * otherwise identical.
     */
   def p7Profile(spark: SparkSession, dir: String): DataFrame = {
+    val approx =
+      spark.conf.getOption("graft.profile.approxDistinct").contains("true")
+    def distinctOf(c: String) =
+      (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+        .as(s"${c}_distinct")
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_distinct"),
+      distinctOf(c),
       min(col(c)).cast("string").as(s"${c}_min"),
       max(col(c)).cast("string").as(s"${c}_max")))
     docs(spark, dir)

@@ -103,7 +103,9 @@ object CdcStream {
       initialTick: Option[Long] = None,
       clock: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow(),
-      queryName: Option[String] = None): StreamingQuery = {
+      queryName: Option[String] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
     val changes = pipeline(wal, payloadSchema, collectionIds, initialTick, clock)
       .observe("cdc", count(lit(1)).as("rows"),
         min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
@@ -152,6 +154,19 @@ object CdcStream {
           // window instead of one file per batch forever)
           if (batchId >= 100)
             fs.delete(new Path(marker.getParent, f"batch-${batchId - 100}%020d"), false)
+          // compaction cadence (OPTIMIZE FINAL every N merges): INSIDE
+          // foreachBatch is the one place a live table can be compacted
+          // safely — micro-batches are serialized, so the swap can never
+          // race an append. Runs AFTER the commit marker: a crash during
+          // the rewrite re-delivers nothing (the batch is committed) and
+          // at worst postpones compaction one cycle. Read cost stays
+          // bounded: the table periodically collapses to one row per
+          // (key, latest version) + tombstones instead of accumulating
+          // every appended version forever.
+          if (compactEvery.exists(n => (batchId + 1) % n == 0) &&
+              fs.exists(new Path(tableDir)))
+            compactNow(batch.sparkSession, tableDir,
+              config.primaryKeys, config.versionColumn)
         }
         ()
       }
@@ -194,8 +209,19 @@ object CdcStream {
       throw new IllegalStateException(
         s"compact('$tableDir') while replication query '${writer.name}' is " +
           "still appending there — stop it (or use Trigger.AvailableNow and " +
-          "awaitTermination) first; an append racing the swap would be " +
-          "silently lost while its checkpoint offsets stay committed")
+          "awaitTermination) first, or let the query compact itself via " +
+          "startReplication(compactEvery = ...); an append racing the swap " +
+          "would be silently lost while its checkpoint offsets stay committed")
+    compactNow(spark, tableDir, keys, ver)
+  }
+
+  /** The rewrite itself, without the live-writer guard — called by
+    * [[compact]] (after the guard) and by the sink's own cadence, which
+    * runs inside foreachBatch where micro-batch serialization IS the
+    * mutual exclusion.
+    */
+  private def compactNow(spark: SparkSession, tableDir: String,
+      keys: Seq[String], ver: String): Long = {
     val latest = ReplicaTable.latest(spark.read.parquet(tableDir), keys, ver)
     graft.operators.SnapshotStore.writeSnapshot(spark, latest, tableDir)
   }

@@ -92,20 +92,25 @@ final class TaskControl(
     case "PING" =>
       publish(s"$name:task:ping", "OK")
     case "INFO" =>
-      val sup = supervisors.get(name)
-      val lastFailed = running.get(name).flatMap(_.exception)
-        .map(_.getMessage).orElse(sup.flatMap(_.lastError)).getOrElse("")
-      // policy numbers come from the task's REGISTERED supervisor when
-      // one exists — reporting this class's defaults while a custom
-      // Supervisor enforces different limits would misstate the restart
-      // policy to the operator
-      val maxR = sup.map(_.maxRestarts).getOrElse(maxRestarts)
-      val minU = sup.map(_.minUptimeMillis / 1000).getOrElse(minUptime.toLong)
-      publish(s"$name:task:info",
+      // snapshot under the transition lock so a reply racing a
+      // concurrent start/stop cannot mix pre- and post-transition
+      // fields in one message (ADVICE r4)
+      val reply = transition.synchronized {
+        val sup = supervisors.get(name)
+        val lastFailed = running.get(name).flatMap(_.exception)
+          .map(_.getMessage).orElse(sup.flatMap(_.lastError)).getOrElse("")
+        // policy numbers come from the task's REGISTERED supervisor when
+        // one exists — reporting this class's defaults while a custom
+        // Supervisor enforces different limits would misstate the restart
+        // policy to the operator
+        val maxR = sup.map(_.maxRestarts).getOrElse(maxRestarts)
+        val minU = sup.map(_.minUptimeMillis / 1000).getOrElse(minUptime.toLong)
         s"""{"status": "${status(name)}", "last_failed": "${jsonEscape(lastFailed)}", """ +
           s""""number_of_restarts": ${sup.map(_.totalFailures).getOrElse(0)}, """ +
           s""""current_number_of_restarts": ${sup.map(_.rapidFailures).getOrElse(0)}, """ +
-          s""""max_restarts": $maxR, "min_up_time": $minU}""")
+          s""""max_restarts": $maxR, "min_up_time": $minU}"""
+      }
+      publish(s"$name:task:info", reply)
     case other =>
       throw new IllegalArgumentException(s"unknown command for $name: $other")
   }

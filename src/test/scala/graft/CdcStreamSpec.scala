@@ -151,6 +151,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compactEvery cadence keeps storage bounded while the query runs, view unchanged") {
+    def countParts(dir: Path): Int = {
+      val d = java.nio.file.Files.walk(dir)
+      try d.filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally d.close()
+    }
+    // 6 WAL files, one batch each (maxFilesPerTrigger=1), all upserting
+    // the SAME key — the worst case for an append-only versioned table
+    def seed(walDir: Path): Unit = (1 to 6).foreach { i =>
+      writeWal(walDir, f"b$i%02d.json", Seq(
+        walLine(10L + i, 10L + i, 2300, "c1", s"""{"k": 1, "v": "$i.0"}""")))
+    }
+    def run(tableDir: Path, cadence: Option[Int]): Unit = {
+      val walDir = tmp("wal")
+      seed(walDir)
+      val q = CdcStream.startReplication(
+        CdcStream.walFileSource(spark, walDir.toString, maxFilesPerTrigger = Some(1)),
+        config, payloadSchema, tableDir.toString, tmp("ck").toString,
+        collectionIds = Seq("c1"), initialTick = Some(10L), clock = clock,
+        compactEvery = cadence)
+      q.awaitTermination()
+    }
+    val plain = tmp("tblplain"); run(plain, None)
+    val compacted = tmp("tblcomp"); run(compacted, Some(2))
+    // identical read view either way: the latest upsert wins
+    val viewOf = (d: Path) => current(d).select("K", "V").orderBy("K")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viewOf(plain) === Seq((1L, 6.0)))
+    assert(viewOf(compacted) === viewOf(plain))
+    // the cadence's point: the plain table accumulates every version (6
+    // rows, one file per batch); the self-compacting table collapses to
+    // the single live row and strictly fewer files — read cost stays
+    // bounded as batches accumulate
+    assert(spark.read.parquet(plain.toString).count() === 6)
+    assert(spark.read.parquet(compacted.toString).count() === 1)
+    assert(countParts(compacted) < countParts(plain),
+      s"compacted table has ${countParts(compacted)} part files vs plain ${countParts(plain)}")
+  }
+
   test("compact() refuses to run while the table's replication query is active") {
     val walDir = tmp("wal"); val tableDir = tmp("tbl")
     writeWal(walDir, "b1.json", Seq(

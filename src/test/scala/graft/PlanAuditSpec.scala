@@ -52,6 +52,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p7 approx variant drops the Expand; exact default keeps it for the oracle") {
+    val exactDf = graft.queries.Pipeline.p7Profile(spark, dir)
+    assert(exactDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-COUNT(DISTINCT) should plan an Expand — did the default change?")
+    val exact = exactDf.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    spark.conf.set("graft.profile.approxDistinct", "true")
+    try {
+      val approxDf = graft.queries.Pipeline.p7Profile(spark, dir)
+      val approxPlan = approxDf.queryExecution.executedPlan.toString
+      assert(!approxPlan.contains("Expand"),
+        s"approx_count_distinct profile still plans an Expand:\n$approxPlan")
+      // same surface: identical columns, one row per profiled column,
+      // and the sketch agrees with reality within HLL's default error
+      val rows = approxDf.collect()
+      assert(approxDf.columns.toSeq ===
+        Seq("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"))
+      assert(rows.length === 5)
+      rows.foreach { r =>
+        val (c, est) = (r.getString(0), r.getLong(3))
+        assert(math.abs(est - exact(c)) <= math.max(2L, (exact(c) * 0.1).toLong),
+          s"$c: HLL estimate $est too far from exact ${exact(c)}")
+      }
+    } finally spark.conf.unset("graft.profile.approxDistinct")
+  }
+
   test("d14 quota sampling pre-prunes to top-K before the shuffle") {
     val plan = graft.queries.Documents.d14SourceQuota(spark, dir)
       .queryExecution.executedPlan.toString
