@@ -325,7 +325,77 @@ object Events {
       |FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
       |GROUP BY owner ORDER BY owner""".stripMargin
 
+  /** Count-min sketch geometry: depth 4 independent hash lanes over a
+    * width that divides 2^64, so the unsigned low bits of the md5 agree
+    * with `pmod` of the signed view — both engines bucket identically.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 256L
+
+  private def cmHash(j: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.HashFunctions.md5NumberBigEndian(
+      concat(lit(s"cm$j:"), col("user_id").cast("string"))), lit(CmWidth))
+
+  /** w11: heavy hitters via a count-min sketch — the frequency twin of
+    * w7's distinct sketch. The sketch is depth x width = 1024 counters:
+    * constant-size, mergeable (map-side partial combine does the merge),
+    * and the ONLY thing that must survive the scan at 100 TB — per-key
+    * exact counts exist here solely so the oracle sees the estimate's
+    * error in the result (CM never underestimates; `overestimate` >= 0
+    * is the sketch's defining invariant, measured per key).
+    *
+    * Physical shape: one scan builds the sketch (posexplode to (lane,
+    * bucket), one hash agg with partial combine); candidate estimation
+    * joins the 1024-row sketch BROADCAST against the per-key lanes; the
+    * global top-20 compiles to TakeOrderedAndProject (no full sort, no
+    * single-partition global window) with the rank window running over
+    * the 20 surviving rows only.
+    */
+  def w11HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val lanes = posexplode(array((0 until CmDepth).map(cmHash): _*))
+    val sketch = ev.select(lanes).toDF("j", "c")
+      .groupBy(col("j"), col("c")).agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+    val top = exact
+      .select(col("user_id"), col("exact_count"), lanes)
+      .toDF("user_id", "exact_count", "j", "c")
+      .join(broadcast(sketch), Seq("j", "c"))
+      .groupBy(col("user_id"), col("exact_count"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .orderBy(col("cm_est").desc, col("user_id"))
+      .limit(20)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cm_est").desc, col("user_id"))).cast("long"))
+      .select(col("rank"), col("user_id"), col("cm_est"),
+        col("exact_count"), (col("cm_est") - col("exact_count")).as("overestimate"))
+      .orderBy(col("rank"))
+  }
+
+  val w11Sql: String =
+    s"""WITH h AS (
+      |  SELECT user_id, j,
+      |    CAST('0x' || substring(md5('cm' || j || ':' || CAST(user_id AS VARCHAR)), 17, 16)
+      |      AS UBIGINT) % $CmWidth AS c
+      |  FROM events, (SELECT unnest(generate_series(0, ${CmDepth - 1})) j)),
+      |sketch AS (SELECT j, c, COUNT(*) AS cnt FROM h GROUP BY j, c),
+      |keyh AS (SELECT DISTINCT user_id, j, c FROM h),
+      |exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id),
+      |est AS (
+      |  SELECT k.user_id, MIN(s.cnt) AS cm_est
+      |  FROM keyh k JOIN sketch s USING (j, c) GROUP BY k.user_id),
+      |ranked AS (
+      |  SELECT e.user_id, est.cm_est, e.exact_count,
+      |    ROW_NUMBER() OVER (ORDER BY est.cm_est DESC, e.user_id) AS rank
+      |  FROM est JOIN exact e USING (user_id))
+      |SELECT rank, user_id, cm_est, exact_count,
+      |  cm_est - exact_count AS overestimate
+      |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w11_heavy_hitters" -> (w11HeavyHitters _),
     "w10_interval_join" -> (w10IntervalJoin _),
     "w9_partition_pruned" -> (w9PartitionPruned _),
     "w8_pivot_daily" -> (w8PivotDaily _),
@@ -338,6 +408,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w11_heavy_hitters" -> w11Sql,
     "w10_interval_join" -> w10Sql,
     "w9_partition_pruned" -> w9Sql,
     "w8_pivot_daily" -> w8Sql,

@@ -1181,7 +1181,102 @@ object Vectors {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * REMOVAL via embedding clusters — cluster the corpus with the coarse
+    * quantizer, compare pairs only WITHIN a cluster, connect pairs above
+    * the cosine threshold into duplicate groups, keep one representative
+    * (min id) per group. Completes the dedup family's decision stage:
+    * d1/d5/d6/d7 find duplicates, d12 clusters exact/fingerprint dups —
+    * this is the same clustering discipline over SEMANTIC similarity.
+    *
+    * Fixture note: like v2/v5, the corpus plants a near-clone of every
+    * vector (random vectors have no semantic dups); clone pairs measure
+    * cosine ≈ 0.999 while the hottest unrelated within-cell pair is
+    * < 0.6 at every fixture SF, so the 0.95 threshold is decisive.
+    *
+    * Scale shape: candidate generation is the IVF cell equi-join (one
+    * shuffle on cell id — never all-pairs; the cell count is the knob
+    * that bounds within-cell pair volume at 100 TB), the duplicate
+    * groups come from the same large-star/small-star O(log² n) rounds
+    * as d12 (executor-local checkpoint rounds here — the edge set is
+    * candidate-pair-sized, not corpus-sized; d12 demonstrates the
+    * durable-table round store), and the keeper rule (min vec_id) is
+    * order-independent.
+    */
+  def v14SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
+    val all = base.select(col("vec_id"), col("v")).unionByName(clone)
+    // centroids learned from the ORIGINAL corpus only; everything
+    // (clones included) is assigned by the same broadcast argmax
+    val assigned = ivfRanked(all, labelMeans(base), maxRank = 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val cos = (dot(col("a.v"), col("b.v")) /
+      (norm(col("a.v")) * norm(col("b.v")))).as("cosine")
+    val edges = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), cos)
+      .filter(col("cosine") >= 0.95)
+      .select(col("src"), col("dst"))
+    val labels = graft.operators.ConnectedComponents.run(
+      all.select(col("vec_id").as("id")), edges)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .filter(col("cluster_size") >= 2)
+      .select(col("comp").as("cluster_id"), col("id").as("vec_id"),
+        col("cluster_size"),
+        when(col("comp") === col("id"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  val v14Sql: String =
+    s"""WITH RECURSIVE base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |e AS MATERIALIZED (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+      |  FROM base),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM e b, cent c) WHERE rn = 1),
+      |n AS MATERIALIZED (SELECT vec_id, v, cell, sqrt(${dotSql("v", "v")}) nrm FROM assigned),
+      |edges AS MATERIALIZED (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.95),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |walk(id, comp) AS (
+      |  SELECT vec_id, vec_id FROM e
+      |  UNION
+      |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+      |sized AS (
+      |  SELECT comp AS cluster_id, id AS vec_id,
+      |    COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |  FROM cc)
+      |SELECT cluster_id, vec_id, cluster_size,
+      |  CAST(CASE WHEN cluster_id = vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sized WHERE cluster_size >= 2 ORDER BY cluster_id, vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v14_semdedup" -> (v14SemDedup _),
     "v13_ivfpq" -> (v13IvfPq _),
     "v12_pq_learned" -> (v12PqLearned _),
     "v11_kmeans_converged" -> (v11KmeansConverged _),
@@ -1197,6 +1292,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v14_semdedup" -> v14Sql,
     "v13_ivfpq" -> v13Sql,
     "v12_pq_learned" -> v12Sql,
     "v11_kmeans_converged" -> v11Sql,

@@ -30,12 +30,15 @@ class PlanAuditSpec extends SparkSpec {
     *  - v12: v9's broadcast-Q x scan-N ADC scoring plus v8's exact
     *    ground-truth side, both deliberate;
     *  - v13: the PQ coder reads the packed one-row codebook broadcast
-    *    (v9's shape); candidate generation itself is the cell equi-join.
+    *    (v9's shape); candidate generation itself is the cell equi-join;
+    *  - v14: cell assignment scores every vector against the 10-row
+    *    broadcast centroid table (v6's coarse-quantizer shape); the
+    *    pair stage itself is the cell equi-join.
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
       "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter",
-      "v12_pq_learned", "v13_ivfpq")
+      "v12_pq_learned", "v13_ivfpq", "v14_semdedup")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -129,6 +132,10 @@ class PlanAuditSpec extends SparkSpec {
       // v13 = cell equi-join + ADC window + recall join
       "v11_kmeans_converged" -> 1, "v12_pq_learned" -> 5,
       "v13_ivfpq" -> 6,
+      // v14: cell pair join + CC star rounds (post-checkpoint) + sizes
+      // join + output sort; w11: sketch agg + exact agg (top-20 is
+      // TakeOrdered, the rank window runs over 20 rows)
+      "v14_semdedup" -> 7, "w11_heavy_hitters" -> 2,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,

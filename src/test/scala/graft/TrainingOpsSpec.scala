@@ -154,6 +154,33 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("v14: every planted clone pairs with its original; keeper is the min id") {
+    val out = graft.queries.Vectors.v14SemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "no duplicate groups found")
+    // each group: one keep=1 row whose vec_id IS the cluster_id
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      val keeps = rows.filter(_._4 == 1L)
+      assert(keeps.length === 1 && keeps.head._2 === cid,
+        s"cluster $cid keeper rule violated")
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid size mismatch")
+    }
+    // the planted structure: clusters are (original, original+1M) pairs
+    assert(out.count(_._4 == 0L) === out.count(_._4 == 1L))
+    assert(out.filter(_._4 == 0L).forall(r => r._2 >= 1000000L),
+      "a non-keeper below the clone offset — an unrelated pair crossed 0.95")
+  }
+
+  test("w11: count-min never underestimates; ranks are contiguous") {
+    val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    rows.foreach { case (rank, est, exact, over) =>
+      assert(over >= 0L, s"rank $rank: CM estimate $est below exact $exact")
+      assert(est - exact === over)
+    }
+  }
+
   test("d20: incremental spans equal the full rebuild, on the fixture and on a planted delta") {
     try {
       // fixture corpus: incremental maintenance reproduces d16 exactly,
