@@ -63,7 +63,13 @@ object Documents {
     *    the text per element_at — O(tokens^2) work per row).
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    shingledOf(spark, docs(spark, dir))
+
+  /** [[shingled]] over an arbitrary (doc_id, text) frame — shared by the
+    * full-corpus pipelines and d21's per-shard incremental signatures.
+    */
+  private def shingledOf(spark: SparkSession, documents: DataFrame): DataFrame =
+    documents
       .filter(size(T.tokens(col("text"))) >= 3)
       // explicit partition count: AQE would coalesce a small
       // REPARTITION_BY_COL exchange back to ONE partition (docs are far
@@ -304,7 +310,24 @@ object Documents {
     * bytes.
     */
   def d6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    // same-bucket pair expansion via BlockedSelfJoin: a hot (band, sig)
+    // bucket is chunk-blocked across tasks instead of materializing K
+    // structs + K^2 pairs inside one collect_list row — the signature
+    // array rides along as join payload, so the overlap estimate is still
+    // a per-pair expression with no re-join
+    val pairs = candidatePairs(spark,
+      bandSignatures(spark, docs(spark, dir)), Seq("band", "sig"), "doc_id",
+      chunkSize = 256, tag = "d6", dir = dir)
+    scoreMinhashPairs(pairs)
+  }
+
+  /** The shingle → minhash → LSH-band signature pipeline over any
+    * (doc_id, text) frame: one row per (doc, band) with the band
+    * signature string and the full 16-lane array as payload — shared by
+    * d6's full-corpus run and d21's per-shard incremental append.
+    */
+  private def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val sh = shingledOf(spark, documents)
       // explode_outer: plain explode triggers InferFiltersFromGenerate,
       // whose size(...)>0 predicate is pushed below the exchange with
       // the whole shingle pipeline inlined (serial re-run on the scan
@@ -324,18 +347,18 @@ object Documents {
       (b * BandSize until (b + 1) * BandSize).map(i =>
         concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"),
           element_at(col("m"), i + 1).cast("string"))): _*)
-    val bandSig = mh.select(col("doc_id"), col("m"),
+    mh.select(col("doc_id"), col("m"),
         explode_outer(array((0 until NumHashes / BandSize).map(b =>
           struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("m"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // same-bucket pair expansion via BlockedSelfJoin: a hot (band, sig)
-    // bucket is chunk-blocked across tasks instead of materializing K
-    // structs + K^2 pairs inside one collect_list row — the signature
-    // array rides along as join payload, so the overlap estimate is still
-    // a per-pair expression with no re-join
-    val pairs = candidatePairs(spark, bandSig, Seq("band", "sig"), "doc_id",
-      chunkSize = 256, tag = "d6", dir = dir)
+  }
+
+  /** The scoring tail shared by d6 and d21: per candidate pair, the
+    * matching-lane fraction estimates Jaccard; threshold, dedup the
+    * multi-band repeats (identical estimate from every band), order.
+    */
+  private def scoreMinhashPairs(pairs: DataFrame): DataFrame = {
     val matches = (0 until NumHashes)
       .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
         .otherwise(0))
@@ -1186,9 +1209,13 @@ object Documents {
       .select(col("doc_id")).distinct()
       .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
       .distinct()
-    val priorSpans = mergeSpans(
-      base.join(oldDup, Seq("h"), "left_semi").select(col("doc_id"), col("pos")), k)
-    val kept = priorSpans.join(affected, Seq("doc_id"), "left_anti")
+    // spans are per-doc, so restricting BEFORE the merge window is
+    // equivalent to merging everything and discarding after — and the
+    // window only sorts the docs whose spans actually survive
+    val kept = mergeSpans(
+      base.join(oldDup, Seq("h"), "left_semi")
+        .join(affected, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pos")), k)
     val recomputed = mergeSpans(
       idx.join(allDup, Seq("h"), "left_semi")
         .join(affected, Seq("doc_id"), "left_semi")
@@ -1200,6 +1227,54 @@ object Documents {
     * full rebuild exactly.
     */
   val d20Sql: String = d16Sql
+
+  /** Incremental MinHash-LSH near-dup — the d20 ingestion story for the
+    * PAIR-based dedup family: when a shard arrives, only the shard is
+    * shingled/min-hashed; its band signatures append into the persisted
+    * signature table as new bucket files, and pair expansion runs ONLY
+    * where new pairs can exist:
+    *  - base-base pairs are exactly the previous run's pairs (a doc's
+    *    signatures are independent of the rest of the corpus, so bucket
+    *    membership of base docs never changes) — re-derived here from
+    *    the table without re-shingling a single base doc (a production
+    *    pipeline reads its previous pair output instead);
+    *  - new pairs can only appear in buckets that RECEIVED a shard doc:
+    *    expand those buckets (chunk-blocked as always) and keep pairs
+    *    with >= 1 shard member.
+    * Union, score, threshold — oracle-checked to equal d6's full rebuild
+    * (same SQL). At 100 TB + a shard, the shingle+hash scan (the
+    * dominant cost) is shard-sized, and the delta expansion touches only
+    * shard-adjacent buckets.
+    */
+  def d21IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val isShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
+    val sig = graft.operators.PersistedIndex.ensure(
+      spark, "graft_sig_inc", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"bands mod=$D20ShardMod") { table =>
+      bandSignatures(spark, docs(spark, dir).filter(!isShard))
+        .write.format("parquet").bucketBy(8, "band", "sig")
+        .sortBy("band", "sig").saveAsTable(table)
+      bandSignatures(spark, docs(spark, dir).filter(isShard))
+        .write.format("parquet").mode("append").bucketBy(8, "band", "sig")
+        .sortBy("band", "sig").saveAsTable(table)
+    }
+    val basePairs = graft.operators.BlockedSelfJoin.pairs(
+      sig.filter(!isShard), Seq("band", "sig"), "doc_id", chunkSize = 256)
+    val shardBuckets = sig.filter(isShard)
+      .select(col("band"), col("sig")).distinct()
+    val delta = graft.operators.BlockedSelfJoin.pairs(
+        sig.join(shardBuckets, Seq("band", "sig"), "left_semi"),
+        Seq("band", "sig"), "doc_id", chunkSize = 256)
+      .filter(pmod(col("a.doc_id"), lit(D20ShardMod)) === 0 ||
+        pmod(col("b.doc_id"), lit(D20ShardMod)) === 0)
+    scoreMinhashPairs(basePairs.unionByName(delta))
+  }
+
+  /** d21's oracle IS d6's: incremental maintenance must reproduce the
+    * full rebuild exactly.
+    */
+  val d21Sql: String = d6Sql
 
   /** Per-language sampling rates (permille) for d17 — the data-mixing
     * config a production run would load from YAML; a lang absent from
@@ -1257,6 +1332,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d21_incremental_neardup" -> (d21IncrementalNeardup _),
     "d20_incremental_spans" -> (d20IncrementalSpans _),
     "d19_dup_ngram_fraction" -> (d19DupNgramFraction _),
     "d18_clip_spans" -> (d18ClipSpans _),
@@ -1278,6 +1354,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d21_incremental_neardup" -> d21Sql,
     "d20_incremental_spans" -> d20Sql,
     "d19_dup_ngram_fraction" -> d19Sql,
     "d18_clip_spans" -> d18Sql,

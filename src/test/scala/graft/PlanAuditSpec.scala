@@ -118,6 +118,10 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d21: base pairs + delta pairs both re-read the persisted bucketed
+      // signature table (shuffle-free bucket joins); only the two
+      // blocked-expansion chunk repartitions remain
+      "d21_incremental_neardup" -> 2,
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join

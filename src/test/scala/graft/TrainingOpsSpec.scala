@@ -181,6 +181,32 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d21: incremental near-dup equals the full rebuild; shard-minted pair surfaces") {
+    try {
+      val full = Documents.d6MinhashLsh(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val inc = Documents.d21IncrementalNeardup(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(inc === full, "incremental near-dup differs from the full rebuild")
+      // planted delta: shard doc 20 clones base doc 1 (new cross-shard
+      // pair), base docs 2/3 share a pre-existing near-dup
+      val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val dir = corpusDir(Seq(
+        1L -> txt, 2L -> (txt + " extra"), 3L -> (txt + " extra"),
+        20L -> txt))
+      val fullD = Documents.d6MinhashLsh(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val incD = Documents.d21IncrementalNeardup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(incD === fullD, "planted-delta incremental differs from rebuild")
+      assert(incD.contains((1L, 20L)), "the shard-minted pair is missing")
+      assert(incD.contains((2L, 3L)), "the pre-existing base pair is missing")
+    } finally {
+      graft.operators.PersistedIndex.dropAll(spark, "graft_sig_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_sig_d6")
+    }
+  }
+
   test("d20: incremental spans equal the full rebuild, on the fixture and on a planted delta") {
     try {
       // fixture corpus: incremental maintenance reproduces d16 exactly,

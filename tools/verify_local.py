@@ -14,9 +14,14 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+import os
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
+not_dumped = []
 for name, sql in sorted(oracle.items()):
+    if not os.path.isdir(f"{outdir}/{name}"):
+        # GRAFT_ONLY subset run: queries Verify didn't dump aren't failures
+        not_dumped.append(name); continue
     try:
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     except Exception as e:
@@ -54,6 +59,8 @@ for name, sql in sorted(oracle.items()):
         passes.append(name)
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
+if not_dumped:
+    print(f"NOT DUMPED (subset run) {len(not_dumped)}: {' '.join(not_dumped)}")
 for n, m in skips: print(f"WARN {n}: {m}")
 for n, m in fails: print(f"FAIL {n}: {m}")
 sys.exit(1 if fails else 0)
