@@ -1331,7 +1331,67 @@ object Documents {
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Temperature-flattened language mixing (tau = 1/2) — the data-mixing
+    * step where the rates are LEARNED from the corpus instead of handed
+    * down by config (d17's form): rate_l = sqrt(n_min / n_l), so the
+    * rarest language keeps everything and a language k times larger is
+    * kept at k^-1/2 — the standard temperature-sampling flattening for
+    * multilingual training mixes. Per-doc fate is then the same
+    * deterministic md5 permille gate as d17 (key salted with "mix:" so
+    * the two samplers draw independent coins).
+    *
+    * Scale shape: the rate table is one |langs|-row aggregate joined
+    * back by broadcast; the gate is a pure projection — no extra corpus
+    * shuffle beyond the final per-lang rollup. Unlike d17, a doc's fate
+    * legitimately changes as the corpus grows (the rates are corpus
+    * statistics); determinism holds GIVEN the rate table, which a
+    * production run would pin per snapshot.
+    */
+  def d22TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate_permille",
+        floor(lit(1000) * sqrt(col("min_n") / col("n_docs").cast("double")))
+          .cast("long"))
+      .select(col("lang"), col("n_docs"), col("rate_permille"))
+    val gate = org.apache.spark.sql.functions.pmod(
+      H.md5NumberBigEndian(
+        concat(col("doc_id").cast("string"), lit(":mix:"), col("lang"))),
+      lit(1000L))
+    docs(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", gate < col("rate_permille"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("rate_permille")).as("rate_permille"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .withColumn("realized_rate", col("n_kept") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val d22Sql: String = {
+    val h = signedBeMd5Sql("CAST(doc_id AS VARCHAR) || ':mix:' || lang")
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |rates AS (
+      |  SELECT lang, n_docs,
+      |    CAST(floor(1000 * sqrt((SELECT MIN(n_docs) FROM counts)
+      |      / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_permille
+      |  FROM counts),
+      |g AS (SELECT d.lang, r.n_docs, r.rate_permille,
+      |        ((($h) % 1000) + 1000) % 1000 < r.rate_permille AS keep
+      |      FROM documents d JOIN rates r USING (lang))
+      |SELECT lang, ANY_VALUE(n_docs) AS n_docs,
+      |  ANY_VALUE(rate_permille) AS rate_permille,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+      |    / CAST(ANY_VALUE(n_docs) AS DOUBLE) AS realized_rate
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d22_temperature_mix" -> (d22TemperatureMix _),
     "d21_incremental_neardup" -> (d21IncrementalNeardup _),
     "d20_incremental_spans" -> (d20IncrementalSpans _),
     "d19_dup_ngram_fraction" -> (d19DupNgramFraction _),
@@ -1354,6 +1414,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d22_temperature_mix" -> d22Sql,
     "d21_incremental_neardup" -> d21Sql,
     "d20_incremental_spans" -> d20Sql,
     "d19_dup_ngram_fraction" -> d19Sql,

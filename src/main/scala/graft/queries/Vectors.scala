@@ -645,7 +645,9 @@ object Vectors {
     * cid, hit=1) — the ground truth every measured-recall query joins
     * against (v8, v12, v13). v1's broadcast-Q x scan-N shape.
     */
-  private def exactTop3(base: DataFrame): DataFrame = {
+  private def exactTop3(base: DataFrame): DataFrame = exactTopK(base, 3)
+
+  private def exactTopK(base: DataFrame, k: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val qfull = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"))
@@ -655,7 +657,7 @@ object Vectors {
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
       .withColumn("er", row_number().over(wq))
-      .filter(col("er") <= 3)
+      .filter(col("er") <= k)
       .select(col("qid"), col("cid"), lit(1L).as("hit"))
   }
 
@@ -1275,7 +1277,102 @@ object Vectors {
       |  CAST(CASE WHEN cluster_id = vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sized WHERE cluster_size >= 2 ORDER BY cluster_id, vec_id""".stripMargin
 
+  private val JlDims = 16
+
+  /** Johnson–Lindenstrauss random projection (64 -> 16 dims) with
+    * in-query measured recall — the dimensionality-REDUCTION stage of the
+    * ANN family (v7 shrinks precision, v9 shrinks via codebooks; v15
+    * shrinks the dimension itself). Each output dim j is a signed dot
+    * against a +/-1 hyperplane whose weights come from bit d of
+    * md5("jl:j") — folded to literal arrays at plan time, so projection
+    * is a pure shuffle-free PROJECTION over the corpus (16 codegen'd
+    * VecDotFold loops per row) and both engines replay identical
+    * arithmetic. Scoring then runs entirely in 16-dim space: 4x less
+    * compute and bandwidth per candidate pair, the win that compounds
+    * with IVF cell pruning at 100 TB.
+    *
+    * Recall vs the exact 64-dim top-5 is measured in-query (v8's
+    * pattern). The fixture's random vectors are near-orthogonal, so (as
+    * v2/v5 do) a planted clone per vector makes the measurement
+    * non-vacuous: every query's rank-1 projected neighbor IS its clone —
+    * JL provably preserves the near-duplicate — while the noise tail
+    * shows the distortion a 4x reduction costs on uncorrelated vectors.
+    */
+  def v15RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val b0 = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val clone = b0.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
+    val base = b0.unionByName(clone)
+    val pv = array((0 until JlDims).map { j =>
+      val h = H.md5NumberLowerLocal(s"jl:$j")
+      val weights = array((0 until 64).map(d =>
+        lit((((h >> d) & 1L) * 2 - 1).toDouble)): _*)
+      dot(col("v"), weights)
+    }: _*)
+    val n = base.select(col("vec_id"), pv.as("pv"))
+      .withColumn("pn", sqrt(dot(col("pv"), col("pv"))))
+    val queries = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("pv").as("qpv"), col("pn").as("qpn"))
+    val cands = n.select(col("vec_id").as("cid"), col("pv").as("cpv"),
+      col("pn").as("cpn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cid"))
+    broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qpv"), col("cpv")) / (col("qpn") * col("cpn"))).as("pcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .join(broadcast(exactTopK(base, K)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("pcos"), coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v15Sql: String = {
+    val dot16 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $JlDims),
+         |    i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
+    val proj = (0 until JlDims).map { j =>
+      val h = H.md5NumberLowerLocal(s"jl:$j")
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |    i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)),
+         |    (acc, x) -> acc + x)""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, v FROM b0
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+      |  FROM b0),
+      |p AS (SELECT vec_id, v, [$proj] AS pv FROM base),
+      |n AS (SELECT vec_id, pv, sqrt(${dot16("pv", "pv")}) pn FROM p),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    ${dot16("q.pv", "c.pv")} / (q.pn * c.pn) AS pcos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, pcos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, cid) rank
+      |  FROM scored),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= $K)
+      |SELECT r.qid, r.rank, r.cid, r.pcos,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |FROM ranked r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid
+      |WHERE r.rank <= $K
+      |ORDER BY r.qid, r.rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v15_random_projection" -> (v15RandomProjection _),
     "v14_semdedup" -> (v14SemDedup _),
     "v13_ivfpq" -> (v13IvfPq _),
     "v12_pq_learned" -> (v12PqLearned _),
@@ -1292,6 +1389,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v15_random_projection" -> v15Sql,
     "v14_semdedup" -> v14Sql,
     "v13_ivfpq" -> v13Sql,
     "v12_pq_learned" -> v12Sql,

@@ -33,12 +33,19 @@ class PlanAuditSpec extends SparkSpec {
     *    (v9's shape); candidate generation itself is the cell equi-join;
     *  - v14: cell assignment scores every vector against the 10-row
     *    broadcast centroid table (v6's coarse-quantizer shape); the
-    *    pair stage itself is the cell equi-join.
+    *    pair stage itself is the cell equi-join;
+    *  - v15: brute-force scoring in PROJECTED space (broadcast-Q x
+    *    scan-N by design — the dimension, not the candidate count, is
+    *    what JL reduces) plus v8's exact ground-truth side;
+    *  - d22: the global min language count arrives as a one-row
+    *    broadcast next to the |langs|-row rate table (p4/v7's scalar
+    *    shape).
     */
   private val nestedLoopByDesign =
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
       "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter",
-      "v12_pq_learned", "v13_ivfpq", "v14_semdedup")
+      "v12_pq_learned", "v13_ivfpq", "v14_semdedup", "v15_random_projection",
+      "d22_temperature_mix")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -118,6 +125,10 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d22: the corpus-statistics rate side costs 2 tiny aggs (lang
+      // counts + global min) before broadcast; the corpus itself sees
+      // only the final per-lang rollup + sort
+      "d22_temperature_mix" -> 5,
       // d21: base pairs + delta pairs both re-read the persisted bucketed
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain
@@ -140,6 +151,9 @@ class PlanAuditSpec extends SparkSpec {
       // join + output sort; w11: sketch agg + exact agg (top-20 is
       // TakeOrdered, the rank window runs over 20 rows)
       "v14_semdedup" -> 7, "w11_heavy_hitters" -> 2,
+      // v15: the projection is shuffle-free; the 3 exchanges are the two
+      // top-k windows (projected + exact ground truth) + output sort
+      "v15_random_projection" -> 3,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,

@@ -171,6 +171,34 @@ class TrainingOpsSpec extends SparkSpec {
       "a non-keeper below the clone offset — an unrelated pair crossed 0.95")
   }
 
+  test("v15: JL projection preserves every planted clone at rank 1") {
+    val rows = graft.queries.Vectors.v15RandomProjection(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length === 10, "expected 10 query vectors")
+    rows.filter(_._2 == 1L).foreach { case (qid, _, cid, pcos, hit) =>
+      assert(cid === qid + 1000000L,
+        s"query $qid rank-1 is $cid, not its planted clone")
+      assert(hit === 1L, s"query $qid clone missing from the exact top-5")
+      assert(pcos > 0.99, s"query $qid clone projected cosine $pcos")
+    }
+  }
+
+  test("d22: rarest language keeps everything; rates flatten monotonically") {
+    val rows = graft.queries.Documents.d22TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minN = rows.map(_._2).min
+    rows.foreach { case (lang, n, rate, kept) =>
+      if (n == minN) assert(rate === 1000L, s"rarest lang $lang rate $rate")
+      assert(kept <= n)
+      // tau=1/2: a larger language never gets a larger rate
+      rows.foreach { case (_, n2, rate2, _) =>
+        if (n2 > n) assert(rate2 <= rate, s"flattening not monotone: " +
+          s"n=$n rate=$rate vs n=$n2 rate=$rate2")
+      }
+    }
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
