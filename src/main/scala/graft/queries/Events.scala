@@ -208,6 +208,50 @@ object Events {
       |        < 2305843009213693952 THEN user_id END) * 8 AS estimate
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Quantile sketch by deterministic hash-sampling — w7's mechanics
+    * pointed at ORDER statistics: exact percentiles over a 100 TB group
+    * force the aggregator to hold every distinct value per group, while
+    * a Bernoulli sample on the ROW key (md5 of event_id, lowest 1/8 of
+    * hash space) is a pure predicate — mergeable, bounded-memory, 8x
+    * less aggregation state — whose order statistics converge to the
+    * population's. Both engines compute the sample identically, so the
+    * sketch quantiles (and therefore the in-query error vs the exact
+    * percentiles, the number a user actually wants) hash-match
+    * bit-for-bit; interpolation parity is q24's p*(n-1) contract.
+    */
+  def w12QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.HashFunctions.md5NumberBigEndian(
+      col("event_id").cast("string"))
+    Tables.load(spark, dir, "events")
+      .withColumn("sv", when(h >= 0 && h < (1L << 61), col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("sv")).as("n_sampled"),
+        percentile(col("value"), lit(0.5)).as("p50_exact"),
+        percentile(col("value"), lit(0.95)).as("p95_exact"),
+        percentile(col("sv"), lit(0.5)).as("p50_sketch"),
+        percentile(col("sv"), lit(0.95)).as("p95_sketch"))
+      .withColumn("p50_err", col("p50_sketch") - col("p50_exact"))
+      .withColumn("p95_err", col("p95_sketch") - col("p95_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val w12Sql: String = {
+    val inSample =
+      """CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 17, 16) AS UBIGINT)
+        |      < 2305843009213693952""".stripMargin
+    s"""WITH s AS (SELECT event_type, value,
+      |  CASE WHEN $inSample THEN value END AS sv FROM events)
+      |SELECT event_type, COUNT(*) AS n, COUNT(sv) AS n_sampled,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  quantile_cont(value, 0.95) AS p95_exact,
+      |  quantile_cont(sv, 0.5) AS p50_sketch,
+      |  quantile_cont(sv, 0.95) AS p95_sketch,
+      |  quantile_cont(sv, 0.5) - quantile_cont(value, 0.5) AS p50_err,
+      |  quantile_cont(sv, 0.95) - quantile_cont(value, 0.95) AS p95_err
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** PIVOT: one row per day, one column per event type. Pivot values are
     * passed EXPLICITLY — omitting them makes Spark run a distinct-values
     * job over the whole table before it can even plan, and yields a
@@ -395,6 +439,7 @@ object Events {
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "w12_quantile_sketch" -> (w12QuantileSketch _),
     "w11_heavy_hitters" -> (w11HeavyHitters _),
     "w10_interval_join" -> (w10IntervalJoin _),
     "w9_partition_pruned" -> (w9PartitionPruned _),
@@ -408,6 +453,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w12_quantile_sketch" -> w12Sql,
     "w11_heavy_hitters" -> w11Sql,
     "w10_interval_join" -> w10Sql,
     "w9_partition_pruned" -> w9Sql,

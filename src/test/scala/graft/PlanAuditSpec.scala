@@ -151,6 +151,9 @@ class PlanAuditSpec extends SparkSpec {
       // join + output sort; w11: sketch agg + exact agg (top-20 is
       // TakeOrdered, the rank window runs over 20 rows)
       "v14_semdedup" -> 7, "w11_heavy_hitters" -> 2,
+      // w12: one grouped agg (exact + sketch percentiles fuse into the
+      // same hash aggregate) + output sort
+      "w12_quantile_sketch" -> 2,
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,

@@ -199,6 +199,21 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("w12: sketch sample is ~1/8 and its p50 lands near the exact median") {
+    val rows = graft.queries.Events.w12QuantileSketch(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, ns) = (r.getLong(1), r.getLong(2))
+      // binomial(n, 1/8): crude 4-sigma sanity band
+      val sd = math.sqrt(n * 0.125 * 0.875)
+      assert(math.abs(ns - n * 0.125) <= 4 * sd + 1,
+        s"${r.getString(0)}: sampled $ns of $n")
+      val (p50e, p50s) = (r.getDouble(3), r.getDouble(5))
+      val spread = r.getDouble(4) - p50e // p95 - p50 as a scale yardstick
+      assert(math.abs(p50s - p50e) <= math.max(spread, 1e-9),
+        s"${r.getString(0)}: sketch median $p50s vs exact $p50e")
+    }
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
