@@ -326,7 +326,7 @@ object Documents {
     * signature string and the full 16-lane array as payload — shared by
     * d6's full-corpus run and d21's per-shard incremental append.
     */
-  private def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+  private[graft] def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     val sh = shingledOf(spark, documents)
       // explode_outer: plain explode triggers InferFiltersFromGenerate,
       // whose size(...)>0 predicate is pushed below the exchange with
@@ -341,17 +341,71 @@ object Documents {
           min(WrapMulAdd(col("h"), LaneA(i), LaneB(i))).as(s"m$i")): _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("m"))
-    // band signature = "ii:m,ii:m,..." with i ascending — lpad keeps the
-    // lexicographic layout of the row-wise formulation / oracle
-    def sigCol(b: Int): Column = concat_ws(",",
-      (b * BandSize until (b + 1) * BandSize).map(i =>
-        concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"),
-          element_at(col("m"), i + 1).cast("string"))): _*)
+    explodeBands(mh)
+  }
+
+  /** band signature = "ii:m,ii:m,..." with i ascending — lpad keeps the
+    * lexicographic layout of the row-wise formulation / oracle.
+    */
+  private def bandSigCol(b: Int): Column = concat_ws(",",
+    (b * BandSize until (b + 1) * BandSize).map(i =>
+      concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"),
+        element_at(col("m"), i + 1).cast("string"))): _*)
+
+  /** (doc_id, m) -> one row per (doc, band) with the band signature. */
+  private def explodeBands(mh: DataFrame): DataFrame =
     mh.select(col("doc_id"), col("m"),
         explode_outer(array((0 until NumHashes / BandSize).map(b =>
-          struct(lit(b).as("band"), sigCol(b).as("sig"))): _*)).as("bs"))
+          struct(lit(b).as("band"), bandSigCol(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("m"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** [[bandSignatures]] as a PURE PROJECTION — each doc's 16 MinHash
+    * lanes computed with array HOFs (hash every shingle once, fold each
+    * lane as an array_min) instead of the explode + groupBy pipeline, so
+    * there is no shuffle and no aggregation state. Identical output
+    * (asserted in StreamingOpsSpec), but the right shape for STREAMING
+    * ingestion: a readStream of arriving docs maps straight to band
+    * signatures row-by-row, ready for a stream-static join against the
+    * persisted corpus signature table. The batch pipeline keeps the
+    * explode form (it spreads hot docs across tasks and feeds the
+    * bucketed index write); this form keeps per-row state O(shingles).
+    */
+  def streamingSignatures(documents: DataFrame): DataFrame = {
+    val mh = documents
+      .filter(size(T.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        T.shingles(T.tokens(coalesce(col("text"), lit(""))), 3).as("shs"))
+      .select(col("doc_id"),
+        transform(col("shs"), s => H.md5NumberBigEndian(s)).as("hs"))
+      .select(col("doc_id"), array((0 until NumHashes).map(i =>
+        array_min(transform(col("hs"), h => WrapMulAdd(h, LaneA(i), LaneB(i))))): _*)
+        .as("m"))
+    explodeBands(mh)
+  }
+
+  /** The streaming near-dup gate: arriving docs (a stream or any frame
+    * with doc_id/text) against the CORPUS signature table — one
+    * stream-static equi-join on (band, sig), then d6's matching-lane
+    * estimate per candidate. Emits one row per (incoming doc, corpus
+    * near-dup) at the threshold; docs with no row are novel. This is
+    * d21's ingestion story made continuous: signatures for the arriving
+    * shard only, candidates only from buckets the arrival touches.
+    */
+  def streamNeardup(incoming: DataFrame, corpusSigs: DataFrame): DataFrame = {
+    val matches = (0 until NumHashes)
+      .map(i => when(element_at(col("m"), i + 1) === element_at(col("cm"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    streamingSignatures(incoming)
+      .join(corpusSigs.select(col("band"), col("sig"),
+          col("doc_id").as("dup_of"), col("m").as("cm")),
+        Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("doc_id", "dup_of")
   }
 
   /** The scoring tail shared by d6 and d21: per candidate pair, the

@@ -220,6 +220,44 @@ class StreamingOpsSpec extends SparkSpec
     assert(got === Set((100L, Some(7L)), (101L, None)))
   }
 
+  test("streaming near-dup: projection signatures equal the batch pipeline; arriving clone flags") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely different words with no overlap whatsoever here today"))
+      .toDF("doc_id", "text")
+
+    // 1. the pure-projection form is row-for-row the batch pipeline
+    val batch = graft.queries.Documents.bandSignatures(spark, docsDf)
+      .collect().map(_.toString).sorted.toSeq
+    val proj = graft.queries.Documents.streamingSignatures(docsDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(proj === batch, "projection signatures differ from the batch pipeline")
+
+    // 2. live stream-static flow: doc 100 clones doc 1 (near-dup must
+    // flag with dup_of=1), doc 101 is novel (no output row)
+    val src = tmp("nd-src"); val ckpt = tmp("nd-ck")
+    Files.write(src.resolve("in.json"), java.util.Arrays.asList(
+      """{"doc_id":100,"text":"alpha beta gamma delta epsilon zeta eta theta iota kappa"}""",
+      """{"doc_id":101,"text":"entirely fresh unseen content streaming in right now friends"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).json(src.toString)
+    val corpusSigs = graft.queries.Documents.bandSignatures(spark, docsDf)
+    val q = graft.queries.Documents.streamNeardup(stream, corpusSigs)
+      .writeStream.format("memory").queryName("nd_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("nd_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(t => (t._1, t._2)) === Set((100L, 1L)),
+      s"expected exactly the planted clone pair, got $got")
+    assert(got.forall(_._3 >= 0.5))
+  }
+
   test("streamIntervalJoin pairs events within the bound, evicts beyond it") {
     val clicks = tmp("cl"); val buys = tmp("by"); val ckpt = tmp("jj-ck")
     Files.write(clicks.resolve("c.json"), java.util.Arrays.asList(
