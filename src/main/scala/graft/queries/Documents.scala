@@ -425,15 +425,17 @@ object Documents {
       .orderBy(col("da"), col("db"))
   }
 
+  // lane constants as (i, a_lo, a_hi, b) on the unsigned view; the
+  // multiply is split at 2^32 so HUGEINT (signed 128-bit) cannot
+  // overflow: u*a_lo < 2^96 and u*a_hi < 2^96
+  private lazy val laneRowsSql: String = (0 until NumHashes).map { i =>
+    val a = LaneA(i); val b = LaneB(i)
+    val aU = BigInt(java.lang.Long.toUnsignedString(a))
+    s"($i, ${aU % (BigInt(1) << 32)}, ${aU >> 32}, ${java.lang.Long.toUnsignedString(b)})"
+  }.mkString(", ")
+
   val d6Sql: String = {
-    // lane constants as (i, a_lo, a_hi, b) on the unsigned view; the
-    // multiply is split at 2^32 so HUGEINT (signed 128-bit) cannot
-    // overflow: u*a_lo < 2^96 and u*a_hi < 2^96
-    val laneRows = (0 until NumHashes).map { i =>
-      val a = LaneA(i); val b = LaneB(i)
-      val aU = BigInt(java.lang.Long.toUnsignedString(a))
-      s"($i, ${aU % (BigInt(1) << 32)}, ${aU >> 32}, ${java.lang.Long.toUnsignedString(b)})"
-    }.mkString(", ")
+    val laneRows = laneRowsSql
     s"""WITH sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -1444,7 +1446,90 @@ object Documents {
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Fuzzy decontamination — p3's exact n-gram semi-join upgraded to
+    * NEAR-duplicate matching: benchmark docs that were lightly reworded
+    * before leaking into the training set slip past exact n-gram
+    * overlap, but still collide in MinHash-LSH band buckets. Both sides
+    * run the d6 signature pipeline; the benchmark side (tiny by nature —
+    * eval suites are KBs against a 100 TB corpus) broadcasts into a
+    * (band, sig) equi-join, so the corpus is scanned once, shuffled
+    * only by the signature groupBy, and never self-joined. Per
+    * contaminated train doc: how many benchmark docs it collides with
+    * and the worst estimated Jaccard — the report a pipeline acts on.
+    *
+    * Fixture: docs with doc_id % 50 == 0 play the benchmark; their
+    * clones (+2000000, text verbatim) are planted into the train side,
+    * so every benchmark doc provably flags its clone at est 1.0 while
+    * natural near-dups surface organically.
+    */
+  def p8FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val isBenchId = pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < 2000000
+    val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val sigs = bandSignatures(spark, d.unionByName(clones))
+    val bench = sigs.filter(isBenchId)
+      .select(col("band"), col("sig"), col("doc_id").as("bench_id"),
+        col("m").as("bm"))
+    val matches = (0 until NumHashes)
+      .map(i => when(element_at(col("m"), i + 1) === element_at(col("bm"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    sigs.filter(!isBenchId)
+      .join(broadcast(bench), Seq("band", "sig"))
+      .select(col("doc_id"), col("bench_id"),
+        (matches / lit(NumHashes.toDouble)).as("est"))
+      .filter(col("est") >= 0.5)
+      .distinct() // same pair from multiple bands has identical est
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("est")).as("max_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p8Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM sh),
+      |lanes AS (SELECT * FROM (VALUES $laneRowsSql) t(i, alo, ahi, b)),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
+      |             THEN 18446744073709551616 ELSE 0 END AS BIGINT)) m
+      |  FROM (SELECT doc_id, i,
+      |          ((CAST(u AS HUGEINT) * alo) % 18446744073709551616
+      |           + ((CAST(u AS HUGEINT) * ahi) % 4294967296) * 4294967296
+      |           + b) % 18446744073709551616 AS x
+      |        FROM hs, lanes)
+      |  GROUP BY doc_id, i),
+      |bs AS (
+      |  SELECT doc_id, CAST(i / $BandSize AS INT) band,
+      |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT t.doc_id, bq.doc_id bench_id
+      |  FROM bs t JOIN bs bq ON t.band = bq.band AND t.sig = bq.sig
+      |  WHERE (bq.doc_id % 50 = 0 AND bq.doc_id < 2000000)
+      |    AND NOT (t.doc_id % 50 = 0 AND t.doc_id < 2000000)),
+      |est AS (
+      |  SELECT c.doc_id, c.bench_id,
+      |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / ${NumHashes.toDouble} est
+      |  FROM cand c JOIN mh ma ON c.doc_id = ma.doc_id
+      |    JOIN mh mb ON c.bench_id = mb.doc_id AND ma.i = mb.i
+      |  GROUP BY c.doc_id, c.bench_id)
+      |SELECT doc_id, COUNT(*) AS n_bench_hits, MAX(est) AS max_est_jaccard
+      |FROM est WHERE est >= 0.5
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p8_fuzzy_decontaminate" -> (p8FuzzyDecontaminate _),
     "d22_temperature_mix" -> (d22TemperatureMix _),
     "d21_incremental_neardup" -> (d21IncrementalNeardup _),
     "d20_incremental_spans" -> (d20IncrementalSpans _),
@@ -1468,6 +1553,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "p8_fuzzy_decontaminate" -> p8Sql,
     "d22_temperature_mix" -> d22Sql,
     "d21_incremental_neardup" -> d21Sql,
     "d20_incremental_spans" -> d20Sql,

@@ -129,6 +129,9 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // p8: signature groupBy + final per-doc agg + sort; the benchmark
+      // side broadcasts, so the (band,sig) join itself is exchange-free
+      "p8_fuzzy_decontaminate" -> 3,
       // d21: base pairs + delta pairs both re-read the persisted bucketed
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain

@@ -214,6 +214,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p8: every planted clone flags its benchmark source at est 1.0") {
+    val rows = graft.queries.Documents.p8FuzzyDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flagged = rows.map(_._1).toSet
+    // every planted clone (bench doc + 2000000) must be flagged, at 1.0
+    val clones = rows.filter(_._1 >= 2000000L)
+    assert(clones.nonEmpty, "no planted clone was flagged")
+    clones.foreach { case (id, _, mx) =>
+      assert(mx === 1.0, s"clone $id flagged below 1.0: $mx") }
+    // benchmark docs themselves never appear on the train side
+    assert(!flagged.exists(id => id % 50 == 0 && id < 2000000),
+      "a benchmark doc flagged itself")
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
