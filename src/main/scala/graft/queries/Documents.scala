@@ -30,8 +30,8 @@ object Documents {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 16
-  private val BandSize = 4 // 4 bands x 4 rows
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4 // 4 bands x 4 rows
 
   /** DuckDB twin of HashFunctions.md5NumberBigEndian: bytes 8..15 of the
     * md5 hex, parsed big-endian, two's-complement mapped to BIGINT.
@@ -326,16 +326,22 @@ object Documents {
     * signature string and the full 16-lane array as payload — shared by
     * d6's full-corpus run and d21's per-shard incremental append.
     */
-  private[graft] def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val sh = shingledOf(spark, documents)
+  private[graft] def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame =
+    minhashBands(shingledOf(spark, documents)
       // explode_outer: plain explode triggers InferFiltersFromGenerate,
       // whose size(...)>0 predicate is pushed below the exchange with
       // the whole shingle pipeline inlined (serial re-run on the scan
       // partition); upstream size(tokens)>=3 already guarantees
       // non-empty arrays.
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
-      .select(col("doc_id"), H.md5NumberBigEndian(col("s")).as("h"))
-    val mh = sh.groupBy(col("doc_id")).agg(
+      .select(col("doc_id"), H.md5NumberBigEndian(col("s")).as("h")))
+
+  /** The MinHash lane fold + band explode over any pre-hashed (doc_id, h)
+    * item stream — text shingles (d6/d21), media frame fingerprints (m4):
+    * one groupBy computing all 16 lane minima as partial aggregates.
+    */
+  private[graft] def minhashBands(hashed: DataFrame): DataFrame = {
+    val mh = hashed.groupBy(col("doc_id")).agg(
         min(WrapMulAdd(col("h"), LaneA(0), LaneB(0))).as("m0"),
         (1 until NumHashes).map(i =>
           min(WrapMulAdd(col("h"), LaneA(i), LaneB(i))).as(s"m$i")): _*)
@@ -412,7 +418,7 @@ object Documents {
     * matching-lane fraction estimates Jaccard; threshold, dedup the
     * multi-band repeats (identical estimate from every band), order.
     */
-  private def scoreMinhashPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def scoreMinhashPairs(pairs: DataFrame): DataFrame = {
     val matches = (0 until NumHashes)
       .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
         .otherwise(0))
@@ -428,7 +434,7 @@ object Documents {
   // lane constants as (i, a_lo, a_hi, b) on the unsigned view; the
   // multiply is split at 2^32 so HUGEINT (signed 128-bit) cannot
   // overflow: u*a_lo < 2^96 and u*a_hi < 2^96
-  private lazy val laneRowsSql: String = (0 until NumHashes).map { i =>
+  private[graft] lazy val laneRowsSql: String = (0 until NumHashes).map { i =>
     val a = LaneA(i); val b = LaneB(i)
     val aU = BigInt(java.lang.Long.toUnsignedString(a))
     s"($i, ${aU % (BigInt(1) << 32)}, ${aU >> 32}, ${java.lang.Long.toUnsignedString(b)})"
@@ -454,7 +460,7 @@ object Documents {
       |        FROM hs, lanes)
       |  GROUP BY doc_id, i),
       |bs AS (
-      |  SELECT doc_id, CAST(i / $BandSize AS INT) band,
+      |  SELECT doc_id, CAST(i // $BandSize AS INT) band,
       |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
       |  FROM mh GROUP BY 1, 2),
       |cand AS (
@@ -1510,7 +1516,7 @@ object Documents {
       |        FROM hs, lanes)
       |  GROUP BY doc_id, i),
       |bs AS (
-      |  SELECT doc_id, CAST(i / $BandSize AS INT) band,
+      |  SELECT doc_id, CAST(i // $BandSize AS INT) band,
       |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
       |  FROM mh GROUP BY 1, 2),
       |cand AS (

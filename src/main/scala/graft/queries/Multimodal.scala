@@ -112,12 +112,75 @@ object MultimodalQ {
       |  COUNT(DISTINCT md5(frame)) AS n_distinct_frames
       |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Frame-fingerprint near-dup — the content-ID shape for video/audio
+    * dedup: two media near-duplicate when their FRAME SETS overlap, so
+    * MinHash runs over m3's sampled frames instead of text shingles
+    * (one md5 per frame, d6's 16 lanes via [[Documents.minhashBands]],
+    * LSH band buckets, chunk-blocked pair expansion, matching-lane
+    * estimate >= 0.5). A one-byte corruption of a long payload changes
+    * only the frames covering that byte, so the planted mutants (+1M,
+    * first byte flipped) keep ~95% frame overlap and provably flag —
+    * the robustness exact content_hash dedup (m1) cannot give.
+    */
+  def m4FrameNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text").as("payload"))
+    val mut = d.select((col("media_id") + 1000000).as("media_id"),
+      concat(lit("z"), col("payload").substr(lit(2), length(col("payload"))))
+        .as("payload"))
+    val frames = M.sampleFrames(d.unionByName(mut), frameSize = 16, stride = 8)
+      .select(col("media_id").as("doc_id"),
+        graft.functions.HashFunctions.md5NumberBigEndian(col("frame")).as("h"))
+    val pairs = graft.operators.BlockedSelfJoin.pairs(
+      Documents.minhashBands(frames), Seq("band", "sig"), "doc_id",
+      chunkSize = 256)
+    Documents.scoreMinhashPairs(pairs)
+  }
+
+  val m4Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'z' || substring(text, 2) FROM documents),
+      |f AS (
+      |  SELECT DISTINCT doc_id, substring(text, (i - 1) * 8 + 1, 16) AS s
+      |  FROM corpus, LATERAL (SELECT unnest(generate_series(1,
+      |    CASE WHEN length(text) >= 16
+      |         THEN (length(text) - 16) // 8 + 1 ELSE 0 END)) AS i)),
+      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM f),
+      |lanes AS (SELECT * FROM (VALUES ${Documents.laneRowsSql}) t(i, alo, ahi, b)),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
+      |             THEN 18446744073709551616 ELSE 0 END AS BIGINT)) m
+      |  FROM (SELECT doc_id, i,
+      |          ((CAST(u AS HUGEINT) * alo) % 18446744073709551616
+      |           + ((CAST(u AS HUGEINT) * ahi) % 4294967296) * 4294967296
+      |           + b) % 18446744073709551616 AS x
+      |        FROM hs, lanes)
+      |  GROUP BY doc_id, i),
+      |bs AS (
+      |  SELECT doc_id, CAST(i // ${Documents.BandSize} AS INT) band,
+      |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id da, y.doc_id db
+      |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      |est AS (
+      |  SELECT da, db,
+      |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / ${Documents.NumHashes.toDouble} est_jaccard
+      |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
+      |  GROUP BY da, db)
+      |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "m4_frame_neardup" -> (m4FrameNeardup _),
     "m1_media_metadata" -> (m1MediaMetadata _),
     "m2_decode_features" -> (m2DecodeFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m4_frame_neardup" -> m4Sql,
     "m1_media_metadata" -> m1Sql,
     "m2_decode_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql)

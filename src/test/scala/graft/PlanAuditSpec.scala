@@ -162,7 +162,10 @@ class PlanAuditSpec extends SparkSpec {
       "v15_random_projection" -> 3,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
-      "m2_decode_features" -> 2, "m3_frame_sample" -> 3, "p1_chunking" -> 2,
+      "m2_decode_features" -> 2, "m3_frame_sample" -> 3,
+      // m4: frame hashes feed the d6 band groupBy + chunk-blocked pair
+      // expansion; same 2-exchange shape as d6 (the sort is TakeOrdered)
+      "m4_frame_neardup" -> 2, "p1_chunking" -> 2,
       "p2_split_assign" -> 2, "p3_decontaminate" -> 3, "p4_tfidf" -> 6,
       "p5_pipeline_e2e" -> 3, "q10_rollup" -> 2, "q11_setops" -> 2,
       "q12_antijoin" -> 2, "q13_part_stats" -> 3, "q14_promo_share" -> 1,
