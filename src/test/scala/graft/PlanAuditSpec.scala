@@ -132,6 +132,10 @@ class PlanAuditSpec extends SparkSpec {
       // p8: signature groupBy + final per-doc agg + sort; the benchmark
       // side broadcasts, so the (band,sig) join itself is exchange-free
       "p8_fuzzy_decontaminate" -> 3,
+      // p9: distinct + repartition + final per-doc agg + output sort; the
+      // 32 KB bitmap build rides a one-time localCheckpoint and the four
+      // lane probes are broadcast joins against its <= 4096 words
+      "p9_bloom_decontaminate" -> 4,
       // d21: base pairs + delta pairs both re-read the persisted bucketed
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain

@@ -228,6 +228,22 @@ class TrainingOpsSpec extends SparkSpec {
       "a benchmark doc flagged itself")
   }
 
+  test("p9: Bloom pre-filter never loses a p3 contamination; false positives visible") {
+    val exact = Pipeline.p3Decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val rows = Pipeline.p9BloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a Bloom filter can false-positive but never false-negative, and the
+    // exact rescoring join strips the false positives out of n_true_hits —
+    // so the docs with a true hit must be EXACTLY p3's contaminated set
+    assert(rows.filter(_._3 > 0).map(_._1).toSet === exact,
+      "true-hit docs diverge from the exact p3 semi-join")
+    rows.foreach { case (id, bloomHits, trueHits, falsePos) =>
+      assert(falsePos === bloomHits - trueHits, s"doc $id: accounting broken")
+      assert(falsePos >= 0 && trueHits >= 0, s"doc $id: negative counts")
+    }
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
