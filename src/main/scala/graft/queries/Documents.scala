@@ -440,9 +440,13 @@ object Documents {
     s"($i, ${aU % (BigInt(1) << 32)}, ${aU >> 32}, ${java.lang.Long.toUnsignedString(b)})"
   }.mkString(", ")
 
-  val d6Sql: String = {
+  /** d6's CTE chain through `est` (candidate pairs + lane-match
+    * estimate), shared by the d6/d21 oracles and d23's cluster oracle
+    * (which extends it with a recursive component walk).
+    */
+  private[graft] lazy val minhashCtesSql: String = {
     val laneRows = laneRowsSql
-    s"""WITH sh AS (
+    s"""sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |       (SELECT unnest(generate_series(1, 100000)) i)
@@ -470,9 +474,12 @@ object Documents {
       |  SELECT da, db,
       |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / ${NumHashes.toDouble} est_jaccard
       |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
-      |  GROUP BY da, db)
-      |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
+      |  GROUP BY da, db)""".stripMargin
   }
+
+  val d6Sql: String =
+    s"""WITH $minhashCtesSql
+      |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
 
   /** SimHash sketches (48-bit to stay in positive int64) + near-dup pairs
     * at hamming distance <= 3, found by pigeonhole banding: the 48 bits
@@ -1534,7 +1541,73 @@ object Documents {
       |FROM est WHERE est >= 0.5
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d23: the purge manifest — the production END of fuzzy dedup.
+    * d6's near-dup pairs become an undirected graph, connected
+    * components (the same large-star/small-star operator as d12) give
+    * transitive duplicate clusters, and each cluster elects ONE keeper:
+    * the member with the highest lexical diversity (the d3 quality
+    * feature — near-identical variants differ in boilerplate/junk, and
+    * the cleanest copy wins), ties to the lowest doc_id. The output is
+    * one row per clustered doc with its keeper and a `kept` flag — the
+    * manifest a 100 TB run anti-joins against the corpus to emit the
+    * training set (what RefinedWeb/Dolma-style pipelines actually ship).
+    *
+    * Scale shape: the pair/cluster machinery is d6 + ConnectedComponents
+    * (banded, chunk-blocked, O(log² n) rounds — no quadratic stage); the
+    * quality join touches only cluster members (a near-dup cluster list
+    * is orders of magnitude smaller than the corpus, and AQE broadcasts
+    * it when it fits); keeper election is one window over the cluster
+    * partitioning — the count and first_value share a single exchange.
+    */
+  def d23CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d6MinhashLsh(spark, dir).select(col("da"), col("db"))
+    val nodes = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id"))).distinct()
+    val labels = graft.operators.ConnectedComponents.run(
+      nodes, pairs.select(col("da").as("src"), col("db").as("dst")))
+    val quality = docs(spark, dir).select(col("doc_id"),
+      T.lexicalDiversity(T.tokens(col("text"))).as("lex_diversity"))
+    val byCluster = Window.partitionBy(col("comp"))
+    val election = Window.partitionBy(col("comp"))
+      .orderBy(col("lex_diversity").desc, col("doc_id"))
+    quality.join(labels, quality("doc_id") === labels("id"))
+      .select(col("comp"), col("doc_id"), col("lex_diversity"))
+      .withColumn("keeper_id", first(col("doc_id")).over(election))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .select(col("comp").as("cluster_id"), col("doc_id"),
+        col("lex_diversity"), col("keeper_id"),
+        when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L).as("kept"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val d23Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+      |nodes AS (SELECT da AS id FROM pairs UNION SELECT db FROM pairs),
+      |sym AS (SELECT da AS s, db AS d FROM pairs
+      |        UNION SELECT db, da FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.d, w.comp FROM walk w JOIN sym s ON s.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+      |q AS (SELECT doc_id,
+      |        len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS lex_diversity
+      |      FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+      |m AS (SELECT cc.comp, cc.id AS doc_id, q.lex_diversity
+      |      FROM cc JOIN q ON cc.id = q.doc_id),
+      |sel AS (SELECT comp AS cluster_id, doc_id, lex_diversity,
+      |  FIRST_VALUE(doc_id) OVER (
+      |    PARTITION BY comp ORDER BY lex_diversity DESC, doc_id) AS keeper_id,
+      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size FROM m)
+      |SELECT cluster_id, doc_id, lex_diversity, keeper_id,
+      |  CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  cluster_size
+      |FROM sel ORDER BY cluster_id, doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d23_canonical_keep" -> (d23CanonicalKeep _),
     "p8_fuzzy_decontaminate" -> (p8FuzzyDecontaminate _),
     "d22_temperature_mix" -> (d22TemperatureMix _),
     "d21_incremental_neardup" -> (d21IncrementalNeardup _),
@@ -1559,6 +1632,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d23_canonical_keep" -> d23Sql,
     "p8_fuzzy_decontaminate" -> p8Sql,
     "d22_temperature_mix" -> d22Sql,
     "d21_incremental_neardup" -> d21Sql,

@@ -143,6 +143,10 @@ class PlanAuditSpec extends SparkSpec {
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join
+      // d23: d6's pair expansion (2) + node distinct + post-fixpoint CC
+      // label join + the quality join + keeper-election window + output
+      // sort — cluster machinery, same class as v14/d20
+      "d23_canonical_keep" -> 8,
       "d16_substring_spans" -> 2, "d17_stratified_sample" -> 2,
       "d18_clip_spans" -> 4, "d19_dup_ngram_fraction" -> 2,
       // d20: dup-status delta (2 h-aggs) + affected-doc semi-joins +

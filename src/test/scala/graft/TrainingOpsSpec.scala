@@ -244,6 +244,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d23: one keeper per cluster, elected by max diversity then min id") {
+    val rows = Documents.d23CanonicalKeep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "no near-dup clusters in the fixture")
+    val pairs = Documents.d6MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === pairs.flatMap(p => Seq(p._1, p._2)).distinct.length,
+      "manifest rows != docs appearing in d6 pairs")
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.map(_._6).distinct === Array(members.length.toLong),
+        s"cluster $cid: cluster_size disagrees with the actual member count")
+      assert(members.count(_._5 == 1L) === 1, s"cluster $cid: != 1 keeper")
+      val keeper = members.find(_._5 == 1L).get
+      assert(members.forall(_._4 == keeper._2),
+        s"cluster $cid: keeper_id column disagrees with the kept row")
+      // election order: (lex_diversity desc, doc_id asc)
+      val expected = members.minBy(m => (-m._3, m._2))
+      assert(keeper._2 === expected._2,
+        s"cluster $cid: keeper ${keeper._2} is not argmax quality ${expected._2}")
+    }
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
