@@ -36,7 +36,7 @@ object Documents {
   /** DuckDB twin of HashFunctions.md5NumberBigEndian: bytes 8..15 of the
     * md5 hex, parsed big-endian, two's-complement mapped to BIGINT.
     */
-  private def signedBeMd5Sql(arg: String): String = {
+  private[graft] def signedBeMd5Sql(arg: String): String = {
     val u = s"CAST('0x' || substring(md5($arg), 17, 16) AS UBIGINT)"
     s"""CAST(CAST($u AS HUGEINT) -
        | CASE WHEN $u >= 9223372036854775808

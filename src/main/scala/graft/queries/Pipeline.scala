@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -469,7 +469,63 @@ object Pipeline {
       |  CAST(COUNT(*) - SUM(is_true) AS BIGINT) AS n_false_pos
       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Epochs / shards for the p10 manifest. Production values would be
+    * e.g. 4 epochs x 10k shards; small constants keep the fixture's
+    * per-shard runs long enough to be meaningful.
+    */
+  private val EpochCount = 2
+  private val ShardCount = 8
+
+  /** p10: deterministic epoch shuffle — the delivery end of the
+    * pipeline. A training run wants each epoch to visit the corpus in a
+    * DIFFERENT pseudorandom order, sharded so loaders stream shards
+    * independently; doing that with a seeded RNG needs global state,
+    * doing it with `ORDER BY rand()` is nondeterministic under retry.
+    * Here a doc's (epoch, shard, position) is a pure function of
+    * (epoch, doc_id): key = md5_64("ep:" || epoch || ":" || doc_id),
+    * shard = pmod(key, S), position = rank of key within the shard — so
+    * the manifest is reproducible under any partitioning, any arrival
+    * order, and any failure/retry, and two epochs induce independent
+    * permutations (the epoch salts the hash).
+    *
+    * Scale shape: no global sort anywhere — the only exchange is the
+    * hash partition by (epoch, shard), and each shard orders locally by
+    * key (at 10k shards a 100 TB corpus sorts ~10 GB per shard slice, a
+    * per-task spill-friendly sort). This is exactly the
+    * repartition + sortWithinPartitions layout the shard WRITE would
+    * use; the manifest form surfaces the position for the oracle.
+    */
+  def p10EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit((EpochCount - 1).toLong))).as("epoch"))
+      .withColumn("key", H.md5NumberBigEndian(concat(
+        lit("ep:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("key"), lit(ShardCount.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val p10Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "'ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH e AS (SELECT unnest(generate_series(0, ${EpochCount - 1})) AS epoch),
+      |k AS (SELECT epoch, doc_id, $h AS key FROM documents, e),
+      |s AS (SELECT epoch,
+      |        ((key % $ShardCount) + $ShardCount) % $ShardCount AS shard,
+      |        doc_id, key FROM k)
+      |SELECT epoch, shard,
+      |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY key, doc_id) AS pos,
+      |  doc_id
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "p10_epoch_shuffle" -> (p10EpochShuffle _),
     "p9_bloom_decontaminate" -> (p9BloomDecontaminate _),
     "p7_profile" -> (p7Profile _),
     "p6_pack_budget" -> (p6PackBudget _),
@@ -480,6 +536,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p10_epoch_shuffle" -> p10Sql,
     "p9_bloom_decontaminate" -> p9Sql,
     "p7_profile" -> p7Sql,
     "p6_pack_budget" -> p6Sql,

@@ -136,6 +136,9 @@ class PlanAuditSpec extends SparkSpec {
       // 32 KB bitmap build rides a one-time localCheckpoint and the four
       // lane probes are broadcast joins against its <= 4096 words
       "p9_bloom_decontaminate" -> 4,
+      // p10: the (epoch, shard) window partition + output sort — no
+      // global sort; shards order locally
+      "p10_epoch_shuffle" -> 2,
       // d21: base pairs + delta pairs both re-read the persisted bucketed
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain

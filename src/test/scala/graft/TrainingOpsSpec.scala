@@ -267,6 +267,28 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p10: every epoch permutes the full corpus; epochs are independent orders") {
+    val rows = Pipeline.p10EpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // each epoch covers exactly the corpus, once
+    val docSets = byEpoch.map { case (e, rs) => e -> rs.map(_._4).toSet }
+    assert(docSets(0L) === docSets(1L), "epochs cover different doc sets")
+    assert(byEpoch(0L).length === docSets(0L).size, "a doc appears twice in an epoch")
+    // positions are contiguous 1..n within every shard
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((e, s), rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"epoch $e shard $s: positions not contiguous")
+    }
+    // the two epochs induce genuinely different orders (the salt works):
+    // at least one doc lands in different shards across epochs
+    val shardOf = rows.groupBy(_._1).map { case (e, rs) =>
+      e -> rs.map(r => r._4 -> r._2).toMap }
+    assert(docSets(0L).exists(d => shardOf(0L)(d) != shardOf(1L)(d)),
+      "epoch salt changed no shard assignment at all")
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
