@@ -647,12 +647,14 @@ object Vectors {
     */
   private def exactTop3(base: DataFrame): DataFrame = exactTopK(base, 3)
 
-  private def exactTopK(base: DataFrame, k: Int): DataFrame = {
+  private def exactTopK(
+      base: DataFrame, k: Int, candFilter: Column = lit(true)): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val qfull = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"))
     broadcast(qfull)
-      .join(base.select(col("vec_id").as("cid"), col("v").as("ce")),
+      .join(base.filter(candFilter)
+          .select(col("vec_id").as("cid"), col("v").as("ce")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
@@ -1371,7 +1373,96 @@ object Vectors {
       |ORDER BY r.qid, r.rank""".stripMargin
   }
 
+  /** v16: metadata-FILTERED ANN — the hybrid-search shape every vector
+    * store grew in the last few years (a predicate narrows the corpus;
+    * top-k runs among survivors only). Strategy here is post-filtered
+    * IVF: vectors live in their v6 home cells, each query probes its
+    * top-2 cells (v8's layout), and the metadata predicate
+    * (`vec_id % 3 = 0`, deliberately UNCORRELATED with cell geometry —
+    * a label-correlated filter would make cells all-in/all-out) prunes
+    * candidates BEFORE scoring, so the filter rides the cell equi-join
+    * as a pushed scan predicate instead of a post-rank discard. Recall
+    * is measured in-query against the exact FILTERED brute-force top-3
+    * (the correct ground truth — unfiltered top-3 members that fail the
+    * predicate are not retrievable by any filtered search).
+    *
+    * Scale shape: identical to v8 — broadcast centroid table, one
+    * exchange on the cell id; filtering only thins the candidate side.
+    * The known failure mode this query measures: selective filters
+    * empty out probed cells (cand_flt collapses) — at which point a
+    * production run raises nprobe, which multiplies only query-side
+    * fan-out, not the data layout.
+    */
+  def v16FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val ranked = ivfRanked(base, labelMeans(base), maxRank = 2)
+    val cands = ranked
+      .filter(col("crank") === 1 && pmod(col("vec_id"), lit(3L)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+    val queries = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val approx = broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+      .withColumn("r", row_number().over(wq))
+    val exactFlt = exactTopK(base, 3, pmod(col("vec_id"), lit(3L)) === 0)
+    approx.join(broadcast(exactFlt), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("cand_flt"),
+        sum(when(col("hit") === 1 && col("r") <= 3, 1L).otherwise(0L))
+          .as("hits_at_3"))
+      .orderBy(col("qid"))
+  }
+
+  val v16Sql: String =
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |ranked AS (
+      |  SELECT vec_id, v, cell, rn AS crank FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn <= 2),
+      |n AS (SELECT vec_id, v, cell, crank, sqrt(${dotSql("v", "v")}) nrm FROM ranked),
+      |cands AS (SELECT vec_id cid, v, nrm, cell FROM n
+      |          WHERE crank = 1 AND vec_id % 3 = 0),
+      |q AS (SELECT vec_id qid, v, nrm, cell FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+      |wr AS (
+      |  SELECT qid, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |  FROM scored),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |      AND b.vec_id % 3 = 0)
+      |  WHERE er <= 3)
+      |SELECT w.qid, COUNT(*) AS cand_flt,
+      |  CAST(SUM(CASE WHEN e.cid IS NOT NULL AND w.r <= 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3
+      |FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid
+      |GROUP BY w.qid ORDER BY w.qid""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v16_filtered_ann" -> (v16FilteredAnn _),
     "v15_random_projection" -> (v15RandomProjection _),
     "v14_semdedup" -> (v14SemDedup _),
     "v13_ivfpq" -> (v13IvfPq _),
@@ -1389,6 +1480,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v16_filtered_ann" -> v16Sql,
     "v15_random_projection" -> v15Sql,
     "v14_semdedup" -> v14Sql,
     "v13_ivfpq" -> v13Sql,

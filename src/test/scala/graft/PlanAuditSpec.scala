@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("v1_cosine_topk", "p4_tfidf", "q22_global_customers", "v6_ivf_ann",
       "v7_quantize", "v8_ivf_nprobe", "v9_pq_adc", "v10_kmeans_iter",
       "v12_pq_learned", "v13_ivfpq", "v14_semdedup", "v15_random_projection",
-      "d22_temperature_mix")
+      "d22_temperature_mix",
+      //  - v16: carries v8's exact ground-truth side, restricted to the
+      //    filtered corpus (the same deliberate broadcast-Q x scan-N)
+      "v16_filtered_ann")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -198,6 +201,9 @@ class PlanAuditSpec extends SparkSpec {
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,
       "v4_label_centroids" -> 2, "v5_embedding_neardup" -> 1,
       "v6_ivf_ann" -> 2, "v7_quantize" -> 3, "v8_ivf_nprobe" -> 3,
+      // v16: v8's shape (cell equi-join off the checkpointed assignment
+      // + recall window + output sort); the metadata filter adds nothing
+      "v16_filtered_ann" -> 3,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

@@ -108,6 +108,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: filtered ANN candidates are a subset of the unfiltered 2-probe set") {
+    val sf = "/root/testdata/sf0.001"
+    val v8 = graft.queries.Vectors.v8IvfNprobe(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // qid -> cand_2p
+    val rows = graft.queries.Vectors.v16FilteredAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, candFlt, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(hits <= math.min(3L, candFlt),
+        s"qid=$qid: $hits hits from $candFlt candidates")
+      // the metadata predicate only THINS the same probed cells
+      assert(candFlt <= v8(qid),
+        s"qid=$qid: filtered candidates $candFlt exceed unfiltered ${v8(qid)}")
+    }
+  }
+
   test("property: schema transform never drops and never invents rows") {
     import spark.implicits._
     val config = TableConfig("T", Seq(
