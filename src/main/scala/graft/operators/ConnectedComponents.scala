@@ -81,6 +81,48 @@ object ConnectedComponents {
     }
   }
 
+  /** Last minted [[freshTableRounds]] prefix per family, so the NEXT run
+    * of the same family can reclaim the previous run's surviving final
+    * table (by then its labels have necessarily been consumed). */
+  private val lastPrefixByFamily =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A fresh durable [[TableRounds]] for a query family (e.g.
+    * `cc_d12`): mints a per-run unique prefix — two concurrent runs (or
+    * two sessions sharing a warehouse) never drop each other's round
+    * tables mid-iteration — reclaims THIS family's previous-run final
+    * table, and sweeps warehouse dirs orphaned by earlier JVMs.
+    */
+  def freshTableRounds(spark: SparkSession, family: String): TableRounds = {
+    val prefix = s"${family}_${java.lang.Long.toHexString(System.nanoTime())}"
+    Option(lastPrefixByFamily.put(family, prefix))
+      .foreach(p => TableRounds(spark, p).reset())
+    sweepOrphanRoundDirs(spark, family)
+    TableRounds(spark, prefix)
+  }
+
+  /** Remove round-table DIRECTORIES orphaned by earlier JVMs: the
+    * in-memory catalog forgets `<family>_*` tables at process exit while
+    * their warehouse dirs survive, so repeated bench/verify processes
+    * would otherwise accumulate one final-table dir each. Only dirs not
+    * in THIS session's catalog and untouched for >30 min are removed —
+    * a concurrently running query (unique prefix, minutes old) is never
+    * swept.
+    */
+  private def sweepOrphanRoundDirs(spark: SparkSession, family: String): Unit = {
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(warehouse)) return
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    fs.listStatus(warehouse).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"${family}_") && st.getModificationTime < cutoff &&
+          !spark.catalog.tableExists(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** large-star: for each node u (over the symmetric adjacency), emit
     * (v, min(Γ(u) ∪ u)) for every neighbor v > u. Output stays oriented
     * src > dst. Preserves connectivity; never drops a component member.

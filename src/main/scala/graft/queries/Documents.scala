@@ -691,35 +691,6 @@ object Documents {
     * on full Unicode case mapping (ß → SS), but both collapse `\s+`
     * identically, so the oracle replays the fingerprint bit-for-bit.
     */
-  /** Prefix of the previous d12 run's round tables (this JVM): the next
-    * run drops them — by then their labels are consumed — so repeated
-    * bench/verify invocations don't accumulate tables in the warehouse.
-    */
-  private val lastCcPrefix =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
-  /** Remove round-table DIRECTORIES orphaned by earlier JVMs: the
-    * in-memory catalog forgets `cc_d12_*` tables at process exit while
-    * their warehouse dirs survive, so repeated bench/verify processes
-    * would otherwise accumulate one final-table dir each. Only dirs not
-    * in THIS session's catalog and untouched for >30 min are removed —
-    * a concurrently running d12 (unique prefix, minutes old) is never
-    * swept.
-    */
-  private def sweepOrphanRoundDirs(spark: SparkSession): Unit = {
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
-    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(warehouse)) return
-    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    fs.listStatus(warehouse).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("cc_d12_") && st.getModificationTime < cutoff &&
-          !spark.catalog.tableExists(n))
-        fs.delete(st.getPath, true)
-    }
-  }
-
   def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     // the +1M/+2M copy offsets require doc_id < 1e6 — a collision would
@@ -745,18 +716,12 @@ object Documents {
       .select(col("doc_id").as("src"), min(col("doc_id")).over(wb).as("dst"))
       .filter(col("src") =!= col("dst"))
     // durable rounds: each star iteration persists to a bucketed catalog
-    // table, so executor loss recomputes from parquet (VERDICT r2 #2).
-    // The prefix is per-run unique so two concurrent d12 runs (or two
-    // sessions sharing a warehouse) never drop each other's round tables
-    // mid-iteration; the PREVIOUS run's surviving final table is
-    // reclaimed here, once its labels have necessarily been consumed.
-    val prefix = s"cc_d12_${java.lang.Long.toHexString(System.nanoTime())}"
-    Option(lastCcPrefix.getAndSet(prefix)).foreach(p =>
-      graft.operators.ConnectedComponents.TableRounds(spark, p).reset())
-    sweepOrphanRoundDirs(spark)
+    // table, so executor loss recomputes from parquet (VERDICT r2 #2);
+    // freshTableRounds handles the per-run unique prefix, previous-run
+    // reclamation, and orphan-dir sweep
     val labels = graft.operators.ConnectedComponents.run(
       corpus.select(col("doc_id").as("id")), edges,
-      store = graft.operators.ConnectedComponents.TableRounds(spark, prefix))
+      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d12"))
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)
@@ -1564,7 +1529,8 @@ object Documents {
     val nodes = pairs.select(col("da").as("id"))
       .unionByName(pairs.select(col("db").as("id"))).distinct()
     val labels = graft.operators.ConnectedComponents.run(
-      nodes, pairs.select(col("da").as("src"), col("db").as("dst")))
+      nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
+      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d23"))
     val quality = docs(spark, dir).select(col("doc_id"),
       T.lexicalDiversity(T.tokens(col("text"))).as("lex_diversity"))
     val byCluster = Window.partitionBy(col("comp"))

@@ -1227,7 +1227,8 @@ object Vectors {
       .filter(col("cosine") >= 0.95)
       .select(col("src"), col("dst"))
     val labels = graft.operators.ConnectedComponents.run(
-      all.select(col("vec_id").as("id")), edges)
+      all.select(col("vec_id").as("id")), edges,
+      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_v14"))
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)

@@ -151,8 +151,9 @@ class PlanAuditSpec extends SparkSpec {
       // sort; clipping adds the span-list agg + corpus join
       // d23: d6's pair expansion (2) + node distinct + post-fixpoint CC
       // label join + the quality join + keeper-election window + output
-      // sort — cluster machinery, same class as v14/d20
-      "d23_canonical_keep" -> 8,
+      // sort; the durable round store reads the final star table from
+      // bucketed parquet (no exchange)
+      "d23_canonical_keep" -> 7,
       "d16_substring_spans" -> 2, "d17_stratified_sample" -> 2,
       "d18_clip_spans" -> 4, "d19_dup_ngram_fraction" -> 2,
       // d20: dup-status delta (2 h-aggs) + affected-doc semi-joins +
@@ -164,10 +165,11 @@ class PlanAuditSpec extends SparkSpec {
       // v13 = cell equi-join + ADC window + recall join
       "v11_kmeans_converged" -> 1, "v12_pq_learned" -> 5,
       "v13_ivfpq" -> 6,
-      // v14: cell pair join + CC star rounds (post-checkpoint) + sizes
-      // join + output sort; w11: sketch agg + exact agg (top-20 is
-      // TakeOrdered, the rank window runs over 20 rows)
-      "v14_semdedup" -> 7, "w11_heavy_hitters" -> 2,
+      // v14: sizes agg + label join + output sort — the CC fixpoint now
+      // reads back from the durable bucketed round table (no exchange);
+      // w11: sketch agg + exact agg (top-20 is TakeOrdered, the rank
+      // window runs over 20 rows)
+      "v14_semdedup" -> 3, "w11_heavy_hitters" -> 2,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,
