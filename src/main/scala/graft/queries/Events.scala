@@ -438,7 +438,69 @@ object Events {
       |  cm_est - exact_count AS overestimate
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** w13: ordered-funnel analysis — per user, the earliest strictly-
+    * increasing view → click → purchase chain: t1 = first view, t2 =
+    * first click AFTER t1, t3 = first purchase AFTER t2. The greedy
+    * earliest chain is the standard funnel semantics (ClickHouse
+    * `windowFunnel`, Amplitude-style) and — unlike "any subsequence
+    * exists" — each step time is a pure function of the event SET
+    * (min over a filtered set), so the result is deterministic under
+    * any partitioning, arrival order, or timestamp ties.
+    *
+    * Physical shape: NO self-joins (the naive funnel is a 3-way
+    * self-join on user_id) — three stacked window minima over the SAME
+    * user partitioning collapse into one exchange + one per-user sort;
+    * the per-user rollup rides the same partitioning. At 100 TB this is
+    * one shuffle of (user, type, ts) triples, nothing else.
+    */
+  def w13Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val us = unix_micros(col("ts"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), us.as("us"))
+      .withColumn("t1_us",
+        min(when(col("event_type") === "view", col("us"))).over(wu))
+      .withColumn("t2_us",
+        min(when(col("event_type") === "click" && col("us") > col("t1_us"),
+          col("us"))).over(wu))
+      .withColumn("t3_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2_us"),
+          col("us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1_us")).as("t1_us"), max(col("t2_us")).as("t2_us"),
+        max(col("t3_us")).as("t3_us"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3L)
+          .when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L)
+          .otherwise(0L).as("steps_reached"))
+      .orderBy(col("user_id"))
+  }
+
+  val w13Sql: String =
+    """WITH l1 AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id) AS t1_us
+      |  FROM events),
+      |l2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS t2_us
+      |  FROM l1),
+      |l3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS t3_us
+      |  FROM l2)
+      |SELECT user_id, MAX(t1_us) AS t1_us, MAX(t2_us) AS t2_us,
+      |  MAX(t3_us) AS t3_us,
+      |  CAST(CASE WHEN MAX(t3_us) IS NOT NULL THEN 3
+      |            WHEN MAX(t2_us) IS NOT NULL THEN 2
+      |            WHEN MAX(t1_us) IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS steps_reached
+      |FROM l3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w13_funnel" -> (w13Funnel _),
     "w12_quantile_sketch" -> (w12QuantileSketch _),
     "w11_heavy_hitters" -> (w11HeavyHitters _),
     "w10_interval_join" -> (w10IntervalJoin _),
@@ -453,6 +515,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w13_funnel" -> w13Sql,
     "w12_quantile_sketch" -> w12Sql,
     "w11_heavy_hitters" -> w11Sql,
     "w10_interval_join" -> w10Sql,

@@ -173,6 +173,10 @@ class PlanAuditSpec extends SparkSpec {
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,
+      // w13: the user partition (three stacked window minima + the
+      // rollup share it) + output sort — the naive funnel is a 3-way
+      // self-join
+      "w13_funnel" -> 2,
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,

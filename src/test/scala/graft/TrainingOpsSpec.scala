@@ -289,6 +289,30 @@ class TrainingOpsSpec extends SparkSpec {
       "epoch salt changed no shard assignment at all")
   }
 
+  test("w13: funnel equals the naive per-user greedy chain") {
+    val rows = Events.w13Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))).toMap
+    // naive recompute from the raw events (small fixture)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      def firstAfter(tpe: String, after: Option[Long]): Option[Long] =
+        after.flatMap(a => es.filter(e => e._2 == tpe && e._3 > a)
+          .map(_._3).sorted.headOption)
+      val t1 = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = firstAfter("click", t1)
+      val t3 = firstAfter("purchase", t2)
+      val steps = Seq(t1, t2, t3).takeWhile(_.isDefined).length.toLong
+      assert(rows(u) === ((t1, t2, t3, steps)), s"user $u funnel mismatch")
+    }
+    assert(rows.keySet === ev.map(_._1).toSet)
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
