@@ -499,7 +499,48 @@ object Events {
       |            ELSE 0 END AS BIGINT) AS steps_reached
       |FROM l3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** w14: cohort retention — users grouped by their first active day
+    * (the cohort), then for every later active day the cohort's surviving
+    * distinct-user count and its rate vs the cohort's own day-0 size.
+    * The other half of the product-analytics pair next to w13's funnel.
+    *
+    * Physical shape: the (user, day) activity grid is DISTINCT'd FIRST
+    * (shrinks events to at most users x days before anything else), the
+    * per-user cohort day is a window min over that grid, the rollup is
+    * one hash agg, and the day-0 denominator arrives via a window over
+    * the (tiny) cohort x offset result — no join back, no second scan.
+    */
+  def w14Retention(spark: SparkSession, dir: String): DataFrame = {
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(wu))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) is unique per row
+      .withColumn("retention",
+        col("n_users").cast("double") / first(col("n_users")).over(wc))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val w14Sql: String =
+    """WITH grid AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day,
+      |        MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      |      FROM grid),
+      |r AS (SELECT cohort_day, day - cohort_day AS day_offset,
+      |        COUNT(*) AS n_users
+      |      FROM c GROUP BY 1, 2)
+      |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset, n_users,
+      |  CAST(n_users AS DOUBLE) / FIRST_VALUE(n_users) OVER (
+      |    PARTITION BY cohort_day ORDER BY day_offset) AS retention
+      |FROM r ORDER BY cohort_day, day_offset""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w14_retention" -> (w14Retention _),
     "w13_funnel" -> (w13Funnel _),
     "w12_quantile_sketch" -> (w12QuantileSketch _),
     "w11_heavy_hitters" -> (w11HeavyHitters _),
@@ -515,6 +556,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w14_retention" -> w14Sql,
     "w13_funnel" -> w13Sql,
     "w12_quantile_sketch" -> w12Sql,
     "w11_heavy_hitters" -> w11Sql,

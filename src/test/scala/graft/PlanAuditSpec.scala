@@ -177,6 +177,10 @@ class PlanAuditSpec extends SparkSpec {
       // rollup share it) + output sort — the naive funnel is a 3-way
       // self-join
       "w13_funnel" -> 2,
+      // w14: grid distinct + user window + cohort rollup + the tiny
+      // cohort-denominator window + output sort; everything after the
+      // distinct runs on at most users x days rows
+      "w14_retention" -> 5,
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,

@@ -313,6 +313,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("w14: retention is 1.0 at day 0 and counts sum to the activity grid") {
+    val rows = Events.w14Retention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c has no day-0 row")
+      assert(day0.get._4 === 1.0, s"cohort $c: day-0 retention != 1.0")
+      rs.foreach { r =>
+        assert(r._4 > 0.0 && r._4 <= 1.0 + 1e-12,
+          s"cohort $c offset ${r._2}: retention ${r._4} out of range")
+      }
+    }
+    // total user-day cells must equal the distinct activity grid
+    val grid = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct().count()
+    assert(rows.map(_._3).sum === grid, "retention cells lose or invent user-days")
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
