@@ -1506,6 +1506,94 @@ object Documents {
       |FROM est WHERE est >= 0.5
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d24: the composite quality GATE — the Gopher-style keep/drop
+    * verdict that turns the separate feature queries (d3 quality
+    * features, d19 repetition) into one decision per document, with the
+    * per-rule outcome visible as a bitmask (bit i set = rule i FAILED):
+    *   0: too short (n_tokens < 40)
+    *   1: degenerate token lengths (mean outside [3, 4.75] — bounds
+    *      scaled to the fixture's vocabulary, like DecontamN)
+    *   2: too few function words (stopword_ratio < 0.05)
+    *   3: low lexical diversity (<= 0.3)
+    *   4: repetitive (duplicated-3-gram instance fraction > 0.05)
+    * A production filter needs the mask, not just the verdict — rule
+    * hit-rates are how thresholds get tuned and documented.
+    *
+    * Scale shape: one pure projection per document (the d19 fold runs
+    * over each doc's own sorted k-gram array — no shuffle, no pairs),
+    * then only the output sort. Reads the corpus once for all five
+    * rules where the oracle scans it twice and shuffles for the dup
+    * fraction.
+    */
+  def d24QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val fold = aggregate(col("g3"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("d")),
+      (acc, x) => {
+        val same = x <=> acc.getField("p")
+        val closed = acc.getField("d") +
+          when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L))
+        struct(x.as("p"),
+          when(same, acc.getField("r") + 1).otherwise(lit(1L)).as("r"),
+          when(same, acc.getField("d")).otherwise(closed).as("d"))
+      },
+      acc => acc.getField("d") +
+        when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L)))
+    val fails = Seq(
+      col("n_tokens") < 40,
+      col("mean_tok_len") < 3.0 || col("mean_tok_len") > 4.75,
+      col("stopword_ratio") < 0.05,
+      col("lex_diversity") <= 0.3,
+      col("dup_frac") > 0.05)
+    val mask = fails.zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        array_sort(T.kgrams(col("toks"), 3)).as("g3"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        T.meanTokenLength(col("toks")).as("mean_tok_len"),
+        T.stopwordRatio(col("toks")).as("stopword_ratio"),
+        T.lexicalDiversity(col("toks")).as("lex_diversity"),
+        when(size(col("toks")) >= 3,
+          fold / size(col("g3")).cast("double")).otherwise(lit(0.0))
+          .as("dup_frac"))
+      .select(col("doc_id"), mask.as("fail_mask"))
+      .select(col("doc_id"), col("fail_mask"),
+        bit_count(col("fail_mask")).cast("long").as("n_rules_failed"),
+        when(col("fail_mask") === 0, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d24Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, len(w) AS n,
+      |  list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) / CAST(len(w) AS DOUBLE) AS mlen,
+      |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) / CAST(len(w) AS DOUBLE) AS stop,
+      |  len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS lex
+      |  FROM toks),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(w) - 2),
+      |                              i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM toks WHERE len(w) >= 3),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+      |d AS (SELECT doc_id,
+      |        SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) AS dupf
+      |      FROM c GROUP BY doc_id),
+      |m AS (SELECT f.doc_id,
+      |  (CASE WHEN f.n < 40 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN f.mlen < 3.0 OR f.mlen > 4.75 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN f.stop < 0.05 THEN 4 ELSE 0 END)
+      |  + (CASE WHEN f.lex <= 0.3 THEN 8 ELSE 0 END)
+      |  + (CASE WHEN COALESCE(d.dupf, 0) > 0.05 THEN 16 ELSE 0 END) AS fail_mask
+      |  FROM f LEFT JOIN d ON f.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(fail_mask AS BIGINT) AS fail_mask,
+      |  CAST(bit_count(fail_mask) AS BIGINT) AS n_rules_failed,
+      |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** d23: the purge manifest — the production END of fuzzy dedup.
     * d6's near-dup pairs become an undirected graph, connected
     * components (the same large-star/small-star operator as d12) give
@@ -1573,6 +1661,7 @@ object Documents {
       |FROM sel ORDER BY cluster_id, doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "d24_quality_gate" -> (d24QualityGate _),
     "d23_canonical_keep" -> (d23CanonicalKeep _),
     "p8_fuzzy_decontaminate" -> (p8FuzzyDecontaminate _),
     "d22_temperature_mix" -> (d22TemperatureMix _),
@@ -1598,6 +1687,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d24_quality_gate" -> d24Sql,
     "d23_canonical_keep" -> d23Sql,
     "p8_fuzzy_decontaminate" -> p8Sql,
     "d22_temperature_mix" -> d22Sql,

@@ -154,6 +154,9 @@ class PlanAuditSpec extends SparkSpec {
       // sort; the durable round store reads the final star table from
       // bucketed parquet (no exchange)
       "d23_canonical_keep" -> 7,
+      // d24: one pure projection for all five rules (the d19 fold runs
+      // per-doc) — just the HOF-spread repartition + output sort
+      "d24_quality_gate" -> 2,
       "d16_substring_spans" -> 2, "d17_stratified_sample" -> 2,
       "d18_clip_spans" -> 4, "d19_dup_ngram_fraction" -> 2,
       // d20: dup-status delta (2 h-aggs) + affected-doc semi-joins +

@@ -289,6 +289,32 @@ class TrainingOpsSpec extends SparkSpec {
       "epoch salt changed no shard assignment at all")
   }
 
+  test("d24: every rule fires; the mask agrees with d3 and d19") {
+    val rows = Documents.d24QualityGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    // every rule rejects someone on the fixture, and some docs survive —
+    // a rule that can't fire (or a gate that keeps nothing) is untested
+    (0 until 5).foreach(i => assert(rows.exists(r => (r._2 & (1L << i)) != 0),
+      s"rule $i never fired"))
+    assert(rows.exists(_._4 == 1L) && rows.exists(_._4 == 0L))
+    rows.foreach { case (id, mask, nf, keep) =>
+      assert(nf === java.lang.Long.bitCount(mask).toLong, s"doc $id bit count")
+      assert(keep === (if (mask == 0) 1L else 0L), s"doc $id keep flag")
+    }
+    // bits 0+3 are exactly d3's filter: its output docs pass both
+    val d3Docs = Documents.d3QualityScore(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.filter(r => (r._2 & 9L) == 0).map(_._1).toSet === d3Docs,
+      "length+diversity bits disagree with d3's filter")
+    // bit 4 is exactly d19's dup_frac thresholded (d19 emits only n>=3 docs)
+    Documents.d19DupNgramFraction(spark, sf).collect().foreach { r =>
+      val (id, frac) = (r.getLong(0), r.getDouble(3))
+      assert(((byDoc(id) & 16L) != 0) === (frac > 0.05),
+        s"doc $id: repetition bit disagrees with d19 frac $frac")
+    }
+  }
+
   test("w13: funnel equals the naive per-user greedy chain") {
     val rows = Events.w13Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> (
