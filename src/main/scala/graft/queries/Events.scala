@@ -539,7 +539,64 @@ object Events {
       |    PARTITION BY cohort_day ORDER BY day_offset) AS retention
       |FROM r ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** w15: trailing z-score anomaly detection over the per-minute event
+    * rate, flagged in EXACT integer arithmetic. For each (event_type,
+    * active-minute) the trailing window is the previous 10 ACTIVE
+    * minutes; with S = sum, Q = sum-of-squares and n = 10 over that
+    * window, |z| > 3 rewrites as (n*cnt - S)^2 > 9*(n*Q - S^2) — both
+    * sides integers, so the flag is reproducible bit-for-bit on any
+    * engine (no float mean/stddev to drift in the last ulp). Zero
+    * variance flags any deviation (z = infinity).
+    *
+    * Physical shape: one hash agg to the (type, minute) grid — the big
+    * shrink, events to at most |types| x |minutes| rows — then one
+    * window sort per type over the tiny grid. The trailing frame is
+    * ROWS-based, so a 100 TB backfill needs no gap densification; for
+    * wider deployments partition the series by (type, day) with a
+    * 10-minute carry-in instead of one partition per type.
+    */
+  def w15Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-10, -1)
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") === 10)
+      .filter(
+        when(col("n") * col("q") - col("s") * col("s") === 0,
+          col("n") * col("cnt") =!= col("s"))
+          .otherwise(
+            (col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s")) >
+              lit(9) * (col("n") * col("q") - col("s") * col("s"))))
+      .select(col("event_type"), col("minute"), col("cnt"),
+        col("s").as("win_sum"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+
+  val w15Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('minute', ts) AS minute, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, minute, cnt,
+      |    COUNT(*) OVER w AS n, SUM(cnt) OVER w AS s, SUM(cnt*cnt) OVER w AS q
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+      |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, minute, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(s AS BIGINT) AS win_sum
+      |FROM t
+      |WHERE n = 10
+      |  AND (CASE WHEN n*q - s*s = 0 THEN n*cnt <> s
+      |            ELSE (n*cnt - s)*(n*cnt - s) > 9*(n*q - s*s) END)
+      |ORDER BY event_type, minute""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w15_anomaly" -> (w15Anomaly _),
     "w14_retention" -> (w14Retention _),
     "w13_funnel" -> (w13Funnel _),
     "w12_quantile_sketch" -> (w12QuantileSketch _),
@@ -556,6 +613,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w15_anomaly" -> w15Sql,
     "w14_retention" -> w14Sql,
     "w13_funnel" -> w13Sql,
     "w12_quantile_sketch" -> w12Sql,

@@ -184,6 +184,9 @@ class PlanAuditSpec extends SparkSpec {
       // cohort-denominator window + output sort; everything after the
       // distinct runs on at most users x days rows
       "w14_retention" -> 5,
+      // w15: (type, minute) grid agg + the type-partitioned trailing
+      // window (both window nodes share one exchange) + output sort
+      "w15_anomaly" -> 3,
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,

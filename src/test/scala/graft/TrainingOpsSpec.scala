@@ -339,6 +339,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("w15: anomaly flags match a brute-force trailing z-score replay") {
+    // sf0.001's minute grid is too sparse to flag anything; the sf0.01
+    // events table (still small) produces a real anomaly set.
+    val sf = "/root/testdata/sf0.01"
+    val rows = Events.w15Anomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture produces no anomalies — test is vacuous")
+    // brute-force replay: per-type minute grid, trailing-10 integer test
+    val grid = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "date_trunc('minute', ts) AS minute")
+      .groupBy("event_type", "minute").count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val expected = grid.groupBy(_._1).flatMap { case (tpe, g) =>
+      val series = g.sortBy(_._2).map(t => (t._2, t._3))
+      series.indices.collect {
+        case i if i >= 10 => // a full trailing window of 10 active minutes
+          val win = series.slice(i - 10, i).map(_._2)
+          val (x, s, q) = (series(i)._2, win.sum, win.map(c => c * c).sum)
+          val n = 10L
+          val flagged =
+            if (n * q - s * s == 0) n * x != s
+            else (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+          (tpe, series(i)._1, x, s, flagged)
+      }.filter(_._5).map(t => (t._1, t._2, t._3, t._4))
+    }.toSet
+    assert(rows.toSet === expected, "w15 flags diverge from brute-force replay")
+  }
+
   test("w14: retention is 1.0 at day 0 and counts sum to the activity grid") {
     val rows = Events.w14Retention(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
