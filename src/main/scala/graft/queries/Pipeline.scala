@@ -524,7 +524,65 @@ object Pipeline {
       |FROM s ORDER BY epoch, shard, pos""".stripMargin
   }
 
+  /** Per-batch token budget for p11. A production value would be the
+    * trainer's context-length x micro-batch product (e.g. 8192 x 16);
+    * 16384 keeps the fixture's buckets multi-batch.
+    */
+  private val BatchTokenBudget = 16384L
+
+  /** p11: sequence-length bucketing — the batching-shape profile a
+    * trainer's data loader needs. Each doc lands in the smallest
+    * power-of-two bucket holding its token count; per bucket the
+    * manifest reports doc count, real tokens, padded slots
+    * (bucket x docs — what the GPU actually processes), and how many
+    * fixed-budget batches the bucket fills at `BatchTokenBudget` tokens
+    * per batch (rows-per-batch = budget DIV bucket — integer division,
+    * padding-aware). Length bucketing is the standard alternative to
+    * p6's dense packing when example boundaries must survive (padding
+    * waste is the price, and this query is the instrument that prices
+    * it).
+    *
+    * Everything is integer arithmetic: the power-of-two ceiling is
+    * 1 << bitlength(n-1) via `bin()` string length — NOT
+    * ceil(log2(n)), whose float round-trip misbuckets exact powers of
+    * two on engines where log(8)/log(2) = 3.0000000000000004. One hash
+    * agg on a derived integer key; scale-free (the grid is at most ~20
+    * buckets regardless of corpus size).
+    */
+  def p11LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("seq_bucket",
+        when(col("n_tokens") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
+      .groupBy(col("seq_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("seq_bucket"), col("n_docs"), col("sum_tokens"),
+        (col("seq_bucket") * col("n_docs")).as("padded_tokens"),
+        when(col("seq_bucket") >= BatchTokenBudget, col("n_docs"))
+          .otherwise(expr(
+            s"(n_docs + ($BatchTokenBudget div seq_bucket) - 1) div ($BatchTokenBudget div seq_bucket)"))
+          .as("n_batches"))
+      .orderBy(col("seq_bucket"))
+
+  val p11Sql: String =
+    s"""WITH d AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens <= 1 THEN 1
+      |         ELSE 1 << length(bin(n_tokens - 1)) END AS seq_bucket
+      |  FROM d)
+      |SELECT CAST(seq_bucket AS BIGINT) AS seq_bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(seq_bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+      |  CAST(CASE WHEN seq_bucket >= $BatchTokenBudget THEN COUNT(*)
+      |       ELSE (COUNT(*) + ($BatchTokenBudget // seq_bucket) - 1)
+      |            // ($BatchTokenBudget // seq_bucket) END AS BIGINT) AS n_batches
+      |FROM b GROUP BY seq_bucket ORDER BY seq_bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p11_length_buckets" -> (p11LengthBuckets _),
     "p10_epoch_shuffle" -> (p10EpochShuffle _),
     "p9_bloom_decontaminate" -> (p9BloomDecontaminate _),
     "p7_profile" -> (p7Profile _),
@@ -536,6 +594,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p11_length_buckets" -> p11Sql,
     "p10_epoch_shuffle" -> p10Sql,
     "p9_bloom_decontaminate" -> p9Sql,
     "p7_profile" -> p7Sql,

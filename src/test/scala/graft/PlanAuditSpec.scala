@@ -190,6 +190,8 @@ class PlanAuditSpec extends SparkSpec {
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,
+      // p11: one hash agg on the derived bucket key + output sort
+      "p11_length_buckets" -> 2,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3,

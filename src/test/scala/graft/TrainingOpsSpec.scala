@@ -339,6 +339,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("p11: length buckets match a brute-force replay and conserve docs") {
+    val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val lens = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("CAST(size(split(text, ' ')) AS LONG) AS n").collect().map(_.getLong(0))
+    def bucketOf(n: Long): Long = {
+      var b = 1L; while (b < n) b <<= 1; b
+    }
+    val expected = lens.groupBy(bucketOf).map { case (b, g) =>
+      val budget = 16384L
+      val rowsPerBatch = budget / b
+      val nBatches =
+        if (b >= budget) g.length.toLong
+        else (g.length + rowsPerBatch - 1) / rowsPerBatch
+      (b, g.length.toLong, g.sum, b * g.length, nBatches)
+    }.toSet
+    assert(rows.toSet === expected, "p11 diverges from brute-force bucketing")
+    assert(rows.map(_._2).sum === lens.length.toLong, "p11 loses or invents docs")
+    rows.foreach { r =>
+      assert((r._1 & (r._1 - 1)) == 0L, s"bucket ${r._1} is not a power of two")
+    }
+  }
+
   test("w15: anomaly flags match a brute-force trailing z-score replay") {
     // sf0.001's minute grid is too sparse to flag anything; the sf0.01
     // events table (still small) produces a real anomaly set.
