@@ -1660,7 +1660,87 @@ object Documents {
       |  cluster_size
       |FROM sel ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** Feature-hash width for d25. Production would use 2^18+ buckets;
+    * 4096 keeps collisions present (a real property of hashed features)
+    * while the fixture stats stay broadcastable.
+    */
+  private val AffinityBuckets = 4096L
+
+  /** d25: hashed-bigram domain-affinity scoring — DSIR-style data
+    * selection (Xie et al. 2023: importance resampling on hashed n-gram
+    * features) with the target domain = the `en` slice of the corpus.
+    * Every doc's bigrams hash into `AffinityBuckets` feature buckets;
+    * per bucket the corpus-wide target count `cnt_t` and raw count
+    * `cnt_r` form a linear discriminator, and a doc's affinity is
+    * sum(doc_cnt_f * (cnt_t_f * tot_r - cnt_r_f * tot_t)) — the
+    * cross-multiplied form of "relative frequency under the target vs
+    * under the corpus", kept in EXACT integer arithmetic so the ranking
+    * is engine-reproducible (production at 100 TB would move to
+    * log-ratio doubles for range; the plan shape is identical).
+    *
+    * Physical shape: DSIR's honest two-pass structure — one corpus pass
+    * builds the `AffinityBuckets`-row feature-stats table (partial aggs
+    * push map-side; the probe pass can't share its exchange because its
+    * grouping key includes doc_id), one pass scores docs against the
+    * BROADCAST stats (no shuffle of the doc side). The corpus-wide
+    * totals fold into the stats frame via a whole-frame window — 4096
+    * rows on one partition, deliberately, instead of a third corpus
+    * scan for a scalar — and top-25 is TakeOrdered (no global sort).
+    * Two scans survive any corpus size; only the stats broadcast must
+    * fit on an executor (megabytes).
+    */
+  def d25DomainAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 2)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode_outer(T.kgrams(col("toks"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(H.md5NumberBigEndian(col("g")), lit(AffinityBuckets)).as("f"))
+    val g = bi.groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(lit(1))
+    val stats = g.groupBy(col("f")).agg(
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("cnt_t"),
+      sum(col("cnt")).as("cnt_r"))
+      .withColumn("tot_t", sum(col("cnt_t")).over(wAll))
+      .withColumn("tot_r", sum(col("cnt_r")).over(wAll))
+    g.join(broadcast(stats), "f")
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * (col("cnt_t") * col("tot_r") - col("cnt_r") * col("tot_t")))
+          .as("affinity"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val d25Sql: String = {
+    val h = signedBeMd5Sql("g")
+    val b = AffinityBuckets
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, lang,
+      |         unnest(list_transform(generate_series(1, len(w) - 1),
+      |                               i -> w[i] || ' ' || w[i+1])) AS g
+      |       FROM toks WHERE len(w) >= 2),
+      |fe AS (SELECT doc_id, lang, (($h % $b) + $b) % $b AS f FROM bi),
+      |g AS (SELECT doc_id, lang, f, COUNT(*) AS cnt FROM fe GROUP BY 1, 2, 3),
+      |stats AS (SELECT f,
+      |            SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS cnt_t,
+      |            SUM(cnt) AS cnt_r
+      |          FROM g GROUP BY f),
+      |tot AS (SELECT SUM(cnt_t) AS tot_t, SUM(cnt_r) AS tot_r FROM stats)
+      |SELECT g.doc_id, MAX(g.lang) AS lang,
+      |  CAST(SUM(g.cnt) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(g.cnt * (s.cnt_t * t.tot_r - s.cnt_r * t.tot_t)) AS BIGINT) AS affinity
+      |FROM g JOIN stats s USING (f), tot t
+      |GROUP BY g.doc_id
+      |ORDER BY affinity DESC, g.doc_id LIMIT 25""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d25_domain_affinity" -> (d25DomainAffinity _),
     "d24_quality_gate" -> (d24QualityGate _),
     "d23_canonical_keep" -> (d23CanonicalKeep _),
     "p8_fuzzy_decontaminate" -> (p8FuzzyDecontaminate _),
@@ -1687,6 +1767,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d25_domain_affinity" -> d25Sql,
     "d24_quality_gate" -> d24Sql,
     "d23_canonical_keep" -> d23Sql,
     "p8_fuzzy_decontaminate" -> p8Sql,

@@ -190,6 +190,11 @@ class PlanAuditSpec extends SparkSpec {
       // v15: the projection is shuffle-free; the 3 exchanges are the two
       // top-k windows (projected + exact ground truth) + output sort
       "v15_random_projection" -> 3,
+      // d25: two corpus passes (probe repartition — its per-doc agg
+      // rides the doc_id partitioning — and the stats branch's
+      // repartition + bucket rollup) + the deliberate one-partition
+      // window over the 4096-row stats frame; top-25 is TakeOrdered
+      "d25_domain_affinity" -> 4,
       // p11: one hash agg on the derived bucket key + output sort
       "p11_length_buckets" -> 2,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,

@@ -339,6 +339,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("d25: affinity ranks the target domain first and counts bigrams exactly") {
+    val rows = Documents.d25DomainAffinity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 25)
+    // ranking is strictly ordered (desc affinity, asc doc_id tie-break)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1), "ordering violated")
+    }
+    // the linear discriminator must actually discriminate: the target
+    // domain dominates its own top-25
+    assert(rows.count(_._2 == "en") >= 20,
+      s"top-25 is only ${rows.count(_._2 == "en")}/25 'en' — discriminator broken")
+    // n_bigrams is exact per doc
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) - 1 AS LONG) AS nb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r._3 === expected(r._1), s"doc ${r._1}: n_bigrams off")
+    }
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
