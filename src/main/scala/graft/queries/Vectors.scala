@@ -1462,7 +1462,149 @@ object Vectors {
       |FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid
       |GROUP BY w.qid ORDER BY w.qid""".stripMargin
 
+  /** v17: residual-encoded IVF-PQ — the classic IVFADC layout (Jégou et
+    * al. 2011, "Product quantization for nearest neighbor search", §IV):
+    * vectors quantize AROUND their home centroid, i.e. PQ codes the
+    * RESIDUAL v - c(cell) instead of v itself, and reconstruction is
+    * c(cell) + recon(residual). Residuals concentrate near zero, so the
+    * same 4x16-dim codebook budget spends its entries on a much smaller
+    * ball than v13's direct coding — the accuracy side of the trade is
+    * measured in-query (`exact_hit` vs the brute-force top-3, directly
+    * comparable with v13's column-identical output). The residual
+    * sub-codebooks are per-label residual means — the same deterministic
+    * label-derived discipline as v9/v13's codebooks, one extra
+    * aggregation pass in residual space (a learned variant would drive
+    * v11's Lloyd loop over residuals; the plan shape is identical).
+    *
+    * Scale shape: assignment + residual is one broadcast-centroid
+    * projection (localCheckpointed once, read by the codebook build,
+    * the candidate side, and the query side), coding is a pure
+    * projection against the broadcast codebook, candidate generation is
+    * the cell equi-join — v13's sublinear probe, unchanged. Nothing
+    * new shuffles: the residual trick is free at 100 TB.
+    */
+  def v17IvfAdcResidual(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centLong = labelMeans(base)
+    val centroids = centLong.groupBy(col("label").as("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col("cell"),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("label"), col("cell"), col("v"), col("cvec"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
+      .localCheckpoint(false)
+    val resLong = labelMeans(assigned.select(col("label"), col("r").as("v")))
+    val coded = assigned
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cvec"),
+        col("v").as("cv"), col("r").as("v"))
+      .crossJoin(broadcast(pqBook(resLong)))
+      .select(col("vec_id").as("cid"), col("cell"), col("cv"),
+        zip_with(col("cvec"), pqRecon, (a, b) => a + b).as("recon"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_cosine").desc, col("cid"))
+    broadcast(queries).join(coded, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("recon")) /
+          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+        (dot(col("qe"), col("cv")) /
+          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("adc_cosine"), col("true_cosine"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v17Sql: String = {
+    val subL2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, label, v, cell, cvec,
+      |    list_transform(generate_series(1, 64), i -> v[i] - cvec[i]) AS r
+      |  FROM (
+      |    SELECT b.vec_id, b.label, b.v, c.cell, c.cvec,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1),
+      |rl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(r[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS re9
+      |  FROM assigned, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |rcent AS (
+      |  SELECT label AS rcell, list(CAST(re9 AS DOUBLE) / 1e9 ORDER BY dim) AS rvec
+      |  FROM rl GROUP BY label),
+      |subc AS (
+      |  SELECT rcell, m, rvec[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS csub
+      |  FROM rcent, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |subs AS (
+      |  SELECT vec_id, m, r[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sub
+      |  FROM assigned, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |codes AS (
+      |  SELECT vec_id, m, csub FROM (
+      |    SELECT s.vec_id, s.m, c.csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY ${subL2("s.sub", "c.csub")}, c.rcell) AS rn
+      |    FROM subs s JOIN subc c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |recon AS MATERIALIZED (
+      |  SELECT a.vec_id,
+      |    list_transform(generate_series(1, 64),
+      |      i -> a.cvec[i] + rr.rres[i]) AS recon
+      |  FROM assigned a JOIN (
+      |    SELECT vec_id, flatten(list(csub ORDER BY m)) AS rres
+      |    FROM codes GROUP BY vec_id) rr ON a.vec_id = rr.vec_id),
+      |q AS (SELECT a.vec_id AS qid, a.v AS qe, a.cell FROM assigned a WHERE a.vec_id < 10),
+      |cands AS (
+      |  SELECT a.vec_id AS cid, r.recon, a.v AS cv, a.cell
+      |  FROM assigned a JOIN recon r ON a.vec_id = r.vec_id),
+      |scored AS (
+      |  SELECT q.qid, c.cid,
+      |    ${dotSql("q.qe", "c.recon")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.recon", "c.recon")})) AS adc_cosine,
+      |    ${dotSql("q.qe", "c.cv")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS true_cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) WHERE er <= 3)
+      |SELECT qid, rank, cid, adc_cosine, true_cosine, exact_hit FROM (
+      |  SELECT s.qid, s.cid, s.adc_cosine, s.true_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.adc_cosine DESC, s.cid) AS rank,
+      |    CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |  FROM scored s LEFT JOIN exact e ON s.qid = e.qid AND s.cid = e.cid)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v17_ivfadc_residual" -> (v17IvfAdcResidual _),
     "v16_filtered_ann" -> (v16FilteredAnn _),
     "v15_random_projection" -> (v15RandomProjection _),
     "v14_semdedup" -> (v14SemDedup _),
@@ -1481,6 +1623,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v17_ivfadc_residual" -> v17Sql,
     "v16_filtered_ann" -> v16Sql,
     "v15_random_projection" -> v15Sql,
     "v14_semdedup" -> v14Sql,

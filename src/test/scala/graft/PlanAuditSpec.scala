@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
       "d22_temperature_mix",
       //  - v16: carries v8's exact ground-truth side, restricted to the
       //    filtered corpus (the same deliberate broadcast-Q x scan-N)
-      "v16_filtered_ann")
+      "v16_filtered_ann",
+      //  - v17: v13's deliberate broadcasts, unchanged — centroid cross
+      //    join for assignment, packed residual codebook, exact truth
+      "v17_ivfadc_residual")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -227,6 +230,9 @@ class PlanAuditSpec extends SparkSpec {
       // v16: v8's shape (cell equi-join off the checkpointed assignment
       // + recall window + output sort); the metadata filter adds nothing
       "v16_filtered_ann" -> 3,
+      // v17: v13's shape + the residual-codebook aggregation pass over
+      // the checkpointed assignment (coding itself stays a projection)
+      "v17_ivfadc_residual" -> 7,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

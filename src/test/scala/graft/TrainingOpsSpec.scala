@@ -339,6 +339,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("v17: residual IVFADC keeps the v13 contract and measures recall in-query") {
+    val rows = SparkEntry.queries("v17_ivfadc_residual")(spark, sf).collect()
+    assert(rows.length === 30, s"v17 returned ${rows.length} rows")
+    val hits = rows.map(_.getLong(5))
+    assert(hits.forall(h => h == 0L || h == 1L), "v17 hit flag out of range")
+    assert(hits.sum > 0, "v17 measured zero recall")
+    // reconstructions must stay genuine cosines
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "adc_cosine out of range")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, "true_cosine out of range")
+    }
+  }
+
   test("d25: affinity ranks the target domain first and counts bigrams exactly") {
     val rows = Documents.d25DomainAffinity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
