@@ -420,7 +420,60 @@ object Replication {
       |WHERE typ IS NULL OR typ <> 'error'
       |ORDER BY UserId""".stripMargin
 
+  /** r9: SCD2 history + point-in-time lookup over the CDC stream — the
+    * time-travel read the latest-wins replica (r1) deliberately throws
+    * away. Each change record becomes a validity interval
+    * [ver_from, ver_to) via one per-key `lead` window (half-open, so
+    * intervals tile each key's timeline with no gaps/overlaps by
+    * construction); `is_current` marks the open interval of non-deleted
+    * keys — r1's FINAL view is exactly `is_current = 1` — and
+    * `asof_5000` materializes one point-in-time query (state AS OF
+    * version 5000: the interval containing v5000, minus soft deletes).
+    * The reference's ReplacingMergeTree keeps only the winner;
+    * ClickHouse users reach for exactly this interval rewrite when they
+    * need history (a standard SCD2 derivation, e.g. Kimball DW ch. 5).
+    *
+    * Scale shape: ONE hash exchange on the replication key + a per-key
+    * sort — the same partitioning every CDC consumer already has; the
+    * as-of flag is a pure projection on top (any number of as-of
+    * versions are more flag columns on the same window, NOT more
+    * passes). History at 100 TB writes bucketed-by-key like the
+    * replica table, so the window re-reads exchange-free.
+    */
+  def r9Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ver_from"))
+    val asofVer = 5000L
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id").as("ver_from"),
+        col("event_type"), col("value"),
+        (col("event_type") === "error").cast("long").as("deleted"))
+      .withColumn("ver_to", lead(col("ver_from"), 1).over(wk))
+      .select(col("user_id"), col("ver_from"), col("ver_to"),
+        col("event_type"), col("value"), col("deleted"),
+        (col("ver_to").isNull && col("deleted") === 0).cast("long").as("is_current"),
+        (col("ver_from") <= asofVer &&
+          coalesce(col("ver_to"), lit(Long.MaxValue)) > asofVer &&
+          col("deleted") === 0).cast("long").as("asof_5000"))
+      .orderBy(col("user_id"), col("ver_from"))
+  }
+
+  val r9Sql: String =
+    """SELECT user_id, event_id AS ver_from,
+      |  LEAD(event_id) OVER w AS ver_to,
+      |  event_type, value,
+      |  CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS deleted,
+      |  CAST(CASE WHEN LEAD(event_id) OVER w IS NULL
+      |            AND event_type <> 'error' THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |  CAST(CASE WHEN event_id <= 5000
+      |            AND COALESCE(LEAD(event_id) OVER w, 9223372036854775807) > 5000
+      |            AND event_type <> 'error' THEN 1 ELSE 0 END AS BIGINT) AS asof_5000
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, ver_from""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r9_scd2_history" -> (r9Scd2History _),
     "r8_yaml_ddl_replica" -> (r8YamlDdlReplica _),
     "r6_resync_e2e" -> (r6ResyncE2e _),
     "r1_replica_current" -> (r1ReplicaCurrent _),
@@ -431,6 +484,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r9_scd2_history" -> r9Sql,
     "r8_yaml_ddl_replica" -> r8Sql,
     "r6_resync_e2e" -> r6Sql,
     "r1_replica_current" -> r1Sql,

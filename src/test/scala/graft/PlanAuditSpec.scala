@@ -222,6 +222,8 @@ class PlanAuditSpec extends SparkSpec {
       "r1_replica_current" -> 2, "r2_schema_transform" -> 1,
       "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
       "r6_resync_e2e" -> 2, "r8_yaml_ddl_replica" -> 3,
+      // r9: one per-key window exchange + output sort
+      "r9_scd2_history" -> 2,
       "w9_partition_pruned" -> 2,
       "r7_transparent_final" -> 2,
       "v1_cosine_topk" -> 2, "v2_lsh_ann" -> 2, "v3_label_norms" -> 2,

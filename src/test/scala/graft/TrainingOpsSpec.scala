@@ -339,6 +339,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.keySet === ev.map(_._1).toSet)
   }
 
+  test("r9: SCD2 intervals tile each key's timeline and agree with r1's FINAL view") {
+    val rows = graft.queries.Replication.r9Scd2History(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, iv) =>
+      val s = iv.sortBy(_._2)
+      // half-open intervals tile: each ver_to is the next ver_from
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $u: gap/overlap at ${a._2}")
+        case _ =>
+      }
+      assert(s.last._3.isEmpty, s"user $u: last interval not open")
+      assert(s.init.forall(_._3.isDefined), s"user $u: closed interval missing ver_to")
+    }
+    // the open non-deleted intervals ARE r1's latest-wins FINAL view
+    val current = rows.filter(_._4 == 1L).map(_._1).toSet
+    val r1Users = graft.queries.Replication.r1ReplicaCurrent(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(current === r1Users, "is_current disagrees with the r1 replica view")
+  }
+
   test("v17: residual IVFADC keeps the v13 contract and measures recall in-query") {
     val rows = SparkEntry.queries("v17_ivfadc_residual")(spark, sf).collect()
     assert(rows.length === 30, s"v17 returned ${rows.length} rows")
