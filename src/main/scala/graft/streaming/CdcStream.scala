@@ -470,4 +470,66 @@ object CdcStream {
       .agg(count(lit(1)).as("n_events"))
       .select((Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
         keyCols.map(col) :+ col("n_events")): _*)
+
+  final case class MinuteAnomaly(key: String, minute: Long, cnt: Long, win_sum: Long)
+
+  /** Streaming twin of the batch anomaly rule
+    * ([[graft.queries.Events.w15Anomaly]]): per key, a trailing ring of
+    * the last 10 CLOSED window counts lives in `transformWithState`
+    * ListState, and each newly closed window is tested against it with
+    * the same exact integer rewrite of |z| > 3 — (n*x - S)^2 >
+    * 9*(n*Q - S^2) — before joining the ring. Feed it the APPEND-mode
+    * output of [[windowedCounts]] (append emits each window exactly once,
+    * after the watermark closes it, in non-decreasing event-time order
+    * per key — the property the ring relies on; a window at or before
+    * the ring head would be a re-delivery and is dropped).
+    *
+    * State is O(1) per key (10 longs) — no TTL needed for boundedness;
+    * the flag itself is engine-exact, so a streaming deployment and the
+    * batch backfill agree bit-for-bit on which minutes are anomalous.
+    */
+  def anomalyStream(
+      minuteCounts: DataFrame, window: Int = 10): org.apache.spark.sql.Dataset[MinuteAnomaly] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val entryEnc = Encoders.product[(Long, Long)]
+    val processor = new StatefulProcessor[String, (String, java.sql.Timestamp, Long), MinuteAnomaly] {
+      @transient private var ring: ListState[(Long, Long)] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit =
+        ring = getHandle.getListState("ring", entryEnc, TTLConfig.NONE)
+      override def handleInputRows(k: String,
+          rows: Iterator[(String, java.sql.Timestamp, Long)],
+          tv: TimerValues): Iterator[MinuteAnomaly] = {
+        var buf = ring.get().toVector // ascending by minute, <= window entries
+        val out = Vector.newBuilder[MinuteAnomaly]
+        rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, cnt) =>
+          val m = t.getTime
+          if (buf.isEmpty || m > buf.last._1) { // ignore re-deliveries
+            if (buf.length == window) {
+              val n = window.toLong
+              val s = buf.iterator.map(_._2).sum
+              val q = buf.iterator.map(e => e._2 * e._2).sum
+              val flagged =
+                if (n * q - s * s == 0L) n * cnt != s
+                else {
+                  val d = n * cnt - s
+                  d * d > 9L * (n * q - s * s)
+                }
+              if (flagged) out += MinuteAnomaly(k, m, cnt, s)
+            }
+            buf = (buf :+ ((m, cnt))).takeRight(window)
+          }
+        }
+        ring.put(buf.toArray)
+        out.result().iterator
+      }
+    }
+    minuteCounts
+      .select(col("event_type").cast("string"), col("minute"), col("cnt").cast("long"))
+      .as[(String, java.sql.Timestamp, Long)](
+        Encoders.product[(String, java.sql.Timestamp, Long)])
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[MinuteAnomaly])
+  }
 }

@@ -134,6 +134,68 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("anomalyStream flags the same minutes as the batch w15 rule") {
+    val src = tmp("an-src"); val ckpt = tmp("an-ck")
+    // 13 active minutes for one key: 10 flat (cnt=2) to fill the ring,
+    // then a spike (cnt=9, zero-variance rule -> flagged), another flat
+    // (cnt=2, window now has variance but |z| <= 3 -> not flagged,
+    // since sum=16? recompute below), and a second spike. Split across
+    // three files so the ring survives micro-batch boundaries; a late
+    // sentinel key advances the watermark past every window.
+    def ev(min: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"""{"id":$min,"ts":"2024-01-01T00:${f"$min%02d"}:${f"${i % 60}%02d"}.000Z","payload":"k"}""")
+    import scala.jdk.CollectionConverters._
+    Files.write(src.resolve("a.json"),
+      ((0 until 5).flatMap(m => ev(m, 2))).asJava)
+    Files.write(src.resolve("b.json"),
+      ((5 until 10).flatMap(m => ev(m, 2)) ++ ev(10, 9)).asJava)
+    Files.write(src.resolve("c.json"),
+      (ev(11, 2) ++ ev(12, 9) ++ Seq(
+        """{"id":999,"ts":"2024-01-01T06:00:00.000Z","payload":"sentinel"}""")).asJava)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+        .withColumn("event_type", lit("click"))
+      val minutes = CdcStream.windowedCounts(stream, "ts",
+          watermark = "0 seconds", window = "1 minute", keyCols = Seq("event_type"))
+        .select(col("event_type"), col("window_start").as("minute"),
+          col("n_events").as("cnt"))
+      val q = CdcStream.anomalyStream(minutes)
+        .writeStream.format("memory").queryName("an_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      val got = spark.table("an_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch replay of the same rule over the same minute series
+      val series = (0 until 13).map(m => (base + m * 60000L,
+        if (m == 10 || m == 12) 9L else 2L))
+      val expected = series.indices.collect {
+        case i if i >= 10 =>
+          val win = series.slice(i - 10, i).map(_._2)
+          val (x, s, q0) = (series(i)._2, win.sum, win.map(c => c * c).sum)
+          val flagged =
+            if (10 * q0 - s * s == 0) 10 * x != s
+            else (10 * x - s) * (10 * x - s) > 9 * (10 * q0 - s * s)
+          (series(i)._1, x, s, flagged)
+      }.filter(_._4).map(t => ("click", t._1, t._2, t._3)).toSet
+      assert(expected.nonEmpty, "fixture flags nothing — test is vacuous")
+      assert(got === expected, "streaming flags diverge from the batch rule")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("statefulLatestTws matches the changelog contract on the new state API") {
     import spark.implicits._
     val src = tmp("tws-src"); val ckpt = tmp("tws-ck")
