@@ -644,7 +644,41 @@ object Relational {
       |  ON c_nationkey = s_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** q26: the ranking-function suite over one shared frame — ntile
+    * quartiles, percent_rank, cume_dist and the lag-gap to the previous
+    * order, all on ONE per-priority window (one exchange + one sort
+    * feeds all four functions). The window orders by (price, orderkey)
+    * so ties can't make ntile/lag nondeterministic: every function is a
+    * pure function of the total order. percent_rank/cume_dist are exact
+    * rational divisions of window counters and the gap is one IEEE
+    * subtraction of raw parquet doubles — engine-reproducible without
+    * DECIMAL staging.
+    */
+  def q26RankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("price_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_d"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("prev_gap"))
+      .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER w AS price_quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume_d,
+      |  o_totalprice - lag(o_totalprice) OVER w AS prev_gap
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q26_rank_suite" -> (q26RankSuite _),
     "q25_full_outer" -> (q25FullOuter _),
     "q24_quantiles" -> (q24Quantiles _),
     "q23_cube_flags" -> (q23CubeFlags _),
@@ -672,6 +706,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q26_rank_suite" -> q26Sql,
     "q25_full_outer" -> q25Sql,
     "q24_quantiles" -> q24Sql,
     "q23_cube_flags" -> q23Sql,

@@ -211,6 +211,9 @@ class PlanAuditSpec extends SparkSpec {
       "q12_antijoin" -> 2, "q13_part_stats" -> 3, "q14_promo_share" -> 1,
       "q15_small_qty_revenue" -> 2, "q16_large_orders" -> 1,
       "q17_distinct_agg" -> 3, "q18_large_order_customers" -> 1,
+      // q26: one per-priority window exchange feeds all four ranking
+      // functions + output sort
+      "q26_rank_suite" -> 2,
       "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 2,
       "q20_qualified_suppliers" -> 4,
       "q21_semi_anti" -> 2, "q22_global_customers" -> 3,
