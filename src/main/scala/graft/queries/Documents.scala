@@ -1280,29 +1280,48 @@ object Documents {
     * dominant cost) is shard-sized, and the delta expansion touches only
     * shard-adjacent buckets.
     */
-  def d21IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val isShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
-    val sig = graft.operators.PersistedIndex.ensure(
+  private def d20IsShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
+
+  /** The shared base+shard signature table for the incremental near-dup
+    * family (d21, d26): base signatures written once, the shard's
+    * appended — one PersistedIndex build per session/corpus feeds every
+    * incremental consumer.
+    */
+  private def incSigTable(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PersistedIndex.ensure(
       spark, "graft_sig_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bands mod=$D20ShardMod") { table =>
-      bandSignatures(spark, docs(spark, dir).filter(!isShard))
+      bandSignatures(spark, docs(spark, dir).filter(!d20IsShard))
         .write.format("parquet").bucketBy(8, "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
-      bandSignatures(spark, docs(spark, dir).filter(isShard))
+      bandSignatures(spark, docs(spark, dir).filter(d20IsShard))
         .write.format("parquet").mode("append").bucketBy(8, "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
     }
-    val basePairs = graft.operators.BlockedSelfJoin.pairs(
-      sig.filter(!isShard), Seq("band", "sig"), "doc_id", chunkSize = 256)
-    val shardBuckets = sig.filter(isShard)
+
+  /** Raw candidate pairs among base docs only, off the persisted table. */
+  private def incBasePairs(sig: DataFrame): DataFrame =
+    graft.operators.BlockedSelfJoin.pairs(
+      sig.filter(!d20IsShard), Seq("band", "sig"), "doc_id", chunkSize = 256)
+
+  /** Raw candidate pairs TOUCHING the shard: expansion runs only in
+    * buckets that received a shard doc, then keeps pairs with a shard
+    * member.
+    */
+  private def incDeltaPairs(sig: DataFrame): DataFrame = {
+    val shardBuckets = sig.filter(d20IsShard)
       .select(col("band"), col("sig")).distinct()
-    val delta = graft.operators.BlockedSelfJoin.pairs(
+    graft.operators.BlockedSelfJoin.pairs(
         sig.join(shardBuckets, Seq("band", "sig"), "left_semi"),
         Seq("band", "sig"), "doc_id", chunkSize = 256)
       .filter(pmod(col("a.doc_id"), lit(D20ShardMod)) === 0 ||
         pmod(col("b.doc_id"), lit(D20ShardMod)) === 0)
-    scoreMinhashPairs(basePairs.unionByName(delta))
+  }
+
+  def d21IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = incSigTable(spark, dir)
+    scoreMinhashPairs(incBasePairs(sig).unionByName(incDeltaPairs(sig)))
   }
 
   /** d21's oracle IS d6's: incremental maintenance must reproduce the
@@ -1660,6 +1679,78 @@ object Documents {
       |  cluster_size
       |FROM sel ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** d26: incremental duplicate clustering — the last leg of the
+    * incremental dedup story (d20 maintains substring spans, d21 the
+    * near-dup PAIRS; this maintains the CLUSTERS). The base corpus's
+    * connected-components fixpoint persists as its STAR EDGE SET
+    * (node → root, one row per non-isolated base node) — a star is the
+    * ideal incremental input because it preserves exactly the base
+    * graph's connectivity in depth 1 — and a new shard contributes only
+    * its delta pairs (d21's bucket-scoped expansion off the shared
+    * persisted signature table). Star ∪ delta re-converges in O(log
+    * affected-component-size) rounds instead of O(log² n) over the full
+    * pair graph, and equality with the full rebuild is the oracle: the
+    * same recursive-CTE clustering over ALL of d6's pairs.
+    *
+    * Scale shape: at 100 TB + daily shard the dominant costs are
+    * shard-sized (shingle/hash the shard, expand only shard-touched
+    * buckets); the star table re-reads bucketed, and unaffected
+    * components pass through the first star round unchanged (their
+    * depth-1 stars are already the fixpoint).
+    */
+  def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sig = incSigTable(spark, dir)
+    val baseStar = graft.operators.PersistedIndex.ensure(
+      spark, "graft_ccstar_inc", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"mod=$D20ShardMod") { table =>
+      val basePairs = scoreMinhashPairs(incBasePairs(sig))
+        .select(col("da").as("src"), col("db").as("dst"))
+      val baseNodes = basePairs.select(col("src").as("id"))
+        .unionByName(basePairs.select(col("dst").as("id"))).distinct()
+      graft.operators.ConnectedComponents.run(
+          baseNodes, basePairs,
+          store = graft.operators.ConnectedComponents
+            .freshTableRounds(spark, "cc_d26b"))
+        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .saveAsTable(table)
+    }
+    val delta = scoreMinhashPairs(incDeltaPairs(sig))
+      .select(col("da").as("src"), col("db").as("dst"))
+    val starEdges = baseStar.filter(col("id") =!= col("comp"))
+      .select(col("id").as("src"), col("comp").as("dst"))
+    val nodes = baseStar.select(col("id"))
+      .unionByName(delta.select(col("src").as("id")))
+      .unionByName(delta.select(col("dst").as("id"))).distinct()
+    graft.operators.ConnectedComponents.run(
+        nodes, starEdges.unionByName(delta),
+        store = graft.operators.ConnectedComponents
+          .freshTableRounds(spark, "cc_d26"))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** d26's oracle is the FULL rebuild: the same recursive-CTE clustering
+    * over all of d6's pairs — incremental maintenance must reproduce it
+    * exactly.
+    */
+  val d26Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+      |nodes AS (SELECT da AS id FROM pairs UNION SELECT db FROM pairs),
+      |sym AS (SELECT da AS s, db AS d FROM pairs
+      |        UNION SELECT db, da FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.d, w.comp FROM walk w JOIN sym s ON s.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+      |SELECT comp AS cluster_id, id AS doc_id,
+      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+
   /** Feature-hash width for d25. Production would use 2^18+ buckets;
     * 4096 keeps collisions present (a real property of hashed features)
     * while the fixture stats stay broadcastable.
@@ -1740,6 +1831,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d26_incremental_clusters" -> (d26IncrementalClusters _),
     "d25_domain_affinity" -> (d25DomainAffinity _),
     "d24_quality_gate" -> (d24QualityGate _),
     "d23_canonical_keep" -> (d23CanonicalKeep _),
@@ -1767,6 +1859,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d26_incremental_clusters" -> d26Sql,
     "d25_domain_affinity" -> d25Sql,
     "d24_quality_gate" -> d24Sql,
     "d23_canonical_keep" -> d23Sql,

@@ -149,6 +149,9 @@ class PlanAuditSpec extends SparkSpec {
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain
       "d21_incremental_neardup" -> 2,
+      // d26: star ∪ delta CC read off the durable final round table +
+      // the delta expansion + cluster-size window + output sort
+      "d26_incremental_clusters" -> 7,
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join
@@ -237,7 +240,7 @@ class PlanAuditSpec extends SparkSpec {
       "v16_filtered_ann" -> 3,
       // v17: v13's shape + the residual-codebook aggregation pass over
       // the checkpointed assignment (coding itself stays a projection)
-      "v17_ivfadc_residual" -> 7,
+      "v17_ivfadc_residual" -> 6,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

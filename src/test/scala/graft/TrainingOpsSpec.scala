@@ -504,6 +504,42 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d26: incremental clusters equal the full-rebuild CC; shard extends its cluster") {
+    def fullClusters(dir: String): Seq[(Long, Long, Long)] = {
+      val pairs = Documents.d6MinhashLsh(spark, dir)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val nodes = pairs.select(col("src").as("id"))
+        .unionByName(pairs.select(col("dst").as("id"))).distinct()
+      val labels = graft.operators.ConnectedComponents.run(nodes, pairs)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+      val sizes = labels.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      labels.map { case (c, id) => (c, id, sizes(c)) }.sorted.toSeq
+    }
+    try {
+      val inc = Documents.d26IncrementalClusters(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(inc === fullClusters(sf), "incremental clusters differ from rebuild")
+      assert(inc.nonEmpty, "cluster comparison is vacuous")
+      // planted delta: shard doc 20 clones base doc 1 -> the {1,2}
+      // cluster must grow to {1,2,20}; the untouched {3,4} cluster must
+      // pass through the incremental rounds unchanged
+      val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val y = "one two three four five six seven eight nine ten"
+      val dir = corpusDir(Seq(
+        1L -> x, 2L -> (x + " extra"), 3L -> y, 4L -> (y + " extra"),
+        20L -> x))
+      val incD = Documents.d26IncrementalClusters(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(incD === fullClusters(dir), "planted-delta clusters differ from rebuild")
+      assert(incD.contains((1L, 20L, 3L)), "shard doc did not join its base cluster")
+      assert(incD.contains((3L, 4L, 2L)), "untouched base cluster was disturbed")
+    } finally {
+      graft.operators.PersistedIndex.dropAll(spark, "graft_sig_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_ccstar_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_sig_d6")
+    }
+  }
+
   test("d20: incremental spans equal the full rebuild, on the fixture and on a planted delta") {
     try {
       // fixture corpus: incremental maintenance reproduces d16 exactly,
