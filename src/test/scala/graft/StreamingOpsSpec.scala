@@ -196,6 +196,62 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("anomalyStream ring state survives a checkpoint restart") {
+    val src = tmp("ar-src"); val ckpt = tmp("ar-ck")
+    def ev(min: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"""{"id":$min,"ts":"2024-01-01T00:${f"$min%02d"}:${f"${i % 60}%02d"}.000Z","payload":"k"}""")
+    import scala.jdk.CollectionConverters._
+    // run 1 fills the ring with 10 flat minutes (watermark closes 0..9
+    // once minute 10 arrives) — NO anomaly is emitted yet
+    Files.write(src.resolve("a.json"),
+      ((0 until 10).flatMap(m => ev(m, 2)) ++ ev(10, 2)).asJava)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the memory sink refuses checkpoint recovery — collect through
+      // foreachBatch (recoverable) into a driver-side buffer instead
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1).json(src.toString)
+          .withColumn("event_type", lit("click"))
+        val minutes = CdcStream.windowedCounts(stream, "ts",
+            watermark = "0 seconds", window = "1 minute", keyCols = Seq("event_type"))
+          .select(col("event_type"), col("window_start").as("minute"),
+            col("n_events").as("cnt"))
+        val q = CdcStream.anomalyStream(minutes)
+          .writeStream.foreachBatch {
+            (df: org.apache.spark.sql.Dataset[CdcStream.MinuteAnomaly], _: Long) =>
+              df.collect().foreach(a => got.add((a.key, a.minute, a.cnt, a.win_sum)))
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      assert(got.isEmpty, "flat warmup minutes must not flag")
+      // run 2, SAME checkpoint: a spike minute + a sentinel closing it.
+      // The ring built in run 1 must be recovered from state — a fresh
+      // ring would hold < 10 entries and stay silent.
+      Files.write(src.resolve("b.json"),
+        (ev(11, 9) ++ Seq(
+          """{"id":999,"ts":"2024-01-01T06:00:00.000Z","payload":"s"}""")).asJava)
+      runOnce()
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet === Set(("click", base + 11 * 60000L, 9L, 20L)),
+        "restarted stream lost or corrupted the trailing ring")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("statefulLatestTws matches the changelog contract on the new state API") {
     import spark.implicits._
     val src = tmp("tws-src"); val ckpt = tmp("tws-ck")
