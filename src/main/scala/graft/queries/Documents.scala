@@ -1751,6 +1751,45 @@ object Documents {
       |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
       |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** d27: the BPE pair-count step — the inner loop of tokenizer
+    * training (Sennrich et al. 2016: byte-pair encoding learns merges by
+    * repeatedly taking the most frequent adjacent symbol pair). This is
+    * the distributed form of one iteration: adjacent character pairs
+    * within every word occurrence, counted corpus-wide, top-20 with the
+    * deterministic (count desc, pair asc) merge-pick order. Training
+    * loops this step — apply the winning merge, recount — with each
+    * round the same plan over the rewritten symbol sequence; the
+    * counting step is the 100 TB-sized part, the merge table stays
+    * KB-sized driver state.
+    *
+    * Scale shape: explode + ONE hash agg (partial map-side combine eats
+    * the per-word duplication before the shuffle — the pair alphabet is
+    * tiny relative to the corpus) and top-20 is TakeOrdered, no global
+    * sort. The repartition spreads the interpreted HOF explode off the
+    * (possibly single) scan split, same hygiene as the shingle family;
+    * length >= 2 is filtered BEFORE sequence() (which DESCENDS below 1).
+    */
+  def d27BpeStep(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode_outer(T.tokens(coalesce(col("text"), lit("")))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode_outer(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val d27Sql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |p AS (SELECT substring(word, i, 2) AS pair
+      |      FROM w, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i)
+      |      WHERE length(word) >= 2)
+      |SELECT pair, COUNT(*) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   /** Feature-hash width for d25. Production would use 2^18+ buckets;
     * 4096 keeps collisions present (a real property of hashed features)
     * while the fixture stats stay broadcastable.
@@ -1831,6 +1870,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d27_bpe_step" -> (d27BpeStep _),
     "d26_incremental_clusters" -> (d26IncrementalClusters _),
     "d25_domain_affinity" -> (d25DomainAffinity _),
     "d24_quality_gate" -> (d24QualityGate _),
@@ -1859,6 +1899,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d27_bpe_step" -> d27Sql,
     "d26_incremental_clusters" -> d26Sql,
     "d25_domain_affinity" -> d25Sql,
     "d24_quality_gate" -> d24Sql,

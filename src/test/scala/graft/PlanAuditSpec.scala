@@ -149,6 +149,9 @@ class PlanAuditSpec extends SparkSpec {
       // signature table (shuffle-free bucket joins); only the two
       // blocked-expansion chunk repartitions remain
       "d21_incremental_neardup" -> 2,
+      // d27: the HOF-spread repartition + one pair hash agg (top-20 is
+      // TakeOrdered)
+      "d27_bpe_step" -> 2,
       // d26: star ∪ delta CC read off the durable final round table +
       // the delta expansion + cluster-size window + output sort
       "d26_incremental_clusters" -> 7,

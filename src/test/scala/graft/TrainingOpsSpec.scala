@@ -504,6 +504,28 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d27: BPE pair counts match a brute-force replay with the merge-pick order") {
+    val rows = Documents.d27BpeStep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    // strictly the merge-pick order: count desc, pair asc on ties
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), "merge order violated")
+    }
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (p, n) =>
+      assert(counts(p) === n, s"pair '$p': count off")
+    }
+    val floor = rows.last._2
+    assert(counts.values.count(_ > floor) <= 20,
+      "a pair more frequent than the top-20 floor was dropped")
+  }
+
   test("d26: incremental clusters equal the full-rebuild CC; shard extends its cluster") {
     def fullClusters(dir: String): Seq[(Long, Long, Long)] = {
       val pairs = Documents.d6MinhashLsh(spark, dir)
