@@ -418,7 +418,12 @@ object Documents {
     * matching-lane fraction estimates Jaccard; threshold, dedup the
     * multi-band repeats (identical estimate from every band), order.
     */
-  private[graft] def scoreMinhashPairs(pairs: DataFrame): DataFrame = {
+  /** [[scoreMinhashPairs]] without the output ordering — for consumers
+    * that union or re-aggregate the scored pairs (EliminateSorts does
+    * NOT remove a sort under a Union, so ordering a side that gets
+    * re-ordered after the union is a wasted exchange).
+    */
+  private[graft] def scoreMinhashPairsUnordered(pairs: DataFrame): DataFrame = {
     val matches = (0 until NumHashes)
       .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
         .otherwise(0))
@@ -428,8 +433,10 @@ object Documents {
         (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .distinct() // same pair from multiple bands has identical est
-      .orderBy(col("da"), col("db"))
   }
+
+  private[graft] def scoreMinhashPairs(pairs: DataFrame): DataFrame =
+    scoreMinhashPairsUnordered(pairs).orderBy(col("da"), col("db"))
 
   // lane constants as (i, a_lo, a_hi, b) on the unsigned view; the
   // multiply is split at 2^32 so HUGEINT (signed 128-bit) cannot
@@ -1319,10 +1326,30 @@ object Documents {
         pmod(col("b.doc_id"), lit(D20ShardMod)) === 0)
   }
 
-  def d21IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = incSigTable(spark, dir)
-    scoreMinhashPairs(incBasePairs(sig).unionByName(incDeltaPairs(sig)))
-  }
+  /** The SCORED shard delta, persisted once per session/corpus — the
+    * expensive shared intermediate both incremental consumers need
+    * (d21 unions it with the base pairs, d26 feeds it to the CC
+    * rounds), so the bucket expansion + minhash scoring runs once, not
+    * per consumer. Per-pair scoring commutes with union, so
+    * separately-scored base ∪ delta equals d6's jointly-scored rebuild.
+    */
+  private def incDeltaScored(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PersistedIndex.ensure(
+      spark, "graft_delta_inc", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"scored mod=$D20ShardMod") { table =>
+      scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir)))
+        .write.format("parquet").bucketBy(8, "da").sortBy("da")
+        .saveAsTable(table)
+    }
+
+  def d21IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
+    scoreMinhashPairsUnordered(incBasePairs(incSigTable(spark, dir)))
+      .unionByName(incDeltaScored(spark, dir))
+      // base and delta are disjoint by construction (delta pairs have a
+      // shard member, base pairs have none) — only the output order
+      // needs re-establishing after the union
+      .orderBy(col("da"), col("db"))
 
   /** d21's oracle IS d6's: incremental maintenance must reproduce the
     * full rebuild exactly.
@@ -1704,7 +1731,7 @@ object Documents {
       spark, "graft_ccstar_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"mod=$D20ShardMod") { table =>
-      val basePairs = scoreMinhashPairs(incBasePairs(sig))
+      val basePairs = scoreMinhashPairsUnordered(incBasePairs(sig))
         .select(col("da").as("src"), col("db").as("dst"))
       val baseNodes = basePairs.select(col("src").as("id"))
         .unionByName(basePairs.select(col("dst").as("id"))).distinct()
@@ -1715,7 +1742,7 @@ object Documents {
         .write.format("parquet").bucketBy(8, "id").sortBy("id")
         .saveAsTable(table)
     }
-    val delta = scoreMinhashPairs(incDeltaPairs(sig))
+    val delta = incDeltaScored(spark, dir)
       .select(col("da").as("src"), col("db").as("dst"))
     val starEdges = baseStar.filter(col("id") =!= col("comp"))
       .select(col("id").as("src"), col("comp").as("dst"))

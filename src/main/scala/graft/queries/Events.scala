@@ -555,23 +555,31 @@ object Events {
     * wider deployments partition the series by (type, day) with a
     * 10-minute carry-in instead of one partition per type.
     */
+  /** Trailing-window length and squared z threshold for the anomaly
+    * rule — shared with the streaming twin
+    * ([[graft.streaming.CdcStream.anomalyStream]]) so the two cannot
+    * drift apart.
+    */
+  val AnomalyWindow = 10
+  val AnomalyZSq = 9L // |z| > 3
+
   def w15Anomaly(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("minute"))
-      .rowsBetween(-10, -1)
+      .rowsBetween(-AnomalyWindow, -1)
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("cnt")).over(w))
       .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
-      .filter(col("n") === 10)
+      .filter(col("n") === AnomalyWindow)
       .filter(
         when(col("n") * col("q") - col("s") * col("s") === 0,
           col("n") * col("cnt") =!= col("s"))
           .otherwise(
             (col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s")) >
-              lit(9) * (col("n") * col("q") - col("s") * col("s"))))
+              lit(AnomalyZSq) * (col("n") * col("q") - col("s") * col("s"))))
       .select(col("event_type"), col("minute"), col("cnt"),
         col("s").as("win_sum"))
       .orderBy(col("event_type"), col("minute"))

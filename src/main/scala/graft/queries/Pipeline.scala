@@ -551,7 +551,9 @@ object Pipeline {
     */
   def p11LengthBuckets(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // coalesce: a NULL text must bucket like the empty string (one
+      // empty token) on BOTH engines, not propagate a NULL bucket row
+      .select(size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
       .withColumn("seq_bucket",
         when(col("n_tokens") <= 1, 1L)
           .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
@@ -567,7 +569,7 @@ object Pipeline {
 
   val p11Sql: String =
     s"""WITH d AS (
-      |  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |  SELECT len(string_split(COALESCE(text, ''), ' ')) AS n_tokens FROM documents),
       |b AS (
       |  SELECT n_tokens,
       |    CASE WHEN n_tokens <= 1 THEN 1

@@ -447,7 +447,11 @@ object Replication {
     Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id").as("ver_from"),
         col("event_type"), col("value"),
-        (col("event_type") === "error").cast("long").as("deleted"))
+        // when/otherwise, not a bare boolean cast: a NULL event_type must
+        // yield 0 like the oracle's CASE ... ELSE 0 (nullable schema —
+        // the fixtures happen to have no NULLs, so the gate can't catch
+        // the bare cast's NULL propagation)
+        when(col("event_type") === "error", 1L).otherwise(0L).as("deleted"))
       .withColumn("ver_to", lead(col("ver_from"), 1).over(wk))
       .select(col("user_id"), col("ver_from"), col("ver_to"),
         col("event_type"), col("value"), col("deleted"),

@@ -354,7 +354,8 @@ object Vectors {
     * reuse) — one materialization, read twice.
     */
   private def ivfRanked(
-      base: DataFrame, centLong: DataFrame, maxRank: Int): DataFrame = {
+      base: DataFrame, centLong: DataFrame, maxRank: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val centroids = centLong.groupBy(col("label").as("cell"))
       .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
       .select(col("cell"),
@@ -364,7 +365,11 @@ object Vectors {
     base.crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= maxRank)
-      .select(col("vec_id"), col("v"), col("cell"), col("crank"))
+      // `keep`: extra columns carried through the assignment (e.g. the
+      // base's label, or the matched cell's cvec for residual coding) —
+      // ONE definition of the assignment tie-break serves the family
+      .select((Seq(col("vec_id"), col("v"), col("cell"), col("crank")) ++
+        keep.map(col)): _*)
       .localCheckpoint(false)
   }
 
@@ -1487,18 +1492,9 @@ object Vectors {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val centLong = labelMeans(base)
-    val centroids = centLong.groupBy(col("label").as("cell"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
-      .select(col("cell"),
-        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("label"), col("cell"), col("v"), col("cvec"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
-      .localCheckpoint(false)
+    val assigned = ivfRanked(base, centLong, maxRank = 1,
+        keep = Seq("label", "cvec"))
+      .withColumn("r", zip_with(col("v"), col("cvec"), (a, b) => a - b))
     val resLong = labelMeans(assigned.select(col("label"), col("r").as("v")))
     val coded = assigned
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))

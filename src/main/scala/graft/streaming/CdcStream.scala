@@ -484,12 +484,19 @@ object CdcStream {
     * per key — the property the ring relies on; a window at or before
     * the ring head would be a re-delivery and is dropped).
     *
-    * State is O(1) per key (10 longs) — no TTL needed for boundedness;
-    * the flag itself is engine-exact, so a streaming deployment and the
-    * batch backfill agree bit-for-bit on which minutes are anomalous.
+    * State is O(1) per key (`window` longs) — no TTL needed for
+    * boundedness; the flag itself is engine-exact, so a streaming
+    * deployment and the batch backfill agree bit-for-bit on which
+    * minutes are anomalous. The window length and z² threshold default
+    * to the SHARED constants ([[graft.queries.Events.AnomalyWindow]] /
+    * `AnomalyZSq`) — the bit-for-bit batch-equivalence claim holds only
+    * at those defaults; a caller overriding `window` gets a
+    * deliberately different detector.
     */
   def anomalyStream(
-      minuteCounts: DataFrame, window: Int = 10): org.apache.spark.sql.Dataset[MinuteAnomaly] = {
+      minuteCounts: DataFrame,
+      window: Int = graft.queries.Events.AnomalyWindow)
+      : org.apache.spark.sql.Dataset[MinuteAnomaly] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
     val entryEnc = Encoders.product[(Long, Long)]
@@ -513,7 +520,7 @@ object CdcStream {
                 if (n * q - s * s == 0L) n * cnt != s
                 else {
                   val d = n * cnt - s
-                  d * d > 9L * (n * q - s * s)
+                  d * d > graft.queries.Events.AnomalyZSq * (n * q - s * s)
                 }
               if (flagged) out += MinuteAnomaly(k, m, cnt, s)
             }

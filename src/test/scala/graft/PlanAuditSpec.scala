@@ -152,9 +152,10 @@ class PlanAuditSpec extends SparkSpec {
       // d27: the HOF-spread repartition + one pair hash agg (top-20 is
       // TakeOrdered)
       "d27_bpe_step" -> 2,
-      // d26: star ∪ delta CC read off the durable final round table +
-      // the delta expansion + cluster-size window + output sort
-      "d26_incremental_clusters" -> 7,
+      // d26: star ∪ delta CC read off the durable final round table,
+      // the delta read from its persisted scored table (no re-expansion)
+      // + cluster-size window + output sort
+      "d26_incremental_clusters" -> 3,
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join

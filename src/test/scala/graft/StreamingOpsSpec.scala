@@ -137,11 +137,13 @@ class StreamingOpsSpec extends SparkSpec
   test("anomalyStream flags the same minutes as the batch w15 rule") {
     val src = tmp("an-src"); val ckpt = tmp("an-ck")
     // 13 active minutes for one key: 10 flat (cnt=2) to fill the ring,
-    // then a spike (cnt=9, zero-variance rule -> flagged), another flat
-    // (cnt=2, window now has variance but |z| <= 3 -> not flagged,
-    // since sum=16? recompute below), and a second spike. Split across
-    // three files so the ring survives micro-batch boundaries; a late
-    // sentinel key advances the watermark past every window.
+    // a spike (cnt=9) caught by the ZERO-VARIANCE branch, a flat minute
+    // (cnt=2, not flagged), then a second spike (cnt=10) whose window
+    // now CONTAINS the first spike — (10*10-27)^2 = 5329 > 9*(10*117-
+    // 27^2) = 3969, so the VARIANCE branch flags it (9 would tie at
+    // 3969 and stay silent under strict >). Split across three files so
+    // the ring survives micro-batch boundaries; a late sentinel key
+    // advances the watermark past every window.
     def ev(min: Int, n: Int): Seq[String] =
       (0 until n).map(i => s"""{"id":$min,"ts":"2024-01-01T00:${f"$min%02d"}:${f"${i % 60}%02d"}.000Z","payload":"k"}""")
     import scala.jdk.CollectionConverters._
@@ -150,7 +152,7 @@ class StreamingOpsSpec extends SparkSpec
     Files.write(src.resolve("b.json"),
       ((5 until 10).flatMap(m => ev(m, 2)) ++ ev(10, 9)).asJava)
     Files.write(src.resolve("c.json"),
-      (ev(11, 2) ++ ev(12, 9) ++ Seq(
+      (ev(11, 2) ++ ev(12, 10) ++ Seq(
         """{"id":999,"ts":"2024-01-01T06:00:00.000Z","payload":"sentinel"}""")).asJava)
 
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -176,7 +178,7 @@ class StreamingOpsSpec extends SparkSpec
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       // batch replay of the same rule over the same minute series
       val series = (0 until 13).map(m => (base + m * 60000L,
-        if (m == 10 || m == 12) 9L else 2L))
+        if (m == 10) 9L else if (m == 12) 10L else 2L))
       val expected = series.indices.collect {
         case i if i >= 10 =>
           val win = series.slice(i - 10, i).map(_._2)
@@ -186,7 +188,8 @@ class StreamingOpsSpec extends SparkSpec
             else (10 * x - s) * (10 * x - s) > 9 * (10 * q0 - s * s)
           (series(i)._1, x, s, flagged)
       }.filter(_._4).map(t => ("click", t._1, t._2, t._3)).toSet
-      assert(expected.nonEmpty, "fixture flags nothing — test is vacuous")
+      assert(expected.size === 2,
+        "fixture must flag one zero-variance and one with-variance spike")
       assert(got === expected, "streaming flags diverge from the batch rule")
     } finally {
       prev match {

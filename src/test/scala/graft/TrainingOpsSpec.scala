@@ -500,6 +500,7 @@ class TrainingOpsSpec extends SparkSpec {
       assert(incD.contains((2L, 3L)), "the pre-existing base pair is missing")
     } finally {
       graft.operators.PersistedIndex.dropAll(spark, "graft_sig_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_delta_inc")
       graft.operators.PersistedIndex.dropAll(spark, "graft_sig_d6")
     }
   }
@@ -557,6 +558,7 @@ class TrainingOpsSpec extends SparkSpec {
       assert(incD.contains((3L, 4L, 2L)), "untouched base cluster was disturbed")
     } finally {
       graft.operators.PersistedIndex.dropAll(spark, "graft_sig_inc")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_delta_inc")
       graft.operators.PersistedIndex.dropAll(spark, "graft_ccstar_inc")
       graft.operators.PersistedIndex.dropAll(spark, "graft_sig_d6")
     }
