@@ -1599,7 +1599,87 @@ object Vectors {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** v18: ANN over a VERSIONED vector corpus — the bridge between the
+    * engine's two halves. Real vector stores take upserts and deletes;
+    * search must never return a tombstoned vector or a stale version.
+    * Here the embedding table becomes a CDC log (planted: every
+    * 97th vec re-embedded as its negation at `_ver` 1, every 101st
+    * tombstoned), the replication engine's latest-version-wins +
+    * soft-delete collapse ([[graft.operators.ReplicaTable.current]] —
+    * the exact ArgMaxRow operator the CDC replica uses, V1+V2 of the
+    * reference's semantics) produces the CURRENT view, and v1's
+    * brute-force cosine top-3 runs over it. Query 0 is itself
+    * tombstoned — the result visibly loses that query block — and the
+    * negated vectors re-rank their neighborhoods, so staleness would be
+    * caught by the value-exact oracle, not just row counts.
+    *
+    * Scale shape: the collapse is ONE hash shuffle on vec_id (no sort,
+    * ObjectHashAggregate), scoring stays v1's broadcast-Q x scan-N over
+    * the current view; composing with v6/v13's cell layout instead of
+    * the exhaustive scan changes nothing about the versioning step.
+    */
+  def v18VersionedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"),
+      lit(0L).as("_ver"), lit(0).as("_deleted"))
+    val upd = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), transform(col("v"), x => negate(x)).as("v"),
+        lit(1L).as("_ver"), lit(0).as("_deleted"))
+    // deletes land at _ver 2: vec_id 0 matches BOTH plants (0 % 97 and
+    // 0 % 101 are 0), and a _ver tie between an update and a tombstone
+    // would make the winner engine-dependent
+    val del = base.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id"), col("v"), lit(2L).as("_ver"), lit(1).as("_deleted"))
+    val cur = graft.operators.ReplicaTable.current(
+        base.unionByName(upd).unionByName(del),
+        keys = Seq("vec_id"), ver = "_ver")
+      .select(col("vec_id"), col("v"))
+    val queries = cur.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(cur.select(col("vec_id").as("cid"), col("v").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) /
+          (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v18Sql: String =
+    s"""WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v, 0 AS _ver, 0 AS _deleted
+      |  FROM embeddings),
+      |upd AS (
+      |  SELECT vec_id, list_transform(v, x -> -x) AS v, 1 AS _ver, 0 AS _deleted
+      |  FROM base WHERE vec_id % 97 = 0),
+      |del AS (
+      |  SELECT vec_id, v, 2 AS _ver, 1 AS _deleted FROM base WHERE vec_id % 101 = 0),
+      |log AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM del),
+      |cur AS (
+      |  SELECT vec_id, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY _ver DESC) rn
+      |    FROM log)
+      |  WHERE rn = 1 AND _deleted = 0),
+      |q AS (SELECT vec_id AS qid, v AS qe FROM cur WHERE vec_id < 10)
+      |SELECT qid, rank, cid, cosine FROM (
+      |  SELECT q.qid, c.vec_id AS cid,
+      |    ${dotSql("q.qe", "c.v")} /
+      |      (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.v", "c.v")})) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |      ${dotSql("q.qe", "c.v")} /
+      |        (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("c.v", "c.v")})) DESC,
+      |      c.vec_id) AS rank
+      |  FROM q JOIN cur c ON q.qid <> c.vec_id)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v18_versioned_ann" -> (v18VersionedAnn _),
     "v17_ivfadc_residual" -> (v17IvfAdcResidual _),
     "v16_filtered_ann" -> (v16FilteredAnn _),
     "v15_random_projection" -> (v15RandomProjection _),
@@ -1619,6 +1699,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v18_versioned_ann" -> v18Sql,
     "v17_ivfadc_residual" -> v17Sql,
     "v16_filtered_ann" -> v16Sql,
     "v15_random_projection" -> v15Sql,

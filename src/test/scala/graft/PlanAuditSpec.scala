@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
       "v16_filtered_ann",
       //  - v17: v13's deliberate broadcasts, unchanged — centroid cross
       //    join for assignment, packed residual codebook, exact truth
-      "v17_ivfadc_residual")
+      "v17_ivfadc_residual",
+      //  - v18: v1's deliberate broadcast-Q x scan-N, over the
+      //    versioned current view
+      "v18_versioned_ann")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -245,6 +248,10 @@ class PlanAuditSpec extends SparkSpec {
       // v17: v13's shape + the residual-codebook aggregation pass over
       // the checkpointed assignment (coding itself stays a projection)
       "v17_ivfadc_residual" -> 6,
+      // v18: the ArgMaxRow collapse of the versioned log (one hash
+      // exchange on vec_id, read by both query and candidate sides) +
+      // top-k window + output sort
+      "v18_versioned_ann" -> 4,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

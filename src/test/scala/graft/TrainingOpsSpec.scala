@@ -362,6 +362,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(current === r1Users, "is_current disagrees with the r1 replica view")
   }
 
+  test("v18: versioned ANN never returns tombstoned or stale vectors") {
+    val rows = SparkEntry.queries("v18_versioned_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // tombstoned ids (vec_id % 101 == 0, incl. query 0) appear NOWHERE
+    rows.foreach { r =>
+      assert(r._1 % 101 != 0, s"tombstoned query ${r._1} returned results")
+      assert(r._3 % 101 != 0, s"tombstoned candidate ${r._3} surfaced")
+    }
+    // staleness: a NEGATED (updated) vector must score with its new
+    // embedding — recompute its cosine from the raw table and compare
+    val raw = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def versioned(id: Long): Array[Double] =
+      if (id % 97 == 0) raw(id).map(x => -x) else raw(id)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (qid, _, cid, c) =>
+      assert(math.abs(c - cos(versioned(qid), versioned(cid))) < 1e-9,
+        s"($qid,$cid): cosine not computed from the CURRENT versions")
+    }
+  }
+
   test("v17: residual IVFADC keeps the v13 contract and measures recall in-query") {
     val rows = SparkEntry.queries("v17_ivfadc_residual")(spark, sf).collect()
     assert(rows.length === 30, s"v17 returned ${rows.length} rows")
