@@ -21,6 +21,21 @@ class ReplicaTableSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row("k1", 3L, "c", 0), Row("k3", 5L, "z", 0)))
   }
 
+  test("composite keys: latest wins per (k1, k2) pair, not per prefix") {
+    val rows = Seq(
+      ("a", 1L, 1L, "a1-old", 0), ("a", 1L, 3L, "a1-new", 0),
+      ("a", 2L, 2L, "a2", 0), // same prefix, different second key — kept
+      ("b", 1L, 1L, "b1", 0), ("b", 1L, 2L, "b1-del", 1), // pair deleted
+      ("b", 2L, 4L, "b2", 0))
+      .toDF("k1", "k2", "_ver", "val", "_deleted")
+    val got = ReplicaTable.current(rows, Seq("k1", "k2"), "_ver")
+      .orderBy("k1", "k2").collect()
+    assert(got.toSeq == Seq(
+      Row("a", 1L, 3L, "a1-new", 0),
+      Row("a", 2L, 2L, "a2", 0),
+      Row("b", 2L, 4L, "b2", 0)))
+  }
+
   test("applyChanges is idempotent: replaying a batch is a no-op") {
     val base = Seq(("k1", 1L, "a", 0), ("k2", 1L, "b", 0)).toDF("key", "_ver", "val", "_deleted")
     val batch = Seq(("k1", 2L, "a2", 0), ("k3", 1L, "c", 0)).toDF("key", "_ver", "val", "_deleted")
