@@ -1724,6 +1724,14 @@ object Documents {
     * buckets); the star table re-reads bucketed, and unaffected
     * components pass through the first star round unchanged (their
     * depth-1 stars are already the fixpoint).
+    *
+    * LIMIT — additions only: connectivity is monotone under new edges,
+    * which is what makes the star a sufficient summary. Doc DELETION can
+    * split a cluster, and the star alone cannot answer it (it forgets
+    * the internal edge structure); the production path for deletes is
+    * to recompute components INTERSECTING the tombstone set from the
+    * retained pair tables (d21's persisted base/delta pairs) — still
+    * affected-components-sized, but a different query than this one.
     */
   def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val sig = incSigTable(spark, dir)
