@@ -1731,7 +1731,7 @@ object Documents {
     * the internal edge structure); the production path for deletes is
     * to recompute components INTERSECTING the tombstone set from the
     * retained pair tables (d21's persisted base/delta pairs) — still
-    * affected-components-sized, but a different query than this one.
+    * affected-components-sized; [[d28DeletionClusters]] IS that query.
     */
   def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val sig = incSigTable(spark, dir)
@@ -1774,6 +1774,76 @@ object Documents {
   val d26Sql: String =
     s"""WITH RECURSIVE $minhashCtesSql,
       |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+      |nodes AS (SELECT da AS id FROM pairs UNION SELECT db FROM pairs),
+      |sym AS (SELECT da AS s, db AS d FROM pairs
+      |        UNION SELECT db, da FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.d, w.comp FROM walk w JOIN sym s ON s.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+      |SELECT comp AS cluster_id, id AS doc_id,
+      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Deletion gate for d28: every 13th doc is tombstoned. */
+  private def d28IsTomb(c: Column): Column = pmod(c, lit(13L)) === 0
+
+  /** d28: deletion-aware cluster maintenance — the OTHER direction of
+    * incremental clustering. d26 exploits that connectivity is monotone
+    * under ADDED edges; deletions break that (removing a doc can split
+    * its cluster), and the persisted star is insufficient for them (it
+    * forgets internal edge structure). The production recipe, executed
+    * here: take the pre-deletion labels (d26's star ∪ delta result),
+    * find the components INTERSECTING the tombstone set (a tiny
+    * broadcast set), re-run CC only on those components' surviving
+    * pairs re-read from the retained pair tables, and pass every
+    * untouched component through verbatim — deletion cost scales with
+    * the affected components, not the corpus. Survivors that lose their
+    * last pair drop out (consistent with the pair-graph node set);
+    * equality with the full rebuild over the post-deletion pair graph
+    * is the oracle.
+    */
+  def d28DeletionClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sig = incSigTable(spark, dir)
+    val allPairs = scoreMinhashPairsUnordered(incBasePairs(sig))
+      .unionByName(incDeltaScored(spark, dir))
+      .select(col("da").as("src"), col("db").as("dst"))
+    // one materialization: the labels feed three branches (affected
+    // set, untouched pass-through, affected membership) — without the
+    // barrier each reference re-plans the whole d26 subtree
+    val labels = d26IncrementalClusters(spark, dir)
+      .select(col("cluster_id"), col("doc_id"))
+      .localCheckpoint(false)
+    val affected = labels.filter(d28IsTomb(col("doc_id")))
+      .select(col("cluster_id")).distinct()
+    val untouched = labels.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+    // surviving pairs of affected components: a pair's two ends share a
+    // component, so the src-side semi-join selects the whole subgraph
+    val affDocs = labels.join(broadcast(affected), Seq("cluster_id"))
+      .filter(!d28IsTomb(col("doc_id")))
+      .select(col("doc_id").as("src"))
+    val subPairs = allPairs
+      .filter(!d28IsTomb(col("src")) && !d28IsTomb(col("dst")))
+      .join(affDocs, Seq("src"), "left_semi")
+    val subNodes = subPairs.select(col("src").as("id"))
+      .unionByName(subPairs.select(col("dst").as("id"))).distinct()
+    val recomputed = graft.operators.ConnectedComponents.run(
+        subNodes, subPairs,
+        store = graft.operators.ConnectedComponents
+          .freshTableRounds(spark, "cc_d28"))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    untouched.unionByName(recomputed)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** d28's oracle is the full rebuild over the POST-DELETION pair graph. */
+  val d28Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |pairs AS (SELECT da, db FROM est
+      |          WHERE est_jaccard >= 0.5 AND da % 13 <> 0 AND db % 13 <> 0),
       |nodes AS (SELECT da AS id FROM pairs UNION SELECT db FROM pairs),
       |sym AS (SELECT da AS s, db AS d FROM pairs
       |        UNION SELECT db, da FROM pairs),
@@ -1905,6 +1975,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "d28_deletion_clusters" -> (d28DeletionClusters _),
     "d27_bpe_step" -> (d27BpeStep _),
     "d26_incremental_clusters" -> (d26IncrementalClusters _),
     "d25_domain_affinity" -> (d25DomainAffinity _),
@@ -1934,6 +2005,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d28_deletion_clusters" -> d28Sql,
     "d27_bpe_step" -> d27Sql,
     "d26_incremental_clusters" -> d26Sql,
     "d25_domain_affinity" -> d25Sql,

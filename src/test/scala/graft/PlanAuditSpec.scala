@@ -155,6 +155,10 @@ class PlanAuditSpec extends SparkSpec {
       // d27: the HOF-spread repartition + one pair hash agg (top-20 is
       // TakeOrdered)
       "d27_bpe_step" -> 2,
+      // d28: the checkpointed d26 labels + the base-pair re-derivation
+      // feeding the surviving-pair restriction + the affected-subgraph
+      // CC off its durable final table + cluster-size window + sort
+      "d28_deletion_clusters" -> 10,
       // d26: star ∪ delta CC read off the durable final round table,
       // the delta read from its persisted scored table (no re-expansion)
       // + cluster-size window + output sort

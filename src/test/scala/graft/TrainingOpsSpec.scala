@@ -553,6 +553,42 @@ class TrainingOpsSpec extends SparkSpec {
       "a pair more frequent than the top-20 floor was dropped")
   }
 
+  test("d28: deletion-aware clusters equal the post-deletion full rebuild") {
+    def fullPostDeletion(dir: String): Seq[(Long, Long, Long)] = {
+      val pairs = Documents.d6MinhashLsh(spark, dir)
+        .filter(col("da") % 13 =!= 0 && col("db") % 13 =!= 0)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val nodes = pairs.select(col("src").as("id"))
+        .unionByName(pairs.select(col("dst").as("id"))).distinct()
+      val labels = graft.operators.ConnectedComponents.run(nodes, pairs)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+      val sizes = labels.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      labels.map { case (c, id) => (c, id, sizes(c)) }.sorted.toSeq
+    }
+    try {
+      val inc = Documents.d28DeletionClusters(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(inc === fullPostDeletion(sf), "deletion clusters differ from rebuild")
+      // planted: cluster {1, 2, 13} loses tombstoned 13 and SHRINKS to
+      // {1, 2}; untouched cluster {3, 4} passes through verbatim
+      val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val y = "one two three four five six seven eight nine ten"
+      val dir = corpusDir(Seq(
+        1L -> x, 2L -> (x + " extra"), 13L -> x, 3L -> y, 4L -> (y + " extra")))
+      val incD = Documents.d28DeletionClusters(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(incD === fullPostDeletion(dir), "planted deletion differs from rebuild")
+      assert(!incD.exists(_._2 == 13L), "tombstoned doc survived")
+      assert(incD.contains((1L, 1L, 2L)) && incD.contains((1L, 2L, 2L)),
+        "affected cluster did not shrink to {1, 2}")
+      assert(incD.contains((3L, 3L, 2L)) && incD.contains((3L, 4L, 2L)),
+        "untouched cluster was disturbed")
+    } finally {
+      Seq("graft_sig_inc", "graft_delta_inc", "graft_ccstar_inc", "graft_sig_d6")
+        .foreach(graft.operators.PersistedIndex.dropAll(spark, _))
+    }
+  }
+
   test("d26: incremental clusters equal the full-rebuild CC; shard extends its cluster") {
     def fullClusters(dir: String): Seq[(Long, Long, Long)] = {
       val pairs = Documents.d6MinhashLsh(spark, dir)
