@@ -583,7 +583,98 @@ object Pipeline {
       |            // ($BatchTokenBudget // seq_bucket) END AS BIGINT) AS n_batches
       |FROM b GROUP BY seq_bucket ORDER BY seq_bucket""".stripMargin
 
+  /** p12: the delivery-side end-to-end — p5 fuses the CLEANING chain
+    * (dedup → scrub → quality → split); this fuses the chain that hands
+    * tokens to the trainer: d24's five-rule quality gate selects the
+    * pool, d22's temperature rates (computed over the CLEANED pool —
+    * the set actually being trained on, not the raw corpus) flatten the
+    * language mix, and p10's deterministic epoch shuffle lays the
+    * survivors out as (epoch, shard, position) — one plan from raw
+    * corpus to loader manifest, reproducible under any partitioning or
+    * retry.
+    *
+    * Physical shape: the cleaned pool is localCheckpointed ONCE and
+    * read twice (rate statistics + the sampled manifest) — at 100 TB
+    * this materialization IS the cleaned training corpus, a table a
+    * production run persists anyway; the rate table is a |langs|-row
+    * broadcast, the coin and shard keys are pure md5 projections, and
+    * the only exchange after the pool is p10's hash partition by
+    * (epoch, shard) with per-shard local sorts.
+    */
+  def p12DeliveryE2e(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.queries.Documents.d24QualityGate(spark, dir)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val pool = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(kept, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val counts = pool.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate_permille",
+        floor(lit(1000) * sqrt(col("min_n") / col("n_docs").cast("double")))
+          .cast("long"))
+      .select(col("lang"), col("rate_permille"))
+    val gate = pmod(
+      H.md5NumberBigEndian(
+        concat(col("doc_id").cast("string"), lit(":mix:"), col("lang"))),
+      lit(1000L))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+    pool.join(broadcast(rates), Seq("lang"))
+      .filter(gate < col("rate_permille"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), lit((EpochCount - 1).toLong))).as("epoch"))
+      .withColumn("key", H.md5NumberBigEndian(concat(
+        lit("ep:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("key"), lit(ShardCount.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("lang"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val p12Sql: String = {
+    val gate = graft.queries.Documents.signedBeMd5Sql(
+      "CAST(doc_id AS VARCHAR) || ':mix:' || lang")
+    val key = graft.queries.Documents.signedBeMd5Sql(
+      "'ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |f AS (SELECT doc_id, len(w) AS n,
+      |  list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) / CAST(len(w) AS DOUBLE) AS mlen,
+      |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) / CAST(len(w) AS DOUBLE) AS stop,
+      |  len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS lex
+      |  FROM toks),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(w) - 2),
+      |                              i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM toks WHERE len(w) >= 3),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+      |d AS (SELECT doc_id,
+      |        SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE) AS dupf
+      |      FROM c GROUP BY doc_id),
+      |kept AS (SELECT f.doc_id FROM f LEFT JOIN d ON f.doc_id = d.doc_id
+      |  WHERE NOT (f.n < 40 OR f.mlen < 3.0 OR f.mlen > 4.75 OR f.stop < 0.05
+      |             OR f.lex <= 0.3 OR COALESCE(d.dupf, 0) > 0.05)),
+      |pool AS (SELECT dd.doc_id, dd.lang FROM documents dd JOIN kept USING (doc_id)),
+      |counts AS (SELECT lang, COUNT(*) AS n_docs FROM pool GROUP BY lang),
+      |rates AS (SELECT lang,
+      |    CAST(floor(1000 * sqrt((SELECT MIN(n_docs) FROM counts)
+      |      / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_permille
+      |  FROM counts),
+      |sampled AS (SELECT p.doc_id, p.lang FROM pool p JOIN rates r USING (lang)
+      |  WHERE ((($gate) % 1000) + 1000) % 1000 < r.rate_permille),
+      |e AS (SELECT unnest(generate_series(0, ${EpochCount - 1})) AS epoch),
+      |k AS (SELECT epoch, doc_id, lang, $key AS key FROM sampled, e),
+      |s AS (SELECT epoch, ((key % $ShardCount) + $ShardCount) % $ShardCount AS shard,
+      |        doc_id, lang, key FROM k)
+      |SELECT epoch, shard,
+      |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY key, doc_id) AS pos,
+      |  doc_id, lang
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "p12_delivery_e2e" -> (p12DeliveryE2e _),
     "p11_length_buckets" -> (p11LengthBuckets _),
     "p10_epoch_shuffle" -> (p10EpochShuffle _),
     "p9_bloom_decontaminate" -> (p9BloomDecontaminate _),
@@ -596,6 +687,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p12_delivery_e2e" -> p12Sql,
     "p11_length_buckets" -> p11Sql,
     "p10_epoch_shuffle" -> p10Sql,
     "p9_bloom_decontaminate" -> p9Sql,

@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSpec {
       "v17_ivfadc_residual",
       //  - v18: v1's deliberate broadcast-Q x scan-N, over the
       //    versioned current view
-      "v18_versioned_ann")
+      "v18_versioned_ann",
+      //  - p12: the min-pool-count scalar arrives as a one-row
+      //    broadcast next to the |langs|-row rate table (d22's shape)
+      "p12_delivery_e2e")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -214,6 +217,9 @@ class PlanAuditSpec extends SparkSpec {
       "d25_domain_affinity" -> 4,
       // p11: one hash agg on the derived bucket key + output sort
       "p11_length_buckets" -> 2,
+      // p12: d24's repartition + the pool semi-join + the rate rollup
+      // over the checkpointed pool + the (epoch, shard) window + sort
+      "p12_delivery_e2e" -> 5,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
       "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3,

@@ -553,6 +553,36 @@ class TrainingOpsSpec extends SparkSpec {
       "a pair more frequent than the top-20 floor was dropped")
   }
 
+  test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
+    val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    // every manifest doc passed the d24 gate
+    val kept = Documents.d24QualityGate(spark, sf)
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => kept(r._4)), "a gated-out doc reached the manifest")
+    // each sampled doc appears exactly once per epoch
+    val perDoc = rows.groupBy(_._4)
+    perDoc.foreach { case (id, rs) =>
+      assert(rs.map(_._1).sorted.toSeq === Seq(0L, 1L), s"doc $id epochs wrong")
+    }
+    // positions are contiguous from 1 within each (epoch, shard)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"shard $k positions not contiguous")
+    }
+    // the rarest language's rate is 1000 permille — its whole cleaned
+    // pool must appear in every epoch
+    val poolByLang = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(p => kept(p._1)).groupBy(_._2).view.mapValues(_.length).toMap
+    val rarest = poolByLang.minBy(p => (p._2, p._1))._1
+    val inManifest = rows.filter(r => r._1 == 0L && r._5 == rarest).length
+    assert(inManifest === poolByLang(rarest),
+      s"rarest lang '$rarest' not fully kept: $inManifest of ${poolByLang(rarest)}")
+  }
+
   test("d28: deletion-aware clusters equal the post-deletion full rebuild") {
     def fullPostDeletion(dir: String): Seq[(Long, Long, Long)] = {
       val pairs = Documents.d6MinhashLsh(spark, dir)
