@@ -81,22 +81,19 @@ object ConnectedComponents {
     }
   }
 
-  /** Last minted [[freshTableRounds]] prefix per family, so the NEXT run
-    * of the same family can reclaim the previous run's surviving final
-    * table (by then its labels have necessarily been consumed). */
-  private val lastPrefixByFamily =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** A fresh durable [[TableRounds]] for a query family (e.g.
     * `cc_d12`): mints a per-run unique prefix — two concurrent runs (or
     * two sessions sharing a warehouse) never drop each other's round
-    * tables mid-iteration — reclaims THIS family's previous-run final
-    * table, and sweeps warehouse dirs orphaned by earlier JVMs.
+    * tables mid-iteration — and sweeps warehouse dirs orphaned by
+    * earlier JVMs. The previous run's surviving final table is NOT
+    * reclaimed here: its labels frame may still be lazily unconsumed
+    * (`val a = d23(..); val b = d23(..); a.collect()` must work), so
+    * in-session reruns accumulate one small final table each until the
+    * age-guarded sweep of a later process reclaims them — bounded waste
+    * traded for never dropping a table out from under a live reader.
     */
   def freshTableRounds(spark: SparkSession, family: String): TableRounds = {
     val prefix = s"${family}_${java.lang.Long.toHexString(System.nanoTime())}"
-    Option(lastPrefixByFamily.put(family, prefix))
-      .foreach(p => TableRounds(spark, p).reset())
     sweepOrphanRoundDirs(spark, family)
     TableRounds(spark, prefix)
   }

@@ -38,6 +38,13 @@ object Pipeline {
     */
   private val DecontamN = 3
 
+  /** The n-gram concat for the decontamination oracles, generated from
+    * [[DecontamN]] so the SQL can never drift from the Scala side's
+    * `T.shingles(toks, DecontamN)` when the parameter changes.
+    */
+  private val decontamShingleSql: String =
+    (0 until DecontamN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -136,7 +143,7 @@ object Pipeline {
 
   val p3Sql: String =
     s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  SELECT DISTINCT doc_id, $decontamShingleSql AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |       (SELECT unnest(generate_series(1, 100000)) i)
       |  WHERE i <= len(w) - ${DecontamN - 1}),
@@ -445,7 +452,7 @@ object Pipeline {
 
   val p9Sql: String =
     s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  SELECT DISTINCT doc_id, $decontamShingleSql AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |       (SELECT unnest(generate_series(1, 100000)) i)
       |  WHERE i <= len(w) - ${DecontamN - 1}),

@@ -20,8 +20,14 @@ fails, passes, skips = [], [], []
 not_dumped = []
 for name, sql in sorted(oracle.items()):
     if not os.path.isdir(f"{outdir}/{name}"):
-        # GRAFT_ONLY subset run: queries Verify didn't dump aren't failures
-        not_dumped.append(name); continue
+        # Under GRAFT_ONLY, queries Verify didn't dump aren't failures;
+        # in a FULL run a missing dump is a lost query (catalog drift,
+        # crashed dump) and must fail the gate loudly.
+        if os.environ.get("GRAFT_ONLY"):
+            not_dumped.append(name)
+        else:
+            fails.append((name, "output dir missing in a full run"))
+        continue
     try:
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     except Exception as e:
