@@ -451,15 +451,15 @@ object Documents {
     * estimate), shared by the d6/d21 oracles and d23's cluster oracle
     * (which extends it with a recursive component walk).
     */
-  private[graft] lazy val minhashCtesSql: String = {
-    val laneRows = laneRowsSql
-    s"""sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
-      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM sh),
-      |lanes AS (SELECT * FROM (VALUES $laneRows) t(i, alo, ahi, b)),
+  /** The hash -> 16-lane fold -> band-signature chain over an upstream
+    * CTE named `sh` providing (doc_id, s) item rows — ONE copy of the
+    * oracle's MinHash arithmetic for every consumer (the d6 shingle
+    * family, m4's media frames, p8's benchmark-union corpus). The lane
+    * and band fixes of round 5 live here and nowhere else.
+    */
+  private[graft] lazy val minhashSigChainSql: String =
+    s"""hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM sh),
+      |lanes AS (SELECT * FROM (VALUES $laneRowsSql) t(i, alo, ahi, b)),
       |mh AS (
       |  SELECT doc_id, i,
       |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
@@ -473,8 +473,13 @@ object Documents {
       |bs AS (
       |  SELECT doc_id, CAST(i // $BandSize AS INT) band,
       |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
-      |  FROM mh GROUP BY 1, 2),
-      |cand AS (
+      |  FROM mh GROUP BY 1, 2)""".stripMargin
+
+  /** The symmetric pair expansion + estimation over [[minhashSigChainSql]]
+    * output (bucket join, da < db, lane-agreement estimate).
+    */
+  private[graft] lazy val minhashPairEstSql: String =
+    s"""cand AS (
       |  SELECT DISTINCT x.doc_id da, y.doc_id db
       |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
       |est AS (
@@ -482,7 +487,15 @@ object Documents {
       |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / ${NumHashes.toDouble} est_jaccard
       |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
       |  GROUP BY da, db)""".stripMargin
-  }
+
+  private[graft] lazy val minhashCtesSql: String =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |$minhashSigChainSql,
+      |$minhashPairEstSql""".stripMargin
 
   val d6Sql: String =
     s"""WITH $minhashCtesSql
@@ -1521,22 +1534,7 @@ object Documents {
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus),
       |       (SELECT unnest(generate_series(1, 100000)) i)
       |  WHERE i <= len(w) - 2),
-      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM sh),
-      |lanes AS (SELECT * FROM (VALUES $laneRowsSql) t(i, alo, ahi, b)),
-      |mh AS (
-      |  SELECT doc_id, i,
-      |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
-      |             THEN 18446744073709551616 ELSE 0 END AS BIGINT)) m
-      |  FROM (SELECT doc_id, i,
-      |          ((CAST(u AS HUGEINT) * alo) % 18446744073709551616
-      |           + ((CAST(u AS HUGEINT) * ahi) % 4294967296) * 4294967296
-      |           + b) % 18446744073709551616 AS x
-      |        FROM hs, lanes)
-      |  GROUP BY doc_id, i),
-      |bs AS (
-      |  SELECT doc_id, CAST(i // $BandSize AS INT) band,
-      |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
-      |  FROM mh GROUP BY 1, 2),
+      |$minhashSigChainSql,
       |cand AS (
       |  SELECT DISTINCT t.doc_id, bq.doc_id bench_id
       |  FROM bs t JOIN bs bq ON t.band = bq.band AND t.sig = bq.sig

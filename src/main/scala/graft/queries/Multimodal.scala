@@ -142,35 +142,13 @@ object MultimodalQ {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, 'z' || substring(text, 2) FROM documents),
-      |f AS (
+      |sh AS (
       |  SELECT DISTINCT doc_id, substring(text, (i - 1) * 8 + 1, 16) AS s
       |  FROM corpus, LATERAL (SELECT unnest(generate_series(1,
       |    CASE WHEN length(text) >= 16
       |         THEN (length(text) - 16) // 8 + 1 ELSE 0 END)) AS i)),
-      |hs AS (SELECT doc_id, CAST('0x' || substring(md5(s), 17, 16) AS UBIGINT) AS u FROM f),
-      |lanes AS (SELECT * FROM (VALUES ${Documents.laneRowsSql}) t(i, alo, ahi, b)),
-      |mh AS (
-      |  SELECT doc_id, i,
-      |    MIN(CAST(x - CASE WHEN x >= 9223372036854775808
-      |             THEN 18446744073709551616 ELSE 0 END AS BIGINT)) m
-      |  FROM (SELECT doc_id, i,
-      |          ((CAST(u AS HUGEINT) * alo) % 18446744073709551616
-      |           + ((CAST(u AS HUGEINT) * ahi) % 4294967296) * 4294967296
-      |           + b) % 18446744073709551616 AS x
-      |        FROM hs, lanes)
-      |  GROUP BY doc_id, i),
-      |bs AS (
-      |  SELECT doc_id, CAST(i // ${Documents.BandSize} AS INT) band,
-      |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
-      |  FROM mh GROUP BY 1, 2),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id da, y.doc_id db
-      |  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-      |est AS (
-      |  SELECT da, db,
-      |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / ${Documents.NumHashes.toDouble} est_jaccard
-      |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
-      |  GROUP BY da, db)
+      |${Documents.minhashSigChainSql},
+      |${Documents.minhashPairEstSql}
       |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
 
   val defs: Map[String, Q] = Map(
