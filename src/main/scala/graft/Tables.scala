@@ -8,19 +8,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * swapping the edge does not touch operator code (SURVEY §7.1).
   */
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Post-load contract: `events.ts` is session-zoned TimestampType regardless
+    * of how the fixture generation encoded it. Generations seen so far:
+    * TIMESTAMP(NANOS) (readable only as long via the legacy conf) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ; the
+    * session TZ is pinned UTC by every entry point, so a plain cast matches
+    * DuckDB's interpretation bit-for-bit). Dispatch on the loaded schema so a
+    * fixture regeneration can never silently break the catalog again.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as a long and floor-div to micros (the
-      // fixture's nanos are exact micros; DuckDB does the same conversion).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val path = s"$dir/$name.parquet"
+      val tsType = scala.util
+        .Try(spark.read.parquet(path).schema("ts").dataType)
+        .getOrElse {
+          // Schema inference itself rejects TIMESTAMP(NANOS) unless the
+          // legacy conf is on; the conf only affects NANOS columns, so it is
+          // safe to leave set for the rest of a legacy-fixture session.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path).schema("ts").dataType
+        }
+      val df = spark.read.parquet(path)
+      tsType match {
+        case TimestampType    => df
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported fixture type $other at $path")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view for spark.sql queries. */

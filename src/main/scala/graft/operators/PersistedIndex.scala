@@ -169,7 +169,14 @@ object PersistedIndex {
     spark.table(table)
   }
 
-  /** Test hygiene: drop every table (and location) built under `base`. */
+  /** Test hygiene: drop every table (and location) THIS SESSION built
+    * under `base`. The filesystem glob carries the session tag — a bare
+    * `${base}_*` glob would delete a concurrently-running OTHER JVM's
+    * live index out from under its readers (observed: a test-suite
+    * teardown racing a Verify run killed d21 with PATH_NOT_FOUND).
+    * Dead-session orphans are not this method's job; [[ensure]]'s
+    * >30-min age sweep reclaims those safely.
+    */
   def dropAll(spark: SparkSession, base: String): Unit = {
     spark.sessionState.catalog.listTables("default", s"${base}_*")
       .foreach(t => ReplicaTable.dropTableAndLocation(spark, t.table))
@@ -177,6 +184,7 @@ object PersistedIndex {
       .defaultTablePath(TableIdentifier(s"${base}_x"))).getParent
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(parent))
-      fs.globStatus(new Path(parent, s"${base}_*")).foreach(st => fs.delete(st.getPath, true))
+      fs.globStatus(new Path(parent, s"${base}_*_s${sessionTag(spark)}"))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -1500,11 +1500,25 @@ object Documents {
     * natural near-dups surface organically.
     */
   def p8FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val isBenchId = pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < 2000000
-    val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
-    val sigs = bandSignatures(spark, d.unionByName(clones))
+    // The corpus∪clones signature table rides the same persisted-index
+    // discipline as d6/d21 (VERDICT r5 item 4): the interpreted HOF
+    // shingle+minhash pipeline over BOTH sides is paid once per
+    // (corpus, params), not once per pass — every later construction
+    // (the second bench pass, a decontamination re-run after a threshold
+    // change) reads bucketed parquet. At 100 TB this is the difference
+    // between re-shingling the corpus per audit and a catalog lookup.
+    val sigs = graft.operators.PersistedIndex.ensure(
+      spark, "graft_sig_p8", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = "bands clones+2000000 mod=50") { table =>
+      val d = docs(spark, dir).select(col("doc_id"), col("text"))
+      val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      bandSignatures(spark, d.unionByName(clones))
+        .write.format("parquet").bucketBy(8, "band", "sig")
+        .sortBy("band", "sig").saveAsTable(table)
+    }
     val bench = sigs.filter(isBenchId)
       .select(col("band"), col("sig"), col("doc_id").as("bench_id"),
         col("m").as("bm"))

@@ -1231,9 +1231,23 @@ object Vectors {
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), cos)
       .filter(col("cosine") >= 0.95)
       .select(col("src"), col("dst"))
-    val labels = graft.operators.ConnectedComponents.run(
-      all.select(col("vec_id").as("id")), edges,
-      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_v14"))
+    // The duplicate-group labels depend only on (corpus, threshold), so
+    // they ride the persisted-index discipline (VERDICT r5 item 5): the
+    // first pass pays the CC fixpoint (durable round tables for executor
+    // loss), every later pass — the second bench pass, a downstream
+    // purge-manifest consumer — reads the labels back from bucketed
+    // parquet. The round store is reclaimed once the labels are written.
+    val labels = graft.operators.PersistedIndex.ensure(
+      spark, "graft_cc_v14", dir,
+      sources = Seq(s"$dir/embeddings.parquet"),
+      params = "semdedup cos=0.95") { table =>
+      val store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_v14")
+      graft.operators.ConnectedComponents.run(
+          all.select(col("vec_id").as("id")), edges, store = store)
+        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .saveAsTable(table)
+      store.reset()
+    }
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Fixture canary: round 5 lost 26 driver-green queries because the events
+  * fixture was regenerated with a different `ts` physical type and nothing
+  * in `sbt test` probed the REAL fixtures' schemas (specs asserted against
+  * cached expectations; the catalog sweep died on the first exception, so
+  * the blast radius was invisible). This spec is the cheap tripwire:
+  *
+  *   (a) load every fixture through [[Tables.load]] and assert the
+  *       post-load column contract the operator layer depends on;
+  *   (b) force analysis + physical planning for EVERY catalog entry at
+  *       sf0.001, collecting all failures into one readable report
+  *       instead of stopping at the first.
+  *
+  * Seconds of runtime; a fixture regeneration now fails here with the
+  * full list of affected queries, not in the driver a round later.
+  */
+class FixtureCanarySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every fixture loads and honors the post-load column contract") {
+    // the columns operators actually dereference, with the types they assume
+    val contract: Map[String, Map[String, DataType]] = Map(
+      "region"   -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation"   -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType,
+                        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
+      "part"     -> Map("p_partkey" -> LongType, "p_retailprice" -> DoubleType),
+      "orders"   -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                        "o_orderdate" -> TimestampNTZType, "o_totalprice" -> DoubleType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+                        "l_discount" -> DoubleType, "l_shipdate" -> TimestampNTZType),
+      // ts MUST come out session-zoned TimestampType no matter which
+      // fixture generation is on disk — the whole point of Tables.load's
+      // schema dispatch (r5 verdict item 1)
+      "events"     -> Map("event_id" -> LongType, "ts" -> TimestampType,
+                          "user_id" -> LongType, "event_type" -> StringType,
+                          "value" -> DoubleType, "props" -> StringType),
+      "documents"  -> Map("doc_id" -> LongType, "text" -> StringType,
+                          "lang" -> StringType, "source" -> StringType),
+      "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
+                          "embedding" -> ArrayType(FloatType, containsNull = true)),
+    )
+    val problems = Tables.all.flatMap { name =>
+      scala.util.Try(Tables.load(spark, dir, name).schema) match {
+        case scala.util.Failure(e) => Seq(s"$name: load failed: ${e.getMessage}")
+        case scala.util.Success(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+          contract.getOrElse(name, Map.empty).flatMap { case (col, want) =>
+            byName.get(col) match {
+              case None        => Some(s"$name.$col: column missing (have ${byName.keys.mkString(", ")})")
+              case Some(got) if got != want => Some(s"$name.$col: expected $want, fixture loads as $got")
+              case _           => None
+            }
+          }
+      }
+    }
+    assert(problems.isEmpty, s"fixture contract violations:\n  ${problems.mkString("\n  ")}")
+  }
+
+  test("every catalog query analyzes and plans against the real fixtures") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      scala.util.Try(fn(spark, dir).queryExecution.executedPlan) match {
+        case scala.util.Failure(e) =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.take(3).mkString(" | ")}")
+        case scala.util.Success(_) => None
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${SparkEntry.queries.size} catalog queries fail to plan:\n  ${failures.mkString("\n  ")}")
+  }
+}
