@@ -1986,7 +1986,121 @@ object Documents {
       |ORDER BY affinity DESC, g.doc_id LIMIT 25""".stripMargin
   }
 
+  /** Number of merge rounds d29 trains; the merge table is the output. */
+  private val BpeMerges = 8
+
+  /** d29: the FULL BPE training loop — d27's pair-count step iterated to
+    * an actual merge table (Sennrich et al. 2016). Each round counts
+    * adjacent SYMBOL pairs (not raw characters: earlier merges produce
+    * multi-character symbols) weighted by word frequency, picks the most
+    * frequent pair in the deterministic (count desc, lhs asc, rhs asc)
+    * order, applies it greedily left-to-right, and recounts.
+    *
+    * Scale shape — Sennrich's own optimization, distributed: ONE corpus
+    * pass folds 100 TB of text into the word-frequency VOCABULARY
+    * (tokens are the unit of BPE, so this loses nothing), and all
+    * training rounds run over the vocab — millions of rows, not the
+    * corpus. Per round: one hash agg (map-side combine eats the
+    * per-word pair duplication) + a 1-row TakeOrdered to the driver
+    * (iterative training IS driver-side control flow, like v10's Lloyd
+    * rounds; the merge table is KB-sized), then a pure-projection
+    * rewrite, lineage cut per round.
+    *
+    * Merge application: a word's symbol string is space-joined and
+    * space-wrapped (" a b c "), and the pattern " lhs rhs " is replaced
+    * by " lhsrhs " TWICE — the first left-to-right pass consumes the
+    * shared boundary space of back-to-back occurrences ("a b a b"
+    * merges at 1 and 3, missing 2), and the second pass picks up
+    * exactly those now-isolated survivors. Two passes reach the greedy
+    * fixpoint: a miss requires two adjacent unmerged occurrences, and
+    * pass one never leaves two adjacent. Space-anchoring makes the
+    * match symbol-exact (pattern "a b" alone would match inside the
+    * symbol pair ("xa","b")), and literal `replace` (not regex) keeps
+    * corpus-derived symbols from being interpreted as patterns. The
+    * oracle replays the identical rounds as an unrolled CTE chain.
+    */
+  def d29BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    // like v11's k-means trace: training runs ONCE per (corpus, params)
+    // at build and persists its merge table; later constructions read it
+    graft.operators.PersistedIndex.ensure(
+      spark, "graft_bpe", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"merges=$BpeMerges") { table =>
+      val vocab = docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode_outer(T.tokens(coalesce(col("text"), lit("")))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+          col("n"))
+      var cur = vocab.localCheckpoint(false)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= BpeMerges && !exhausted) {
+        val top = cur
+          .select(col("n"), split(trim(col("s")), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("n"), explode_outer(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "i -> struct(sy[i-1] AS lhs, sy[i] AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word is one symbol; the
+        // oracle degrades identically (an empty m_k empties every later
+        // round's pair frame, so its UNION also stops at k-1 rows)
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k, l, r, c))
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" $l$r ")
+          cur = cur
+            .select(replace(replace(col("s"), pat, rep), pat, rep).as("s"), col("n"))
+            .localCheckpoint(false)
+        }
+        k += 1
+      }
+      spark.createDataFrame(merges.result())
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+        .write.format("parquet").saveAsTable(table)
+    }.orderBy(col("merge_rank"))
+  }
+
+  /** d29's oracle: the identical rounds unrolled as a CTE chain — round
+    * k's 1-row merge pick feeds round k's rewrite via a cross join, so
+    * the oracle derives every merge itself (no values copied from the
+    * Spark side).
+    */
+  val d29Sql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+        |  SELECT sy[i] AS lhs, sy[i+1] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT n, string_split(trim(s$k), ' ') AS sy FROM r$k),
+        |       LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        |  WHERE len(sy) >= 2 GROUP BY 1, 2),
+        |m$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |r${k + 1} AS (
+        |  SELECT replace(replace(s$k, ' ' || m.lhs || ' ' || m.rhs || ' ',
+        |                                ' ' || m.lhs || m.rhs || ' '),
+        |                 ' ' || m.lhs || ' ' || m.rhs || ' ',
+        |                 ' ' || m.lhs || m.rhs || ' ') AS s${k + 1}, n
+        |  FROM r$k, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges)
+      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |v AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+      |r1 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s1, n FROM v),
+      |$rounds
+      |$out
+      |ORDER BY merge_rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d29_bpe_train" -> (d29BpeTrain _),
     "d28_deletion_clusters" -> (d28DeletionClusters _),
     "d27_bpe_step" -> (d27BpeStep _),
     "d26_incremental_clusters" -> (d26IncrementalClusters _),
@@ -2017,6 +2131,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d29_bpe_train" -> d29Sql,
     "d28_deletion_clusters" -> d28Sql,
     "d27_bpe_step" -> d27Sql,
     "d26_incremental_clusters" -> d26Sql,

@@ -686,7 +686,110 @@ object Pipeline {
       |FROM s ORDER BY epoch, shard, pos""".stripMargin
   }
 
+  /** p13: BM25 ranked retrieval (Robertson-Spärck Jones probabilistic
+    * weighting, the Okapi BM25 form) — the retrieval step a RAG or
+    * data-curation pipeline runs against the corpus: each query doc's
+    * terms score candidate documents and the top-5 per query return.
+    * p4's rational-idf discipline extends to the full BM25 weight: the
+    * idf is the exact rational (N - df + 0.5)/(df + 0.5) + 1 (Lucene's
+    * +1 form, so weights stay positive) WITHOUT the ln around it —
+    * libm logs differ across engines in the last ULP while one IEEE
+    * division tree is bit-identical, and the ranking is unchanged
+    * (monotone). Per-term scores stay double (identical expression
+    * trees both engines); the per-document SUM goes through
+    * DECIMAL(18,6) so Spark's partial-agg order vs DuckDB's cannot
+    * produce last-ULP mismatches (the Relational.scala convention).
+    *
+    * Scale shape — retrieval runs against a PERSISTED INVERTED INDEX,
+    * not a per-query re-tokenize (what a real search tier does): one
+    * build per (corpus, params) writes the (term, doc_id, tf, dl) index
+    * bucketed by term, plus its one-row corpus stats. Query-time work is
+    * then bucket-layout aggregations (df needs no exchange), broadcasts
+    * of the tiny query-term frames, and exactly one corpus-keyed
+    * exchange — the final (qid, doc) score agg — plus the top-5 window.
+    * The naive form re-pays three corpus aggregations per query.
+    */
+  def p13Bm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.PersistedIndex.ensure(
+      spark, "graft_bm25_idx", dir,
+      sources = Seq(s"$dir/documents.parquet"), params = "tf+dl") { table =>
+      val tok = docs(spark, dir)
+        .filter(size(T.tokens(col("text"))) >= 1)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .write.format("parquet").bucketBy(8, "term").sortBy("term")
+        .saveAsTable(table)
+    }
+    val stats = graft.operators.PersistedIndex.ensure(
+      spark, "graft_bm25_stats", dir,
+      sources = Seq(s"$dir/documents.parquet"), params = "stats") { table =>
+      idx.agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tf")).as("tot_len"))
+        .write.format("parquet").saveAsTable(table)
+    }
+    val dft = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = idx.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("term"))
+    val qdf = dft.join(q.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0)
+    val avgdl = col("tot_len").cast("double") / col("n_docs").cast("double")
+    val tfNorm = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    idx.join(broadcast(q), Seq("term"))
+      .filter(col("qid") =!= col("doc_id"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(
+        sum((idf * tfNorm).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val p13Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < 3),
+      |sc AS (
+      |  SELECT q.qid, t.doc_id,
+      |    CAST(SUM(CAST(
+      |      ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |         / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(t.tf AS DOUBLE) * 2.2
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                / (CAST(st.tot_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |    COUNT(*) AS n_terms
+      |  FROM tf t
+      |  JOIN q ON t.term = q.term AND t.doc_id <> q.qid
+      |  JOIN df ON df.term = t.term
+      |  JOIN dl ON dl.doc_id = t.doc_id, st
+      |  GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, n_terms, score,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT qid, rank, doc_id, n_terms, score FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p13_bm25_retrieve" -> (p13Bm25Retrieve _),
     "p12_delivery_e2e" -> (p12DeliveryE2e _),
     "p11_length_buckets" -> (p11LengthBuckets _),
     "p10_epoch_shuffle" -> (p10EpochShuffle _),
@@ -700,6 +803,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p13_bm25_retrieve" -> p13Sql,
     "p12_delivery_e2e" -> p12Sql,
     "p11_length_buckets" -> p11Sql,
     "p10_epoch_shuffle" -> p10Sql,

@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
       "v18_versioned_ann",
       //  - p12: the min-pool-count scalar arrives as a one-row
       //    broadcast next to the |langs|-row rate table (d22's shape)
-      "p12_delivery_e2e")
+      "p12_delivery_e2e",
+      //  - p13: the one-row corpus stats (N, total length) broadcast
+      //    next to every scored candidate (p4/v7's scalar shape)
+      "p13_bm25_retrieve")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -188,11 +191,19 @@ class PlanAuditSpec extends SparkSpec {
       // v13 = cell equi-join + ADC window + recall join
       "v11_kmeans_converged" -> 1, "v12_pq_learned" -> 5,
       "v13_ivfpq" -> 6,
-      // v14: sizes agg + label join + output sort — the CC fixpoint now
-      // reads back from the durable bucketed round table (no exchange);
+      // v14: sizes agg + label join + output sort share exchanges once
+      // the labels persist (r6: the CC fixpoint runs at BUILD into the
+      // fingerprint-scoped table; the query plan only re-reads it);
       // w11: sketch agg + exact agg (top-20 is TakeOrdered, the rank
       // window runs over 20 rows)
-      "v14_semdedup" -> 3, "w11_heavy_hitters" -> 2,
+      "v14_semdedup" -> 2, "w11_heavy_hitters" -> 2,
+      // d29: training runs at build (driver merge loop, v11's shape);
+      // the query plan reads the 8-row persisted merge table + sort
+      "d29_bpe_train" -> 1,
+      // p13: df/query frames ride the bucketed inverted index (no
+      // exchange), leaving the query-term distinct + the (qid, doc)
+      // score agg + top-5 window's qid exchange
+      "p13_bm25_retrieve" -> 3,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,

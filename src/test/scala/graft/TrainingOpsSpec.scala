@@ -553,6 +553,124 @@ class TrainingOpsSpec extends SparkSpec {
       "a pair more frequent than the top-20 floor was dropped")
   }
 
+  /** Reference greedy BPE in plain Scala: symbol-list merges applied
+    * left-to-right non-overlapping — the semantics d29's two-pass
+    * string replace must reproduce.
+    */
+  private def bpeBruteForce(
+      vocab: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var syms: Map[Seq[String], Long] =
+      vocab.groupBy { case (w, _) => w.map(_.toString) }
+        .map { case (s, m) => s -> m.values.sum }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, n) =>
+        s.sliding(2).filter(_.length == 2)
+          .foreach(p => counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((k, l, r, c))
+        def apply(s: Seq[String]): Seq[String] = {
+          val b = Seq.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          b.result()
+        }
+        syms = syms.groupBy { case (s, _) => apply(s) }
+          .map { case (s, m) => s -> m.values.sum }
+      }
+    }
+    out.result()
+  }
+
+  test("d29: the trained merge table equals a greedy reference BPE, incl. overlap chains") {
+    try {
+      // fixture corpus: full equality of the 8-round merge table
+      val vocab = graft.Tables.load(spark, sf, "documents")
+        .select(col("text")).collect().map(_.getString(0))
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val expected = bpeBruteForce(vocab, 8)
+      val got = Documents.d29BpeTrain(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got === expected, "fixture merge table differs from reference BPE")
+      // planted overlap chains: back-to-back pair occurrences are the
+      // two-pass replace's hard case ("aaaa" must merge to [aa][aa],
+      // then [aaaa]; "ababab" interleaves with them)
+      val dir = corpusDir(Seq(
+        1L -> "aaaa aaaa ababab", 2L -> "aaaa abab aa", 3L -> "baab aab"))
+      val pv = Seq("aaaa", "aaaa", "ababab", "aaaa", "abab", "aa", "baab", "aab")
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val pExpected = bpeBruteForce(pv, 8)
+      val pGot = Documents.d29BpeTrain(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(pGot === pExpected, "planted overlap corpus diverged from reference BPE")
+    } finally graft.operators.PersistedIndex.dropAll(spark, "graft_bpe")
+  }
+
+  test("p13: BM25 ranking matches a brute-force replay; structural contract holds") {
+    try {
+      val texts = graft.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tf = texts.map { case (id, t) =>
+        id -> t.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      }.toMap
+      val dl = tf.view.mapValues(_.values.sum).toMap
+      val nDocs = tf.size.toDouble
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def score(qid: Long, did: Long): (java.math.BigDecimal, Long) = {
+        val common = tf(qid).keySet & tf(did).keySet
+        val s = common.toSeq.map { t =>
+          val idf = (nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0
+          val norm = tf(did)(t) * 2.2 /
+            (tf(did)(t) + 1.2 * (0.25 + 0.75 * (dl(did) / avgdl)))
+          // valueOf goes through Double.toString — the same path Spark's
+          // double->decimal cast takes; the raw-binary constructor can
+          // round differently at the half-ulp boundary
+          java.math.BigDecimal.valueOf(idf * norm)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+        }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+        (s, common.size.toLong)
+      }
+      val got = Pipeline.p13Bm25Retrieve(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // structural contract: 5 per query, ranks contiguous, scores
+      // descending with doc_id tiebreak, never the query doc itself
+      assert(got.map(_._1).distinct.toSeq === Seq(0L, 1L, 2L))
+      got.groupBy(_._1).foreach { case (qid, rs) =>
+        assert(rs.map(_._2).toSeq === (1L to 5L), s"q$qid ranks not contiguous")
+        rs.sliding(2).foreach { case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._3 < b._3), s"q$qid order violated")
+        }
+        assert(!rs.exists(_._3 == qid), s"q$qid returned itself")
+      }
+      // value contract: every returned (score, n_terms) equals the replay,
+      // and no unreturned doc beats the returned floor
+      got.foreach { case (qid, _, did, nTerms, sc) =>
+        val (expS, expN) = score(qid, did)
+        assert(expN === nTerms, s"q$qid d$did n_terms off")
+        assert(expS.doubleValue === sc, s"q$qid d$did score off")
+      }
+      got.groupBy(_._1).foreach { case (qid, rs) =>
+        val floor = rs.map(_._5).min
+        val better = texts.map(_._1)
+          .filter(d => d != qid)
+          .count(d => score(qid, d)._1.doubleValue > floor)
+        assert(better <= 5, s"q$qid: a doc above the returned floor was dropped")
+      }
+    } finally {
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_idx")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_stats")
+    }
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
