@@ -494,7 +494,92 @@ object Replication {
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |ORDER BY user_id, ver_from""".stripMargin
 
+  /** One compaction fold: collapse (previous compacted state ∪ a raw
+    * change window) to latest-wins per key while ACCUMULATING how many
+    * raw rows each key has absorbed. Same ArgMaxRow ObjectHashAggregate
+    * shape as [[ReplicaTable.latest]] (no per-key window sort), plus the
+    * running `nv` sum in the same aggregation.
+    */
+  private def compactFold(u: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val payload = struct(col("event_id"), col("event_type"), col("value"),
+      col("_deleted"))
+    val argMax = ColumnShim.column(
+      graft.functions.ArgMaxRow(
+        ColumnShim.expression(struct(col("event_id"))),
+        ColumnShim.expression(payload)).toAggregateExpression())
+    u.groupBy(col("user_id"))
+      .agg(argMax.as("_row"), sum(col("nv")).as("nv"))
+      .select(col("user_id"), col("_row.event_id").as("event_id"),
+        col("_row.event_type").as("event_type"), col("_row.value").as("value"),
+        col("_row._deleted").as("_deleted"), col("nv"))
+  }
+
+  /** r10: INCREMENTAL replica compaction — the batch form of the
+    * background merge ClickHouse's ReplacingMergeTree runs continuously
+    * (the reference leans on it for correctness and never sees the
+    * cost; SURVEY §2.5). The change log is folded one retention window
+    * (calendar week of `ts`) at a time: compacted state so far ∪ the
+    * window's raw rows → latest-wins per key, with per-key absorbed-row
+    * counts (`n_versions`) carried along — the figure a capacity plan
+    * reads. Latest-wins is associative and commutative, so the windowed
+    * fold provably equals the one-shot collapse over the full log — the
+    * oracle IS the one-shot form, making that equality the correctness
+    * gate rather than a comment.
+    *
+    * Tombstones are RETAINED in the compacted table (dropping one would
+    * let a lower-versioned row resurrect in a later window — the
+    * classic compaction bug); the read view (r1) filters them. Output
+    * is the compacted table itself, tombstones visible.
+    *
+    * Scale shape: per window, cost is |state| + |window| through ONE
+    * hash exchange on the key (ObjectHashAggregate, map-side partials —
+    * no per-key window sort anywhere); at 100 TB state and windows are
+    * bucketed by key on durable storage, so each fold re-reads
+    * exchange-free (BucketingSpec's layout; localCheckpoint stands in
+    * here). The driver loop over windows is bounded by retention
+    * (weeks), not data; each window's rows are touched exactly once —
+    * against the oracle's full-log re-scan, which is the recompaction a
+    * production system cannot afford.
+    */
+  def r10IncrementalCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("_deleted"),
+        lit(1L).as("nv"),
+        date_trunc("week", col("ts")).as("wk"))
+    val weeks = log.select(col("wk")).distinct().orderBy(col("wk"))
+      .collect().map(_.getTimestamp(0)) // bounded by retention, not data
+    var state: DataFrame = null
+    for (w <- weeks) {
+      val delta = log.filter(col("wk") === lit(w)).drop("wk")
+      state = compactFold(if (state == null) delta else state.unionByName(delta))
+        .localCheckpoint(false)
+    }
+    state
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("_deleted"), col("nv").as("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** r10's oracle is the ONE-SHOT collapse over the full log — equality
+    * with the windowed fold is exactly the associativity claim.
+    */
+  val r10Sql: String =
+    """SELECT user_id, last_event_id, last_type, last_value, _deleted, n_versions
+      |FROM (
+      |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |    value AS last_value,
+      |    CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS _deleted,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r10_incremental_compaction" -> (r10IncrementalCompaction _),
     "r9_scd2_history" -> (r9Scd2History _),
     "r8_yaml_ddl_replica" -> (r8YamlDdlReplica _),
     "r6_resync_e2e" -> (r6ResyncE2e _),
@@ -506,6 +591,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r10_incremental_compaction" -> r10Sql,
     "r9_scd2_history" -> r9Sql,
     "r8_yaml_ddl_replica" -> r8Sql,
     "r6_resync_e2e" -> r6Sql,

@@ -253,6 +253,10 @@ class PlanAuditSpec extends SparkSpec {
       "q4_order_priority" -> 2, "q5_local_supplier_volume" -> 2,
       "q6_forecast_revenue" -> 1, "q7_top_customers" -> 1,
       "q8_yearly_nation_revenue" -> 2, "q9_window_rank" -> 2,
+      // r10: the last windowed fold's ObjectHashAggregate off the
+      // checkpointed previous state (sort is TakeOrdered-free but rides
+      // the agg's exchange via AQE reuse at this size)
+      "r10_incremental_compaction" -> 1,
       "r1_replica_current" -> 2, "r2_schema_transform" -> 1,
       "r3_envelope" -> 2, "r4_idempotent_merge" -> 3, "r5_replica_sql" -> 3,
       "r6_resync_e2e" -> 2, "r8_yaml_ddl_replica" -> 3,

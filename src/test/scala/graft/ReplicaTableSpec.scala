@@ -67,4 +67,52 @@ class ReplicaTableSpec extends SparkSpec {
     val got = ReplicaTable.latest(rows, Seq("key"), "_ver", tieBreak = Seq("val")).collect()
     assert(got.toSeq == Seq(Row("k", 1L, "y", 0)))
   }
+
+  /** Write an inline events CDC fixture; ts spaces rows across calendar
+    * weeks so r10's windowed fold actually iterates.
+    */
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events_fixture").toString
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("props", lit("""{"k":"1"}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("r10: windowed compaction equals one-shot; tombstones retained, no resurrection") {
+    import org.apache.spark.sql.functions._
+    val dir = eventsDir(Seq(
+      // user 1: upsert week1, tombstone week2, silence after -> must
+      // stay deleted (a dropped tombstone would resurrect v1)
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (10L, "2024-01-08 10:00:00", 1L, "error", 0.0),
+      // user 2: tombstone week2, then a later upsert week3 -> revived
+      (2L, "2024-01-01 11:00:00", 2L, "click", 2.0),
+      (11L, "2024-01-08 11:00:00", 2L, "error", 0.0),
+      (20L, "2024-01-15 09:00:00", 2L, "view", 4.0),
+      // user 3: single upsert week1, untouched after
+      (3L, "2024-01-01 12:00:00", 3L, "view", 3.0)))
+    val got = graft.queries.Replication.r10IncrementalCompaction(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 10L, "error", 1L, 2L), // tombstone retained, 2 versions absorbed
+      (2L, 20L, "view", 0L, 3L),  // revived by the later upsert
+      (3L, 3L, "view", 0L, 1L)))
+    // associativity gate on the REAL fixture: windowed == one-shot
+    val sf = "/root/testdata/sf0.001"
+    val oneShot = ReplicaTable.latest(
+        graft.Tables.load(spark, sf, "events")
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        keys = Seq("user_id"), ver = "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val windowed = graft.queries.Replication.r10IncrementalCompaction(spark, sf)
+      .select(col("user_id"), col("last_event_id"), col("last_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(windowed === oneShot, "windowed fold diverged from one-shot collapse")
+  }
 }
