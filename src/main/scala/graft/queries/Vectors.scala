@@ -1692,7 +1692,125 @@ object Vectors {
       |  FROM q JOIN cur c ON q.qid <> c.vec_id)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** v19: the nprobe TUNING SWEEP — the recall/cost curve an operator
+    * actually reads before picking v8's probe depth: for every depth
+    * p ∈ 1..4, how many candidates a query scans (cost) and how much of
+    * the exact top-3 it recovers (recall), measured in-query against
+    * the brute-force ground truth.
+    *
+    * Scale shape — the whole curve costs ONE sweep: a single assignment
+    * pass keeps the top-4 probe cells per query (ivfRanked's checkpoint,
+    * read by all consumers), candidates are scored ONCE at the deepest
+    * probe, and each shallower depth is a CONDITIONAL RUNNING COUNT on
+    * the same window sort (v8's r1 trick generalized) — so evaluating 4
+    * depths costs the same one exchange as evaluating 1, where the naive
+    * form re-runs the probe per depth. At 100 TB this is the difference
+    * between a tuning run that scans the corpus once and one that scans
+    * it nprobe_max times.
+    */
+  def v19NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val ranked = ivfRanked(base, labelMeans(base), maxRank = 4)
+    val cands = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+    val queries = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        col("cell"), col("crank").as("qcrank"))
+    val scored = broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qcrank"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRanks = (1 to 4).foldLeft(scored) { (df, p) =>
+      df.withColumn(s"r$p", when(col("qcrank") <= p,
+        sum(when(col("qcrank") <= p, 1).otherwise(0)).over(wq)))
+    }
+    val aggCols =
+      countDistinct(col("qid")).as("nq") +: (1 to 4).flatMap(p => Seq(
+        sum(when(col("qcrank") <= p, 1L).otherwise(0L)).as(s"c$p"),
+        sum(when(col("hit") === 1 && col("qcrank") <= p && col(s"r$p") <= 3, 1L)
+          .otherwise(0L)).as(s"h$p")))
+    withRanks.join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("nq",
+        "stack(4, CAST(1 AS BIGINT), c1, h1, CAST(2 AS BIGINT), c2, h2, " +
+          "CAST(3 AS BIGINT), c3, h3, CAST(4 AS BIGINT), c4, h4) " +
+          "AS (nprobe, n_cands, n_hits)")
+      .select(col("nprobe"), col("n_cands"), col("n_hits"),
+        (col("n_hits").cast("double") / (lit(3.0) * col("nq").cast("double")))
+          .as("recall"),
+        col("nq").as("n_queries"))
+      .orderBy(col("nprobe"))
+  }
+
+  val v19Sql: String = {
+    val rs = (1 to 4).map(p =>
+      s"""CASE WHEN qcrank <= $p THEN
+        |      SUM(CASE WHEN qcrank <= $p THEN 1 ELSE 0 END) OVER wss END AS r$p""".stripMargin)
+      .mkString(",\n    ")
+    val as = (1 to 4).map(p =>
+      s"""SUM(CASE WHEN qcrank <= $p THEN 1 ELSE 0 END) AS c$p,
+        |    SUM(CASE WHEN hit = 1 AND qcrank <= $p AND r$p <= 3 THEN 1 ELSE 0 END) AS h$p""".stripMargin)
+      .mkString(",\n    ")
+    val out = (1 to 4).map(p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe, CAST(c$p AS BIGINT) AS n_cands,
+        |  CAST(h$p AS BIGINT) AS n_hits,
+        |  CAST(h$p AS DOUBLE) / (3.0 * CAST(nq AS DOUBLE)) AS recall,
+        |  nq AS n_queries FROM a""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |ranked AS (
+      |  SELECT vec_id, v, cell, rn AS crank FROM (
+      |    SELECT b.vec_id, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn <= 4),
+      |n AS (SELECT vec_id, v, cell, crank, sqrt(${dotSql("v", "v")}) nrm FROM ranked),
+      |cands AS (SELECT vec_id cid, v, nrm, cell FROM n WHERE crank = 1),
+      |q AS (SELECT vec_id qid, v, nrm, cell, crank AS qcrank FROM n WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, c.cid, q.qcrank,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid),
+      |wr AS (
+      |  SELECT qid, cid, qcrank,
+      |    $rs
+      |  FROM scored
+      |  WINDOW wss AS (PARTITION BY qid ORDER BY cosine DESC, cid ROWS UNBOUNDED PRECEDING)),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3),
+      |j AS (
+      |  SELECT w.qid, w.qcrank, w.r1, w.r2, w.r3, w.r4,
+      |    CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid),
+      |a AS (
+      |  SELECT COUNT(DISTINCT qid) AS nq,
+      |    $as
+      |  FROM j)
+      |$out
+      |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v19_nprobe_sweep" -> (v19NprobeSweep _),
     "v18_versioned_ann" -> (v18VersionedAnn _),
     "v17_ivfadc_residual" -> (v17IvfAdcResidual _),
     "v16_filtered_ann" -> (v16FilteredAnn _),
@@ -1713,6 +1831,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v19_nprobe_sweep" -> v19Sql,
     "v18_versioned_ann" -> v18Sql,
     "v17_ivfadc_residual" -> v17Sql,
     "v16_filtered_ann" -> v16Sql,

@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkSpec {
       "p12_delivery_e2e",
       //  - p13: the one-row corpus stats (N, total length) broadcast
       //    next to every scored candidate (p4/v7's scalar shape)
-      "p13_bm25_retrieve")
+      "p13_bm25_retrieve",
+      //  - v19: v8's deliberate shapes — the centroid cross join for
+      //    assignment and the exact ground-truth side
+      "v19_nprobe_sweep")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -277,6 +280,9 @@ class PlanAuditSpec extends SparkSpec {
       // exchange on vec_id, read by both query and candidate sides) +
       // top-k window + output sort
       "v18_versioned_ann" -> 4,
+      // v19: the shared candidate window's qid exchange + the global
+      // tuning agg + output sort — all four probe depths ride ONE sweep
+      "v19_nprobe_sweep" -> 3,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

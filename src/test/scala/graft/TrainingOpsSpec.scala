@@ -671,6 +671,27 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("v19: the nprobe curve is monotone and anchored to v8's measured points") {
+    val rows = graft.queries.Vectors.v19NprobeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // deeper probes can only add candidates and hits (the sweep shares
+    // one scored set, so this is a real invariant, not luck)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"candidate count fell ${a._1}->${b._1}")
+      assert(b._3 >= a._3, s"hit count fell ${a._1}->${b._1}")
+      assert(b._4 >= a._4, s"recall fell ${a._1}->${b._1}")
+    }
+    // v8 measures the SAME quantities at depths 1 and 2 (its cand/hit
+    // columns are per-query); the sweep must agree with it exactly
+    val v8 = graft.queries.Vectors.v8IvfNprobe(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (c1, c2) = (v8.map(_._1).sum, v8.map(_._2).sum)
+    val (h1, h2) = (v8.map(_._3).sum, v8.map(_._4).sum)
+    assert(rows(0)._2 === c1 && rows(0)._3 === h1, "depth-1 point disagrees with v8")
+    assert(rows(1)._2 === c2 && rows(1)._3 === h2, "depth-2 point disagrees with v8")
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
