@@ -1809,7 +1809,104 @@ object Vectors {
       |ORDER BY nprobe""".stripMargin
   }
 
+  /** v20: binary sign quantization + Hamming-prefilter ANN — the
+    * bandwidth end of the compression spectrum (v7 is int8 at 4×; this
+    * is 1 bit/dim at 64×): each vector folds to TWO 32-bit sign words
+    * packed in BIGINTs, candidate generation scans those two words per
+    * vector (xor + bit_count — exact integer arithmetic, trivially
+    * engine-identical) keeping the 32 Hamming-nearest per query, and
+    * only that shortlist pays the full-precision cosine rerank for the
+    * final top-3, with recall measured in-query against the exact
+    * ground truth (the family contract of v9/v13/v17).
+    *
+    * Scale shape: coding is a pure projection (a 100 TB vector table
+    * becomes ~2 TB of sign words, re-read by every query); the Hamming
+    * scan is the deliberate broadcast-Q × scan-N over the COMPRESSED
+    * words — 32× less memory bandwidth than v1's double scan, which is
+    * the entire point — and the exact rerank touches only |Q| × 32
+    * full vectors. Two shortlist/top-k windows + the output sort are
+    * the only exchanges.
+    */
+  def v20HammingAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def signWord(offset: Int): Column = expr(
+      s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+        s"IF(element_at(v, i + $offset) > CAST(0 AS DOUBLE), " +
+        s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
+    val coded = base.select(col("vec_id"), col("v"),
+      signWord(0).as("w1"), signWord(32).as("w2"))
+    val queries = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        col("w1").as("qw1"), col("w2").as("qw2"))
+    val hamming = (bit_count(expr("w1 ^ qw1")) + bit_count(expr("w2 ^ qw2")))
+      .cast("long")
+    val wh = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cid"))
+    val shortlist = broadcast(queries).crossJoin(coded)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qe"), col("vec_id").as("cid"), col("v").as("ce"),
+        hamming.as("hamming"))
+      .withColumn("hr", row_number().over(wh))
+      .filter(col("hr") <= 32)
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    shortlist
+      .select(col("qid"), col("cid"), col("hamming"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+      .withColumn("rank", row_number().over(wc).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank"), col("cid"), col("hamming"), col("cosine"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v20Sql: String = {
+    def word(off: Int) =
+      s"""list_reduce(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN v[i + $off] > CAST(0 AS DOUBLE)
+        |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+        |    (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |coded AS (
+      |  SELECT vec_id, v, ${word(0)} AS w1, ${word(32)} AS w2 FROM base),
+      |q AS (SELECT vec_id qid, v qe, w1 qw1, w2 qw2 FROM coded WHERE vec_id < 10),
+      |ham AS (
+      |  SELECT q.qid, q.qe, c.vec_id cid, c.v ce,
+      |    CAST(bit_count(xor(c.w1, q.qw1)) + bit_count(xor(c.w2, q.qw2)) AS BIGINT)
+      |      AS hamming
+      |  FROM q, coded c WHERE q.qid <> c.vec_id),
+      |short AS (
+      |  SELECT qid, qe, cid, ce, hamming FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) hr
+      |    FROM ham) WHERE hr <= 32),
+      |rer AS (
+      |  SELECT qid, cid, hamming,
+      |    ${dotSql("qe", "ce")} /
+      |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})) AS cosine
+      |  FROM short),
+      |rk AS (
+      |  SELECT qid, cid, hamming, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      |  FROM rer),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3)
+      |SELECT r.qid, r.rank, r.cid, r.hamming, r.cosine,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |FROM rk r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid
+      |WHERE r.rank <= 3
+      |ORDER BY r.qid, r.rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v20_hamming_ann" -> (v20HammingAnn _),
     "v19_nprobe_sweep" -> (v19NprobeSweep _),
     "v18_versioned_ann" -> (v18VersionedAnn _),
     "v17_ivfadc_residual" -> (v17IvfAdcResidual _),
@@ -1831,6 +1928,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v20_hamming_ann" -> v20Sql,
     "v19_nprobe_sweep" -> v19Sql,
     "v18_versioned_ann" -> v18Sql,
     "v17_ivfadc_residual" -> v17Sql,

@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkSpec {
       "p13_bm25_retrieve",
       //  - v19: v8's deliberate shapes — the centroid cross join for
       //    assignment and the exact ground-truth side
-      "v19_nprobe_sweep")
+      "v19_nprobe_sweep",
+      //  - v20: the Hamming scan IS the deliberate broadcast-Q x scan-N
+      //    (over 2 sign words per vector — the bandwidth trick), plus
+      //    the exact ground-truth side
+      "v20_hamming_ann")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -283,6 +287,9 @@ class PlanAuditSpec extends SparkSpec {
       // v19: the shared candidate window's qid exchange + the global
       // tuning agg + output sort — all four probe depths ride ONE sweep
       "v19_nprobe_sweep" -> 3,
+      // v20: Hamming-shortlist window + rerank window + output sort;
+      // coding itself is a pure projection
+      "v20_hamming_ann" -> 3,
       // v9: 2 KB-sized codebook aggregations + the fixture-parallelism
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)

@@ -692,6 +692,38 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows(1)._2 === c2 && rows(1)._3 === h2, "depth-2 point disagrees with v8")
   }
 
+  test("v20: sign-word packing replays from raw vectors; rerank contract holds") {
+    val rows = graft.queries.Vectors.v20HammingAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.map(_._1).distinct.length === 10)
+    // independent replay of the two-word sign packing + xor popcount
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def words(v: Seq[Double]): (Long, Long) = {
+      def w(off: Int) = (0 until 32).map(i =>
+        if (v(i + off) > 0d) 1L << i else 0L).sum
+      (w(0), w(32))
+    }
+    rows.foreach { case (qid, _, cid, hamming, _, _) =>
+      val (q1, q2) = words(vecs(qid))
+      val (c1, c2) = words(vecs(cid))
+      val expected = java.lang.Long.bitCount(q1 ^ c1) + java.lang.Long.bitCount(q2 ^ c2)
+      assert(expected.toLong === hamming, s"q$qid c$cid hamming off")
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L), s"q$qid ranks wrong")
+      rs.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._3 < b._3), s"q$qid rerank order violated")
+      }
+    }
+    // the prefilter must actually work on this corpus: most of the exact
+    // top-3 survives the 32-candidate Hamming shortlist
+    val recall = rows.map(_._6).sum.toDouble / rows.length
+    assert(recall >= 0.5, f"Hamming shortlist recall $recall%.2f collapsed")
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
