@@ -2099,7 +2099,119 @@ object Documents {
       |ORDER BY merge_rank""".stripMargin
   }
 
+  /** d30: contamination ATTRIBUTION — the evidence report behind p3/p8's
+    * verdicts: for every benchmark document, WHICH training documents
+    * share text with it and how long the longest contiguous overlap is.
+    * p3 counts n-gram hits and p8 estimates Jaccard; what a curator
+    * actually inspects before purging is "train doc X contains a
+    * 23-token run of benchmark doc Y" — this query produces exactly
+    * that table.
+    *
+    * Mechanics: positional k-grams (d16's width) for both sides join on
+    * the gram hash; a matched pair lies on diagonal `tpos − bpos`, and a
+    * RUN of consecutive bench positions on one diagonal is one
+    * contiguous shared span of `run + k − 1` tokens — found with the
+    * island trick (`bpos − row_number`), the same discipline as d16's
+    * span merge but in the PAIR dimension. Top-3 train docs per bench
+    * doc by longest overlap.
+    *
+    * Fixture: clones of every 50th doc are planted into the train side
+    * (+2000000) with every 25th token mutated — so each bench doc
+    * provably attributes to its clone through MULTIPLE ~24-token
+    * islands (the mutation breaks runs, exercising the island logic),
+    * while natural cross-doc overlaps surface organically.
+    *
+    * Scale shape: the gram table persists bucketed by hash (one build
+    * per corpus — another consumer of the d16/d18 index discipline);
+    * the join fanout is bounded by the benchmark side being tiny by
+    * nature (eval suites vs a 100 TB corpus), with d5's df-cap the
+    * documented escape hatch for adversarially hot grams; the island
+    * window runs on matched pairs only.
+    */
+  def d30ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val k = D16KgramWidth
+    val grams = graft.operators.PersistedIndex.ensure(
+      spark, "graft_kgram_d30", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"k=$k mutate=25 clones+2000000") { table =>
+      val d = docs(spark, dir).select(col("doc_id"), col("text"))
+      val mutated = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (t, i) => when((i + 1) % 25 === 0, concat(t, lit("_x"))).otherwise(t)),
+            " ").as("text"))
+      kgramRows(spark, d.unionByName(mutated), k)
+        .write.format("parquet").bucketBy(8, "h").sortBy("h")
+        .saveAsTable(table)
+    }
+    val bench = grams
+      .filter(pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < 2000000)
+      .select(col("doc_id").as("bench_id"), col("pos").as("bpos"), col("h"))
+    val train = grams
+      .filter(pmod(col("doc_id"), lit(50L)) =!= 0 || col("doc_id") >= 2000000)
+      .select(col("doc_id").as("train_id"), col("pos").as("tpos"), col("h"))
+    val wi = Window.partitionBy(col("bench_id"), col("train_id"), col("diag"))
+      .orderBy(col("bpos"))
+    val runs = train.join(bench, Seq("h"))
+      .select(col("bench_id"), col("train_id"), col("bpos"),
+        (col("tpos") - col("bpos")).as("diag"))
+      .withColumn("island", col("bpos") - row_number().over(wi))
+      .groupBy(col("bench_id"), col("train_id"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+    val wr = Window.partitionBy(col("bench_id"))
+      .orderBy(col("longest_overlap").desc, col("train_id"))
+    runs.groupBy(col("bench_id"), col("train_id"))
+      .agg((max(col("run")) + lit(k - 1)).as("longest_overlap"),
+        sum(col("run")).as("n_matches"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("bench_id"), col("rank"), col("train_id"),
+        col("longest_overlap"), col("n_matches"))
+      .orderBy(col("bench_id"), col("rank"))
+  }
+
+  val d30Sql: String = {
+    val k = D16KgramWidth
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(list_transform(generate_series(1, len(w)),
+      |      i -> CASE WHEN i % 25 = 0 THEN w[i] || '_x' ELSE w[i] END), ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+      |  WHERE doc_id % 50 = 0),
+      |kg AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS g
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+      |            unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)
+      |       WHERE len(w) >= $k),
+      |b AS (SELECT doc_id bench_id, pos bpos, g FROM kg
+      |      WHERE doc_id % 50 = 0 AND doc_id < 2000000),
+      |tr AS (SELECT doc_id train_id, pos tpos, g FROM kg
+      |       WHERE doc_id % 50 <> 0 OR doc_id >= 2000000),
+      |m AS (SELECT bench_id, train_id, bpos, tpos - bpos AS diag
+      |      FROM tr JOIN b USING (g)),
+      |runs AS (
+      |  SELECT bench_id, train_id, COUNT(*) AS run FROM (
+      |    SELECT bench_id, train_id, diag, bpos,
+      |      bpos - ROW_NUMBER() OVER (
+      |        PARTITION BY bench_id, train_id, diag ORDER BY bpos) AS island
+      |    FROM m)
+      |  GROUP BY bench_id, train_id, diag, island),
+      |pairs AS (
+      |  SELECT bench_id, train_id,
+      |    MAX(run) + ${k - 1} AS longest_overlap,
+      |    CAST(SUM(run) AS BIGINT) AS n_matches
+      |  FROM runs GROUP BY bench_id, train_id)
+      |SELECT bench_id, rank, train_id, longest_overlap, n_matches FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY bench_id ORDER BY longest_overlap DESC, train_id) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3
+      |ORDER BY bench_id, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d30_contamination_attribution" -> (d30ContaminationAttribution _),
     "d29_bpe_train" -> (d29BpeTrain _),
     "d28_deletion_clusters" -> (d28DeletionClusters _),
     "d27_bpe_step" -> (d27BpeStep _),
@@ -2131,6 +2243,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d30_contamination_attribution" -> d30Sql,
     "d29_bpe_train" -> d29Sql,
     "d28_deletion_clusters" -> d28Sql,
     "d27_bpe_step" -> d27Sql,

@@ -207,6 +207,9 @@ class PlanAuditSpec extends SparkSpec {
       // d29: training runs at build (driver merge loop, v11's shape);
       // the query plan reads the 8-row persisted merge table + sort
       "d29_bpe_train" -> 1,
+      // d30: the bucketed gram table feeds the pair join; island window
+      // + pair agg + top-3 window + output sort
+      "d30_contamination_attribution" -> 4,
       // p13: df/query frames ride the bucketed inverted index (no
       // exchange), leaving the query-term distinct + the (qid, doc)
       // score agg + top-5 window's qid exchange

@@ -724,6 +724,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, f"Hamming shortlist recall $recall%.2f collapsed")
   }
 
+  test("d30: attribution finds the exact longest shared run and the mutation-split clone islands") {
+    try {
+      val shared = (0 until 30).map(i => s"shr$i") // 30-token shared block
+      val doc0 = filler("a", 5) ++ shared ++ filler("b", 5)   // 40 tokens, bench (id 0)
+      val doc1 = filler("c", 3) ++ shared ++ filler("d", 7)   // train (id 1)
+      val dir = corpusDir(Seq(
+        0L -> doc0.mkString(" "), 1L -> doc1.mkString(" "),
+        7L -> filler("e", 30).mkString(" "))) // unrelated train doc
+      val got = Documents.d30ContaminationAttribution(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // bench 0 vs train 1: the 30-token block is one diagonal run of 23
+      // 8-grams -> longest 30, n_matches 23.
+      // bench 0 vs its planted clone 2000000: token 25 mutates, splitting
+      // the diagonal into islands of 24 and 15 tokens (17 + 8 grams).
+      assert(got.toSeq === Seq(
+        (0L, 1L, 1L, 30L, 23L),
+        (0L, 2L, 2000000L, 24L, 25L)))
+    } finally graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_d30")
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
