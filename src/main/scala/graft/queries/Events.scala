@@ -603,7 +603,79 @@ object Events {
       |            ELSE (n*cnt - s)*(n*cnt - s) > 9*(n*q - s*s) END)
       |ORDER BY event_type, minute""".stripMargin
 
+  /** w16: event-time DISORDER profile — the report that tells an
+    * operator what watermark the streaming jobs (w1–w3's streaming
+    * twins, `CdcStream.windowedCounts`) can afford. An event's LATENESS
+    * is how far its event time lags the latest event time already seen
+    * on its stream at arrival (`running_max(ts) − ts`) — exactly the
+    * quantity a `withWatermark` bound must exceed for the event to be
+    * counted. Output: per (event_type, lateness bucket) counts + the
+    * bucket's worst lateness, in exact integer microseconds.
+    *
+    * Fixture note: the driver log is perfectly append-ordered (every
+    * lateness would be 0), so the query profiles a DETERMINISTICALLY
+    * JITTERED arrival order — each event shifted ±3 positions by an
+    * md5 draw, the reordering a multi-partition transport produces —
+    * making the report non-vacuous at every SF; production points the
+    * same query at the real arrival log, arrival_key = arrival offset.
+    *
+    * Scale shape: ONE exchange on the stream key (event_type — the
+    * unit a real source partitions by, so the running max matches what
+    * each partitioned consumer observes) + the running-max window +
+    * the tiny bucket rollup. No self-join against earlier events — the
+    * naive formulation — and nothing floating-point anywhere.
+    */
+  def w16DisorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val arrivalKey = col("event_id") +
+      (pmod(H.md5NumberBigEndian(
+        concat(col("event_id").cast("string"), lit(":arr"))), lit(7L)) - lit(3L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("arrival_key"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lateUs = max(unix_micros(col("ts"))).over(w) - unix_micros(col("ts"))
+    val bucket = when(col("late_us") === 0, "0_in_order")
+      .when(col("late_us") <= 60L * 1000000, "1_under_1m")
+      .when(col("late_us") <= 600L * 1000000, "2_under_10m")
+      .when(col("late_us") <= 3600L * 1000000, "3_under_1h")
+      .otherwise("4_over_1h")
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("arrival_key", arrivalKey)
+      .withColumn("late_us", lateUs)
+      .groupBy(col("event_type"), bucket.as("lateness_bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+      .orderBy(col("event_type"), col("lateness_bucket"))
+  }
+
+  val w16Sql: String = {
+    val h = Documents.signedBeMd5Sql("CAST(event_id AS VARCHAR) || ':arr'")
+    s"""WITH a AS (
+      |  SELECT event_type, event_id, ts,
+      |    event_id + ((($h) % 7 + 7) % 7) - 3 AS arrival_key
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY arrival_key, event_id
+      |      ROWS UNBOUNDED PRECEDING) - epoch_us(ts) AS late_us
+      |  FROM a),
+      |b AS (
+      |  SELECT event_type, late_us,
+      |    CASE WHEN late_us = 0 THEN '0_in_order'
+      |         WHEN late_us <= 60000000 THEN '1_under_1m'
+      |         WHEN late_us <= 600000000 THEN '2_under_10m'
+      |         WHEN late_us <= 3600000000 THEN '3_under_1h'
+      |         ELSE '4_over_1h' END AS lateness_bucket
+      |  FROM l)
+      |SELECT event_type, lateness_bucket, COUNT(*) AS n_events,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM b GROUP BY 1, 2
+      |ORDER BY event_type, lateness_bucket""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "w16_disorder_profile" -> (w16DisorderProfile _),
     "w15_anomaly" -> (w15Anomaly _),
     "w14_retention" -> (w14Retention _),
     "w13_funnel" -> (w13Funnel _),
@@ -621,6 +693,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w16_disorder_profile" -> w16Sql,
     "w15_anomaly" -> w15Sql,
     "w14_retention" -> w14Sql,
     "w13_funnel" -> w13Sql,

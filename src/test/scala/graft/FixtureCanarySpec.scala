@@ -63,6 +63,19 @@ class FixtureCanarySpec extends SparkSpec {
     assert(problems.isEmpty, s"fixture contract violations:\n  ${problems.mkString("\n  ")}")
   }
 
+  test("the loader rejects an unknown events.ts encoding loudly, not silently") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("broken_fixture").toString
+    // a fixture generation nobody planned for: ts written as STRING
+    spark.range(3).select(col("id").as("event_id"),
+        lit("2024-01-01T00:00:00").as("ts"), col("id").as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.load(spark, dir, "events"))
+    assert(e.getMessage.contains("unsupported fixture type"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
   test("every catalog query analyzes and plans against the real fixtures") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       scala.util.Try(fn(spark, dir).queryExecution.executedPlan) match {

@@ -297,6 +297,9 @@ class PlanAuditSpec extends SparkSpec {
       // repartition + top-k window + output sort; the per-vector coding
       // itself is shuffle-free (projection over the broadcast book)
       "v9_pq_adc" -> 5,
+      // w16: the event_type running-max window + the bucket rollup
+      // (rollup rides the window's partitioning; output sort is tiny)
+      "w16_disorder_profile" -> 2,
       "w1_tumbling" -> 2,
       "w2_sliding" -> 2, "w3_session" -> 2, "w4_json_extract" -> 2,
       "w5_asof_join" -> 2, "w6_range_activity" -> 2,

@@ -744,6 +744,39 @@ class TrainingOpsSpec extends SparkSpec {
     } finally graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_d30")
   }
 
+  test("w16: the disorder profile matches a brute-force lateness replay") {
+    val rows = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.toSeq.groupBy(_._1)
+    val expected = byType.toSeq.flatMap { case (t, es) =>
+      val ordered = es.map { case (_, id, us) =>
+        val shift = math.floorMod(
+          graft.functions.HashFunctions.md5NumberBigEndianLocal(s"$id:arr"), 7L) - 3L
+        (id + shift, id, us)
+      }.sortBy(e => (e._1, e._2))
+      var seen = Long.MinValue
+      ordered.map { case (_, _, us) =>
+        seen = math.max(seen, us)
+        val late = seen - us
+        val bucket =
+          if (late == 0) "0_in_order"
+          else if (late <= 60000000L) "1_under_1m"
+          else if (late <= 600000000L) "2_under_10m"
+          else if (late <= 3600000000L) "3_under_1h"
+          else "4_over_1h"
+        ((t, bucket), late)
+      }
+    }.groupBy(_._1).toSeq.map { case ((typ, bucket), ls) =>
+      (typ, bucket, ls.size.toLong, ls.map(_._2).max)
+    }.sorted
+    val got = graft.queries.Events.w16DisorderProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expected, "disorder profile diverged from the replay")
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
