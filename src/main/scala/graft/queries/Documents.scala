@@ -1671,12 +1671,26 @@ object Documents {
     * partitioning — the count and first_value share a single exchange.
     */
   def d23CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d6MinhashLsh(spark, dir).select(col("da"), col("db"))
-    val nodes = pairs.select(col("da").as("id"))
-      .unionByName(pairs.select(col("db").as("id"))).distinct()
-    val labels = graft.operators.ConnectedComponents.run(
-      nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
-      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d23"))
+    // cluster labels depend only on (corpus, d6 params) — persist them
+    // like v14's (r6): the first construction pays the pair expansion +
+    // CC fixpoint (durable round tables), every later pass (the second
+    // bench pass, a purge re-run) reads bucketed parquet; the round
+    // store is reclaimed once the labels are written
+    val labels = graft.operators.PersistedIndex.ensure(
+      spark, "graft_cc_d23", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = "d6pairs cos=minhash0.5") { table =>
+      val pairs = d6MinhashLsh(spark, dir).select(col("da"), col("db"))
+      val nodes = pairs.select(col("da").as("id"))
+        .unionByName(pairs.select(col("db").as("id"))).distinct()
+      val store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d23")
+      graft.operators.ConnectedComponents.run(
+          nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
+          store = store)
+        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .saveAsTable(table)
+      store.reset()
+    }
     val quality = docs(spark, dir).select(col("doc_id"),
       T.lexicalDiversity(T.tokens(col("text"))).as("lex_diversity"))
     val byCluster = Window.partitionBy(col("comp"))

@@ -179,11 +179,10 @@ class PlanAuditSpec extends SparkSpec {
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join
-      // d23: d6's pair expansion (2) + node distinct + post-fixpoint CC
-      // label join + the quality join + keeper-election window + output
-      // sort; the durable round store reads the final star table from
-      // bucketed parquet (no exchange)
-      "d23_canonical_keep" -> 7,
+      // d23: labels persist like v14's (r6) — pair expansion + CC run
+      // at BUILD; the query plan is the quality join + the shared
+      // election/size window exchange + output sort
+      "d23_canonical_keep" -> 2,
       // d24: one pure projection for all five rules (the d19 fold runs
       // per-doc) — just the HOF-spread repartition + output sort
       "d24_quality_gate" -> 2,
