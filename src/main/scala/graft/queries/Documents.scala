@@ -1483,6 +1483,78 @@ object Documents {
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** p14: curriculum ANNEAL mixing — d22's temperature flattening made
+    * a per-epoch SCHEDULE: epoch 0 trains on the flattened mix (τ=1/2 —
+    * rare languages over-represented, the standard warm-up), the final
+    * epoch on the natural proportional mix (τ=1), with τ=3/4 between —
+    * the curriculum a multilingual run actually anneals through. Rates
+    * are rate_l(τ) = (n_min/n_l)^τ; per-doc fate is the d22 md5 permille
+    * gate salted with the EPOCH, so epochs draw independent coins.
+    *
+    * Engine parity without libm pow: τ ∈ {1/2, 3/4, 1} compose entirely
+    * from IEEE-correctly-rounded ops — x^(1/2) = sqrt(x), x^(3/4) =
+    * sqrt(x·sqrt(x)), x^1 = x — written with the identical expression
+    * tree in both engines (a general pow differs in the last ULP across
+    * libms; these do not).
+    *
+    * Scale shape: ONE corpus scan joined to the broadcast |epochs|×
+    * |langs| rate table (the corpus is read once and exploded ×E by the
+    * join, all map-side), then one hash agg to the epoch×lang grid +
+    * output sort. The rate table derives from one tiny counts agg.
+    */
+  def p14AnnealMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val r = col("min_n") / col("n_docs").cast("double")
+    val rates = counts.crossJoin(broadcast(minN))
+      .crossJoin(broadcast(
+        counts.sparkSession.range(3).select(col("id").as("epoch"))))
+      .withColumn("rate_permille",
+        floor(lit(1000) * when(col("epoch") === 0, sqrt(r))
+          .when(col("epoch") === 1, sqrt(r * sqrt(r)))
+          .otherwise(r)).cast("long"))
+      .select(col("epoch"), col("lang"), col("n_docs"), col("rate_permille"))
+    val gate = pmod(
+      H.md5NumberBigEndian(concat(col("doc_id").cast("string"),
+        lit(":mix:"), col("epoch").cast("string"), lit(":"), col("lang"))),
+      lit(1000L))
+    docs(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", gate < col("rate_permille"))
+      .groupBy(col("epoch"), col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("rate_permille")).as("rate_permille"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .withColumn("realized_rate", col("n_kept") / col("n_docs").cast("double"))
+      .orderBy(col("epoch"), col("lang"))
+  }
+
+  val p14Sql: String = {
+    val h = signedBeMd5Sql(
+      "CAST(doc_id AS VARCHAR) || ':mix:' || CAST(epoch AS VARCHAR) || ':' || lang")
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |epochs AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+      |rates AS (
+      |  SELECT e.epoch, c.lang, c.n_docs,
+      |    CAST(floor(1000 * CASE
+      |      WHEN e.epoch = 0 THEN sqrt((SELECT MIN(n_docs) FROM counts) / CAST(c.n_docs AS DOUBLE))
+      |      WHEN e.epoch = 1 THEN sqrt(((SELECT MIN(n_docs) FROM counts) / CAST(c.n_docs AS DOUBLE))
+      |        * sqrt((SELECT MIN(n_docs) FROM counts) / CAST(c.n_docs AS DOUBLE)))
+      |      ELSE (SELECT MIN(n_docs) FROM counts) / CAST(c.n_docs AS DOUBLE)
+      |    END) AS BIGINT) AS rate_permille
+      |  FROM counts c, epochs e),
+      |g AS (SELECT r.epoch, d.lang, r.n_docs, r.rate_permille,
+      |        ((($h) % 1000) + 1000) % 1000 < r.rate_permille AS keep
+      |      FROM documents d JOIN rates r USING (lang))
+      |SELECT epoch, lang, ANY_VALUE(n_docs) AS n_docs,
+      |  ANY_VALUE(rate_permille) AS rate_permille,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+      |    / CAST(ANY_VALUE(n_docs) AS DOUBLE) AS realized_rate
+      |FROM g GROUP BY epoch, lang ORDER BY epoch, lang""".stripMargin
+  }
+
   /** Fuzzy decontamination — p3's exact n-gram semi-join upgraded to
     * NEAR-duplicate matching: benchmark docs that were lightly reworded
     * before leaking into the training set slip past exact n-gram
@@ -2225,6 +2297,7 @@ object Documents {
   }
 
   val defs: Map[String, Q] = Map(
+    "p14_anneal_mix" -> (p14AnnealMix _),
     "d30_contamination_attribution" -> (d30ContaminationAttribution _),
     "d29_bpe_train" -> (d29BpeTrain _),
     "d28_deletion_clusters" -> (d28DeletionClusters _),
@@ -2257,6 +2330,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "p14_anneal_mix" -> p14Sql,
     "d30_contamination_attribution" -> d30Sql,
     "d29_bpe_train" -> d29Sql,
     "d28_deletion_clusters" -> d28Sql,

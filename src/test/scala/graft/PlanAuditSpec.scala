@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
       //  - v20: the Hamming scan IS the deliberate broadcast-Q x scan-N
       //    (over 2 sign words per vector — the bandwidth trick), plus
       //    the exact ground-truth side
-      "v20_hamming_ann")
+      "v20_hamming_ann",
+      //  - p14: the one-row min-count broadcast next to the rate table
+      //    (d22's scalar shape, once per epoch row)
+      "p14_anneal_mix")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -151,6 +154,9 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // p14: d22's shape — the rate-table build's tiny aggs + the final
+      // epoch x lang rollup + output sort; the corpus scan is read once
+      "p14_anneal_mix" -> 5,
       // p8: signature groupBy + final per-doc agg + sort; the benchmark
       // side broadcasts, so the (band,sig) join itself is exchange-free
       "p8_fuzzy_decontaminate" -> 3,

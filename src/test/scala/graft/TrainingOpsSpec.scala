@@ -777,6 +777,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === expected, "disorder profile diverged from the replay")
   }
 
+  test("p14: the anneal schedule is monotone toward proportional and epoch 0 IS d22") {
+    val rows = graft.queries.Documents.p14AnnealMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    // rarest language keeps rate 1000 at every temperature; every other
+    // language's rate is non-increasing as tau anneals 1/2 -> 1
+    val byLang = rows.groupBy(_._2)
+    val minDocs = byLang.values.map(_.head._3).min
+    byLang.foreach { case (lang, es) =>
+      val rates = es.sortBy(_._1).map(_._4)
+      if (es.head._3 == minDocs) assert(rates.forall(_ == 1000L), s"$lang: rarest not full")
+      else rates.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"$lang: rate rose while annealing toward proportional")
+      }
+    }
+    // epoch 0 (tau = 1/2) must agree exactly with d22's independent rates
+    val d22 = graft.queries.Documents.d22TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    rows.filter(_._1 == 0L).foreach { case (_, lang, _, rate, _) =>
+      assert(rate === d22(lang), s"$lang: epoch-0 rate disagrees with d22")
+    }
+  }
+
   test("p12: the delivery manifest keeps only gated docs, covers each epoch once, rarest lang fully") {
     val rows = Pipeline.p12DeliveryE2e(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
