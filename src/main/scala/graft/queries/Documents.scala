@@ -327,6 +327,13 @@ object Documents {
     * d6's full-corpus run and d21's per-shard incremental append.
     */
   private[graft] def bandSignatures(spark: SparkSession, documents: DataFrame): DataFrame =
+    bandSignaturesOf(spark, documents, BandSize)
+
+  /** [[bandSignatures]] at an arbitrary band width (rows-per-band) over
+    * the same 16 lanes — d32's sweep compares nesting widths.
+    */
+  private[graft] def bandSignaturesOf(
+      spark: SparkSession, documents: DataFrame, width: Int): DataFrame =
     minhashBands(shingledOf(spark, documents)
       // explode_outer: plain explode triggers InferFiltersFromGenerate,
       // whose size(...)>0 predicate is pushed below the exchange with
@@ -334,35 +341,35 @@ object Documents {
       // partition); upstream size(tokens)>=3 already guarantees
       // non-empty arrays.
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
-      .select(col("doc_id"), H.md5NumberBigEndian(col("s")).as("h")))
+      .select(col("doc_id"), H.md5NumberBigEndian(col("s")).as("h")), width)
 
   /** The MinHash lane fold + band explode over any pre-hashed (doc_id, h)
     * item stream — text shingles (d6/d21), media frame fingerprints (m4):
     * one groupBy computing all 16 lane minima as partial aggregates.
     */
-  private[graft] def minhashBands(hashed: DataFrame): DataFrame = {
+  private[graft] def minhashBands(hashed: DataFrame, width: Int = BandSize): DataFrame = {
     val mh = hashed.groupBy(col("doc_id")).agg(
         min(WrapMulAdd(col("h"), LaneA(0), LaneB(0))).as("m0"),
         (1 until NumHashes).map(i =>
           min(WrapMulAdd(col("h"), LaneA(i), LaneB(i))).as(s"m$i")): _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("m"))
-    explodeBands(mh)
+    explodeBands(mh, width)
   }
 
   /** band signature = "ii:m,ii:m,..." with i ascending — lpad keeps the
     * lexicographic layout of the row-wise formulation / oracle.
     */
-  private def bandSigCol(b: Int): Column = concat_ws(",",
-    (b * BandSize until (b + 1) * BandSize).map(i =>
+  private def bandSigCol(b: Int, width: Int = BandSize): Column = concat_ws(",",
+    (b * width until (b + 1) * width).map(i =>
       concat(lpad(lit(i).cast("string"), 2, "0"), lit(":"),
         element_at(col("m"), i + 1).cast("string"))): _*)
 
   /** (doc_id, m) -> one row per (doc, band) with the band signature. */
-  private def explodeBands(mh: DataFrame): DataFrame =
+  private def explodeBands(mh: DataFrame, width: Int = BandSize): DataFrame =
     mh.select(col("doc_id"), col("m"),
-        explode_outer(array((0 until NumHashes / BandSize).map(b =>
-          struct(lit(b).as("band"), bandSigCol(b).as("sig"))): _*)).as("bs"))
+        explode_outer(array((0 until NumHashes / width).map(b =>
+          struct(lit(b).as("band"), bandSigCol(b, width).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("m"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
 
@@ -2296,7 +2303,198 @@ object Documents {
       |ORDER BY bench_id, rank""".stripMargin
   }
 
+  /** Fixed-point scale for d31's likelihood scores (parts-per-million). */
+  private val LmScale = 1000000L
+
+  /** d31: bigram-LM quality scoring — the CCNet filter shape (Wenzek et
+    * al. 2020: score web text under an LM trained on a trusted corpus;
+    * low likelihood = drop candidate). The trusted slice here is the
+    * `lang = 'en'` documents (d25's target-domain convention); the model
+    * is Laplace-smoothed bigram counts over that slice, and every doc
+    * scores by its mean per-occurrence likelihood.
+    *
+    * Engine-exactness: classic perplexity is a libm-log geometric mean,
+    * so the score is instead the arithmetic mean of the smoothed bigram
+    * probabilities in parts-per-million, all-integer —
+    * lik(w1 w2) = (c(w1 w2) + 1) · 10^6 DIV (c(w1 ·) + V), V = trusted
+    * vocabulary size — monotone in each bigram's probability, total on
+    * unseen contexts (1·10^6 DIV V), and bit-identical across engines.
+    *
+    * Scale shape (100 TB): TWO corpus passes — one folds the trusted
+    * slice into the bigram model (vocab²-bounded, in practice Zipf-tiny),
+    * one scores; CCNet's own shape. The model materializes once (lazy
+    * localCheckpoint) and BOTH derived artifacts fold from it, not from
+    * the corpus: the left-context rollup sums the model's counts, and the
+    * vocabulary count is distinct(w1 ∪ w2) over the model's bigrams —
+    * exact, because every token of a ≥2-token doc borders some bigram.
+    * All three broadcast; the only corpus-keyed shuffle is the per-doc
+    * (doc, bigram) grid agg. Output is the drop list a curator reviews:
+    * the bottom-25 docs by mean likelihood.
+    */
+  def d31LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 2)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+    val bi = toks.select(col("doc_id"), col("lang"),
+      explode(T.kgrams(col("toks"), 2)).as("g"))
+    val model = bi.filter(col("lang") === "en")
+      .groupBy(col("g")).agg(count(lit(1)).as("c_bi"))
+      .localCheckpoint(false) // read 2x below: left rollup + vocab fold
+    val left = model
+      .groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c_bi")).as("c_l"))
+    val vocab = model
+      .select(explode(split(col("g"), " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val grid = bi.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    grid
+      .join(broadcast(model), Seq("g"), "left")
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(broadcast(left), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lik",
+        expr(s"(coalesce(c_bi, 0L) + 1L) * ${LmScale}L DIV (coalesce(c_l, 0L) + v)"))
+      // lang is a GROUPING key (a doc has one lang): a max(lang) aggregate
+      // would put a string in the buffer and force SortAggregate over the
+      // corpus-sized grid; keys keep the whole chain in HashAggregate
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        expr("SUM(cnt * lik) DIV SUM(cnt)").as("mean_lik_ppm"))
+      .orderBy(col("mean_lik_ppm"), col("doc_id"))
+      .limit(25)
+  }
+
+  val d31Sql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT doc_id, lang,
+      |         unnest(list_transform(generate_series(1, len(w) - 1),
+      |                               i -> w[i] || ' ' || w[i+1])) AS g
+      |       FROM toks),
+      |model AS (SELECT g, COUNT(*) AS c_bi FROM bi WHERE lang = 'en' GROUP BY g),
+      |lft AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c_bi) AS c_l
+      |        FROM model GROUP BY 1),
+      |vocab AS (SELECT COUNT(DISTINCT t.w) AS v
+      |          FROM (SELECT unnest(w) AS w FROM toks WHERE lang = 'en') t),
+      |grid AS (SELECT doc_id, lang, g, COUNT(*) AS cnt FROM bi GROUP BY 1, 2, 3),
+      |lik AS (SELECT grid.doc_id, grid.lang, grid.cnt,
+      |          (COALESCE(m.c_bi, 0) + 1) * $LmScale
+      |            // (COALESCE(l.c_l, 0) + vocab.v) AS lik
+      |        FROM grid
+      |        LEFT JOIN model m ON grid.g = m.g
+      |        LEFT JOIN lft l ON string_split(grid.g, ' ')[1] = l.w1
+      |        CROSS JOIN vocab)
+      |SELECT doc_id, lang,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(cnt * lik) // SUM(cnt) AS BIGINT) AS mean_lik_ppm
+      |FROM lik GROUP BY doc_id, lang
+      |ORDER BY mean_lik_ppm, doc_id LIMIT 25""".stripMargin
+
+  /** d32: LSH band-width tuning sweep — d6's knob priced like v19 prices
+    * v8's nprobe. For rows-per-band r ∈ {2, 4, 8} over the SAME 16
+    * MinHash lanes (b = 8/4/2 bands), report candidate volume, hits
+    * (candidates passing d6's own est_jaccard ≥ 0.5 admission rule,
+    * i.e. ≥ 8 agreeing lanes), precision, and recall — the S-curve an
+    * operator reads before picking d6's (b, r).
+    *
+    * ONE pair expansion prices the whole curve: aligned bands NEST (a
+    * width-4 band agrees iff both its width-2 sub-bands agree), so every
+    * candidate of every swept width is a candidate at r = 2, and
+    * membership in the wider configs is a per-pair EXPRESSION over the
+    * signature payload — no per-config re-bucketing, no per-config
+    * shuffle. Recall is relative to the finest swept net (r = 2), the
+    * standard sweep readout; precision is absolute per config. All
+    * ratios integer ppm. The r = 2 pair table persists via the
+    * fingerprint-scoped index like d6's r = 4 one.
+    */
+  def d32LshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark,
+      bandSignaturesOf(spark, docs(spark, dir), 2), Seq("band", "sig"),
+      "doc_id", chunkSize = 256, tag = "d32", dir = dir)
+    val laneEq = (0 until NumHashes).map(i =>
+      element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1))
+    val nMatch = laneEq.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    def caught(width: Int): Column =
+      (0 until NumHashes / width).map(b =>
+        (b * width until (b + 1) * width).map(laneEq).reduce(_ && _))
+        .reduce(_ || _)
+    val per = pairs.select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (nMatch >= NumHashes / 2).cast("long").as("hit"),
+        caught(4).cast("long").as("c4"), caught(8).cast("long").as("c8"))
+      .distinct() // flags are pair functions: distinct collapses multi-band dups
+    val s = per.agg(
+      count(lit(1)).as("n2"), sum(col("hit")).as("h2"),
+      sum(col("c4")).as("n4"), sum(col("c4") * col("hit")).as("h4"),
+      sum(col("c8")).as("n8"), sum(col("c8") * col("hit")).as("h8"))
+    s.select(explode(array(
+        struct(lit(2L).as("rows_per_band"), lit(8L).as("n_bands"),
+          col("n2").as("n_candidates"), col("h2").as("n_hits"), col("h2").as("base")),
+        struct(lit(4L).as("rows_per_band"), lit(4L).as("n_bands"),
+          col("n4").as("n_candidates"), col("h4").as("n_hits"), col("h2").as("base")),
+        struct(lit(8L).as("rows_per_band"), lit(2L).as("n_bands"),
+          col("n8").as("n_candidates"), col("h8").as("n_hits"), col("h2").as("base")))).as("c"))
+      .select(col("c.rows_per_band").as("rows_per_band"),
+        col("c.n_bands").as("n_bands"),
+        col("c.n_candidates").as("n_candidates"), col("c.n_hits").as("n_hits"),
+        expr("CASE WHEN c.n_candidates = 0 THEN 0L ELSE c.n_hits * 1000000L DIV c.n_candidates END")
+          .as("precision_ppm"),
+        expr("CASE WHEN c.base = 0 THEN 0L ELSE c.n_hits * 1000000L DIV c.base END")
+          .as("recall_ppm"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  val d32Sql: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |$minhashSigChainSql,
+      |bs2 AS (
+      |  SELECT doc_id, CAST(i // 2 AS INT) band,
+      |    string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || CAST(m AS VARCHAR), ',' ORDER BY i) sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id da, y.doc_id db
+      |  FROM bs2 x JOIN bs2 y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      |lm AS (SELECT da, db, ma.i, CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END mt
+      |       FROM cand JOIN mh ma ON da = ma.doc_id
+      |                 JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i),
+      |g4 AS (SELECT da, db, MAX(allm) c4 FROM (
+      |         SELECT da, db, i // 4 b, MIN(mt) allm FROM lm GROUP BY 1, 2, 3)
+      |       GROUP BY 1, 2),
+      |g8 AS (SELECT da, db, MAX(allm) c8 FROM (
+      |         SELECT da, db, i // 8 b, MIN(mt) allm FROM lm GROUP BY 1, 2, 3)
+      |       GROUP BY 1, 2),
+      |per AS (
+      |  SELECT n.da, n.db, CASE WHEN n.nm >= 8 THEN 1 ELSE 0 END hit, g4.c4, g8.c8
+      |  FROM (SELECT da, db, SUM(mt) nm FROM lm GROUP BY 1, 2) n
+      |  JOIN g4 ON n.da = g4.da AND n.db = g4.db
+      |  JOIN g8 ON n.da = g8.da AND n.db = g8.db),
+      |s AS (SELECT COUNT(*) n2, SUM(hit) h2,
+      |        SUM(c4) n4, SUM(c4 * hit) h4,
+      |        SUM(c8) n8, SUM(c8 * hit) h8 FROM per),
+      |rows_ AS (
+      |  SELECT 2 rows_per_band, 8 n_bands, n2 n_candidates, h2 n_hits, h2 base FROM s
+      |  UNION ALL SELECT 4, 4, n4, h4, h2 FROM s
+      |  UNION ALL SELECT 8, 2, n8, h8, h2 FROM s)
+      |SELECT CAST(rows_per_band AS BIGINT) rows_per_band,
+      |  CAST(n_bands AS BIGINT) n_bands,
+      |  CAST(n_candidates AS BIGINT) n_candidates,
+      |  CAST(n_hits AS BIGINT) n_hits,
+      |  CAST(CASE WHEN n_candidates = 0 THEN 0
+      |            ELSE n_hits * 1000000 // n_candidates END AS BIGINT) precision_ppm,
+      |  CAST(CASE WHEN base = 0 THEN 0
+      |            ELSE n_hits * 1000000 // base END AS BIGINT) recall_ppm
+      |FROM rows_ ORDER BY rows_per_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d32_lsh_band_sweep" -> (d32LshBandSweep _),
+    "d31_lm_quality" -> (d31LmQuality _),
     "p14_anneal_mix" -> (p14AnnealMix _),
     "d30_contamination_attribution" -> (d30ContaminationAttribution _),
     "d29_bpe_train" -> (d29BpeTrain _),
@@ -2330,6 +2528,8 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d32_lsh_band_sweep" -> d32Sql,
+    "d31_lm_quality" -> d31Sql,
     "p14_anneal_mix" -> p14Sql,
     "d30_contamination_attribution" -> d30Sql,
     "d29_bpe_train" -> d29Sql,

@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
       "v20_hamming_ann",
       //  - p14: the one-row min-count broadcast next to the rate table
       //    (d22's scalar shape, once per epoch row)
-      "p14_anneal_mix")
+      "p14_anneal_mix",
+      //  - d31: the one-row trusted-vocabulary count broadcast next to
+      //    every scored bigram (p4/v7's scalar shape)
+      "d31_lm_quality")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -154,6 +157,15 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // d32: pair expansion reads the persisted chunked r=2 bucket table;
+      // in-plan cost is the pair distinct + the one-row sweep agg (the
+      // 3-row output sort rides the single partition)
+      "d32_lsh_band_sweep" -> 2,
+      // d31: one corpus repartition serves both the grid agg and the
+      // final per-doc agg (subset-key reuse); the left rollup (1) and
+      // vocab distinct-count (2) fold over the checkpointed vocab-sized
+      // model, not the corpus
+      "d31_lm_quality" -> 4,
       // p14: d22's shape — the rate-table build's tiny aggs + the final
       // epoch x lang rollup + output sort; the corpus scan is read once
       "p14_anneal_mix" -> 5,

@@ -422,6 +422,69 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d31: LM quality scores equal an all-integer brute-force replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+      .filter(_._3.length >= 2)
+    def bigrams(w: Seq[String]) = w.sliding(2).map(_.mkString(" ")).toSeq
+    val en = docs.filter(_._2 == "en")
+    val model = en.flatMap(d => bigrams(d._3)).groupBy(identity)
+      .map { case (g, o) => g -> o.length.toLong }
+    val left = model.groupBy(_._1.split(" ")(0)).map { case (w1, m) => w1 -> m.values.sum }
+    val v = en.flatMap(_._3).distinct.length.toLong
+    val expected = docs.map { case (id, lang, w) =>
+      val gs = bigrams(w)
+      val liks = gs.map { g =>
+        (model.getOrElse(g, 0L) + 1L) * 1000000L /
+          (left.getOrElse(g.split(" ")(0), 0L) + v)
+      }
+      (id, lang, gs.length.toLong, liks.sum / gs.length)
+    }.sortBy(r => (r._4, r._1)).take(25)
+    val got = Documents.d31LmQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq, "d31 diverges from the integer replay")
+    // smoothing keeps every score strictly positive and below certainty
+    got.foreach { r =>
+      assert(r._4 > 0L && r._4 < 1000000L, s"doc ${r._1}: degenerate likelihood")
+    }
+  }
+
+  test("d32: the band-width sweep equals an all-pairs replay and the configs nest") {
+    import graft.functions.{HashFunctions => H}
+    val laneA = (0 until 16).map(i => H.md5NumberBigEndianLocal(s"a:$i") | 1L)
+    val laneB = (0 until 16).map(i => H.md5NumberBigEndianLocal(s"b:$i"))
+    val sigs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        val hs = w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          .map(H.md5NumberBigEndianLocal)
+        id -> (0 until 16).map(i => hs.map(h => h * laneA(i) + laneB(i)).min)
+      }.sortBy(_._1)
+    var n2, h2, n4, h4, n8, h8 = 0L
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length) {
+      val eq = (0 until 16).map(k => sigs(i)._2(k) == sigs(j)._2(k))
+      def caught(w: Int) = (0 until 16 / w).exists(b => (b * w until (b + 1) * w).forall(eq))
+      if (caught(2)) {
+        val hit = if (eq.count(identity) >= 8) 1L else 0L
+        n2 += 1; h2 += hit
+        if (caught(4)) { n4 += 1; h4 += hit }
+        if (caught(8)) { n8 += 1; h8 += hit }
+      }
+    }
+    def row(r: Long, nb: Long, n: Long, h: Long) =
+      (r, nb, n, h, if (n == 0) 0L else h * 1000000L / n, if (h2 == 0) 0L else h * 1000000L / h2)
+    val expected = Seq(row(2, 8, n2, h2), row(4, 4, n4, h4), row(8, 2, n8, h8))
+    val got = Documents.d32LshBandSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected, "d32 diverges from the all-pairs replay")
+    // nesting: wider bands can only lose candidates, never gain
+    assert(n8 <= n4 && n4 <= n2, "band nesting violated")
+    assert(n2 > 0 && h2 > 0, "sweep is vacuous on the fixture")
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
