@@ -2166,7 +2166,13 @@ object Documents {
     * the oracle derives every merge itself (no values copied from the
     * Spark side).
     */
-  val d29Sql: String = {
+  /** The d29 training chain as WITH-body clauses (w, v, r1..r9, p_k,
+    * m_k), shared by d29's merge-table oracle and d33's encode oracle.
+    * The r frames carry `word` so the final frame r{n+1} doubles as the
+    * ENCODED VOCABULARY (training's fixpoint state per word IS the
+    * greedy encode of that word under the learned merges).
+    */
+  private[graft] lazy val bpeChainSql: String = {
     val rounds = (1 to BpeMerges).map { k =>
       s"""p$k AS (
         |  SELECT sy[i] AS lhs, sy[i+1] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
@@ -2175,19 +2181,23 @@ object Documents {
         |  WHERE len(sy) >= 2 GROUP BY 1, 2),
         |m$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |r${k + 1} AS (
-        |  SELECT replace(replace(s$k, ' ' || m.lhs || ' ' || m.rhs || ' ',
+        |  SELECT word, replace(replace(s$k, ' ' || m.lhs || ' ' || m.rhs || ' ',
         |                                ' ' || m.lhs || m.rhs || ' '),
         |                 ' ' || m.lhs || ' ' || m.rhs || ' ',
         |                 ' ' || m.lhs || m.rhs || ' ') AS s${k + 1}, n
         |  FROM r$k, m$k m)""".stripMargin
     }.mkString(",\n")
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |v AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+      |r1 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s1, n FROM v),
+      |$rounds""".stripMargin
+  }
+
+  val d29Sql: String = {
     val out = (1 to BpeMerges)
       .map(k => s"SELECT $k AS merge_rank, lhs, rhs, cnt FROM m$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-      |v AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1),
-      |r1 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s1, n FROM v),
-      |$rounds
+    s"""WITH $bpeChainSql
       |$out
       |ORDER BY merge_rank""".stripMargin
   }
@@ -2492,7 +2502,79 @@ object Documents {
       |            ELSE n_hits * 1000000 // base END AS BIGINT) recall_ppm
       |FROM rows_ ORDER BY rows_per_band""".stripMargin
 
+  /** d33: BPE ENCODE — the deploy half of d29's tokenizer training: the
+    * persisted merge table applied to the corpus, reported as the
+    * per-language tokenization profile (docs, whitespace words, BPE
+    * symbols, symbols-per-word and chars-per-symbol in integer ppm) — the
+    * fertility numbers a tokenizer owner reads before shipping.
+    *
+    * Scale shape: encoding rides the VOCABULARY, not the corpus
+    * (Sennrich's optimization, same as training): the merge table is
+    * driver-side config (a tokenizer's merge file is KB-sized by
+    * construction), the replace chain applies to the distinct-word frame
+    * as a pure projection, and the corpus pass is explode + broadcast
+    * hash join against the encoded vocab. The per-(lang, doc) partial
+    * agg rides the doc_id repartition (subset-key reuse); only the
+    * lang-level rollup shuffles. The inner vocab join is complete by
+    * construction (the vocab derives from the same corpus).
+    */
+  def d33BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = d29BpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))) // ordered by merge_rank
+    val spaced = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (e, (l, r)) =>
+      val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+      replace(replace(e, pat, rep), pat, rep)
+    }
+    val vocabEnc = docs(spark, dir)
+      .select(explode_outer(T.tokens(coalesce(col("text"), lit("")))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"),
+        size(split(trim(encoded), " ")).cast("long").as("n_sym"),
+        length(col("word")).cast("long").as("n_chars_w"))
+    val dw = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode_outer(T.tokens(coalesce(col("text"), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+    dw.join(broadcast(vocabEnc), "word")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("n_sym")).as("nb"),
+        sum(col("n_chars_w")).as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe_tokens"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000L DIV n_words").as("symbols_per_word_ppm"),
+        expr("n_chars * 1000000L DIV n_bpe_tokens").as("chars_per_symbol_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val d33Sql: String = {
+    val last = BpeMerges + 1
+    s"""WITH $bpeChainSql,
+      |enc AS (SELECT word, len(string_split(trim(s$last), ' ')) AS n_sym,
+      |               len(word) AS n_chars_w
+      |        FROM r$last),
+      |dw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |       FROM documents),
+      |pd AS (SELECT lang, doc_id, COUNT(*) AS nw, SUM(e.n_sym) AS nb,
+      |              SUM(e.n_chars_w) AS nc
+      |       FROM dw JOIN enc e USING (word) WHERE word <> ''
+      |       GROUP BY 1, 2),
+      |rl AS (SELECT lang, COUNT(*) AS n_docs, SUM(nw) AS n_words,
+      |              SUM(nb) AS n_bpe_tokens, SUM(nc) AS n_chars
+      |       FROM pd GROUP BY lang)
+      |SELECT lang, CAST(n_docs AS BIGINT) n_docs,
+      |  CAST(n_words AS BIGINT) n_words,
+      |  CAST(n_bpe_tokens AS BIGINT) n_bpe_tokens,
+      |  CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT) symbols_per_word_ppm,
+      |  CAST(n_chars * 1000000 // n_bpe_tokens AS BIGINT) chars_per_symbol_ppm
+      |FROM rl ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d33_bpe_encode" -> (d33BpeEncode _),
     "d32_lsh_band_sweep" -> (d32LshBandSweep _),
     "d31_lm_quality" -> (d31LmQuality _),
     "p14_anneal_mix" -> (p14AnnealMix _),
@@ -2528,6 +2610,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d33_bpe_encode" -> d33Sql,
     "d32_lsh_band_sweep" -> d32Sql,
     "d31_lm_quality" -> d31Sql,
     "p14_anneal_mix" -> p14Sql,

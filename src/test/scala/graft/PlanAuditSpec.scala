@@ -157,6 +157,10 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // d33: corpus repartition + vocab distinct + lang rollup + output
+      // sort; the per-(lang, doc) partial agg rides the doc_id partition
+      // and the encoded vocab broadcasts
+      "d33_bpe_encode" -> 4,
       // d32: pair expansion reads the persisted chunked r=2 bucket table;
       // in-plan cost is the pair distinct + the one-row sweep agg (the
       // 3-row output sort rides the single partition)

@@ -485,6 +485,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n2 > 0 && h2 > 0, "sweep is vacuous on the fixture")
   }
 
+  test("d33: the encode profile equals a true greedy-merge replay") {
+    // TRUE greedy semantics (scan left-to-right, merge non-overlapping
+    // occurrences) — independently re-validates the two-pass replace
+    // trick at encode time, not just at training time
+    def applyMerge(sy: List[String], l: String, r: String): List[String] = sy match {
+      case a :: b :: rest if a == l && b == r => (a + b) :: applyMerge(rest, l, r)
+      case a :: rest => a :: applyMerge(rest, l, r)
+      case Nil => Nil
+    }
+    val merges = Documents.d29BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(word: String): Int =
+      merges.foldLeft(word.map(_.toString).toList) {
+        case (sy, (l, r)) => applyMerge(sy, l, r)
+      }.length
+    val docRows = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    val expected = docRows.groupBy(_._2).map { case (lang, ds) =>
+      val words = ds.flatMap(_._3)
+      val nb = words.map(encode(_).toLong).sum
+      val nc = words.map(_.length.toLong).sum
+      (lang, ds.length.toLong, words.length.toLong, nb,
+        nb * 1000000L / words.length, nc * 1000000L / nb)
+    }.toSeq.sortBy(_._1)
+    val got = Documents.d33BpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected, "d33 diverges from the greedy replay")
+    // a symbol is at least a char-merge product: fertility bounds hold
+    got.foreach { r =>
+      assert(r._5 >= 1000000L, s"${r._1}: a word encodes to less than one symbol")
+      assert(r._6 >= 1000000L, s"${r._1}: a symbol holds less than one char")
+    }
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
