@@ -1905,7 +1905,106 @@ object Vectors {
       |ORDER BY r.qid, r.rank""".stripMargin
   }
 
+  /** Prefix dims v21 sweeps; 64 is the full vector (recall exactly 1). */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** v21: Matryoshka truncation sweep (Kusupati et al. 2022) — the
+    * OTHER compression axis the family prices (v7 narrows value width,
+    * v20 narrows to sign bits, JL v15 rotates THEN truncates; MRL
+    * truncates the raw prefix, which is how matryoshka-trained
+    * embeddings ship): for prefix dims d ∈ {8, 16, 32, 64}, top-3
+    * recall of truncated cosine vs the exact 64-dim ground truth — the
+    * curve a serving owner reads before cutting storage 8×.
+    *
+    * ONE scoring pass prices all four dims: the prefix dots/norms are
+    * per-pair projections over the same broadcast-Q × scan-N join
+    * (prefix norms precomputed per SIDE, not per pair), and the four
+    * rank windows share the single qid exchange — four in-partition
+    * sorts, one shuffle, plus the exact-truth side. The d = 64 row is
+    * a built-in control: it IS the ground-truth metric, so its recall
+    * is exactly 1.0 by construction.
+    */
+  def v21MatryoshkaSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorms = base.select(
+      col("vec_id") +: col("v") +: MrlDims.map(d =>
+        sqrt(dot(slice(col("v"), 1, d), slice(col("v"), 1, d))).as(s"n$d")): _*)
+    val queries = withNorms.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid") +: col("v").as("qe") +:
+        MrlDims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    val cands = withNorms.select(
+      col("vec_id").as("cid") +: col("v").as("ce") +:
+        MrlDims.map(d => col(s"n$d").as(s"cn$d")): _*)
+    val scored = broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid") +: col("cid") +: MrlDims.map(d =>
+        (dot(slice(col("qe"), 1, d), slice(col("ce"), 1, d)) /
+          (col(s"qn$d") * col(s"cn$d"))).as(s"cos$d")): _*)
+    val ranked = MrlDims.foldLeft(scored) { (df, d) =>
+      df.withColumn(s"rk$d", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(s"cos$d").desc, col("cid"))))
+    }
+    val aggCols = countDistinct(col("qid")).as("nq") +: MrlDims.map(d =>
+      sum(when(col("hit") === 1 && col(s"rk$d") <= 3, 1L).otherwise(0L)).as(s"h$d"))
+    ranked.join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("nq",
+        s"stack(${MrlDims.length}, " +
+          MrlDims.map(d => s"CAST($d AS BIGINT), h$d").mkString(", ") +
+          ") AS (dim, n_hits)")
+      .select(col("dim"), col("n_hits"),
+        (col("n_hits").cast("double") / (lit(3.0) * col("nq").cast("double")))
+          .as("recall"),
+        col("nq").as("n_queries"))
+      .orderBy(col("dim"))
+  }
+
+  val v21Sql: String = {
+    def dotD(a: String, b: String, d: Int) =
+      s"""list_reduce(list_transform(generate_series(1, $d),
+         |      i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
+    val cosCols = MrlDims.map(d =>
+      s"""${dotD("q.v", "c.v", d)} /
+        |    (sqrt(${dotD("q.v", "q.v", d)}) * sqrt(${dotD("c.v", "c.v", d)})) AS cos$d""".stripMargin)
+      .mkString(",\n  ")
+    val rkCols = MrlDims.map(d =>
+      s"ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos$d DESC, cid) AS rk$d")
+      .mkString(",\n    ")
+    val hCols = MrlDims.map(d =>
+      s"SUM(CASE WHEN e.cid IS NOT NULL AND rk$d <= 3 THEN 1 ELSE 0 END) AS h$d")
+      .mkString(",\n    ")
+    val out = MrlDims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, CAST(h$d AS BIGINT) AS n_hits,
+        |  CAST(h$d AS DOUBLE) / (3.0 * CAST(nq AS DOUBLE)) AS recall,
+        |  nq AS n_queries FROM a""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |  $cosCols
+      |  FROM base q JOIN base c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |rk AS (
+      |  SELECT qid, cid,
+      |    $rkCols
+      |  FROM scored),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3),
+      |a AS (
+      |  SELECT COUNT(DISTINCT r.qid) AS nq,
+      |    $hCols
+      |  FROM rk r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid)
+      |$out
+      |ORDER BY dim""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v21_matryoshka_sweep" -> (v21MatryoshkaSweep _),
     "v20_hamming_ann" -> (v20HammingAnn _),
     "v19_nprobe_sweep" -> (v19NprobeSweep _),
     "v18_versioned_ann" -> (v18VersionedAnn _),
@@ -1928,6 +2027,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v21_matryoshka_sweep" -> v21Sql,
     "v20_hamming_ann" -> v20Sql,
     "v19_nprobe_sweep" -> v19Sql,
     "v18_versioned_ann" -> v18Sql,

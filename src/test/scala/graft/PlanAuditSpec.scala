@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkSpec {
       "p14_anneal_mix",
       //  - d31: the one-row trusted-vocabulary count broadcast next to
       //    every scored bigram (p4/v7's scalar shape)
-      "d31_lm_quality")
+      "d31_lm_quality",
+      //  - v21: v1's deliberate broadcast-Q x scan-N (one pass scores
+      //    all four prefix dims) plus v8's exact ground-truth side
+      "v21_matryoshka_sweep")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -157,6 +160,10 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // v21: ONE qid exchange shared by all four prefix-dim rank windows
+      // (four in-partition sorts), the exact-truth side's window, and
+      // the 4-row output sort after the single-row sweep agg
+      "v21_matryoshka_sweep" -> 3,
       // d33: corpus repartition + vocab distinct + lang rollup + output
       // sort; the per-(lang, doc) partial agg rides the doc_id partition
       // and the encoded vocab broadcasts

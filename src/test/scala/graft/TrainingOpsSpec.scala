@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Documents, Events, Pipeline}
+import graft.queries.{Documents, Events, Pipeline, Vectors}
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-data operators: duplicated-substring spans (d16),
@@ -518,6 +518,34 @@ class TrainingOpsSpec extends SparkSpec {
       assert(r._5 >= 1000000L, s"${r._1}: a word encodes to less than one symbol")
       assert(r._6 >= 1000000L, s"${r._1}: a symbol holds less than one char")
     }
+  }
+
+  test("v21: the truncation sweep equals a brute-force replay and dim-64 is exact") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cosD(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 10)
+    def top3(d: Int): Map[Long, Set[Long]] = queries.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cosD(qv, cv, d)) }
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val exact = top3(64)
+    val dims = Seq(8, 16, 32, 64)
+    val expected = dims.map { d =>
+      val t = top3(d)
+      val hits = queries.map { case (q, _) => (t(q) & exact(q)).size }.sum.toLong
+      (d.toLong, hits, hits.toDouble / (3.0 * queries.length), queries.length.toLong)
+    }
+    val got = Vectors.v21MatryoshkaSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === expected, "v21 diverges from the brute-force replay")
+    assert(got.last._3 === 1.0, "the d=64 control row must be exact recall")
   }
 
   test("p11: length buckets match a brute-force replay and conserve docs") {
