@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -674,7 +675,47 @@ object Events {
       |ORDER BY event_type, lateness_bucket""".stripMargin
   }
 
+  /** w17: event-type TRANSITION MATRIX — the path-analysis readout next
+    * to w13's funnel (ClickHouse users build it with groupArray +
+    * arrayZip per user; the Spark-first form is one lead() window): for
+    * every consecutive same-session pair of events in a user's (ts,
+    * event_id) order, count (from_type → to_type) transitions and the
+    * distinct users making each. "Same session" is w3's gap rule (next
+    * event strictly less than 4 h later), evaluated in exact integer
+    * microseconds so both engines agree on every boundary.
+    *
+    * Scale shape: ONE exchange on user_id feeds the lead() window; the
+    * transition grid is |types|² rows, so the rollup (and its distinct-
+    * user expand) runs on corpus-sized input but tiny output, and the
+    * output sort rides the grid.
+    */
+  def w17TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull && col("gap_us") < lit(4L * 3600 * 1000000))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val w17Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type AS from_type, to_type, COUNT(*) AS n_transitions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM t WHERE to_type IS NOT NULL AND gap_us < 14400000000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w17_transition_matrix" -> (w17TransitionMatrix _),
     "w16_disorder_profile" -> (w16DisorderProfile _),
     "w15_anomaly" -> (w15Anomaly _),
     "w14_retention" -> (w14Retention _),
@@ -693,6 +734,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w17_transition_matrix" -> w17Sql,
     "w16_disorder_profile" -> w16Sql,
     "w15_anomaly" -> w15Sql,
     "w14_retention" -> w14Sql,

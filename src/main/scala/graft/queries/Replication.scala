@@ -578,7 +578,69 @@ object Replication {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** r11: mid-stream SCHEMA EVOLUTION — the replication concern the
+    * reference's fixed column configs cannot express (its schema map
+    * `config/table_config.py` is frozen at deploy time): the upstream
+    * adds a column, so the log's older half simply DOESN'T HAVE it, and
+    * the replica read path must still produce one unified current view.
+    *
+    * The fixture log splits at the cutover tick (max(event_id) DIV 2 —
+    * data-derived to stay SF-free; a real pipeline reads the tick from
+    * its schema registry): generation 1 rows have no `k` column AT ALL,
+    * generation 2 rows carry `k` extracted from the payload. The merge
+    * is Spark's own schema-evolution primitive —
+    * `unionByName(allowMissingColumns = true)` — which backfills gen-1
+    * with typed NULLs (exactly what a parquet `mergeSchema` read does
+    * across old and new files), then the ordinary ArgMaxRow latest-wins
+    * collapse runs over the unified log. A user whose latest record
+    * predates the cutover surfaces with `k IS NULL` and
+    * `schema_ver = 1` — absence stays observable, never invented.
+    *
+    * Scale: the generations are disjoint id ranges (at 100 TB they are
+    * literally different files), so the two branch scans together read
+    * each row once; the cutover scalar broadcasts (q22's shape), and
+    * the only log-keyed shuffle is the latest-wins collapse.
+    */
+  def r11SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val cut = events.agg(expr("max(event_id) DIV 2").as("cut"))
+    val g1 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") < col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), lit(1L).as("schema_ver"))
+    val g2 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") >= col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), lit(2L).as("schema_ver"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val unified = g1.unionByName(g2, allowMissingColumns = true)
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    ReplicaTable.current(unified, keys = Seq("user_id"), ver = "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("k"), col("schema_ver"))
+      .orderBy(col("user_id"))
+  }
+
+  val r11Sql: String =
+    """WITH cut AS (SELECT max(event_id) // 2 AS cut FROM events),
+      |u AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(NULL AS BIGINT) AS k, CAST(1 AS BIGINT) AS schema_ver
+      |  FROM events, cut WHERE event_id < cut
+      |  UNION ALL
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM events, cut WHERE event_id >= cut)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value, k, schema_ver
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM u)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r11_schema_evolution" -> (r11SchemaEvolution _),
     "r10_incremental_compaction" -> (r10IncrementalCompaction _),
     "r9_scd2_history" -> (r9Scd2History _),
     "r8_yaml_ddl_replica" -> (r8YamlDdlReplica _),
@@ -591,6 +653,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r11_schema_evolution" -> r11Sql,
     "r10_incremental_compaction" -> r10Sql,
     "r9_scd2_history" -> r9Sql,
     "r8_yaml_ddl_replica" -> r8Sql,

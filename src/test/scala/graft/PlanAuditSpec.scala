@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
       "d31_lm_quality",
       //  - v21: v1's deliberate broadcast-Q x scan-N (one pass scores
       //    all four prefix dims) plus v8's exact ground-truth side
-      "v21_matryoshka_sweep")
+      "v21_matryoshka_sweep",
+      //  - r11: the one-row cutover-tick scalar broadcast next to each
+      //    generation's branch scan (q22's shape, once per branch)
+      "r11_schema_evolution")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -160,6 +163,12 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // w17: the user_id window exchange + the |types|^2 grid rollup
+      // (distinct-user expand rides it) + the grid output sort
+      "w17_transition_matrix" -> 3,
+      // r11: one tiny scalar agg per generation branch (the cutover
+      // tick), the ArgMaxRow collapse, and the output sort
+      "r11_schema_evolution" -> 4,
       // v21: ONE qid exchange shared by all four prefix-dim rank windows
       // (four in-partition sorts), the exact-truth side's window, and
       // the 4-row output sort after the single-row sweep agg

@@ -82,6 +82,39 @@ class ReplicaTableSpec extends SparkSpec {
     dir
   }
 
+  test("r11: schema evolution backfills typed NULLs and never invents values") {
+    import org.apache.spark.sql.functions._
+    // planted log, ids 0..10 -> cutover tick = 10 DIV 2 = 5
+    val dir = java.nio.file.Files.createTempDirectory("events_fixture").toString
+    Seq(
+      (1L, 1L, "click", 1.0, 3L),   // gen-1: its payload k is NOT visible
+      (3L, 1L, "view", 2.0, 4L),    // gen-1 latest for user 1 -> k NULL
+      (2L, 2L, "click", 5.0, 5L),   // gen-1, superseded
+      (8L, 2L, "view", 6.0, 7L),    // gen-2 latest for user 2 -> k = 7
+      (4L, 3L, "click", 9.0, 6L),   // gen-1, superseded
+      (9L, 3L, "error", 0.0, 8L),   // gen-2 tombstone -> user 3 dropped
+      (10L, 4L, "signup", 4.0, 42L) // gen-2 only user
+    ).toDF("event_id", "user_id", "event_type", "value", "k")
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      .withColumn("props", concat(lit("""{"k": """), col("k"), lit("}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Replication.r11SchemaEvolution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, "view", 2.0, None, 1L),    // pre-cutover latest: NULL, not 4
+      (2L, 8L, "view", 6.0, Some(7L), 2L),
+      (4L, 10L, "signup", 4.0, Some(42L), 2L)))
+    // on the real fixture the unified view must agree with r1 everywhere
+    val sf = "/root/testdata/sf0.001"
+    val r1 = graft.queries.Replication.r1ReplicaCurrent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    val r11 = graft.queries.Replication.r11SchemaEvolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(r11 === r1, "schema evolution changed the current view's values")
+  }
+
   test("r10: windowed compaction equals one-shot; tombstones retained, no resurrection") {
     import org.apache.spark.sql.functions._
     val dir = eventsDir(Seq(

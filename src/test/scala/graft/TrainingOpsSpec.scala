@@ -548,6 +548,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.last._3 === 1.0, "the d=64 control row must be exact recall")
   }
 
+  test("w17: the transition matrix equals a per-user ordered replay") {
+    val evs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) tus", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) if b._2 - a._2 < 4L * 3600 * 1000000 => (a._4, b._4, u)
+      }
+    }
+    val expected = trans.groupBy(t => (t._1, t._2)).map { case ((f, t), g) =>
+      (f, t, g.size.toLong, g.map(_._3).distinct.size.toLong)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Events.w17TransitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected, "w17 diverges from the ordered replay")
+    assert(got.nonEmpty && got.map(_._3).sum === trans.size.toLong)
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
