@@ -788,7 +788,79 @@ object Pipeline {
       |SELECT qid, rank, doc_id, n_terms, score FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** p15: deterministic mid-epoch RESUME — the crash-recovery read a
+    * trainer's loader does against p10's epoch shuffle. Because a doc's
+    * (shard, position) is a pure function of (epoch, doc_id), the
+    * global step of every doc is `shard-offset + position − 1`, and
+    * "resume from step S" is a FILTER, not a replay: no state file
+    * beyond the step counter, reproducible under any partitioning.
+    *
+    * The report is the per-shard resume manifest for a planted S (40%
+    * through epoch 1, derived from the corpus-size scalar so the query
+    * is SF-free): total/consumed/remaining docs and the first
+    * still-pending in-shard position (NULL for fully-consumed shards —
+    * they appear, not vanish). Shard offsets are an exclusive prefix
+    * sum over the ShardCount-row size frame (tiny global window);
+    * per-row membership is a flag, so ONE corpus agg produces the
+    * manifest — no join-back, no second pass.
+    */
+  def p15ResumeSlice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    val positioned = docs(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("key", H.md5NumberBigEndian(
+        concat(lit("ep:1:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("key"), lit(ShardCount.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val sizes = positioned.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val offs = sizes
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(lit(1))))
+    positioned.join(broadcast(offs), "shard")
+      .withColumn("gstep", col("off") + col("pos") - 1)
+      .withColumn("cut", expr("total * 2 DIV 5"))
+      .withColumn("rem", (col("gstep") >= col("cut")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("rem")).as("n_remaining"),
+        min(when(col("rem") === 1, col("pos"))).as("first_remaining_pos"),
+        max(col("cut")).as("resume_step"))
+      .select(col("shard"), col("n_total"),
+        (col("n_total") - col("n_remaining")).as("n_consumed"),
+        col("n_remaining"), col("first_remaining_pos"), col("resume_step"))
+      .orderBy(col("shard"))
+  }
+
+  val p15Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "'ep:1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (SELECT doc_id, $h AS key FROM documents),
+      |s AS (SELECT doc_id, key,
+      |        ((key % $ShardCount) + $ShardCount) % $ShardCount AS shard FROM k),
+      |p AS (SELECT shard, doc_id, key,
+      |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+      |      FROM s),
+      |sz AS (SELECT shard, COUNT(*) AS n FROM p GROUP BY shard),
+      |o AS (SELECT shard, n,
+      |        COALESCE(SUM(n) OVER (ORDER BY shard
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+      |        SUM(n) OVER () AS total
+      |      FROM sz),
+      |f AS (SELECT p.shard, p.pos, o.off + p.pos - 1 AS gstep,
+      |        o.total * 2 // 5 AS cut
+      |      FROM p JOIN o ON p.shard = o.shard)
+      |SELECT shard, COUNT(*) AS n_total,
+      |  CAST(COUNT(*) - SUM(CASE WHEN gstep >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_consumed,
+      |  CAST(SUM(CASE WHEN gstep >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining,
+      |  MIN(CASE WHEN gstep >= cut THEN pos END) AS first_remaining_pos,
+      |  CAST(MAX(cut) AS BIGINT) AS resume_step
+      |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "p15_resume_slice" -> (p15ResumeSlice _),
     "p13_bm25_retrieve" -> (p13Bm25Retrieve _),
     "p12_delivery_e2e" -> (p12DeliveryE2e _),
     "p11_length_buckets" -> (p11LengthBuckets _),
@@ -803,6 +875,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p15_resume_slice" -> p15Sql,
     "p13_bm25_retrieve" -> p13Sql,
     "p12_delivery_e2e" -> p12Sql,
     "p11_length_buckets" -> p11Sql,

@@ -677,7 +677,45 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin
 
+  /** q27: GROUPING SETS — the non-hierarchical multi-grain aggregate
+    * that completes the q10 (ROLLUP) / q23 (CUBE) family: one pass
+    * produces the (returnflag, linestatus) grain, the ship-year grain,
+    * and the grand total — three independent reports that would
+    * otherwise be three scans + a UNION. The grain id is computed
+    * EXPLICITLY from grouping() bits (engines disagree on grouping_id
+    * bit order conventions; the explicit arithmetic is portable by
+    * construction). One Expand + one hash agg; Expand multiplies rows
+    * by the set count BEFORE the shuffle, which is exactly the
+    * documented cost of multi-grain-in-one-pass.
+    */
+  def q27GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        (grouping(col("l_returnflag")) * 4 + grouping(col("l_linestatus")) * 2 +
+          grouping(col("ship_year"))).cast("long").as("gid"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("ship_year").asc_nulls_first)
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag, l_linestatus, ship_year,
+      |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2 +
+      |       GROUPING(ship_year) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM (SELECT *, year(l_shipdate) AS ship_year FROM lineitem)
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_rank_suite" -> (q26RankSuite _),
     "q25_full_outer" -> (q25FullOuter _),
     "q24_quantiles" -> (q24Quantiles _),
@@ -706,6 +744,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q27_grouping_sets" -> q27Sql,
     "q26_rank_suite" -> q26Sql,
     "q25_full_outer" -> q25Sql,
     "q24_quantiles" -> q24Sql,

@@ -163,6 +163,9 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // p15: the shard position window (reused by the manifest agg) +
+      // two ShardCount-row exchanges for the offset prefix + output sort
+      "p15_resume_slice" -> 4,
       // w17: the user_id window exchange + the |types|^2 grid rollup
       // (distinct-user expand rides it) + the grid output sort
       "w17_transition_matrix" -> 3,
@@ -292,6 +295,9 @@ class PlanAuditSpec extends SparkSpec {
       // q26: one per-priority window exchange feeds all four ranking
       // functions + output sort
       "q26_rank_suite" -> 2,
+      // q27: Expand + one hash agg + the output sort — the multi-grain
+      // pass costs one shuffle regardless of how many sets it serves
+      "q27_grouping_sets" -> 2,
       "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 2,
       "q20_qualified_suppliers" -> 4,
       "q21_semi_anti" -> 2, "q22_global_customers" -> 3,

@@ -566,6 +566,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._3).sum === trans.size.toLong)
   }
 
+  test("p15: the resume manifest equals a replay of the epoch-1 order") {
+    import graft.functions.{HashFunctions => H}
+    val ids = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val keyed = ids.map(id => (id, H.md5NumberBigEndianLocal(s"ep:1:$id")))
+    val byShard = keyed.groupBy { case (_, k) => java.lang.Math.floorMod(k, 8L) }
+    val ordered = byShard.map { case (s, g) =>
+      s -> g.sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, i.toLong + 1) } // 1-based pos
+    }
+    val total = ids.length.toLong
+    val cut = total * 2 / 5
+    var off = 0L
+    val expected = ordered.toSeq.sortBy(_._1).map { case (s, g) =>
+      val rem = g.filter { case (_, pos) => off + pos - 1 >= cut }
+      val row = (s, g.length.toLong, g.length.toLong - rem.length,
+        rem.length.toLong,
+        if (rem.isEmpty) None else Some(rem.map(_._2).min), cut)
+      off += g.length
+      row
+    }
+    val got = graft.queries.Pipeline.p15ResumeSlice(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(got.toSeq === expected, "p15 diverges from the ordered replay")
+    // conservation: remaining docs across shards = total - resume step
+    assert(got.map(_._4).sum === total - cut)
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
