@@ -454,6 +454,60 @@ object CdcStream {
         Encoders.product[GapSession])
   }
 
+  final case class PathTransition(key: Long, from_type: String, to_type: String, gap_us: Long)
+
+  /** Streaming twin of the batch w17 transition matrix: a per-key
+    * `ValueState` holds the LAST seen event, and each arrival emits its
+    * (from → to) edge when the gap stays inside the session bound —
+    * O(1) state per key regardless of history length; the matrix itself
+    * is a downstream grid agg over the emitted edges.
+    *
+    * Exactness contract: identical to the batch rule as long as
+    * arrivals are per-key event-time ordered ACROSS micro-batches (the
+    * CDC transport's per-key ordering guarantee; w16 profiles
+    * violations and sizes the watermark that would instead be needed).
+    * WITHIN a batch arrival order is free — rows sort on (ts, event_id)
+    * before folding, bounded by a key's per-batch volume.
+    */
+  def transitionStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapUs: Long): org.apache.spark.sql.Dataset[PathTransition] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val stEnc = Encoders.product[(Long, Long, String)]
+    val rowEnc = Encoders.product[(Long, Long, Long, String)]
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, Long, String), PathTransition] {
+        @transient private var last: ValueState[(Long, Long, String)] = _
+        override def init(om: OutputMode, tm: TimeMode): Unit =
+          last = getHandle.getValueState("last", stEnc, TTLConfig.NONE)
+        override def handleInputRows(k: Long,
+            rows: Iterator[(Long, Long, Long, String)],
+            tv: TimerValues): Iterator[PathTransition] = {
+          val out = Seq.newBuilder[PathTransition]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, id, tp) =>
+            if (last.exists()) {
+              val (pts, _, ptp) = last.get()
+              if (ts - pts < gapUs) out += PathTransition(k, ptp, tp, ts - pts)
+            }
+            last.update((ts, id, tp))
+          }
+          out.result().iterator
+        }
+      }
+    events
+      .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[PathTransition])
+  }
+
   /** Streaming windowed analytics with late-data handling — the added
     * surface beyond replication (SURVEY §2.10 "Windows"): watermarked
     * tumbling counts, emitted append-mode as windows close.

@@ -319,6 +319,55 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("transitionStream emits the batch w17 edges across micro-batch boundaries") {
+    val src = tmp("tr-src"); val ckpt = tmp("tr-ck")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("eid", LongType), StructField("etype", StringType)))
+    def ev(uid: Long, t: String, eid: Long, tp: String) =
+      s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp"}"""
+    import scala.jdk.CollectionConverters._
+    // user 1: view->click (in-session), then a 5h gap (NO edge), then
+    // click->purchase; the gap-straddling pair lands in different files
+    // so the suppression must survive a batch boundary. user 2: its
+    // view->click edge itself crosses a batch boundary.
+    Files.write(src.resolve("a.json"), Seq(
+      ev(1, "2024-01-01T10:00:00.000Z", 1, "view"),
+      ev(1, "2024-01-01T10:30:00.000Z", 2, "click"),
+      ev(2, "2024-01-01T09:00:00.000Z", 3, "view")).asJava)
+    Files.write(src.resolve("b.json"), Seq(
+      ev(2, "2024-01-01T09:45:00.000Z", 4, "click"),
+      ev(1, "2024-01-01T15:30:00.000Z", 5, "click")).asJava)
+    Files.write(src.resolve("c.json"), Seq(
+      ev(1, "2024-01-01T15:40:00.000Z", 6, "purchase")).asJava)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.transitionStream(stream, "uid", "ts", "eid", "etype",
+          gapUs = 4L * 3600 * 1000000)
+        .writeStream.format("memory").queryName("tr_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("tr_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (1L, "view", "click", 1800L * 1000000),
+        (1L, "click", "purchase", 600L * 1000000),
+        (2L, "view", "click", 2700L * 1000000)),
+        "streaming edges diverge from the batch w17 rule")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamStaticDedup flags incoming docs against the static corpus index") {
     import spark.implicits._
     val src = tmp("ssd-src"); val ckpt = tmp("ssd-ck")
