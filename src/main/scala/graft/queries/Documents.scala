@@ -2573,7 +2573,67 @@ object Documents {
       |FROM rl ORDER BY lang""".stripMargin
   }
 
+  /** d34: shingle document-frequency PROFILE — the evidence behind d5's
+    * [[D5MaxShingleDf]] cap, in the d32/v19 tuning-report tradition: per
+    * df band (1, 2–4, 5–16, 17–64, ≥65), how many distinct shingles
+    * land there, how many postings they contribute, and the candidate-
+    * PAIR volume an inverted-index join would generate from them
+    * (Σ df·(df−1)/2 — the quadratic term the cap exists to bound), plus
+    * each band's share of total pair volume in ppm. The report a curator
+    * reads to see that the top band is a tiny fraction of shingles but
+    * the bulk of join fanout — i.e. WHY the cap is sound.
+    *
+    * One corpus pass → per-shingle df agg → 5-row band rollup; the
+    * share denominator is a window over the band frame, not a rescan.
+    * All integer arithmetic.
+    */
+  def d34DfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = shingled(spark, dir)
+      .select(explode_outer(col("shs")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val banded = df.select(
+      when(col("df") === 1, 0L).when(col("df") <= 4, 1L)
+        .when(col("df") <= 16, 2L).when(col("df") <= 64, 3L)
+        .otherwise(4L).as("band"),
+      col("df"))
+    val rolled = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(expr("df * (df - 1) DIV 2")).as("pair_volume"))
+    rolled
+      .withColumn("total_pairs",
+        sum(col("pair_volume")).over(Window.partitionBy(lit(1))))
+      .select(col("band"), col("n_shingles"), col("n_postings"),
+        col("pair_volume"),
+        expr("CASE WHEN total_pairs = 0 THEN 0L " +
+          "ELSE pair_volume * 1000000L DIV total_pairs END").as("pair_share_ppm"))
+      .orderBy(col("band"))
+  }
+
+  val d34Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |f AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      |b AS (SELECT CASE WHEN df = 1 THEN 0 WHEN df <= 4 THEN 1
+      |             WHEN df <= 16 THEN 2 WHEN df <= 64 THEN 3 ELSE 4 END AS band,
+      |             df FROM f),
+      |r AS (SELECT band, COUNT(*) AS n_shingles,
+      |        SUM(df) AS n_postings,
+      |        SUM(df * (df - 1) // 2) AS pair_volume
+      |      FROM b GROUP BY band)
+      |SELECT CAST(band AS BIGINT) band, CAST(n_shingles AS BIGINT) n_shingles,
+      |  CAST(n_postings AS BIGINT) n_postings,
+      |  CAST(pair_volume AS BIGINT) pair_volume,
+      |  CAST(CASE WHEN SUM(pair_volume) OVER () = 0 THEN 0
+      |       ELSE pair_volume * 1000000 // SUM(pair_volume) OVER () END AS BIGINT)
+      |    AS pair_share_ppm
+      |FROM r ORDER BY band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d34_df_profile" -> (d34DfProfile _),
     "d33_bpe_encode" -> (d33BpeEncode _),
     "d32_lsh_band_sweep" -> (d32LshBandSweep _),
     "d31_lm_quality" -> (d31LmQuality _),
@@ -2610,6 +2670,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d34_df_profile" -> d34Sql,
     "d33_bpe_encode" -> d33Sql,
     "d32_lsh_band_sweep" -> d32Sql,
     "d31_lm_quality" -> d31Sql,

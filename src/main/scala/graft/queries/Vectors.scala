@@ -1905,6 +1905,93 @@ object Vectors {
       |ORDER BY r.qid, r.rank""".stripMargin
   }
 
+  /** v22: ANN over the int8 CODES — v7 prices the quantization error,
+    * this searches the quantized table the way FAISS's SQ8 index does:
+    * candidates rank by the dot product of CENTERED codes
+    * ((u8 − 128)·(u8 − 128) summed — every product ≤ 2^14, the 64-term
+    * sum ≤ 2^20, exactly representable in double, so the codegen'd
+    * VecDotFold computes it bit-exactly and the ranking is INTEGER
+    * arithmetic in both engines, no float divergence possible in the
+    * scoring), and the top-3 per query carries the measured exact-hit
+    * flag against the float ground truth (the family contract).
+    *
+    * Scale shape: coding is v7's broadcast-stats projection (4× less
+    * scan bandwidth than the double table); the scan is the deliberate
+    * broadcast-Q × scan-N over the codes; ranking windows + output sort
+    * are the only exchanges.
+    */
+  def v22Int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val stats = base.select(posexplode(col("v")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(
+        transform(col("s"), c => c.getField("mn")).as("mns"),
+        transform(col("s"), c => c.getField("mx")).as("mxs"))
+      .localCheckpoint(false) // 1 row, read by BOTH coded sides
+    // v7's u8 coding, centered to [-128, 127] for the dot (kept as
+    // doubles: every value is a small exact integer, see scaladoc)
+    val codeExpr = transform(sequence(lit(1), lit(64)), i =>
+      when(element_at(col("mxs"), i) > element_at(col("mns"), i),
+        least(lit(255.0), greatest(lit(0.0),
+          floor(((element_at(col("v"), i) - element_at(col("mns"), i)) * lit(255.0)) /
+            (element_at(col("mxs"), i) - element_at(col("mns"), i))))))
+        .otherwise(lit(0.0)) - lit(128.0))
+    val codedOk = base.crossJoin(broadcast(packed))
+      .select(col("vec_id"), codeExpr.as("q8"))
+    val queries = codedOk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q8").as("qq"))
+    val cands = codedOk.select(col("vec_id").as("cid"), col("q8").as("cq"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("cid"))
+    broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        dot(col("qq"), col("cq")).cast("long").as("iscore"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+        col("iscore"), coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v22Sql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |stats AS (SELECT i AS dim, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |          FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY i),
+      |packed AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      |           FROM stats),
+      |coded AS (SELECT vec_id,
+      |    list_transform(generate_series(1, 64), i -> (CASE WHEN mxs[i] > mns[i]
+      |      THEN least(255.0, greatest(0.0,
+      |             floor(((v[i] - mns[i]) * 255.0) / (mxs[i] - mns[i]))))
+      |      ELSE 0.0 END) - 128.0) AS q8
+      |  FROM base, packed),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    CAST(list_reduce(list_transform(generate_series(1, 64),
+      |      i -> q.q8[i] * c.q8[i]), (acc, x) -> acc + x) AS BIGINT) iscore
+      |  FROM coded q JOIN coded c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |rk AS (SELECT qid, cid, iscore,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY iscore DESC, cid) AS rank
+      |       FROM scored),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3)
+      |SELECT r.qid, CAST(r.rank AS BIGINT) rank, r.cid, r.iscore,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |FROM rk r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid
+      |WHERE r.rank <= 3
+      |ORDER BY r.qid, r.rank""".stripMargin
+
   /** Prefix dims v21 sweeps; 64 is the full vector (recall exactly 1). */
   private val MrlDims = Seq(8, 16, 32, 64)
 
@@ -2004,6 +2091,7 @@ object Vectors {
   }
 
   val defs: Map[String, Q] = Map(
+    "v22_int8_ann" -> (v22Int8Ann _),
     "v21_matryoshka_sweep" -> (v21MatryoshkaSweep _),
     "v20_hamming_ann" -> (v20HammingAnn _),
     "v19_nprobe_sweep" -> (v19NprobeSweep _),
@@ -2027,6 +2115,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v22_int8_ann" -> v22Sql,
     "v21_matryoshka_sweep" -> v21Sql,
     "v20_hamming_ann" -> v20Sql,
     "v19_nprobe_sweep" -> v19Sql,

@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkSpec {
       "v21_matryoshka_sweep",
       //  - r11: the one-row cutover-tick scalar broadcast next to each
       //    generation's branch scan (q22's shape, once per branch)
-      "r11_schema_evolution")
+      "r11_schema_evolution",
+      //  - v22: the deliberate broadcast-Q x scan-N over the int8 codes
+      //    (v1's shape on 4x narrower rows) plus the one-row packed
+      //    stats broadcast (v7's scalar shape) and the exact-truth side
+      "v22_int8_ann")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -163,6 +167,14 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // d34: corpus repartition + per-shingle df agg + the 5-row band
+      // rollup + output sort; the share denominator is a window over
+      // the band frame
+      "d34_df_profile" -> 4,
+      // v22: rank window + output sort; the one-row packed stats
+      // localCheckpoints so both coded sides share one build, and the
+      // exact-truth side's window rides the same broadcast shape
+      "v22_int8_ann" -> 3,
       // p15: the shard position window (reused by the manifest agg) +
       // two ShardCount-row exchanges for the offset prefix + output sort
       "p15_resume_slice" -> 4,

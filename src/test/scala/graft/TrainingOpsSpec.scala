@@ -595,6 +595,61 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum === total - cut)
   }
 
+  test("d34: the df profile equals a brute-force replay and conserves postings") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 3)
+    val dfs = docs.flatMap { case (_, w) =>
+      w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }.groupBy(identity).map(_._2.length.toLong).toSeq
+    def band(df: Long) =
+      if (df == 1) 0L else if (df <= 4) 1L else if (df <= 16) 2L
+      else if (df <= 64) 3L else 4L
+    val total = dfs.map(d => d * (d - 1) / 2).sum
+    val expected = dfs.groupBy(band).map { case (b, g) =>
+      val pv = g.map(d => d * (d - 1) / 2).sum
+      (b, g.size.toLong, g.sum, pv, if (total == 0) 0L else pv * 1000000L / total)
+    }.toSeq.sortBy(_._1)
+    val got = Documents.d34DfProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected, "d34 diverges from the replay")
+    // conservation: postings across bands = total distinct (doc, shingle)
+    assert(got.map(_._3).sum === dfs.sum)
+    // the cap's justification must be visible on the adversarial fixture
+    assert(got.map(_._4).sum === total && total > 0)
+  }
+
+  test("v22: int8 ANN scores are exact integers matching a code replay") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val dims = 64
+    val mns = (0 until dims).map(i => vecs.map(_._2(i)).min)
+    val mxs = (0 until dims).map(i => vecs.map(_._2(i)).max)
+    def code(v: Array[Double]): Array[Long] = (0 until dims).map { i =>
+      val c = if (mxs(i) > mns(i))
+        math.min(255.0, math.max(0.0, math.floor((v(i) - mns(i)) * 255.0 / (mxs(i) - mns(i)))))
+      else 0.0
+      c.toLong - 128L
+    }.toArray
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    val expectedTop = vecs.filter(_._1 < 10).map { case (q, _) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, _) => (c, (0 until dims).map(i => codes(q)(i) * codes(c)(i)).sum) }
+        .sortBy { case (c, s) => (-s, c) }.take(3)
+    }.toMap
+    val got = Vectors.v22Int8Ann(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val exp = expectedTop(q)
+      assert(rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq === exp.toSeq,
+        s"query $q: int8 ranking diverges from the code replay")
+    }
+    assert(got.length === 30 && got.map(_._5).sum > 0,
+      "v22 measured zero recall — quantized ranking degenerate")
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
