@@ -161,4 +161,46 @@ object ReplicaTable {
       ver: String = "_ver",
       deleted: String = "_deleted"): Unit =
     current(df, keys, ver, deleted).createOrReplaceTempView(viewName)
+
+  /** Source↔replica CHECKSUM RECONCILIATION — the nightly audit read a
+    * replication operator runs to prove the replica still equals the
+    * source without shipping either table (pt-table-checksum's shape):
+    * rows hash to 64-bit digests, digests fold per KEY-RANGE BUCKET with
+    * bit_xor — order-independent AND overflow-free (a wrapping sum would
+    * trip ANSI arithmetic), so any engine computes the identical bucket
+    * fingerprint over any partitioning — and only the BUCKET×(count,
+    * checksum) grids travel. A mismatched bucket pinpoints where to
+    * re-sync; the full-outer join keeps a bucket that exists on one side
+    * only visible instead of silently dropping it.
+    *
+    * The digest deliberately covers typed columns cast to STRING only
+    * for integer/string types — float columns don't belong in a
+    * cross-engine checksum (formatting differs); key + version identify
+    * a row's content under the CDC contract anyway.
+    */
+  def checksumAudit(
+      source: DataFrame,
+      replica: DataFrame,
+      keyCol: String,
+      cols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    def side(df: DataFrame, pfx: String): DataFrame =
+      df.select(
+          pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
+          graft.functions.HashFunctions.md5NumberBigEndian(
+            concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_rows_$pfx"),
+          expr("bit_xor(h)").as(s"checksum_$pfx"))
+    side(source, "src").join(side(replica, "rep"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_rows_src"), lit(0L)).as("n_rows_src"),
+        coalesce(col("n_rows_rep"), lit(0L)).as("n_rows_rep"),
+        coalesce(col("checksum_src"), lit(0L)).as("checksum_src"),
+        coalesce(col("checksum_rep"), lit(0L)).as("checksum_rep"))
+      .withColumn("is_match",
+        (col("n_rows_src") === col("n_rows_rep") &&
+          col("checksum_src") === col("checksum_rep")).cast("long"))
+      .orderBy(col("bucket"))
+  }
 }

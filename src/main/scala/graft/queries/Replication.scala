@@ -639,7 +639,56 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** r12: source↔replica checksum RECONCILIATION — the nightly audit the
+    * reference never runs (it trusts ClickHouse's merge; a production
+    * replication operator runs pt-table-checksum's read daily): prove
+    * the replica equals the source per key-range bucket WITHOUT shipping
+    * either table. The "source view" is the one-shot latest-wins
+    * collapse of the log; the "replica view" is built through the
+    * INDEPENDENT path — r10's windowed compaction fold — so the audit is
+    * a real cross-check of two materialization pipelines, and a healthy
+    * log yields is_match = 1 in every bucket (r10's associativity
+    * theorem, now verified row-by-row via fingerprints instead of
+    * asserted once in a spec).
+    *
+    * Scale: each side folds to a 16-row (bucket, count, bit_xor
+    * checksum) grid — order-independent, overflow-free, partitioning-
+    * independent — and only the grids join. See
+    * [[graft.operators.ReplicaTable.checksumAudit]].
+    */
+  def r12ChecksumAudit(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val source = ReplicaTable.latest(log, keys = Seq("user_id"), ver = "event_id")
+    val replica = r10IncrementalCompaction(spark, dir)
+      .select(col("user_id"), col("last_event_id").as("event_id"),
+        col("last_type").as("event_type"))
+    ReplicaTable.checksumAudit(source, replica, "user_id",
+      Seq("user_id", "event_id", "event_type"), nBuckets = 16)
+  }
+
+  /** The oracle replays ONE collapse (windowed == one-shot is r10's
+    * proven theorem) and derives both sides' grids from it.
+    */
+  val r12Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) || '|' || event_type")
+    s"""WITH cur AS (
+      |  SELECT user_id, event_id, event_type FROM (
+      |    SELECT user_id, event_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |g AS (SELECT ((user_id % 16) + 16) % 16 AS bucket,
+      |        COUNT(*) AS n, bit_xor($h) AS cks
+      |      FROM cur GROUP BY 1)
+      |SELECT bucket, n AS n_rows_src, n AS n_rows_rep,
+      |  cks AS checksum_src, cks AS checksum_rep, CAST(1 AS BIGINT) AS is_match
+      |FROM g ORDER BY bucket""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "r12_checksum_audit" -> (r12ChecksumAudit _),
     "r11_schema_evolution" -> (r11SchemaEvolution _),
     "r10_incremental_compaction" -> (r10IncrementalCompaction _),
     "r9_scd2_history" -> (r9Scd2History _),
@@ -653,6 +702,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r12_checksum_audit" -> r12Sql,
     "r11_schema_evolution" -> r11Sql,
     "r10_incremental_compaction" -> r10Sql,
     "r9_scd2_history" -> r9Sql,

@@ -167,6 +167,10 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // r12: two independent latest-wins collapses (the source one-shot
+      // + r10's fold path, each one hash exchange) fold to 16-row
+      // grids; the grid join + output sort ride the tiny frames
+      "r12_checksum_audit" -> 4,
       // d34: corpus repartition + per-shingle df agg + the 5-row band
       // rollup + output sort; the share denominator is a window over
       // the band frame

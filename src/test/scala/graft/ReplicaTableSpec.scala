@@ -115,6 +115,34 @@ class ReplicaTableSpec extends SparkSpec {
     assert(r11 === r1, "schema evolution changed the current view's values")
   }
 
+  test("r12/checksumAudit: healthy replicas match everywhere; corruption pinpoints its bucket") {
+    import org.apache.spark.sql.functions._
+    // healthy: the two independent materialization paths agree bucket-wise
+    val sfDir = "/root/testdata/sf0.001"
+    val healthy = graft.queries.Replication.r12ChecksumAudit(spark, sfDir).collect()
+    assert(healthy.nonEmpty)
+    healthy.foreach { r =>
+      assert(r.getLong(5) === 1L, s"bucket ${r.getLong(0)}: healthy audit mismatch")
+      assert(r.getLong(1) === r.getLong(2))
+    }
+    // corruption: a dropped row and a mutated row each flag EXACTLY
+    // their own bucket (keys 0..31 over 16 buckets -> 2 keys/bucket)
+    val src = (0L until 32L).map(k => (k, k + 100, "click")).toDF("user_id", "event_id", "event_type")
+    val rep = src.filter(col("user_id") =!= 5L) // bucket 5 loses a row
+      .withColumn("event_type",
+        when(col("user_id") === 18L, "view").otherwise(col("event_type"))) // bucket 2 mutates
+    val audit = ReplicaTable.checksumAudit(src, rep, "user_id",
+      Seq("user_id", "event_id", "event_type"), nBuckets = 16).collect()
+    val bad = audit.filter(_.getLong(5) === 0L).map(_.getLong(0)).toSet
+    assert(bad === Set(5L, 2L), s"flagged buckets $bad, expected {5, 2}")
+    // the dropped row shows as a count delta, the mutation as checksum-only
+    val b5 = audit.find(_.getLong(0) == 5L).get
+    assert(b5.getLong(1) === 2L && b5.getLong(2) === 1L)
+    val b2 = audit.find(_.getLong(0) == 2L).get
+    assert(b2.getLong(1) === b2.getLong(2))
+    assert(b2.getLong(3) !== b2.getLong(4))
+  }
+
   test("r10: windowed compaction equals one-shot; tombstones retained, no resurrection") {
     import org.apache.spark.sql.functions._
     val dir = eventsDir(Seq(
