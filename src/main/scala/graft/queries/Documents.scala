@@ -2632,7 +2632,73 @@ object Documents {
       |    AS pair_share_ppm
       |FROM r ORDER BY band""".stripMargin
 
+  /** d35: MinHash estimator CALIBRATION — the accuracy report behind
+    * d6's est_jaccard admission rule: for every candidate pair, how far
+    * is the 16-lane agreement estimate from the pair's EXACT Jaccard?
+    * Reported per agreeing-lane count (nm ∈ 0..16 — the estimator's own
+    * integer granularity): pairs, mean exact Jaccard, and mean absolute
+    * estimator error, all in integer ppm. The table an operator reads
+    * to decide whether 16 lanes suffice or the signature needs widening.
+    *
+    * Scale shape: candidate pairs re-read d6's OWN persisted chunked
+    * bucket table (same tag — zero extra index); exact Jaccard ships
+    * the two shingle SETS to each pair — bounded by candidate volume,
+    * not the corpus (the all-pairs form is what LSH exists to avoid),
+    * set sizes are doc-sized, and |∩| / |∪| is exact integer arithmetic
+    * (array_intersect size, inter·10⁶ DIV (na+nb−inter)). One exchange
+    * per join side + the 17-row rollup.
+    */
+  def d35EstCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(spark,
+      bandSignatures(spark, docs(spark, dir)), Seq("band", "sig"), "doc_id",
+      chunkSize = 256, tag = "d6", dir = dir)
+    val nMatch = (0 until NumHashes)
+      .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val per = pairs.select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+      nMatch.cast("long").as("nm")).distinct()
+    val sets = shingled(spark, dir)
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+    per
+      .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("exact_ppm", expr("inter * 1000000L DIV (na + nb - inter)"))
+      .withColumn("est_ppm", expr(s"nm * 1000000L DIV $NumHashes"))
+      .groupBy(col("nm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("SUM(exact_ppm) DIV COUNT(*)").as("mean_exact_ppm"),
+        expr("SUM(abs(est_ppm - exact_ppm)) DIV COUNT(*)").as("mean_abs_err_ppm"))
+      .orderBy(col("nm"))
+  }
+
+  val d35Sql: String =
+    s"""WITH $minhashCtesSql,
+      |nmt AS (
+      |  SELECT da, db, SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS nm
+      |  FROM cand JOIN mh ma ON da = ma.doc_id
+      |            JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
+      |  GROUP BY da, db),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT n.da, n.db, COUNT(*) AS inter
+      |          FROM nmt n JOIN sh a ON n.da = a.doc_id
+      |                     JOIN sh b ON n.db = b.doc_id AND a.s = b.s
+      |          GROUP BY 1, 2),
+      |j AS (SELECT n.nm,
+      |        COALESCE(i.inter, 0) * 1000000
+      |          // (sa.n + sb.n - COALESCE(i.inter, 0)) AS exact_ppm,
+      |        n.nm * 1000000 // $NumHashes AS est_ppm
+      |      FROM nmt n
+      |      LEFT JOIN inter i ON n.da = i.da AND n.db = i.db
+      |      JOIN sizes sa ON n.da = sa.doc_id
+      |      JOIN sizes sb ON n.db = sb.doc_id)
+      |SELECT CAST(nm AS BIGINT) nm, COUNT(*) AS n_pairs,
+      |  CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+      |  CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+      |FROM j GROUP BY nm ORDER BY nm""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d35_est_calibration" -> (d35EstCalibration _),
     "d34_df_profile" -> (d34DfProfile _),
     "d33_bpe_encode" -> (d33BpeEncode _),
     "d32_lsh_band_sweep" -> (d32LshBandSweep _),
@@ -2670,6 +2736,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d35_est_calibration" -> d35Sql,
     "d34_df_profile" -> d34Sql,
     "d33_bpe_encode" -> d33Sql,
     "d32_lsh_band_sweep" -> d32Sql,

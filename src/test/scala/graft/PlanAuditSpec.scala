@@ -167,6 +167,10 @@ class PlanAuditSpec extends SparkSpec {
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort
       "d22_temperature_mix" -> 5,
+      // d35: pair distinct + two doc_id join sides (the shingle sets
+      // ship only for CANDIDATE pairs) + the 17-row rollup rides; the
+      // pair expansion re-reads d6's persisted bucket table
+      "d35_est_calibration" -> 5,
       // r12: two independent latest-wins collapses (the source one-shot
       // + r10's fold path, each one hash exchange) fold to 16-row
       // grids; the grid join + output sort ride the tiny frames

@@ -650,6 +650,43 @@ class TrainingOpsSpec extends SparkSpec {
       "v22 measured zero recall — quantized ranking degenerate")
   }
 
+  test("d35: estimator calibration equals an all-pairs replay over exact Jaccard") {
+    import graft.functions.{HashFunctions => H}
+    val laneA = (0 until 16).map(i => H.md5NumberBigEndianLocal(s"a:$i") | 1L)
+    val laneB = (0 until 16).map(i => H.md5NumberBigEndianLocal(s"b:$i"))
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        val sh = w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        val hs = sh.map(H.md5NumberBigEndianLocal)
+        (id, sh.toSet,
+          (0 until 16).map(i => hs.map(h => h * laneA(i) + laneB(i)).min))
+      }.sortBy(_._1)
+    val grid = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (_, sa, ma) = docs(i); val (_, sb, mb) = docs(j)
+      val eq = (0 until 16).map(k => ma(k) == mb(k))
+      val banded = (0 until 4).exists(b => (b * 4 until b * 4 + 4).forall(eq))
+      if (banded) {
+        val nm = eq.count(identity).toLong
+        val inter = (sa & sb).size.toLong
+        val exact = inter * 1000000L / (sa.size + sb.size - inter)
+        val est = nm * 1000000L / 16
+        val (c, se, sae) = grid.getOrElse(nm, (0L, 0L, 0L))
+        grid(nm) = (c + 1, se + exact, sae + math.abs(est - exact))
+      }
+    }
+    val expected = grid.toSeq.sortBy(_._1).map { case (nm, (c, se, sae)) =>
+      (nm, c, se / c, sae / c)
+    }
+    val got = Documents.d35EstCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected, "d35 diverges from the all-pairs replay")
+    assert(got.nonEmpty && got.map(_._2).sum > 0)
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
