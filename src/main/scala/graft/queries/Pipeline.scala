@@ -859,7 +859,113 @@ object Pipeline {
       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** p16: the DATASET CARD — the long-format (section, metric, value)
+    * report shipped alongside a training corpus (datasheets/data cards;
+    * every serious release publishes one): corpus totals, per-language
+    * and per-source composition, exact- and near-duplication rates, and
+    * integer-rule quality-gate counts, in ONE query a release pipeline
+    * runs last.
+    *
+    * Scale shape: composition and totals come from ONE grouping-sets
+    * pass (q27's machinery serving the card: (lang) + (source) + ()
+    * grains in a single Expand + hash agg), with the quality flags
+    * computed per doc BELOW the agg so every grain could report them;
+    * exact-dup groups are one d1-style hash agg; near-dup counts
+    * re-read d6's persisted pair table (zero extra index). The gates
+    * are integer cross-multiplied (short: < 40 tokens; low-stopword:
+    * 20·stopwords < tokens, i.e. ratio < 5%) so the card is
+    * engine-exact. Output is the ~30-row long table, tiny at any SF.
+    */
+  def p16DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val stop = T.stopwords.map(w => s"'$w'").mkString(", ")
+    val per = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr(s"CAST(size(filter(toks, w -> w IN ($stop))) AS LONG)").as("n_stop"))
+      .select(col("lang"), col("source"), col("n_chars"), col("n_tok"),
+        (col("n_tok") < 40L).cast("long").as("short_flag"),
+        (col("n_stop") * 20L < col("n_tok")).cast("long").as("lowsw_flag"))
+    val gs = per.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"),
+        sum(col("n_chars")).as("ch"), sum(col("short_flag")).as("short"),
+        sum(col("lowsw_flag")).as("lowsw"),
+        (grouping(col("lang")) * 2 + grouping(col("source"))).as("gid"))
+      .localCheckpoint(false) // tiny grid, read by three sections below
+    val corpus = gs.filter(col("gid") === 3)
+      .selectExpr("stack(6, " +
+        "'corpus', 'n_docs', n, " +
+        "'corpus', 'n_tokens', tok, " +
+        "'corpus', 'n_chars', ch, " +
+        "'corpus', 'mean_doc_tokens', tok DIV n, " +
+        "'quality', 'n_short_docs', short, " +
+        "'quality', 'n_low_stopword_docs', lowsw) AS (section, metric, value)")
+    val langs = gs.filter(col("gid") === 1)
+      .select(lit("lang").as("section"), col("lang").as("metric"), col("n").as("value"))
+    val sources = gs.filter(col("gid") === 2)
+      .select(lit("source").as("section"), col("source").as("metric"), col("n").as("value"))
+    val dup = docs(spark, dir)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("g"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("d"))
+      .selectExpr("stack(2, " +
+        "'dedup', 'n_exact_dup_groups', g, " +
+        "'dedup', 'n_exact_dup_docs', d) AS (section, metric, value)")
+    val near = graft.queries.Documents.d6MinhashLsh(spark, dir)
+      .agg(count(lit(1)).as("np"),
+        count_distinct(col("da")).as("nda"))
+      .selectExpr("stack(2, " +
+        "'dedup', 'n_near_dup_pairs', np, " +
+        "'dedup', 'n_near_dup_left_docs', nda) AS (section, metric, value)")
+    corpus.unionByName(langs).unionByName(sources).unionByName(dup)
+      .unionByName(near)
+      .orderBy(col("section"), col("metric"))
+  }
+
+  val p16Sql: String = {
+    val stop = T.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH per AS (
+      |  SELECT lang, source, n_chars,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS n_stop
+      |  FROM documents),
+      |f AS (SELECT lang, source, n_chars, n_tok,
+      |        CASE WHEN n_tok < 40 THEN 1 ELSE 0 END AS short_flag,
+      |        CASE WHEN n_stop * 20 < n_tok THEN 1 ELSE 0 END AS lowsw_flag
+      |      FROM per),
+      |gs AS (SELECT lang, source, COUNT(*) n, SUM(n_tok) tok, SUM(n_chars) ch,
+      |         SUM(short_flag) short, SUM(lowsw_flag) lowsw,
+      |         GROUPING(lang) * 2 + GROUPING(source) AS gid
+      |       FROM f GROUP BY GROUPING SETS ((lang), (source), ())),
+      |${graft.queries.Documents.minhashCtesSql},
+      |np AS (SELECT COUNT(*) np, COUNT(DISTINCT da) nda
+      |       FROM est WHERE est_jaccard >= 0.5),
+      |dup AS (SELECT SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) g,
+      |          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) d
+      |        FROM (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)),
+      |long AS (
+      |  SELECT 'corpus' section, 'n_docs' metric, n AS value FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'corpus', 'n_tokens', tok FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'corpus', 'n_chars', ch FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'corpus', 'mean_doc_tokens', tok // n FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'quality', 'n_short_docs', short FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'quality', 'n_low_stopword_docs', lowsw FROM gs WHERE gid = 3
+      |  UNION ALL SELECT 'lang', lang, n FROM gs WHERE gid = 1
+      |  UNION ALL SELECT 'source', source, n FROM gs WHERE gid = 2
+      |  UNION ALL SELECT 'dedup', 'n_exact_dup_groups', COALESCE(g, 0) FROM dup
+      |  UNION ALL SELECT 'dedup', 'n_exact_dup_docs', COALESCE(d, 0) FROM dup
+      |  UNION ALL SELECT 'dedup', 'n_near_dup_pairs', np FROM np
+      |  UNION ALL SELECT 'dedup', 'n_near_dup_left_docs', nda FROM np)
+      |SELECT section, metric, CAST(value AS BIGINT) AS value
+      |FROM long ORDER BY section, metric""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "p16_dataset_card" -> (p16DatasetCard _),
     "p15_resume_slice" -> (p15ResumeSlice _),
     "p13_bm25_retrieve" -> (p13Bm25Retrieve _),
     "p12_delivery_e2e" -> (p12DeliveryE2e _),
@@ -875,6 +981,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p16_dataset_card" -> p16Sql,
     "p15_resume_slice" -> p15Sql,
     "p13_bm25_retrieve" -> p13Sql,
     "p12_delivery_e2e" -> p12Sql,

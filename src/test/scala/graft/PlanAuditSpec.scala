@@ -183,6 +183,10 @@ class PlanAuditSpec extends SparkSpec {
       // localCheckpoints so both coded sides share one build, and the
       // exact-truth side's window rides the same broadcast shape
       "v22_int8_ann" -> 3,
+      // p16: the grouping-sets pass (Expand + agg, 2) + the exact-dup
+      // hash agg (2) + the near-dup section's pair distinct + final
+      // grid sort; the near-dup pairs re-read d6's persisted table
+      "p16_dataset_card" -> 6,
       // p15: the shard position window (reused by the manifest agg) +
       // two ShardCount-row exchanges for the offset prefix + output sort
       "p15_resume_slice" -> 4,

@@ -687,6 +687,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._2).sum > 0)
   }
 
+  test("p16: the dataset card's sections replay from the raw corpus") {
+    val rows = graft.queries.Pipeline.p16DatasetCard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("lang", "source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" "), r.getLong(3)))
+    assert(rows(("corpus", "n_docs")) === docs.length.toLong)
+    assert(rows(("corpus", "n_tokens")) === docs.map(_._3.length.toLong).sum)
+    assert(rows(("corpus", "n_chars")) === docs.map(_._4).sum)
+    docs.groupBy(_._1).foreach { case (l, g) =>
+      assert(rows(("lang", l)) === g.length.toLong, s"lang $l count off")
+    }
+    docs.groupBy(_._2).foreach { case (s, g) =>
+      assert(rows(("source", s)) === g.length.toLong, s"source $s count off")
+    }
+    val stop = graft.functions.TextFunctions.stopwords.toSet
+    assert(rows(("quality", "n_short_docs")) ===
+      docs.count(_._3.length < 40).toLong)
+    assert(rows(("quality", "n_low_stopword_docs")) ===
+      docs.count(d => d._3.count(stop) * 20 < d._3.length).toLong)
+    assert(rows(("dedup", "n_exact_dup_groups")) === 0L) // fixture has none
+    assert(rows(("dedup", "n_near_dup_pairs")) ===
+      graft.queries.Documents.d6MinhashLsh(spark, sf).count())
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
