@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -714,7 +714,68 @@ object Events {
       |FROM t WHERE to_type IS NOT NULL AND gap_us < 14400000000
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** w18: Count-Min sketch heavy hitters — the third sketch in the
+    * family (w7 counts distincts, w12 does order statistics, this does
+    * FREQUENCIES in bounded memory): a 4-row × 256-counter CMS built in
+    * one hash agg whose state is 1024 cells REGARDLESS of key
+    * cardinality (the point vs exact top-k's full key space — at 100 TB
+    * the exact agg's state is the user table, the sketch's is a page),
+    * then the exact top-10 users read their estimates back out of the
+    * sketch (est = min over the 4 rows) and the report carries the
+    * measured OVERESTIMATE per key — which is provably ≥ 0, a built-in
+    * correctness invariant (CMS never underestimates), and exactly the
+    * collision noise a capacity planner inspects before trusting the
+    * sketch at a given width. md5-derived row hashes, all integer.
+    */
+  def w18CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val rows = 4
+    val width = 256L
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    def bucket(i: Int, c: Column): Column =
+      pmod(H.md5NumberBigEndian(concat(lit(s"cms:$i:"), c.cast("string"))), lit(width))
+    val cells = ev
+      .select(explode(array((0 until rows).map(i =>
+        struct(lit(i).as("r"), bucket(i, col("user_id")).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cell_cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    exact
+      .select(col("user_id"), col("exact_cnt"),
+        explode(array((0 until rows).map(i =>
+          struct(lit(i).as("r"), bucket(i, col("user_id")).as("b"))): _*)).as("c"))
+      .join(broadcast(cells), col("c.r") === col("r") && col("c.b") === col("b"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("cell_cnt")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  val w18Sql: String = {
+    def h(i: Int) = graft.queries.Documents.signedBeMd5Sql(
+      s"'cms:$i:' || CAST(user_id AS VARCHAR)")
+    val rowSel = (0 until 4).map(i =>
+      s"""SELECT $i AS r, ((${h(i)} % 256) + 256) % 256 AS b, user_id FROM events""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH rb AS (
+      |$rowSel),
+      |cells AS (SELECT r, b, COUNT(*) AS cell_cnt FROM rb GROUP BY r, b),
+      |exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      |          GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 10),
+      |est AS (
+      |  SELECT e.user_id, e.exact_cnt, MIN(c.cell_cnt) AS cms_est
+      |  FROM exact e
+      |  JOIN rb ON rb.user_id = e.user_id
+      |  JOIN cells c ON c.r = rb.r AND c.b = rb.b
+      |  GROUP BY e.user_id, e.exact_cnt)
+      |SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+      |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "w18_cms_heavy_hitters" -> (w18CmsHeavyHitters _),
     "w17_transition_matrix" -> (w17TransitionMatrix _),
     "w16_disorder_profile" -> (w16DisorderProfile _),
     "w15_anomaly" -> (w15Anomaly _),
@@ -734,6 +795,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w18_cms_heavy_hitters" -> w18Sql,
     "w17_transition_matrix" -> w17Sql,
     "w16_disorder_profile" -> w16Sql,
     "w15_anomaly" -> w15Sql,

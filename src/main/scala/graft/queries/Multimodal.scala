@@ -151,13 +151,64 @@ object MultimodalQ {
       |${Documents.minhashPairEstSql}
       |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
 
+  /** m5: media STORAGE-DEDUP manifest — the petabyte version of d1's
+    * exact dedup: media dedupe by content hash (how blob stores dedupe
+    * images/video at rest), reported per format as the numbers a
+    * storage owner acts on: media count, unique payloads, duplicate
+    * copies, total bytes, and the bytes dedup would reclaim (duplicate
+    * copies × payload size — exact, because identical hash ⇒ identical
+    * length). The fixture has no exact dups, so a deterministically
+    * shifted copy of every 10th payload is planted (d1's convention)
+    * and the reclaim numbers are provably non-zero.
+    *
+    * Two hash aggs: (format, content_hash) groups, then the per-format
+    * rollup — the second rides the first's partitioning (subset key).
+    */
+  def m5StorageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = media(spark, dir)
+    val planted = base.filter(col("media_id") % 10 === 0)
+      .select((col("media_id") + 1000000).as("media_id"), col("payload"),
+        col("format"))
+    val groups = base.unionByName(planted)
+      .select(col("format"), md5(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("format"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+    groups.groupBy(col("format"))
+      .agg(sum(col("copies")).as("n_media"),
+        count(lit(1)).as("n_unique"),
+        sum(col("copies") - 1).as("n_dup_copies"),
+        sum(col("copies") * col("nb")).as("bytes_total"),
+        sum((col("copies") - 1) * col("nb")).as("bytes_reclaimable"))
+      .orderBy(col("format"))
+  }
+
+  val m5Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text AS payload, 'text/' || lang AS format
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 'text/' || lang
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |g AS (SELECT format, md5(payload) h, COUNT(*) copies,
+      |        MAX(octet_length(CAST(payload AS BLOB))) nb
+      |      FROM m GROUP BY 1, 2)
+      |SELECT format, CAST(SUM(copies) AS BIGINT) n_media,
+      |  COUNT(*) AS n_unique,
+      |  CAST(SUM(copies - 1) AS BIGINT) n_dup_copies,
+      |  CAST(SUM(copies * nb) AS BIGINT) bytes_total,
+      |  CAST(SUM((copies - 1) * nb) AS BIGINT) bytes_reclaimable
+      |FROM g GROUP BY format ORDER BY format""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "m5_storage_dedup" -> (m5StorageDedup _),
     "m4_frame_neardup" -> (m4FrameNeardup _),
     "m1_media_metadata" -> (m1MediaMetadata _),
     "m2_decode_features" -> (m2DecodeFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m5_storage_dedup" -> m5Sql,
     "m4_frame_neardup" -> m4Sql,
     "m1_media_metadata" -> m1Sql,
     "m2_decode_features" -> m2Sql,

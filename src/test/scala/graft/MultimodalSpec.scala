@@ -19,6 +19,28 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload", "format")
   }
 
+  test("m5: the storage-dedup manifest replays and reclaims exactly the planted copies") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), "text/" + r.getString(1), r.getString(2)))
+    val all = docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, f, t) => (id + 1000000, f, t) }
+    val expected = all.groupBy(_._2).map { case (f, g) =>
+      val groups = g.groupBy(_._3).values.map(v => (v.size.toLong, v.head._3.length.toLong))
+      (f, g.size.toLong, groups.size.toLong,
+        groups.map(_._1 - 1).sum, groups.map { case (c, n) => c * n }.sum,
+        groups.map { case (c, n) => (c - 1) * n }.sum)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.MultimodalQ.m5StorageDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected, "m5 diverges from the replay")
+    // the planted copies are the only duplicates, and they reclaim bytes
+    assert(got.map(_._4).sum === docs.count(_._1 % 10 == 0).toLong)
+    assert(got.map(_._6).sum > 0L)
+  }
+
   test("decodeFeatures keeps one row per input with the feature schema") {
     val out = Multimodal.decodeFeatures(media())
     assert(out.schema.fieldNames.toSeq ===

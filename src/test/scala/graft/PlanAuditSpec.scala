@@ -183,6 +183,12 @@ class PlanAuditSpec extends SparkSpec {
       // localCheckpoints so both coded sides share one build, and the
       // exact-truth side's window rides the same broadcast shape
       "v22_int8_ann" -> 3,
+      // m5: the (format, hash) group agg + the per-format rollup +
+      // output sort over the |formats|-row grid
+      "m5_storage_dedup" -> 3,
+      // w18: the 1024-cell sketch agg + the exact agg (top-10 rides a
+      // TakeOrdered, the 40-row estimate join rides the broadcast)
+      "w18_cms_heavy_hitters" -> 2,
       // p16: the grouping-sets pass (Expand + agg, 2) + the exact-dup
       // hash agg (2) + the near-dup section's pair distinct + final
       // grid sort; the near-dup pairs re-read d6's persisted table

@@ -712,6 +712,25 @@ class TrainingOpsSpec extends SparkSpec {
       graft.queries.Documents.d6MinhashLsh(spark, sf).count())
   }
 
+  test("w18: CMS estimates replay exactly and never underestimate") {
+    import graft.functions.{HashFunctions => H}
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    def bucket(i: Int, u: Long) = java.lang.Math.floorMod(
+      H.md5NumberBigEndianLocal(s"cms:$i:$u"), 256L)
+    val cells = users.flatMap(u => (0 until 4).map(i => (i, bucket(i, u))))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val exact = users.groupBy(identity).map { case (u, g) => u -> g.length.toLong }
+    val top = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+    val expected = top.map { case (u, c) =>
+      (u, c, (0 until 4).map(i => cells((i, bucket(i, u)))).min)
+    }.map { case (u, c, e) => (u, c, e, e - c) }
+    val got = Events.w18CmsHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected, "w18 diverges from the CMS replay")
+    got.foreach(r => assert(r._4 >= 0L, s"user ${r._1}: CMS underestimated"))
+  }
+
   test("p11: length buckets match a brute-force replay and conserve docs") {
     val rows = graft.queries.Pipeline.p11LengthBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
