@@ -2697,7 +2697,84 @@ object Documents {
       |  CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
       |FROM j GROUP BY nm ORDER BY nm""".stripMargin
 
+  /** d36: SOURCE-OVERLAP PROFILE — the data-mixing diagnostic that sits
+    * between d34's corpus-wide df histogram and d25's query-driven
+    * domain affinity: per source, how much of its shingle vocabulary is
+    * EXCLUSIVE to it (appears in no other source) vs shared. The table
+    * a mixing run reads to decide which sources actually add content
+    * and which merely re-serve what the corpus already has (a source
+    * with near-zero exclusivity is a candidate for down-weighting in
+    * d22's temperature mix before any per-pair dedup even runs).
+    * Exclusivity is a property of the shingle→source-set relation, so
+    * the result is independent of doc order, partitioning, and replay.
+    *
+    * Scale shape: postings fold to ONE (source, s, n_post) grid — the
+    * same (source, s)-keyed exchange every shuffle-based dedup already
+    * pays — and both report sides (per-source stats, per-shingle
+    * source counts) are linear hash aggs over that grid; no pairs
+    * anywhere, output is |sources| rows.
+    */
+  def d36SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // ONE evaluation of the (interpreted, compute-bound) shingle chain:
+    // everything downstream folds from the (source, s, n_post) grid —
+    // without the barrier the three consumers would re-run the
+    // shingle+explode+join subtree once each (measured 4.6 s vs 1.5 s
+    // at sf0.1)
+    val grid = shingled(spark, dir)
+      // source attaches at DOC granularity (|docs| join rows), BEFORE
+      // the explode multiplies rows by shingle count — joining after
+      // would shuffle the full posting list just to pick up one column.
+      // explode_OUTER, not explode (d34's discipline): the inner form
+      // makes InferFiltersFromGenerate add a size(shs)>0 filter that
+      // predicate-pushdown inlines below the repartition, re-running
+      // the whole interpreted shingle chain serially on the single
+      // scan split (measured 3.3 s vs 0.6 s at sf0.1); shingled()
+      // already guarantees non-empty arrays, so the results are equal
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode_outer(col("shs")).as("s"))
+      .groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("n_post"))
+      .localCheckpoint(false)
+    val excl = grid.groupBy(col("s"))
+      .agg(count(lit(1)).as("nsrc"), min(col("source")).as("only_source"))
+      .filter(col("nsrc") === 1)
+      .groupBy(col("only_source").as("source"))
+      .agg(count(lit(1)).as("n_excl"))
+    grid.groupBy(col("source"))
+      .agg(sum(col("n_post")).as("n_postings"),
+        count(lit(1)).as("n_distinct_shingles"))
+      .join(excl, Seq("source"), "left")
+      .select(col("source"), col("n_postings"), col("n_distinct_shingles"),
+        coalesce(col("n_excl"), lit(0L)).as("n_exclusive_shingles"),
+        expr("coalesce(n_excl, 0L) * 1000000L DIV n_distinct_shingles")
+          .as("exclusive_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val d36Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |ex AS (SELECT d.source, sh.s FROM sh JOIN documents d USING (doc_id)),
+      |ss AS (SELECT DISTINCT source, s FROM ex),
+      |ps AS (SELECT s, COUNT(*) AS nsrc, MIN(source) AS only_source
+      |       FROM ss GROUP BY s),
+      |excl AS (SELECT only_source AS source, COUNT(*) AS n_excl
+      |         FROM ps WHERE nsrc = 1 GROUP BY 1),
+      |di AS (SELECT source, COUNT(*) AS n_distinct FROM ss GROUP BY 1),
+      |po AS (SELECT source, COUNT(*) AS n_post FROM ex GROUP BY 1)
+      |SELECT po.source, CAST(n_post AS BIGINT) AS n_postings,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct_shingles,
+      |  CAST(COALESCE(n_excl, 0) AS BIGINT) AS n_exclusive_shingles,
+      |  CAST(COALESCE(n_excl, 0) * 1000000 // n_distinct AS BIGINT)
+      |    AS exclusive_ppm
+      |FROM po JOIN di USING (source) LEFT JOIN excl USING (source)
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d36_source_overlap" -> (d36SourceOverlap _),
     "d35_est_calibration" -> (d35EstCalibration _),
     "d34_df_profile" -> (d34DfProfile _),
     "d33_bpe_encode" -> (d33BpeEncode _),
@@ -2736,6 +2813,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d36_source_overlap" -> d36Sql,
     "d35_est_calibration" -> d35Sql,
     "d34_df_profile" -> d34Sql,
     "d33_bpe_encode" -> d33Sql,

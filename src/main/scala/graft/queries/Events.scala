@@ -774,7 +774,127 @@ object Events {
       |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
   }
 
+  /** w19: LAST-TOUCH ATTRIBUTION — the conversion-credit readout that
+    * closes the product-analytics family (w13 asks "did the user reach
+    * purchase", w17 "which paths exist"; this asks "which touch gets the
+    * credit"): every purchase is attributed to the LATEST view/click by
+    * the same user at-or-before it and within the 4-hour session gap,
+    * else 'none'. Per touch type: purchases, exact revenue, mean lag.
+    *
+    * The naive form is a per-purchase as-of self-join on user_id; the
+    * Spark-first form is ONE running-max window over an encoded touch
+    * key (us·8 + code, code click=2 > view=1) on the SAME user exchange
+    * the other event queries use — the max key IS the latest eligible
+    * touch, decoded arithmetically. Determinism under timestamp ties is
+    * pinned by construction: the window orders (us, touches-first,
+    * event_id) so an equal-us touch is always visible to the purchase,
+    * and the key encoding makes click beat view at identical us in both
+    * engines. All integer microseconds; revenue via the decimal-sum
+    * convention.
+    *
+    * Scale shape: one exchange on user_id + a |touch types|-row rollup;
+    * no self-join, no per-purchase probe. At 100 TB this is exactly the
+    * funnel's cost.
+    */
+  def w19LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 4L * 3600 * 1000000
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("tc",
+        when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "view", 1L))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), when(col("tc").isNotNull, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = ev
+      .withColumn("tk",
+        max(when(col("tc").isNotNull, col("us") * 8 + col("tc"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_us", col("us") - expr("tk DIV 8"))
+      .withColumn("touch_type",
+        when(col("tk").isNull || col("lag_us") > gapUs, "none")
+          .when(col("tk") % 8 === 2, "click").otherwise("view"))
+    attributed.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("revenue"),
+        expr("""CAST(CASE WHEN COUNT(CASE WHEN touch_type <> 'none' THEN 1 END) = 0
+              THEN NULL
+              ELSE SUM(CASE WHEN touch_type <> 'none' THEN lag_us END)
+                   DIV COUNT(CASE WHEN touch_type <> 'none' THEN 1 END)
+              END AS BIGINT)""").as("mean_lag_us"))
+      .orderBy(col("touch_type"))
+  }
+
+  val w19Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value,
+      |    CASE WHEN event_type = 'click' THEN 2
+      |         WHEN event_type = 'view' THEN 1 END AS tc
+      |  FROM events),
+      |k AS (
+      |  SELECT *, MAX(CASE WHEN tc IS NOT NULL THEN us * 8 + tc END) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY us, CASE WHEN tc IS NOT NULL THEN 0 ELSE 1 END, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS tk
+      |  FROM e),
+      |p AS (
+      |  SELECT value, tk, us - tk // 8 AS lag_us
+      |  FROM k WHERE event_type = 'purchase'),
+      |a AS (
+      |  SELECT CASE WHEN tk IS NULL OR lag_us > 14400000000 THEN 'none'
+      |              WHEN tk % 8 = 2 THEN 'click' ELSE 'view' END AS touch_type,
+      |         value, lag_us FROM p)
+      |SELECT touch_type, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(CASE WHEN COUNT(CASE WHEN touch_type <> 'none' THEN 1 END) = 0
+      |       THEN NULL
+      |       ELSE SUM(CASE WHEN touch_type <> 'none' THEN lag_us END)
+      |            // COUNT(CASE WHEN touch_type <> 'none' THEN 1 END)
+      |       END AS BIGINT) AS mean_lag_us
+      |FROM a GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** w20: GROUPED TOP-K — per day, the top-3 event types by exact
+    * revenue (the "leaderboard per window" readout every analytics
+    * surface ships; ClickHouse spells it LIMIT BY, Spark-first it's a
+    * rank window that the optimizer PRUNES): the per-(day, type) rollup
+    * is one hash agg, and the rank<=3 filter compiles to
+    * WindowGroupLimit, so the window exchange carries at most k rows
+    * per day instead of every group — the d14 discipline applied to
+    * windowed analytics. Ties are pinned by (revenue DESC, type).
+    *
+    * Scale shape: one (day, type) hash agg over the corpus (map-side
+    * partial — the grid is |days|·|types|), one tiny window exchange
+    * over the pruned grid. At 100 TB the corpus is touched once.
+    */
+  def w20GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("total_value").desc, col("event_type"))
+    daily.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("day"), col("rank"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  val w20Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+      |    ORDER BY total_value DESC, event_type) AS rank
+      |  FROM daily)
+      |SELECT day, CAST(rank AS BIGINT) AS rank, event_type, n, total_value
+      |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w20_grouped_topk" -> (w20GroupedTopk _),
+    "w19_last_touch" -> (w19LastTouch _),
     "w18_cms_heavy_hitters" -> (w18CmsHeavyHitters _),
     "w17_transition_matrix" -> (w17TransitionMatrix _),
     "w16_disorder_profile" -> (w16DisorderProfile _),
@@ -795,6 +915,8 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w20_grouped_topk" -> w20Sql,
+    "w19_last_touch" -> w19Sql,
     "w18_cms_heavy_hitters" -> w18Sql,
     "w17_transition_matrix" -> w17Sql,
     "w16_disorder_profile" -> w16Sql,

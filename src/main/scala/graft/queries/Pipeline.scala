@@ -964,7 +964,51 @@ object Pipeline {
       |FROM long ORDER BY section, metric""".stripMargin
   }
 
+  /** p17: PACKING-WASTE PROFILE — the efficiency report behind p6's
+    * greedy lane packing (every GPU-hour burned on pad tokens is this
+    * number): per fill band (<50%, 50–75%, 75–<100%, ≥100% — the
+    * boundary-crossing bins p6's prefix rule deliberately lets overflow),
+    * bin count, docs, used tokens, and the integer mean fill — the
+    * histogram that decides whether the budget or the lane count is
+    * mis-sized before a training run commits to the layout.
+    *
+    * Scale shape: rolls up p6's OWN (lane, bin) frame — one extra
+    * 4-row hash agg on top of p6's single window exchange; the corpus
+    * is not touched again.
+    */
+  def p17PackingWaste(spark: SparkSession, dir: String): DataFrame = {
+    p6PackBudget(spark, dir)
+      // integer DIV, not double `/`: a quotient rounding up across an
+      // integer boundary would disagree with the oracle's floor
+      .withColumn("fill_ppm", expr(s"bin_tokens * 1000000L DIV $PackBudget"))
+      .withColumn("band",
+        when(col("fill_ppm") < 500000L, 0L)
+          .when(col("fill_ppm") < 750000L, 1L)
+          .when(col("fill_ppm") < 1000000L, 2L)
+          .otherwise(3L))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("used_tokens"),
+        expr("SUM(fill_ppm) DIV COUNT(*)").as("mean_fill_ppm"))
+      .orderBy(col("band"))
+  }
+
+  val p17Sql: String =
+    s"""WITH bins AS ($p6Sql),
+      |f AS (SELECT *, CAST(bin_tokens * 1000000 // $PackBudget AS BIGINT) AS fill_ppm
+      |      FROM bins),
+      |b AS (SELECT *, CASE WHEN fill_ppm < 500000 THEN 0
+      |                     WHEN fill_ppm < 750000 THEN 1
+      |                     WHEN fill_ppm < 1000000 THEN 2 ELSE 3 END AS band
+      |      FROM f)
+      |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_bins,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bin_tokens) AS BIGINT) AS used_tokens,
+      |  CAST(SUM(fill_ppm) // COUNT(*) AS BIGINT) AS mean_fill_ppm
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p17_packing_waste" -> (p17PackingWaste _),
     "p16_dataset_card" -> (p16DatasetCard _),
     "p15_resume_slice" -> (p15ResumeSlice _),
     "p13_bm25_retrieve" -> (p13Bm25Retrieve _),
@@ -981,6 +1025,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p17_packing_waste" -> p17Sql,
     "p16_dataset_card" -> p16Sql,
     "p15_resume_slice" -> p15Sql,
     "p13_bm25_retrieve" -> p13Sql,

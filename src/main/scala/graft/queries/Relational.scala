@@ -714,7 +714,75 @@ object Relational {
       |ORDER BY gid, l_returnflag ASC NULLS FIRST,
       |  l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin
 
+  /** q28: TPC-H Q17 shape — small-quantity revenue behind a CORRELATED
+    * SCALAR AGGREGATE subquery (`l_quantity < 0.2 * AVG(qty) per part`).
+    * q2 decorrelates a correlated MAX, q20 a correlated EXISTS-over-
+    * HAVING; this completes the decorrelation family with the scalar-AVG
+    * form TPC-H made canonical. ONE SQL string runs verbatim on both
+    * engines; Catalyst rewrites the subquery into a per-part aggregate +
+    * join (no nested-loop re-execution per outer row — PlanAuditSpec's
+    * no-BNLJ gate holds).
+    *
+    * Scale shape: the inner aggregate is partial-agg'd map-side and
+    * joins on l_partkey — one exchange each side at 100 TB; the brand
+    * filter prunes the part side before the join (pushed to the scan).
+    * Determinism: quantities are integral doubles (sums exact well below
+    * 2^53, so partial-agg order can't matter), and AVG/0.2x are the same
+    * IEEE ops in both engines.
+    */
+  val q28Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  def q28SmallQtyCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q28Sql)
+  }
+
+  /** q29: TPC-H Q21 shape — "waiting orders" behind a correlated EXISTS
+    * *and* a correlated NOT EXISTS over the SAME fact table (the
+    * fixture has no commit/receipt dates, so "late" is shipped more
+    * than 60 days after the order date): suppliers who were the ONLY
+    * late shipper in a finished multi-supplier order. The hardest
+    * decorrelation in the TPC-H suite — Catalyst turns the EXISTS into
+    * a left-semi and the NOT EXISTS into a left-anti on l_orderkey,
+    * with the NOT EXISTS branch carrying an outer reference to a
+    * SECOND outer table (o.o_orderdate). One SQL string, both engines.
+    *
+    * Scale shape: three shuffles on l_orderkey (join + semi + anti —
+    * the same key, so AQE/co-partitioning reuses the layout), the
+    * supplier dim broadcasts, and the top-10 is TakeOrdered over the
+    * |suppliers| rollup. No per-row subquery re-execution anywhere.
+    */
+  val q29Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  def q29WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q29Sql)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q29_waiting_orders" -> (q29WaitingOrders _),
+    "q28_small_qty_correlated" -> (q28SmallQtyCorrelated _),
     "q27_grouping_sets" -> (q27GroupingSets _),
     "q26_rank_suite" -> (q26RankSuite _),
     "q25_full_outer" -> (q25FullOuter _),
@@ -744,6 +812,8 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q29_waiting_orders" -> q29Sql,
+    "q28_small_qty_correlated" -> q28Sql,
     "q27_grouping_sets" -> q27Sql,
     "q26_rank_suite" -> q26Sql,
     "q25_full_outer" -> q25Sql,

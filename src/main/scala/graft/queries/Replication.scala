@@ -687,7 +687,76 @@ object Replication {
       |FROM g ORDER BY bucket""".stripMargin
   }
 
+  /** r13: REFERENTIAL-CONSISTENCY AUDIT — the cross-table half of the
+    * reconciliation story r12's per-table checksums leave open: after
+    * replicating a multi-collection graph, verify the replicas still
+    * form a closed foreign-key graph (a replica set where lineitem
+    * references orders the sync dropped is "row-complete" per table and
+    * still unusable). One row per FK edge: child rows/keys, orphan
+    * rows/keys — all zeros is the invariant a healthy replica set
+    * reports, and the orphan counts localize WHICH edge broke when a
+    * partial resync or out-of-order table cutover violates it.
+    *
+    * Scale shape: each edge costs one distinct on the parent key + one
+    * left join + one ONE-ROW agg; dimension parents (nation, region)
+    * broadcast explicitly, fact-fact edges shuffle on the key they'd
+    * join on anyway. Edges are independent — at 100 TB they schedule
+    * as parallel jobs, and the output is |edges| rows.
+    */
+  def r13ReferentialAudit(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    def edge(childName: String, child: DataFrame, fk: String,
+             parentName: String, parent: DataFrame, pk: String,
+             bcast: Boolean): DataFrame = {
+      val pkeys0 = parent.select(col(pk).as("__pk")).distinct()
+      val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+      child.select(col(fk).as("__k"))
+        .join(pkeys, col("__k") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count_distinct(col("__k")).as("n_child_keys"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+          count_distinct(when(col("__pk").isNull, col("__k"))).as("n_orphan_keys"))
+        .select(lit(childName).as("child_table"), lit(fk).as("fk"),
+          lit(parentName).as("parent_table"),
+          col("n_child_rows"), col("n_child_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    Seq(
+      edge("lineitem", t("lineitem"), "l_orderkey", "orders", t("orders"), "o_orderkey", bcast = false),
+      edge("lineitem", t("lineitem"), "l_partkey", "part", t("part"), "p_partkey", bcast = false),
+      edge("lineitem", t("lineitem"), "l_suppkey", "supplier", t("supplier"), "s_suppkey", bcast = false),
+      edge("orders", t("orders"), "o_custkey", "customer", t("customer"), "c_custkey", bcast = false),
+      edge("customer", t("customer"), "c_nationkey", "nation", t("nation"), "n_nationkey", bcast = true),
+      edge("supplier", t("supplier"), "s_nationkey", "nation", t("nation"), "n_nationkey", bcast = true),
+      edge("nation", t("nation"), "n_regionkey", "region", t("region"), "r_regionkey", bcast = true))
+      .reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("fk"))
+  }
+
+  val r13Sql: String = {
+    def edge(child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$child' AS child_table, '$fk' AS fk, '$parent' AS parent_table,
+        |  COUNT(*) AS n_child_rows,
+        |  CAST(COUNT(DISTINCT c.$fk) AS BIGINT) AS n_child_keys,
+        |  CAST(SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  CAST(COUNT(DISTINCT CASE WHEN p.__pk IS NULL THEN c.$fk END) AS BIGINT)
+        |    AS n_orphan_keys
+        |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parent) p
+        |  ON c.$fk = p.__pk""".stripMargin
+    Seq(
+      edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk")
+  }
+
   val defs: Map[String, Q] = Map(
+    "r13_referential_audit" -> (r13ReferentialAudit _),
     "r12_checksum_audit" -> (r12ChecksumAudit _),
     "r11_schema_evolution" -> (r11SchemaEvolution _),
     "r10_incremental_compaction" -> (r10IncrementalCompaction _),
@@ -702,6 +771,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r13_referential_audit" -> r13Sql,
     "r12_checksum_audit" -> r12Sql,
     "r11_schema_evolution" -> r11Sql,
     "r10_incremental_compaction" -> r10Sql,

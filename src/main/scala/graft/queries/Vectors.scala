@@ -2090,7 +2090,134 @@ object Vectors {
       |ORDER BY dim""".stripMargin
   }
 
+  /** v23: INDEX-STALENESS MONITOR — the maintenance readout that tells
+    * an operator when the persisted IVF codebook needs retraining: the
+    * converged centroids (trained ONCE on the base corpus and reused
+    * from v11/v12's fingerprint-scoped table) are held fixed while the
+    * corpus moves under them through v18's CDC pattern (updates negate
+    * every vec_id % 97 vector, deletes tombstone every % 101, latest
+    * version wins). Per cell: membership and assignment inertia before
+    * vs after, plus how many surviving vectors LEFT (n_out) and ARRIVED
+    * (n_in) under the stale centroids — churn_ppm is the retrain
+    * trigger a production index pipeline thresholds on (v18 proves
+    * stale vectors can't surface in search results; this measures what
+    * staleness costs in partition quality).
+    *
+    * Scale shape: centroids broadcast packed, so BOTH assignments are
+    * pure projections (no join, no shuffle — the v6/v10 discipline);
+    * the churn join keys on vec_id (one co-partitioned exchange pair)
+    * and every rollup lands on |cells| rows. No training happens here —
+    * the codebook is a catalog read.
+    */
+  def v23IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = lloydArtifacts(spark, dir, base)._2
+    val baseV = base.select(col("vec_id"), col("v"))
+    val log = baseV
+      .select(col("vec_id"), col("v"), lit(0L).as("_ver"), lit(0).as("_deleted"))
+      .unionByName(baseV.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), transform(col("v"), x => negate(x)).as("v"),
+          lit(1L).as("_ver"), lit(0).as("_deleted")))
+      .unionByName(baseV.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id"), col("v"), lit(2L).as("_ver"), lit(1).as("_deleted")))
+    val cur = graft.operators.ReplicaTable.current(
+        log, keys = Seq("vec_id"), ver = "_ver")
+      .select(col("vec_id"), col("v"))
+    val ab = assignCells(spark, baseV, cent)
+    val ac = assignCells(spark, cur, cent)
+    val moves = ab.select(col("vec_id"), col("cell").as("bcell"))
+      .join(ac.select(col("vec_id"), col("cell").as("ccell")), "vec_id")
+      .filter(col("bcell") =!= col("ccell"))
+    ab.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"), sum(col("d2e9")).as("inertia_base_e9"))
+      .join(ac.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_cur"), sum(col("d2e9")).as("inertia_cur_e9")),
+        Seq("cell"), "full_outer")
+      .join(moves.groupBy(col("bcell").as("cell"))
+        .agg(count(lit(1)).as("n_out")), Seq("cell"), "left")
+      .join(moves.groupBy(col("ccell").as("cell"))
+        .agg(count(lit(1)).as("n_in")), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("inertia_base_e9"), lit(0L)).as("inertia_base_e9"),
+        coalesce(col("inertia_cur_e9"), lit(0L)).as("inertia_cur_e9"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"))
+      .withColumn("churn_ppm",
+        expr("(n_out + n_in) * 1000000 DIV greatest(n_base, 1)"))
+      .orderBy(col("cell"))
+  }
+
+  val v23Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val K = KmeansIters
+    val sb = Seq.newBuilder[String]
+    sb += "base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
+    sb += """cl0 AS MATERIALIZED (
+      |  SELECT CAST(label AS BIGINT) AS cell, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY label, i)""".stripMargin
+    for (i <- 1 to K) {
+      val p = i - 1
+      sb += s"cent$p AS MATERIALIZED (SELECT cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec FROM cl$p GROUP BY cell)"
+      sb += s"""a$i AS MATERIALIZED (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT b.vec_id, b.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${l2("b.v", "c.cvec")}, c.cell) AS rn
+        |    FROM base b, cent$p c) WHERE rn = 1)""".stripMargin
+      sb += s"""cl$i AS MATERIALIZED (
+        |  SELECT cell, i AS dim,
+        |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+        |  FROM a$i, (SELECT unnest(generate_series(1, 64)) i) GROUP BY cell, i)""".stripMargin
+    }
+    sb += s"centL AS MATERIALIZED (SELECT cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec FROM cl$K GROUP BY cell)"
+    sb += """upd AS (
+      |  SELECT vec_id, list_transform(v, x -> -x) AS v, 1 AS _ver, 0 AS _deleted
+      |  FROM base WHERE vec_id % 97 = 0)""".stripMargin
+    sb += """log AS (
+      |  SELECT vec_id, v, 0 AS _ver, 0 AS _deleted FROM base
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT vec_id, v, 2 AS _ver, 1 AS _deleted
+      |            FROM base WHERE vec_id % 101 = 0)""".stripMargin
+    sb += """cur AS MATERIALIZED (
+      |  SELECT vec_id, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY _ver DESC) rn
+      |    FROM log)
+      |  WHERE rn = 1 AND _deleted = 0)""".stripMargin
+    def assign(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT b.vec_id, c.cell, ${l2("b.v", "c.cvec")} AS d2,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${l2("b.v", "c.cvec")}, c.cell) AS rn
+        |    FROM $src b, centL c) WHERE rn = 1)""".stripMargin
+    sb += assign("base", "ab")
+    sb += assign("cur", "ac")
+    sb += """nb AS (SELECT cell, COUNT(*) AS n_base,
+      |  SUM(CAST(floor(d2 * 1e9) AS BIGINT)) AS inertia_base_e9 FROM ab GROUP BY cell)""".stripMargin
+    sb += """nc AS (SELECT cell, COUNT(*) AS n_cur,
+      |  SUM(CAST(floor(d2 * 1e9) AS BIGINT)) AS inertia_cur_e9 FROM ac GROUP BY cell)""".stripMargin
+    sb += """mv AS (SELECT ab.cell AS bcell, ac.cell AS ccell
+      |  FROM ab JOIN ac USING (vec_id) WHERE ab.cell <> ac.cell)""".stripMargin
+    sb += "mo AS (SELECT bcell AS cell, COUNT(*) AS n_out FROM mv GROUP BY 1)"
+    sb += "mi AS (SELECT ccell AS cell, COUNT(*) AS n_in FROM mv GROUP BY 1)"
+    "WITH " + sb.result().mkString(",\n") + "\n" +
+      """SELECT cell, COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur,
+        |  CAST(COALESCE(inertia_base_e9, 0) AS BIGINT) AS inertia_base_e9,
+        |  CAST(COALESCE(inertia_cur_e9, 0) AS BIGINT) AS inertia_cur_e9,
+        |  COALESCE(n_out, 0) AS n_out, COALESCE(n_in, 0) AS n_in,
+        |  CAST((COALESCE(n_out, 0) + COALESCE(n_in, 0)) * 1000000
+        |    // greatest(COALESCE(n_base, 0), 1) AS BIGINT) AS churn_ppm
+        |FROM nb FULL OUTER JOIN nc USING (cell)
+        |LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
+        |ORDER BY cell""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v23_index_staleness" -> (v23IndexStaleness _),
     "v22_int8_ann" -> (v22Int8Ann _),
     "v21_matryoshka_sweep" -> (v21MatryoshkaSweep _),
     "v20_hamming_ann" -> (v20HammingAnn _),
@@ -2115,6 +2242,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v23_index_staleness" -> v23Sql,
     "v22_int8_ann" -> v22Sql,
     "v21_matryoshka_sweep" -> v21Sql,
     "v20_hamming_ann" -> v20Sql,

@@ -456,6 +456,71 @@ object CdcStream {
 
   final case class PathTransition(key: Long, from_type: String, to_type: String, gap_us: Long)
 
+  final case class TouchAttribution(key: Long, touch_type: String, lag_us: Long)
+
+  /** Streaming twin of the batch w19 last-touch attribution: a per-key
+    * `ValueState` holds ONLY the running-max encoded touch key
+    * (us·8 + code — the batch query's own encoding), each purchase
+    * arrival reads it and emits its credit — O(1) state per user, and
+    * the state fold is `max`, which is COMMUTATIVE, so the result is
+    * independent of arrival order up to the per-key prefix-visibility
+    * contract below (strictly stronger than transitionStream's
+    * last-event state, which is inherently order-sensitive).
+    *
+    * Exactness contract: identical to the batch rule as long as every
+    * touch at-or-before a purchase's event time has ARRIVED by the time
+    * the purchase does (per-key event-time ordering across
+    * micro-batches — the CDC transport's guarantee). WITHIN a batch
+    * arrival order is free: rows sort on the batch window's own
+    * (us, touches-first, event_id) order before folding.
+    */
+  def attributionStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapUs: Long): org.apache.spark.sql.Dataset[TouchAttribution] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val rowEnc = Encoders.product[(Long, Long, Long, String)]
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, Long, String), TouchAttribution] {
+        @transient private var lastKey: ValueState[Long] = _
+        override def init(om: OutputMode, tm: TimeMode): Unit =
+          lastKey = getHandle.getValueState("lastKey", Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(k: Long,
+            rows: Iterator[(Long, Long, Long, String)],
+            tv: TimerValues): Iterator[TouchAttribution] = {
+          val out = Seq.newBuilder[TouchAttribution]
+          def code(tp: String): Long =
+            if (tp == "click") 2L else if (tp == "view") 1L else 0L
+          rows.toSeq
+            .sortBy { case (_, us, id, tp) => (us, if (code(tp) > 0) 0 else 1, id) }
+            .foreach { case (_, us, _, tp) =>
+              if (tp == "purchase") {
+                val tk = if (lastKey.exists()) lastKey.get() else Long.MinValue
+                if (tk == Long.MinValue || us - tk / 8 > gapUs)
+                  out += TouchAttribution(k, "none", -1L)
+                else out += TouchAttribution(k,
+                  if (tk % 8 == 2) "click" else "view", us - tk / 8)
+              } else if (code(tp) > 0) {
+                val enc = us * 8 + code(tp)
+                if (!lastKey.exists() || lastKey.get() < enc) lastKey.update(enc)
+              }
+            }
+          out.result().iterator
+        }
+      }
+    events
+      .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[TouchAttribution])
+  }
+
   /** Streaming twin of the batch w17 transition matrix: a per-key
     * `ValueState` holds the LAST seen event, and each arrival emits its
     * (from → to) edge when the gap stays inside the session bound —

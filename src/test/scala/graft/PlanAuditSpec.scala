@@ -83,7 +83,11 @@ class PlanAuditSpec extends SparkSpec {
       //  - v22: the deliberate broadcast-Q x scan-N over the int8 codes
       //    (v1's shape on 4x narrower rows) plus the one-row packed
       //    stats broadcast (v7's scalar shape) and the exact-truth side
-      "v22_int8_ann")
+      "v22_int8_ann",
+      //  - v23: both assignment passes read the packed one-row centroid
+      //    broadcast next to every vector (v10's projection-shaped
+      //    argmin, by construction)
+      "v23_index_staleness")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -171,6 +175,31 @@ class PlanAuditSpec extends SparkSpec {
       // ship only for CANDIDATE pairs) + the 17-row rollup rides; the
       // pair expansion re-reads d6's persisted bucket table
       "d35_est_calibration" -> 5,
+      // d36: the (source, s) grid exchange carries the corpus (behind
+      // the checkpoint); the rest assemble |sources|-row frames
+      "d36_source_overlap" -> 4,
+      // q28: the decorrelated scalar subquery is one per-part agg +
+      // one partkey join — exactly two fact exchanges
+      "q28_small_qty_correlated" -> 2,
+      // q29: both correlated subqueries decorrelate to semi/anti joins
+      // that broadcast at this SF; the one exchange is the final agg
+      "q29_waiting_orders" -> 1,
+      // p17: p6's single window exchange + the 4-row band rollup;
+      // the corpus is not re-read
+      "p17_packing_waste" -> 3,
+      // w19: one user_id window exchange + the |touch types|-row
+      // rollup + output sort
+      "w19_last_touch" -> 3,
+      // w20: the (day, type) hash agg + the WindowGroupLimit-pruned
+      // rank window + output sort, all on the tiny grid
+      "w20_grouped_topk" -> 3,
+      // r13: seven independent FK edges; each fact edge pays a parent
+      // distinct + a key join + a one-row agg, dim edges broadcast
+      "r13_referential_audit" -> 21,
+      // v23: both assignments are broadcast projections (0 exchanges);
+      // the count is the CDC latest-wins collapse + the vec_id churn
+      // join + per-cell rollups and their |cells|-row assembly joins
+      "v23_index_staleness" -> 21,
       // r12: two independent latest-wins collapses (the source one-shot
       // + r10's fold path, each one hash exchange) fold to 16-row
       // grids; the grid join + output sort ride the tiny frames

@@ -368,6 +368,54 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("attributionStream emits the batch w19 credits across micro-batch boundaries") {
+    val src = tmp("at-src"); val ckpt = tmp("at-ck")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("eid", LongType), StructField("etype", StringType)))
+    def ev(uid: Long, t: String, eid: Long, tp: String) =
+      s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp"}"""
+    import scala.jdk.CollectionConverters._
+    // user 1: view then click (click wins as the later touch), purchase
+    // in a LATER batch (credit must cross the boundary); then a second
+    // purchase 5h after the click — outside the gap, credited 'none'.
+    // user 2: purchase with no prior touch at all.
+    Files.write(src.resolve("a.json"), Seq(
+      ev(1, "2024-01-01T10:00:00.000Z", 1, "view"),
+      ev(1, "2024-01-01T10:30:00.000Z", 2, "click"),
+      ev(2, "2024-01-01T09:00:00.000Z", 3, "purchase")).asJava)
+    Files.write(src.resolve("b.json"), Seq(
+      ev(1, "2024-01-01T11:00:00.000Z", 4, "purchase")).asJava)
+    Files.write(src.resolve("c.json"), Seq(
+      ev(1, "2024-01-01T15:31:00.000Z", 5, "purchase")).asJava)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.attributionStream(stream, "uid", "ts", "eid", "etype",
+          gapUs = 4L * 3600 * 1000000)
+        .writeStream.format("memory").queryName("at_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("at_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(
+        (2L, "none", -1L),
+        (1L, "click", 1800L * 1000000),
+        (1L, "none", -1L)),
+        "streaming credits diverge from the batch w19 rule")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamStaticDedup flags incoming docs against the static corpus index") {
     import spark.implicits._
     val src = tmp("ssd-src"); val ckpt = tmp("ssd-ck")

@@ -566,6 +566,201 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._3).sum === trans.size.toLong)
   }
 
+  test("w19: last-touch attribution equals a per-user sequential replay") {
+    val gap = 4L * 3600 * 1000000
+    val evs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) tus", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val purchases = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      // the query's window order: (us, touches-first, event_id)
+      val sorted = es.sortBy(e =>
+        (e._2, if (e._4 == "click" || e._4 == "view") 0 else 1, e._3))
+      var lastKey = Long.MinValue
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase") {
+          if (lastKey == Long.MinValue || e._2 - lastKey / 8 > gap)
+            Some(("none", e._5, None: Option[Long]))
+          else Some((if (lastKey % 8 == 2) "click" else "view", e._5,
+            Some(e._2 - lastKey / 8)))
+        } else None
+        if (e._4 == "click") lastKey = math.max(lastKey, e._2 * 8 + 2)
+        if (e._4 == "view") lastKey = math.max(lastKey, e._2 * 8 + 1)
+        out
+      }
+    }
+    val expected = purchases.groupBy(_._1).map { case (tt, g) =>
+      val lags = g.flatMap(_._3)
+      (tt, g.size.toLong,
+        g.map(p => BigDecimal(p._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble,
+        if (lags.isEmpty) None else Some(lags.sum / lags.size))
+    }.toSeq.sortBy(_._1)
+    val got = Events.w19LastTouch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq === expected, "w19 diverges from the sequential replay")
+    // every purchase is attributed exactly once
+    assert(got.map(_._2).sum === evs.count(_._4 == "purchase").toLong)
+  }
+
+  test("d36: source overlap equals a brute-force replay and nests correctly") {
+    val bySrc = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq, r.getString(2)))
+      .filter(_._2.length >= 3)
+      .map { case (_, w, src) =>
+        (src, w.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val postings = bySrc.groupBy(_._1).view.mapValues(_.map(_._2.size).sum.toLong)
+    val srcVocab = bySrc.groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(_ ++ _))
+    val srcCount = srcVocab.values.flatten.groupBy(identity).view
+      .mapValues(ss => srcVocab.count(_._2.contains(ss.head)))
+    val expected = srcVocab.toSeq.sortBy(_._1).map { case (src, vocab) =>
+      val excl = vocab.count(s => srcCount(s) == 1).toLong
+      (src, postings(src), vocab.size.toLong, excl,
+        excl * 1000000L / vocab.size)
+    }
+    val got = Documents.d36SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected, "d36 diverges from the replay")
+    // exclusivity nests inside the vocabulary: excl <= distinct <= postings
+    got.foreach { r =>
+      assert(r._4 <= r._3 && r._3 <= r._2, s"${r._1}: counts do not nest")
+    }
+  }
+
+  test("v23: staleness churn conserves and survivors are accounted exactly") {
+    val rows = Vectors.v23IndexStaleness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val nVec = graft.Tables.load(spark, sf, "embeddings").count()
+    val ids = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id").collect().map(_.getLong(0))
+    // base assignment covers the corpus; current covers the survivors
+    assert(rows.map(_._2).sum === nVec, "n_base must cover every vector")
+    assert(rows.map(_._3).sum === ids.count(_ % 101 != 0).toLong,
+      "n_cur must cover exactly the undeleted vectors")
+    // every vector that left one cell arrived in another
+    assert(rows.map(_._6).sum === rows.map(_._7).sum, "out/in must conserve")
+    // only updated survivors can move; deletions shrink, not migrate
+    assert(rows.map(_._6).sum <= ids.count(i => i % 97 == 0 && i % 101 != 0).toLong)
+    rows.foreach { r =>
+      assert(r._8 >= 0 && (r._6 + r._7 > 0) == (r._8 > 0),
+        s"cell ${r._1}: churn_ppm inconsistent with move counts")
+    }
+  }
+
+  test("q28: the correlated scalar subquery equals its manual decorrelation") {
+    import org.apache.spark.sql.functions.{avg, broadcast, col}
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val pk = graft.Tables.load(spark, sf, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val thr = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+    val manual = li.join(broadcast(pk), li("l_partkey") === pk("p_partkey"))
+      .join(thr, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("avg_yearly_sum"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect()(0)
+    val got = graft.queries.Relational
+      .q28SmallQtyCorrelated(spark, sf).collect()(0)
+    assert(got.getDouble(0) === manual.getDouble(0) / 7.0 &&
+      got.getLong(1) === manual.getLong(1),
+      "q28 diverges from the manual decorrelation")
+    assert(got.getLong(1) > 0, "q28 is vacuous on this fixture")
+  }
+
+  test("w20: grouped top-k equals a per-day replay and keeps at most k per day") {
+    val evs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("CAST(ts AS DATE) day", "event_type", "value").collect()
+      .map(r => (r.getDate(0), r.getString(1), r.getDouble(2)))
+    val expected = evs.groupBy(e => (e._1, e._2)).map { case ((d, t), g) =>
+      (d, t, g.size.toLong,
+        g.map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.groupBy(_._1).toSeq.flatMap { case (_, grid) =>
+      grid.toSeq.sortBy(r => (-r._4, r._2)).take(3).zipWithIndex
+        .map { case ((d, t, n, tv), i) => (d, i.toLong + 1, t, n, tv) }
+    }.sortBy(r => (r._1.toString, r._2))
+    val got = graft.queries.Events.w20GroupedTopk(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected, "w20 diverges from the per-day replay")
+    got.groupBy(_._1).foreach { case (d, g) =>
+      assert(g.length <= 3 && g.map(_._2).sorted === (1L to g.length).toSeq,
+        s"$d: ranks not dense within the day")
+    }
+  }
+
+  test("r13: the referential audit reports a closed graph with nested counts") {
+    val rows = graft.queries.Replication.r13ReferentialAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length === 7, "one row per FK edge")
+    rows.foreach { r =>
+      assert(r._6 === 0L && r._7 === 0L,
+        s"${r._1}.${r._2}: fixture graph must be closed, found orphans")
+      assert(r._4 >= r._5 && r._5 > 0, s"${r._1}.${r._2}: key counts must nest")
+    }
+    // row conservation against the raw tables: every child row is audited
+    val li = graft.Tables.load(spark, sf, "lineitem").count()
+    assert(rows.filter(_._1 == "lineitem").forall(_._4 === li))
+  }
+
+  test("p17: packing waste equals a replay of p6's bins and conserves tokens") {
+    val bins = graft.queries.Pipeline.p6PackBudget(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3))) // (n_docs, bin_tokens)
+    val budget = 512L
+    val expected = bins.map { case (nd, bt) =>
+      val fill = bt * 1000000L / budget
+      val band = if (fill < 500000) 0L else if (fill < 750000) 1L
+        else if (fill < 1000000) 2L else 3L
+      (band, nd, bt, fill)
+    }.groupBy(_._1).map { case (b, g) =>
+      (b, g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._4).sum / g.length)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Pipeline.p17PackingWaste(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected, "p17 diverges from the bin replay")
+    // token conservation: the profile must account for every packed token
+    assert(got.map(_._4).sum === bins.map(_._2).sum)
+  }
+
+  test("q29: the semi/anti decorrelation equals a manual per-order replay") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) sdus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val ord = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) odus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val sup = graft.Tables.load(spark, sf, "supplier")
+      .selectExpr("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutoffMs = 60L * 24 * 3600 * 1000000L
+    val waits = ord.filter(_._2 == "F").flatMap { case (ok, _, od) =>
+      val ls = li.getOrElse(ok, Array.empty)
+      ls.filter { case (_, sk, sd) =>
+        sd > od + cutoffMs &&
+          ls.exists(o => o._2 != sk) &&
+          !ls.exists(o => o._2 != sk && o._3 > od + cutoffMs)
+      }.map(l => sup(l._2))
+    }
+    val expected = waits.groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+      .toSeq.sortBy(r => (-r._2, r._1)).take(10)
+    val got = graft.queries.Relational.q29WaitingOrders(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expected, "q29 diverges from the per-order replay")
+    assert(got.nonEmpty, "q29 is vacuous on this fixture")
+  }
+
   test("p15: the resume manifest equals a replay of the epoch-1 order") {
     import graft.functions.{HashFunctions => H}
     val ids = graft.Tables.load(spark, sf, "documents")
