@@ -2697,6 +2697,96 @@ object Documents {
       |  CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
       |FROM j GROUP BY nm ORDER BY nm""".stripMargin
 
+  /** d37: VOCABULARY-GROWTH (Heaps'-law) PROFILE — distinct-word count
+    * and token volume at 25/50/75/100% corpus prefixes (doc_id order,
+    * the fixture's ingest order). The curve a corpus-scaling run reads:
+    * a healthy natural corpus keeps adding vocabulary sub-linearly
+    * (Heaps' law, V ≈ K·nᵝ); a flattened curve means the tail of the
+    * crawl is re-serving the head's content and the token budget is
+    * better spent elsewhere. All-integer outputs, so the compare is
+    * exact at every SF.
+    *
+    * Scale shape: "vocabulary at prefix k" is NOT computed by scanning
+    * k prefixes — each word folds to its FIRST doc (one hash agg over
+    * the posting explode), the quartile of that first doc is integer
+    * arithmetic against a broadcast 1-row count, and the cumulative
+    * curve is a 4-row window. Corpus touched once, no global sort, no
+    * per-prefix rescan.
+    */
+  def d37VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    // ONE evaluation of the interpreted tokenize chain (d36's barrier
+    // discipline): three consumers (token totals, word first-occurrence,
+    // 3-gram first-occurrence) all fold from the checkpointed (doc_id,
+    // toks) frame instead of re-tokenizing the corpus each. The
+    // repartition spreads the compute across cores BEFORE the barrier —
+    // the fixture arrives as one split.
+    val d = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .localCheckpoint(false)
+    val n = d.agg(count(lit(1)).as("n_total"))
+    // doc_id is contiguous 0..n-1 (FIXTURES.md); quartile = doc_id*4 DIV n,
+    // clamped so doc n-1 lands in q3 even when 4 divides n.
+    val docAgg = d.crossJoin(broadcast(n))
+      .groupBy(expr("least(doc_id * 4 DIV n_total, 3)").as("q"))
+      .agg(count(lit(1)).as("nd"), sum(size(col("toks")).cast("long")).as("ntok"))
+    def firstOcc(unit: DataFrame, cnt: String): DataFrame = unit
+      .groupBy(col("u")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(n))
+      .groupBy(expr("least(first_doc * 4 DIV n_total, 3)").as("q"))
+      .agg(count(lit(1)).as(cnt))
+    // The fixture's word vocabulary saturates in the first quartile (the
+    // generator draws from a small pool), so the Heaps' curve is carried
+    // by the 3-gram vocabulary — the unit every dedup stage (d5/d6/d36)
+    // already keys on; the word column stays as the sanity floor.
+    val words = firstOcc(
+      d.select(col("doc_id"), explode(col("toks")).as("u")), "nw")
+    val grams = firstOcc(
+      d.select(col("doc_id"), explode(T.shingles(col("toks"), 3)).as("u")), "ng")
+    // 4-row cumulative window: single partition by construction, trivial.
+    val w4 = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docAgg.join(broadcast(words), Seq("q"), "left")
+      .join(broadcast(grams), Seq("q"), "left")
+      .select(col("q"), col("nd"), col("ntok"),
+        coalesce(col("nw"), lit(0L)).as("nw"),
+        coalesce(col("ng"), lit(0L)).as("ng"))
+      .select(((col("q") + 1) * lit(25L)).as("pct_docs"),
+        sum(col("nd")).over(w4).as("n_docs_cum"),
+        sum(col("ntok")).over(w4).as("n_tokens_cum"),
+        sum(col("nw")).over(w4).as("vocab_cum"),
+        sum(col("ng")).over(w4).as("shingle_vocab_cum"))
+      .orderBy(col("pct_docs"))
+  }
+
+  val d37Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_total FROM documents),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |da AS (
+      |  SELECT LEAST(doc_id * 4 // n_total, 3) AS q, COUNT(*) AS nd,
+      |    SUM(len(toks)) AS ntok
+      |  FROM d, n GROUP BY 1),
+      |wq AS (
+      |  SELECT LEAST(first_doc * 4 // n_total, 3) AS q, COUNT(*) AS nw
+      |  FROM (SELECT w, MIN(doc_id) AS first_doc
+      |        FROM (SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY w), n
+      |  GROUP BY 1),
+      |gq AS (
+      |  SELECT LEAST(first_doc * 4 // n_total, 3) AS q, COUNT(*) AS ng
+      |  FROM (SELECT s, MIN(doc_id) AS first_doc
+      |        FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |              FROM d, (SELECT unnest(generate_series(1, 100000)) i)
+      |              WHERE i <= len(toks) - 2)
+      |        GROUP BY s), n
+      |  GROUP BY 1)
+      |SELECT CAST((q + 1) * 25 AS BIGINT) AS pct_docs,
+      |  CAST(SUM(nd) OVER (ORDER BY q) AS BIGINT) AS n_docs_cum,
+      |  CAST(SUM(ntok) OVER (ORDER BY q) AS BIGINT) AS n_tokens_cum,
+      |  CAST(SUM(COALESCE(nw, 0)) OVER (ORDER BY q) AS BIGINT) AS vocab_cum,
+      |  CAST(SUM(COALESCE(ng, 0)) OVER (ORDER BY q) AS BIGINT) AS shingle_vocab_cum
+      |FROM da LEFT JOIN wq USING (q) LEFT JOIN gq USING (q)
+      |ORDER BY pct_docs""".stripMargin
+
   /** d36: SOURCE-OVERLAP PROFILE — the data-mixing diagnostic that sits
     * between d34's corpus-wide df histogram and d25's query-driven
     * domain affinity: per source, how much of its shingle vocabulary is
@@ -2774,6 +2864,7 @@ object Documents {
       |ORDER BY source""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "d37_vocab_growth" -> (d37VocabGrowth _),
     "d36_source_overlap" -> (d36SourceOverlap _),
     "d35_est_calibration" -> (d35EstCalibration _),
     "d34_df_profile" -> (d34DfProfile _),
@@ -2813,6 +2904,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d37_vocab_growth" -> d37Sql,
     "d36_source_overlap" -> d36Sql,
     "d35_est_calibration" -> d35Sql,
     "d34_df_profile" -> d34Sql,

@@ -892,7 +892,60 @@ object Events {
       |SELECT day, CAST(rank AS BIGINT) AS rank, event_type, n, total_value
       |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin
 
+  /** w21: INTER-EVENT GAP HISTOGRAM — the dwell-time readout that sits
+    * under w3's sessionization: for every consecutive same-user event
+    * pair (event-time order), bucket the gap into 1m/10m/1h/1d bands
+    * and report gap count, distinct users, and the worst gap per band.
+    * This is the table a session-timeout choice is actually made from
+    * (w3 hard-codes the industry 4 h; this measures what the traffic
+    * does). Exact integer microseconds end to end.
+    *
+    * Scale shape: ONE exchange on user_id feeds the lag() window (the
+    * same partitioning w3/w13/w17 already use — a real deployment
+    * computes them all in one pass over one exchange), then a tiny
+    * 5-row hash rollup. The distinct-user count expands inside the
+    * rollup (5 bands × |users| worst case), never corpus-squared.
+    */
+  def w21GapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bucket = when(col("gap_us") < 60L * 1000000, "0_under_1m")
+      .when(col("gap_us") < 600L * 1000000, "1_under_10m")
+      .when(col("gap_us") < 3600L * 1000000, "2_under_1h")
+      .when(col("gap_us") < 86400L * 1000000, "3_under_1d")
+      .otherwise("4_over_1d")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(bucket.as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  val w21Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, gap_us,
+      |    CASE WHEN gap_us < 60000000 THEN '0_under_1m'
+      |         WHEN gap_us < 600000000 THEN '1_under_10m'
+      |         WHEN gap_us < 3600000000 THEN '2_under_1h'
+      |         WHEN gap_us < 86400000000 THEN '3_under_1d'
+      |         ELSE '4_over_1d' END AS gap_bucket
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT gap_bucket, COUNT(*) AS n_gaps,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM b GROUP BY 1 ORDER BY gap_bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w21_gap_histogram" -> (w21GapHistogram _),
     "w20_grouped_topk" -> (w20GroupedTopk _),
     "w19_last_touch" -> (w19LastTouch _),
     "w18_cms_heavy_hitters" -> (w18CmsHeavyHitters _),
@@ -915,6 +968,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w21_gap_histogram" -> w21Sql,
     "w20_grouped_topk" -> w20Sql,
     "w19_last_touch" -> w19Sql,
     "w18_cms_heavy_hitters" -> w18Sql,

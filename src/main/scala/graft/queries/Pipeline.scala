@@ -1007,7 +1007,53 @@ object Pipeline {
       |  CAST(SUM(fill_ppm) // COUNT(*) AS BIGINT) AS mean_fill_ppm
       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  /** p18: REPEAT-FACTOR (epochs-per-source) PLAN — the data-constrained
+    * scaling readout: given a training budget of half the corpus's
+    * tokens and a UNIFORM per-source target (the deliberately simple
+    * policy; d22's temperature mix is the smooth one), how many times
+    * over must each source be repeated (ppm, i.e. 1e6 = exactly one
+    * epoch)? Sources below target repeat >1×; the cap at 4 epochs is
+    * the published point where repetition stops buying loss. All
+    * integer DIV arithmetic, so the compare is exact.
+    *
+    * Scale shape: one map-side-combined hash agg to per-source token
+    * counts (|sources| rows), a broadcast 1-row total, and pure
+    * projection — the corpus is touched once, output is |sources|.
+    * At 100 TB, total*1e6 approaches Long range; production widens the
+    * ppm step to DECIMAL(38,0) — same formula, same truncation.
+    */
+  def p18RepeatFactor(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = docs(spark, dir)
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("total_tokens DIV 2 DIV n_sources").as("target_tokens"),
+        expr("least((total_tokens DIV 2 DIV n_sources) * 1000000L DIV n_tokens," +
+          " 4000000L)").as("repeat_ppm"))
+      .withColumn("shortfall_tokens",
+        expr("greatest(target_tokens - (repeat_ppm * n_tokens DIV 1000000L), 0L)"))
+      .orderBy(col("source"))
+  }
+
+  val p18Sql: String =
+    """WITH s AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM s)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(total_tokens // 2 // n_sources AS BIGINT) AS target_tokens,
+      |  CAST(LEAST((total_tokens // 2 // n_sources) * 1000000 // n_tokens,
+      |    4000000) AS BIGINT) AS repeat_ppm,
+      |  CAST(GREATEST(total_tokens // 2 // n_sources -
+      |    (LEAST((total_tokens // 2 // n_sources) * 1000000 // n_tokens,
+      |      4000000) * n_tokens // 1000000), 0) AS BIGINT) AS shortfall_tokens
+      |FROM s, t ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p18_repeat_factor" -> (p18RepeatFactor _),
     "p17_packing_waste" -> (p17PackingWaste _),
     "p16_dataset_card" -> (p16DatasetCard _),
     "p15_resume_slice" -> (p15ResumeSlice _),
@@ -1025,6 +1071,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p18_repeat_factor" -> p18Sql,
     "p17_packing_waste" -> p17Sql,
     "p16_dataset_card" -> p16Sql,
     "p15_resume_slice" -> p15Sql,

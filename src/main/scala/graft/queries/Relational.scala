@@ -780,7 +780,61 @@ object Relational {
     spark.sql(q29Sql)
   }
 
+  /** q30: ORDER-BACKLOG CURVE — the open-order inventory over time: per
+    * month, how many orders were opened (o_orderdate), how many were
+    * fully shipped (the month of the order's LAST l_shipdate), and the
+    * running backlog. The operational time series a replica dashboard
+    * plots; all integers, exact at every SF.
+    *
+    * Scale shape: one shuffle on l_orderkey folds lineitem to a
+    * per-order completion date (map-side partial max), then both event
+    * streams collapse to a |months| grid before the cumulative window —
+    * the window input is dozens of rows, so the unpartitioned running
+    * sum is free, not a global-sort bottleneck.
+    */
+  def q30OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val done = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("done_date"))
+    val opened = Tables.load(spark, dir, "orders")
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = done
+      .groupBy(trunc(col("done_date"), "month").as("month"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    opened.join(closed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+      .orderBy(col("month"))
+  }
+
+  val q30Sql: String =
+    """WITH done AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS done_date
+      |  FROM lineitem GROUP BY l_orderkey),
+      |o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |        COUNT(*) AS n_opened
+      |      FROM orders GROUP BY 1),
+      |c AS (SELECT CAST(date_trunc('month', done_date) AS DATE) AS month,
+      |        COUNT(*) AS n_closed
+      |      FROM done GROUP BY 1)
+      |SELECT month,
+      |  COALESCE(n_opened, 0) AS n_opened,
+      |  COALESCE(n_closed, 0) AS n_closed,
+      |  CAST(SUM(COALESCE(n_opened, 0)) OVER (ORDER BY month)
+      |    - SUM(COALESCE(n_closed, 0)) OVER (ORDER BY month) AS BIGINT)
+      |    AS backlog
+      |FROM o FULL OUTER JOIN c USING (month)
+      |ORDER BY month""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q30_order_backlog" -> (q30OrderBacklog _),
     "q29_waiting_orders" -> (q29WaitingOrders _),
     "q28_small_qty_correlated" -> (q28SmallQtyCorrelated _),
     "q27_grouping_sets" -> (q27GroupingSets _),
@@ -812,6 +866,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q30_order_backlog" -> q30Sql,
     "q29_waiting_orders" -> q29Sql,
     "q28_small_qty_correlated" -> q28Sql,
     "q27_grouping_sets" -> q27Sql,

@@ -755,7 +755,74 @@ object Replication {
       .mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk")
   }
 
+  /** r14: BATCH-COMMIT LEDGER — the per-batch audit of the K2 batched
+    * exactly-once insert path (reference consumer flushes fixed-size
+    * batches; `replication/consumer/worker.py` commits offsets only after
+    * the insert lands): slice the WAL into 1000-offset commit batches and
+    * report each batch's op mix (upserts / removes / skipped markers+
+    * tombstones — r3's deterministic shaping rules), its offset span, and
+    * the running applied-row total. The table an operator reads to answer
+    * "which batch did the row count jump / the lag start" — and the
+    * idempotence ledger r4 checks a re-delivered batch against.
+    *
+    * Scale shape: ONE map-side-combined hash agg on `offset DIV 1000`
+    * (a contiguous integer key — no skew by construction), then the
+    * cumulative window runs over |batches| rows (~WAL span / 1000), not
+    * over events. At 100 TB the corpus is touched once, the ledger is
+    * thousands of rows.
+    */
+  def r14BatchLedger(spark: SparkSession, dir: String): DataFrame = {
+    val op = when(col("event_type") === "signup", lit("marker"))
+      .when(col("event_type") === "click" && col("event_id") % 50 === 0,
+        lit("tombstone"))
+      .when(col("event_type") === "error", lit("remove"))
+      .otherwise(lit("upsert"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id").as("offset"), op.as("op"))
+      .groupBy(expr("offset DIV 1000").as("batch_id"))
+      .agg(
+        sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("n_upserts"),
+        sum(when(col("op") === "remove", 1L).otherwise(0L)).as("n_removes"),
+        sum(when(col("op") === "marker" || col("op") === "tombstone", 1L)
+          .otherwise(0L)).as("n_skipped"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"))
+      .withColumn("applied_cum",
+        sum(col("n_upserts") - col("n_removes")).over(w))
+      .orderBy(col("batch_id"))
+  }
+
+  val r14Sql: String =
+    """WITH b AS (
+      |  SELECT event_id // 1000 AS batch_id, event_id AS "offset",
+      |    CASE WHEN event_type = 'signup' THEN 'marker'
+      |         WHEN event_type = 'click' AND event_id % 50 = 0 THEN 'tombstone'
+      |         WHEN event_type = 'error' THEN 'remove'
+      |         ELSE 'upsert' END AS op
+      |  FROM events),
+      |g AS (
+      |  SELECT batch_id,
+      |    SUM(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS n_upserts,
+      |    SUM(CASE WHEN op = 'remove' THEN 1 ELSE 0 END) AS n_removes,
+      |    SUM(CASE WHEN op IN ('marker', 'tombstone') THEN 1 ELSE 0 END)
+      |      AS n_skipped,
+      |    MIN("offset") AS first_offset, MAX("offset") AS last_offset
+      |  FROM b GROUP BY batch_id)
+      |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+      |  CAST(n_upserts AS BIGINT) AS n_upserts,
+      |  CAST(n_removes AS BIGINT) AS n_removes,
+      |  CAST(n_skipped AS BIGINT) AS n_skipped,
+      |  CAST(first_offset AS BIGINT) AS first_offset,
+      |  CAST(last_offset AS BIGINT) AS last_offset,
+      |  CAST(SUM(n_upserts - n_removes) OVER (ORDER BY batch_id) AS BIGINT)
+      |    AS applied_cum
+      |FROM g ORDER BY batch_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r14_batch_ledger" -> (r14BatchLedger _),
     "r13_referential_audit" -> (r13ReferentialAudit _),
     "r12_checksum_audit" -> (r12ChecksumAudit _),
     "r11_schema_evolution" -> (r11SchemaEvolution _),
@@ -771,6 +838,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r14_batch_ledger" -> r14Sql,
     "r13_referential_audit" -> r13Sql,
     "r12_checksum_audit" -> r12Sql,
     "r11_schema_evolution" -> r11Sql,

@@ -87,7 +87,14 @@ class PlanAuditSpec extends SparkSpec {
       //  - v23: both assignment passes read the packed one-row centroid
       //    broadcast next to every vector (v10's projection-shaped
       //    argmin, by construction)
-      "v23_index_staleness")
+      "v23_index_staleness",
+      //  - d37: the one-row corpus-count broadcast next to each of the
+      //    two first-occurrence grids and the doc rollup (q22's scalar
+      //    shape, three consumers)
+      "d37_vocab_growth",
+      //  - p18: the one-row (total, n_sources) broadcast next to the
+      //    |sources|-row token table (d22's scalar shape)
+      "p18_repeat_factor")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -163,6 +170,23 @@ class PlanAuditSpec extends SparkSpec {
     */
   test("no catalog query shuffles more than its recorded golden") {
     val golden = Map(
+      // d37: the checkpointed tokenize repartition + the 1-row count agg
+      // + three grid aggs (token totals; word and 3-gram first-occurrence
+      // each pay explode-groupBy + quartile rollup) + the 4-row window
+      // and output sort exchanges (tiny frames; joins broadcast)
+      "d37_vocab_growth" -> 9,
+      // w21: one user_id lag-window exchange + the 5-row bucket rollup
+      // (distinct-user expand rides it) + output sort
+      "w21_gap_histogram" -> 3,
+      // p18: per-source token agg + 1-row total agg (broadcast back) +
+      // the |sources|-row output sort
+      "p18_repeat_factor" -> 4,
+      // q30: per-order completion max + two month-grid aggs + the
+      // dozens-of-rows window/sort (full-outer join rides the grid)
+      "q30_order_backlog" -> 4,
+      // r14: ONE batch_id hash agg over the corpus + the |batches|-row
+      // cumulative window (output sort rides it)
+      "r14_batch_ledger" -> 2,
       "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,

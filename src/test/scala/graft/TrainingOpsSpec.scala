@@ -1553,4 +1553,117 @@ class TrainingOpsSpec extends SparkSpec {
       .map(k => k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
     assert(merged === full.filter(_._2 > 0))
   }
+
+  test("d37: the vocab-growth curve matches a brute-force prefix replay") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    val n = texts.length
+    def quart(id: Long): Int = math.min((id * 4 / n).toInt, 3)
+    val expected = (0 to 3).map { q =>
+      val prefix = texts.filter { case (id, _) => quart(id) <= q }
+      val words = prefix.flatMap(_._2).toSet.size.toLong
+      val grams = prefix.flatMap { case (_, ts) =>
+        ts.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet.size.toLong
+      ((q + 1) * 25L, prefix.size.toLong, prefix.map(_._2.size.toLong).sum,
+        words, grams)
+    }
+    val got = Documents.d37VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "vocab growth diverged from the prefix replay")
+    // Heaps sanity: cumulative columns are non-decreasing
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5)
+    }
+  }
+
+  test("w21: the gap histogram matches a per-user sequential replay") {
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bucket(gap: Long): String =
+      if (gap < 60000000L) "0_under_1m"
+      else if (gap < 600000000L) "1_under_10m"
+      else if (gap < 3600000000L) "2_under_1h"
+      else if (gap < 86400000000L) "3_under_1d"
+      else "4_over_1d"
+    val gaps = rows.toSeq.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._2).sliding(2).collect {
+        case Seq(a, b) => (uid, b - a)
+      }
+    }
+    val expected = gaps.groupBy(g => bucket(g._2)).toSeq.map { case (b, gs) =>
+      (b, gs.size.toLong, gs.map(_._1).distinct.size.toLong, gs.map(_._2).max)
+    }.sorted
+    // conservation: every consecutive pair lands in exactly one bucket
+    assert(expected.map(_._2).sum ===
+      rows.toSeq.groupBy(_._1).values.map(es => (es.size - 1).max(0).toLong).sum)
+    val got = Events.w21GapHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expected, "gap histogram diverged from the replay")
+  }
+
+  test("p18: repeat-factor plan conserves the budget and honors the 4-epoch cap") {
+    val perSrc = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val total = perSrc.values.sum
+    val target = total / 2 / perSrc.size
+    val got = Pipeline.p18RepeatFactor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq.sorted === perSrc.keySet.toSeq.sorted)
+    got.foreach { case (src, nTok, tgt, ppm, shortfall) =>
+      assert(nTok === perSrc(src))
+      assert(tgt === target)
+      val rawPpm = target * 1000000L / nTok
+      assert(ppm === math.min(rawPpm, 4000000L), s"$src: cap not applied")
+      assert(shortfall === math.max(target - ppm * nTok / 1000000L, 0L))
+      // an uncapped source fills its target to within integer truncation
+      if (ppm < 4000000L) assert(target - ppm * nTok / 1000000L <= nTok / 1000000L + 1)
+    }
+  }
+
+  test("q30: the backlog curve conserves opens/closes and ends at zero") {
+    val got = graft.queries.Relational.q30OrderBacklog(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    val nClosed = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    assert(got.map(_._2).sum === nOrders, "every order opens exactly once")
+    assert(got.map(_._3).sum === nClosed, "every lineitem-bearing order closes once")
+    // the curve IS the running difference, and months arrive sorted
+    var cum = 0L
+    got.foreach { case (_, o, c, b) => cum += o - c; assert(b === cum) }
+    assert(got.last._4 === nOrders - nClosed, "terminal backlog = never-shipped orders")
+    assert(got.map(_._1.toString) === got.map(_._1.toString).sorted)
+  }
+
+  test("r14: the commit ledger matches a per-batch replay of r3's shaping rules") {
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.toSeq.groupBy(_._1 / 1000).toSeq.sortBy(_._1).map {
+      case (b, es) =>
+        def isTomb(e: (Long, String)) = e._2 == "click" && e._1 % 50 == 0
+        val up = es.count(e => e._2 != "signup" && e._2 != "error" && !isTomb(e))
+        val rm = es.count(e => e._2 == "error" && !isTomb(e))
+        val sk = es.count(e => e._2 == "signup" || isTomb(e))
+        (b, up.toLong, rm.toLong, sk.toLong, es.map(_._1).min, es.map(_._1).max)
+    }
+    val got = graft.queries.Replication.r14BatchLedger(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq === expected)
+    // ledger invariant: applied_cum is the running net row delta, and
+    // every event is accounted for exactly once
+    var cum = 0L
+    got.foreach { case (_, up, rm, _, _, _, app) => cum += up - rm; assert(app === cum) }
+    assert(got.map(t => t._2 + t._3 + t._4).sum === rows.length.toLong)
+  }
 }
