@@ -596,7 +596,11 @@ object Documents {
     * build and the scoring — at scale the profile side is tiny and
     * broadcast, the scoring side is a scan-shaped aggregation.
     */
-  def d9LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+  /** The d9 per-document prediction (doc_id, plang) — shared by d9's
+    * confusion matrix and d38's per-source label-noise audit so both
+    * readouts are guaranteed to describe the SAME classifier.
+    */
+  private def d9Pred(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(col("text")) >= 3)
@@ -613,20 +617,25 @@ object Documents {
     val score = grams.join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("plang"))
       .agg(count(lit(1)).as("matches"))
-    val pred = score
+    score
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("matches").desc, col("plang"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("plang"))
+  }
+
+  def d9LangIdNgram(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"))
-      .join(pred, Seq("doc_id"), "left")
+      .join(d9Pred(spark, dir), Seq("doc_id"), "left")
       .groupBy(col("lang"), coalesce(col("plang"), lit("unknown")).as("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("lang_pred"))
-  }
 
-  val d9Sql: String =
-    """WITH grams AS (
+  /** The d9 prediction chain as SQL CTEs — the oracle twin of [[d9Pred]],
+    * shared by d9Sql and d38Sql for the same single-classifier guarantee.
+    */
+  private val d9PredCte: String =
+    """grams AS (
       |  SELECT doc_id, lang, substring(text, i, 3) AS g
       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
       |  WHERE length(text) >= 3),
@@ -645,10 +654,56 @@ object Documents {
       |    SELECT doc_id, plang,
       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY matches DESC, plang) AS rn
       |    FROM score)
-      |  WHERE rn = 1)
+      |  WHERE rn = 1)""".stripMargin
+
+  val d9Sql: String =
+    s"""WITH $d9PredCte
       |SELECT d.lang, COALESCE(p.plang, 'unknown') AS lang_pred, COUNT(*) AS n_docs
       |FROM documents d LEFT JOIN pred p USING (doc_id)
       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
+  /** d38: PER-SOURCE LABEL-NOISE AUDIT — d9's real char-n-gram language
+    * classifier turned on the corpus's own metadata: per source, how many
+    * documents the classifier disagrees with the labeled `lang` on
+    * (mismatch ppm), and how many it cannot call at all. The table a
+    * curation run reads to find the crawl feed whose language labels are
+    * rotten BEFORE those labels route documents through per-language
+    * filters (d17/d22/d33 all key on `lang` — a mislabeled source
+    * silently pollutes every one of them). Shares [[d9Pred]], so this
+    * audit and d9's confusion matrix describe the same classifier by
+    * construction.
+    *
+    * Scale shape: d9's chain (gram explode → tiny broadcast profile →
+    * per-doc argmax on the doc_id exchange) plus ONE |sources|-row hash
+    * rollup; integer ppm via DIV, exact at every SF.
+    */
+  def d38SourceLabelNoise(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(d9Pred(spark, dir), Seq("doc_id"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("plang"), lit("unknown")).as("lang_pred"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"),
+        sum(when(col("lang_pred") =!= col("lang") &&
+            col("lang_pred") =!= "unknown", 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_ppm",
+        expr("n_mismatch * 1000000L DIV n_docs"))
+      .orderBy(col("source"))
+
+  val d38Sql: String =
+    s"""WITH $d9PredCte
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN p.plang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unknown,
+      |  CAST(SUM(CASE WHEN p.plang IS NOT NULL AND p.plang <> d.lang
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(CASE WHEN p.plang IS NOT NULL AND p.plang <> d.lang
+      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm
+      |FROM documents d LEFT JOIN pred p USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Winnowing document fingerprints (the MOSS scheme, upgrading d4's
     * whole-document hash): rolling 8-char-gram hashes (h*31 xor code on
@@ -2864,6 +2919,7 @@ object Documents {
       |ORDER BY source""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "d38_source_label_noise" -> (d38SourceLabelNoise _),
     "d37_vocab_growth" -> (d37VocabGrowth _),
     "d36_source_overlap" -> (d36SourceOverlap _),
     "d35_est_calibration" -> (d35EstCalibration _),
@@ -2904,6 +2960,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d38_source_label_noise" -> d38Sql,
     "d37_vocab_growth" -> d37Sql,
     "d36_source_overlap" -> d36Sql,
     "d35_est_calibration" -> d35Sql,

@@ -365,7 +365,11 @@ class PlanAuditSpec extends SparkSpec {
       // over the checkpointed pool + the (epoch, shard) window + sort
       "p12_delivery_e2e" -> 5,
       "p6_pack_budget" -> 2, "p7_profile" -> 2, "w10_interval_join" -> 2,
-      "d8_langid" -> 2, "d9_langid_ngram" -> 7, "m1_media_metadata" -> 3,
+      "d8_langid" -> 2, "d9_langid_ngram" -> 7,
+      // d38: d9's prediction chain (same 7-exchange shape: gram explode
+      // repartition, profile agg+window, score agg, argmax window, label
+      // join) + the |sources|-row rollup/sort riding the doc frame
+      "d38_source_label_noise" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3,
       // m4: frame hashes feed the d6 band groupBy + chunk-blocked pair
       // expansion; same 2-exchange shape as d6 (the sort is TakeOrdered)

@@ -1644,6 +1644,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._1.toString) === got.map(_._1.toString).sorted)
   }
 
+  test("d38: the label-noise audit is the per-source marginal of d9's confusion matrix") {
+    // shared-classifier guarantee: d38's totals must be exactly d9's
+    // confusion matrix folded the other way (both read d9Pred)
+    val d9 = Documents.d9LangIdNgram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val d38 = Documents.d38SourceLabelNoise(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(d38.map(_._2).sum === nDocs, "every doc audited exactly once")
+    assert(d38.map(_._3).sum === d9.filter(_._2 == "unknown").map(_._3).sum,
+      "unknown totals diverge between the two readouts")
+    assert(d38.map(_._4).sum ===
+      d9.filter(t => t._2 != "unknown" && t._2 != t._1).map(_._3).sum,
+      "mismatch totals diverge between the two readouts")
+    d38.foreach { case (src, n, _, mis, ppm) =>
+      assert(ppm === mis * 1000000L / n, s"$src: ppm not the integer quotient")
+    }
+  }
+
   test("r14: the commit ledger matches a per-batch replay of r3's shaping rules") {
     val rows = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("event_type")).collect()
