@@ -2830,8 +2830,7 @@ object Documents {
       |  SELECT LEAST(first_doc * 4 // n_total, 3) AS q, COUNT(*) AS ng
       |  FROM (SELECT s, MIN(doc_id) AS first_doc
       |        FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-      |              FROM d, (SELECT unnest(generate_series(1, 100000)) i)
-      |              WHERE i <= len(toks) - 2)
+      |              FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i))
       |        GROUP BY s), n
       |  GROUP BY 1)
       |SELECT CAST((q + 1) * 25 AS BIGINT) AS pct_docs,

@@ -550,6 +550,15 @@ object Replication {
         date_trunc("week", col("ts")).as("wk"))
     val weeks = log.select(col("wk")).distinct().orderBy(col("wk"))
       .collect().map(_.getTimestamp(0)) // bounded by retention, not data
+    // The retention assumption made checkable: each week is one sequential
+    // Spark job, so an unbounded span (a 10-year log fed in whole) would
+    // degenerate into thousands of serial folds. A real deployment feeds
+    // this a retention-bounded slice; 3 years of weekly windows is the
+    // documented ceiling, and crossing it should fail loudly here rather
+    // than crawl.
+    require(weeks.length <= 156,
+      s"r10 fold spans ${weeks.length} weekly windows (> 156 = 3y retention);" +
+        " compact coarser windows or feed a retention-bounded log slice")
     var state: DataFrame = null
     for (w <- weeks) {
       val delta = log.filter(col("wk") === lit(w)).drop("wk")
@@ -766,21 +775,27 @@ object Replication {
     * idempotence ledger r4 checks a re-delivered batch against.
     *
     * Scale shape: ONE map-side-combined hash agg on `offset DIV 1000`
-    * (a contiguous integer key — no skew by construction), then the
-    * cumulative window runs over |batches| rows (~WAL span / 1000), not
-    * over events. At 100 TB the corpus is touched once, the ledger is
-    * thousands of rows.
+    * (a contiguous integer key — no skew by construction); everything
+    * after runs on |batches| rows (~WAL span / 1000), not on events.
+    * The running total is a TWO-LEVEL prefix sum (p15's shard-offset
+    * discipline): per-block partials on `batch_id DIV 1024`, an
+    * exclusive prefix window over the |blocks|-row frame (WAL span /
+    * ~10^6 — genuinely tiny, the one ordered pass), broadcast back,
+    * then a per-block cumulative window partitioned on the block key.
+    * At 100 TB the WAL is ~10^11 offsets → ~10^8 ledger rows: a naive
+    * `Window.orderBy(batch_id)` would funnel all of them through ONE
+    * WindowExec task; here the heavy cumulation is keyed on ~10^5
+    * blocks and the single-partition pass sees only block partials.
     */
   def r14BatchLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val op = when(col("event_type") === "signup", lit("marker"))
       .when(col("event_type") === "click" && col("event_id") % 50 === 0,
         lit("tombstone"))
       .when(col("event_type") === "error", lit("remove"))
       .otherwise(lit("upsert"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.load(spark, dir, "events")
+    val blockSize = 1024L
+    val ledger = Tables.load(spark, dir, "events")
       .select(col("event_id").as("offset"), op.as("op"))
       .groupBy(expr("offset DIV 1000").as("batch_id"))
       .agg(
@@ -790,8 +805,26 @@ object Replication {
           .otherwise(0L)).as("n_skipped"),
         min(col("offset")).as("first_offset"),
         max(col("offset")).as("last_offset"))
+      .withColumn("blk", expr(s"batch_id DIV $blockSize"))
+      .withColumn("delta", col("n_upserts") - col("n_removes"))
+      // barrier: the ledger has TWO consumers (block partials + the join
+      // side); without it each re-derives the batch agg from its own
+      // corpus scan (d36's discipline — corpus touched once)
+      .localCheckpoint(false)
+    val blockOffsets = ledger
+      .groupBy(col("blk")).agg(sum(col("delta")).as("blk_delta"))
+      .withColumn("blk_off", coalesce(sum(col("blk_delta")).over(
+        Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    val wInBlock = Window.partitionBy(col("blk")).orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ledger.join(broadcast(blockOffsets), "blk")
       .withColumn("applied_cum",
-        sum(col("n_upserts") - col("n_removes")).over(w))
+        col("blk_off") + sum(col("delta")).over(wInBlock))
+      .select(col("batch_id"), col("n_upserts"), col("n_removes"),
+        col("n_skipped"), col("first_offset"), col("last_offset"),
+        col("applied_cum"))
       .orderBy(col("batch_id"))
   }
 

@@ -63,6 +63,27 @@ class FixtureCanarySpec extends SparkSpec {
     assert(problems.isEmpty, s"fixture contract violations:\n  ${problems.mkString("\n  ")}")
   }
 
+  test("documents.doc_id is contiguous 0..n-1 (d37's quartile-arithmetic invariant)") {
+    // d37VocabGrowth's prefix quartiles are integer arithmetic on doc_id
+    // (`doc_id * 4 DIV n`), valid only while doc_id is dense and
+    // zero-based. The query, its oracle, and its replay test all share
+    // the formula, so a gapped regeneration would stay hash-green while
+    // the '25/50/75/100% prefix' labels silently distorted (ADVICE r6).
+    // Check it on the data instead of assuming it.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val r = Tables.load(spark, s"/root/testdata/$sf", "documents")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+        .collect()(0)
+      val (n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(lo == 0L && hi == n - 1,
+        s"$sf documents.doc_id not contiguous 0..n-1: n=$n min=$lo max=$hi — " +
+          "d37's prefix-quartile arithmetic (and its oracle) no longer mean " +
+          "'% of corpus'")
+    }
+  }
+
   test("the loader rejects an unknown events.ts encoding loudly, not silently") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("broken_fixture").toString

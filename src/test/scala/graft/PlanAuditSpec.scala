@@ -184,9 +184,13 @@ class PlanAuditSpec extends SparkSpec {
       // q30: per-order completion max + two month-grid aggs + the
       // dozens-of-rows window/sort (full-outer join rides the grid)
       "q30_order_backlog" -> 4,
-      // r14: ONE batch_id hash agg over the corpus + the |batches|-row
-      // cumulative window (output sort rides it)
-      "r14_batch_ledger" -> 2,
+      // r14: ONE batch_id hash agg over the corpus (rides the ledger's
+      // checkpoint build); in-plan, everything runs on the |batches|-row
+      // ledger — block-partial agg, the |blocks|-row exclusive-prefix
+      // window (the only single-partition pass), the blk-keyed cumulative
+      // window, and the output sort (two-level prefix sum: no
+      // full-ledger single-partition WindowExec)
+      "r14_batch_ledger" -> 4,
       "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
