@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode/feature-extract runs
   * per-partition over batches.
   *
-  * The decode itself is STUBBED (this container ships no image/audio
-  * codecs): `fakeDecode` derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — the schema contract, the mapPartitions
-  * batch shape, partition sizing — is the real 100 TB plumbing: media
-  * blobs make rows wide, so `spark.sql.files.maxPartitionBytes` (not row
-  * count) governs partition memory, and the decoder is applied
-  * per-partition so a real codec would amortize model/codec init across a
-  * batch exactly like a Pandas UDF batch.
+  * The decode is REAL for PNG (the JDK ships `javax.imageio` — width,
+  * height, channels, and a full-raster pixel sum come from an actual
+  * codec pass); every other format falls back to `fakeDecode`, a
+  * deterministic stub (this container ships no other codecs). Detection
+  * is by payload magic bytes, not the format label — a real pipeline
+  * can't trust upstream labels either. Everything around the decode —
+  * the schema contract, the mapPartitions batch shape, partition
+  * sizing — is the real 100 TB plumbing: media blobs make rows wide, so
+  * `spark.sql.files.maxPartitionBytes` (not row count) governs partition
+  * memory, and the decoder is applied per-partition so codec init
+  * amortizes across a batch exactly like a Pandas UDF batch.
   */
 object Multimodal {
 
@@ -32,7 +35,10 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("channels", IntegerType)))
+    StructField("channels", IntegerType),
+    // sum of all RGB component values across the raster — only a REAL
+    // decode can produce it, so it is null on the stub path
+    StructField("px_sum", LongType)))
 
   /** STUB decoder: deterministic fake dimensions from the payload bytes.
     * A real implementation would replace the body with an actual codec
@@ -46,19 +52,67 @@ object Multimodal {
     (w, ht, 3)
   }
 
+  /** PNG magic (the 8-byte signature's first four bytes suffice here). */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 && payload(0) == 0x89.toByte &&
+      payload(1) == 'P'.toByte && payload(2) == 'N'.toByte &&
+      payload(3) == 'G'.toByte
+
+  /** Synthesize a tiny constant-value RGB PNG through the JDK encoder —
+    * the planted real-codec artifact: every pixel is (v, v, v), so the
+    * decoded raster's component sum is exactly `w * h * 3 * v` and an
+    * arithmetic oracle can check a REAL ImageIO round-trip.
+    */
+  def syntheticPng(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Per-partition decode: the mapPartitions form a real codec needs
-    * (per-batch init amortization, no per-row closure dispatch).
+    * (per-batch init amortization, no per-row closure dispatch). PNG
+    * payloads go through the REAL JDK decoder; everything else takes the
+    * deterministic stub with a null pixel sum.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "payload", "format").mapPartitions { rows =>
-      // real codecs would init here, once per partition
+      // per-partition codec init: no temp-file cache for in-memory blobs
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
-        val (w, h, c) = fakeDecode(payload)
-        Row(id, fmt, payload.length.toLong, w, h, c)
+        if (isPng(payload)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, fmt, payload.length.toLong, w, h,
+            img.getColorModel.getNumComponents, s)
+        } else {
+          val (w, h, c) = fakeDecode(payload)
+          Row(id, fmt, payload.length.toLong, w, h, c, null)
+        }
       }
     }(enc)
   }

@@ -2917,7 +2917,85 @@ object Documents {
       |FROM po JOIN di USING (source) LEFT JOIN excl USING (source)
       |ORDER BY source""".stripMargin
 
+  /** d39: LINE-LEVEL BOILERPLATE REMOVAL — the C4/CCNet line-hash dedup
+    * pass (drop any line whose content repeats across ≥K documents:
+    * headers, footers, nav chrome), the one standard LLM-corpus dedup
+    * form d16's substring spans don't cover (spans need a shared
+    * CONTIGUOUS k-gram run per pair; this is a corpus-wide per-line
+    * frequency rule, far cheaper and run FIRST in real pipelines).
+    * The fixture text carries no newline structure, so a "line" is a
+    * fixed 6-token span of the whitespace token stream (d16's k-gram
+    * move); the rule is the standard one: a line appearing in ≥3
+    * distinct docs is boilerplate. Output per doc: line/token accounting
+    * and the cleaned text itself (kept lines rejoined in order), so the
+    * oracle checks the actual edit, not just counts.
+    *
+    * Scale shape: lines explode once behind a checkpoint barrier (two
+    * consumers — the frequency build and the marking join — would
+    * otherwise each re-run the interpreted tokenize+slice chain); the
+    * frequency table is ONE line-keyed distinct-count agg, marking is a
+    * line-keyed shuffle join (the frequency side is corpus-sized — never
+    * broadcast), and the doc rebuild is one doc_id agg whose in-order
+    * concat sorts per-doc line structs inside the aggregate, not
+    * globally. Everything is linear in corpus lines; no pairs anywhere.
+    */
+  def d39LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 6
+    val lines = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) DIV $L), i -> struct(
+           |  i AS idx,
+           |  array_join(slice(toks, i * $L + 1, $L), ' ') AS line,
+           |  size(slice(toks, i * $L + 1, $L)) AS ntok))""".stripMargin)).as("l"))
+      .select(col("doc_id"), col("l.idx").as("idx"), col("l.line").as("line"),
+        col("l.ntok").cast("long").as("ntok"))
+      .localCheckpoint(false)
+    val boiler = lines.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("line"), lit(1).as("is_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_boiler_lines"),
+        sum(col("ntok")).as("n_tokens_before"),
+        sum(when(col("is_boiler").isNull, col("ntok")).otherwise(0L))
+          .as("n_tokens_after"),
+        // collect_list drops the when()'s nulls, so only kept lines are
+        // gathered; the struct sort restores in-doc order (idx is unique
+        // per doc) — a per-group sort, never a global one
+        array_join(transform(array_sort(collect_list(
+          when(col("is_boiler").isNull, struct(col("idx"), col("line"))))),
+          x => x.getField("line")), " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d39Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |           FROM documents),
+      |l AS (SELECT doc_id, i AS idx,
+      |        array_to_string(toks[(i*6+1):(i*6+6)], ' ') AS line,
+      |        len(toks[(i*6+1):(i*6+6)]) AS ntok
+      |      FROM d, LATERAL (SELECT unnest(generate_series(0, (len(toks)-1)//6)) AS i)),
+      |b AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
+      |                        FROM l GROUP BY line) WHERE nd >= 3),
+      |m AS (SELECT l.doc_id, l.idx, l.line, l.ntok,
+      |        (b.line IS NOT NULL) AS boiler
+      |      FROM l LEFT JOIN b ON l.line = b.line)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_tokens_before,
+      |  CAST(SUM(CASE WHEN boiler THEN 0 ELSE ntok END) AS BIGINT) AS n_tokens_after,
+      |  COALESCE(array_to_string(list_transform(
+      |    list_sort(list({'idx': idx, 'line': line}) FILTER (WHERE NOT boiler)),
+      |    x -> x.line), ' '), '') AS cleaned_text
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d39_line_dedup" -> (d39LineDedup _),
     "d38_source_label_noise" -> (d38SourceLabelNoise _),
     "d37_vocab_growth" -> (d37VocabGrowth _),
     "d36_source_overlap" -> (d36SourceOverlap _),
@@ -2959,6 +3037,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d39_line_dedup" -> d39Sql,
     "d38_source_label_noise" -> d38Sql,
     "d37_vocab_growth" -> d37Sql,
     "d36_source_overlap" -> d36Sql,

@@ -34,11 +34,42 @@ object MultimodalQ {
       |  COUNT(DISTINCT md5(text)) AS n_distinct
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
-  /** mapPartitions decode: the per-partition batch plumbing runs
-    * distributed, and because the stub codec is deterministic wraparound
-    * arithmetic over the payload bytes, the ORACLE replays it in SQL
-    * (list_reduce over ascii codes with the d11 wrap-mul recipe) — so
-    * even the codec-stub path is value-checked, not just rows-counted.
+  /** Planted real-codec artifacts: every 25th doc contributes one tiny
+    * constant-value RGB PNG encoded by the JDK's ImageIO, with
+    * dimensions and pixel value pure functions of doc_id — so an
+    * arithmetic oracle can value-check a REAL encode→decode round-trip.
+    * Synthesis runs in the same mapPartitions codec seam as the decode
+    * (distributed; no driver-side image loop).
+    */
+  private def pngMedia(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(M.mediaSchema)
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = M.syntheticPng(
+            w = 1 + (id % 7).toInt, h = 1 + (id % 5).toInt,
+            v = (id % 256).toInt)
+          Row(id + 2000000L, png, "image/png")
+        }
+      }(enc)
+  }
+
+  /** mapPartitions decode over text stand-ins PLUS planted real PNGs:
+    * the per-partition batch plumbing runs distributed; the PNG rows
+    * exercise the REAL JDK decoder (width/height/pixel sum read from
+    * the raster), while the text rows take the deterministic stub whose
+    * wraparound arithmetic the ORACLE replays in SQL (list_reduce over
+    * ascii codes with the d11 wrap-mul recipe) — so both decode paths
+    * are value-checked, not rows-counted. The PNG oracle side is pure
+    * arithmetic on doc_id (dimensions and pixel value are planted
+    * functions of it), which only matches if ImageIO's round-trip
+    * decodes exactly what was encoded.
     * Averages are written as sum/count explicitly so both engines
     * perform one IEEE division over exact integer sums.
     * Same encoding coupling as m3: Spark folds over UTF-8 payload BYTES
@@ -46,13 +77,15 @@ object MultimodalQ {
     * because the fixture text is pure ASCII.
     */
   def m2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
-    M.decodeFeatures(media(spark, dir))
+    M.decodeFeatures(media(spark, dir).unionByName(pngMedia(spark, dir)))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
-        sum(col("width")).as("sw"), sum(col("height")).as("sh"))
+        sum(col("width")).as("sw"), sum(col("height")).as("sh"),
+        sum(col("px_sum")).as("px_sum"))
       .select(col("format"), col("n_media"),
         (col("sw") / col("n_media")).as("avg_width"),
-        (col("sh") / col("n_media")).as("avg_height"))
+        (col("sh") / col("n_media")).as("avg_height"),
+        col("px_sum"))
       .orderBy(col("format"))
 
   val m2Sql: String = {
@@ -80,8 +113,18 @@ object MultimodalQ {
       |  FROM b)
       |SELECT format, COUNT(*) AS n_media,
       |  CAST(SUM(w) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_width,
-      |  CAST(SUM(ht) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_height
-      |FROM d GROUP BY format ORDER BY format""".stripMargin
+      |  CAST(SUM(ht) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_height,
+      |  CAST(NULL AS BIGINT) AS px_sum
+      |FROM d GROUP BY format
+      |UNION ALL
+      |SELECT 'image/png' AS format, COUNT(*) AS n_media,
+      |  CAST(SUM(w) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_width,
+      |  CAST(SUM(h) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_height,
+      |  CAST(SUM(w * h * 3 * v) AS BIGINT) AS px_sum
+      |FROM (SELECT 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+      |             doc_id % 256 AS v
+      |      FROM documents WHERE doc_id % 25 = 0)
+      |ORDER BY format""".stripMargin
   }
 
   /** Frame sampling: 16-byte windows every 8 bytes over the payload —

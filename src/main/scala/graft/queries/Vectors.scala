@@ -924,6 +924,29 @@ object Vectors {
     (trace, cellMeans(cur))
   }
 
+  /** The Lloyd chain at arbitrary codebook size K (SURVEY known gap:
+    * "a larger-K (256-cell) codebook is config growth on the same
+    * chain" — this is that config knob, demonstrated rather than
+    * claimed). Init cells are a deterministic hash shard of vec_id
+    * (the random-partition init k-means libraries default to when no
+    * labels exist), so K is a free parameter instead of the 10 fixture
+    * labels; everything downstream — packed broadcast, argmin fold,
+    * per-cell means, trace — is K-agnostic by construction. Returns the
+    * per-round trace (iter, inertia_e9, n_moved, n_cells).
+    *
+    * Scale in K: the broadcast codebook is K x 64 doubles (KBs at 256,
+    * still KBs at 4096) and assignment stays a pure projection; the
+    * only K-sensitive cost is the fold's K-term argmin per vector —
+    * exactly the trade a coarse quantizer makes everywhere.
+    */
+  def kmeansChainK(
+      spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"),
+      pmod(col("vec_id"), lit(k.toLong)).as("label"))
+    lloydRounds(spark, base, iters)._1
+  }
+
   /** Train-once, read-many: the Lloyd chain's two artifacts (per-round
     * trace, learned centroids) persist as fingerprint-scoped catalog
     * tables — v11 reports the trace, v12 loads the codebook, and every

@@ -44,11 +44,28 @@ class MultimodalSpec extends SparkSpec {
   test("decodeFeatures keeps one row per input with the feature schema") {
     val out = Multimodal.decodeFeatures(media())
     assert(out.schema.fieldNames.toSeq ===
-      Seq("media_id", "format", "n_bytes", "width", "height", "channels"))
+      Seq("media_id", "format", "n_bytes", "width", "height", "channels",
+        "px_sum"))
     assert(out.count() === 3)
     val r = out.filter(col("media_id") === 1).collect().head
     assert(r.getLong(2) === 32L)
     assert(r.getInt(3) >= 64 && r.getInt(4) >= 64) // stub dims in range
+    // a format LABEL of image/png without PNG bytes stays on the stub
+    // path (detection is by magic bytes) — no pixel sum
+    assert(r.isNullAt(6))
+  }
+
+  test("a real PNG payload decodes through ImageIO, not the stub") {
+    import spark.implicits._
+    // 3x2 constant-value (v=7) RGB PNG: raster component sum is 3*2*3*7
+    val png = Multimodal.syntheticPng(w = 3, h = 2, v = 7)
+    assert(Multimodal.isPng(png))
+    val out = Multimodal.decodeFeatures(
+      Seq((9L, png, "image/png")).toDF("media_id", "payload", "format"))
+      .collect().head
+    assert(out.getInt(3) === 3 && out.getInt(4) === 2, "real decoded dims")
+    assert(out.getInt(5) === 3, "RGB channel count from the color model")
+    assert(out.getLong(6) === 3L * 2 * 3 * 7, "raster pixel sum")
   }
 
   test("resizeStub emits target dims and a smaller-or-equal payload") {

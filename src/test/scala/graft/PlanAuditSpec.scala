@@ -191,6 +191,14 @@ class PlanAuditSpec extends SparkSpec {
       // window, and the output sort (two-level prefix sum: no
       // full-ledger single-partition WindowExec)
       "r14_batch_ledger" -> 4,
+      // d39: the line explode rides a checkpoint barrier (repartition
+      // paid there); in-plan: the distinct-doc frequency agg costs two
+      // line-keyed exchanges ((line,doc) partial + line final), then the
+      // doc_id rebuild agg + output sort. At fixture size the frequency
+      // side broadcasts into the marking join (so the probe side needs
+      // no exchange); at scale the planner would line-shuffle both sides
+      // instead — data-sized frequency tables must never broadcast
+      "d39_line_dedup" -> 4,
       "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
