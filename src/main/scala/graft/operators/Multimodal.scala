@@ -78,6 +78,77 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** WAV/RIFF magic. */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && payload(0) == 'R'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
+      payload(3) == 'F'.toByte && payload(8) == 'W'.toByte &&
+      payload(9) == 'A'.toByte && payload(10) == 'V'.toByte &&
+      payload(11) == 'E'.toByte
+
+  /** Synthesize a 16-bit PCM WAV whose every sample is the constant
+    * `amp` — the audio twin of [[syntheticPng]]: the decoded stream's
+    * sample sum is exactly `nFrames * channels * amp` (sign included),
+    * so an arithmetic oracle can check a REAL `javax.sound` parse +
+    * PCM decode.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int, amp: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(channels.toShort) // PCM
+    bb.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    bb.putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) { bb.putShort(amp.toShort); i += 1 }
+    bb.array()
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sample_sum", LongType)))
+
+  /** REAL audio decode: `javax.sound.sampled` parses the RIFF header
+    * (sample rate, channels, frame count) and the PCM payload streams
+    * through a signed-16-bit little-endian sample sum — the same
+    * per-partition seam as [[decodeFeatures]]. Non-WAV payloads are
+    * dropped (a real pipeline routes them to the dead-letter side).
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    media.select("media_id", "payload", "format").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (!isWav(payload)) None
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val f = ais.getFormat
+          val nFrames = ais.getFrameLength
+          val bytes = ais.readAllBytes()
+          var s = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            // signed 16-bit little-endian PCM
+            s += ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort
+            i += 2
+          }
+          ais.close()
+          Some(Row(r.getLong(0), r.getString(2),
+            f.getSampleRate.toInt, f.getChannels, nFrames, s))
+        }
+      }
+    }(enc)
+  }
+
   /** Per-partition decode: the mapPartitions form a real codec needs
     * (per-batch init amortization, no per-row closure dispatch). PNG
     * payloads go through the REAL JDK decoder; everything else takes the

@@ -944,7 +944,128 @@ object Events {
       |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
       |FROM b GROUP BY 1 ORDER BY gap_bucket""".stripMargin
 
+  /** w22: MERGEABLE-SKETCH ROLLING DISTINCT — the pattern that actually
+    * serves "distinct users, trailing 7 days" at 100 TB: the corpus is
+    * touched ONCE to build per-day HLL-style register sketches (m=256
+    * registers, register = max trailing-zero rank of a salted md5), and
+    * every rolling window is answered by MERGING daily sketches
+    * (element-wise register max — associative, commutative, idempotent),
+    * never by re-scanning history. w7 showed a one-shot sampling
+    * estimate; this is the operational form: sketches are STATE you
+    * store per day/shard and combine on read — exactly how every
+    * production HLL pipeline (and Spark's own hll_union_agg) works. The
+    * sketch here is hand-rolled integer arithmetic so DuckDB replays it
+    * bit-for-bit: rank is bit_count on non-negative 40-bit hashes, the
+    * register sum uses integer powers of two (P=20 cap — deep registers
+    * saturate rather than round), and the raw-HLL estimate is ONE
+    * integer division (alpha as ppm constant). Estimate quality is
+    * MEASURED in-query against the exact rolling distinct (the ANN
+    * discipline: ground truth rides along, here as the expensive
+    * re-scan a production system avoids), reported as abs error ppm.
+    *
+    * Scale shape: two corpus-keyed exchanges total — the (day, reg)
+    * sketch agg and the (day, user) distinct for the exact side; the
+    * rolling merge itself runs on the |days|x256 grid via an
+    * explode-to-equi-join (sequence(d, d+6)) so no range/nested-loop
+    * join appears anywhere; at scale you'd persist the daily grid and
+    * skip the exact side entirely.
+    */
+  def w22SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.HashFunctions.md5NumberBigEndian(
+      concat(lit("u:"), col("user_id").cast("string")))
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d"), col("user_id"))
+    val daily = ev
+      .withColumn("hu", pmod(h, lit(1099511627776L))) // 2^40, non-negative
+      .withColumn("reg", col("hu") % 256)
+      .withColumn("x", expr("hu DIV 256"))
+      // trailing-zero rank on a NON-NEGATIVE domain: (x & -x) - 1 is the
+      // trailing-zero mask, bit_count counts it; x = 0 exhausts the 32
+      // hash bits -> rank 33; P=20 saturation applied at aggregation
+      .withColumn("rho", when(col("x") === 0, lit(33L))
+        .otherwise(expr("CAST(bit_count((x & -x) - 1) AS BIGINT) + 1")))
+      .groupBy(col("d"), col("reg"))
+      .agg(max(least(col("rho"), lit(20L))).as("mrho"))
+      // barrier: the daily grid is exactly the state a production
+      // pipeline PERSISTS per day; here it has two consumers (the merge
+      // and the day frame) that must not each re-pay the corpus agg
+      .localCheckpoint(false)
+    val days = daily.select(col("d")).distinct()
+    // merge = register max across the window's days: each daily register
+    // row feeds the 7 windows it belongs to (explode-to-equi-join — a
+    // range join would plan a nested loop), clipped to real days
+    val merged = daily
+      .select(explode(sequence(col("d"), col("d") + 6)).as("wd"),
+        col("reg"), col("mrho"))
+      .join(days.withColumnRenamed("d", "wd"), "wd")
+      .groupBy(col("wd"), col("reg"))
+      .agg(max(col("mrho")).as("mrho"))
+    val est = merged.groupBy(col("wd"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - mrho AS INT))"))
+          .as("s_hit"),
+        count(lit(1)).as("n_regs_hit"))
+      // empty registers contribute a full 2^20 term; alpha = 0.7183 as a
+      // ppm constant so the estimate is exact integer arithmetic
+      .withColumn("s_full",
+        col("s_hit") + (lit(256L) - col("n_regs_hit")) * lit(1048576L))
+      .withColumn("est_users_7d", // 68719476736 = 2^36 = m^2 * 2^20 as ONE
+        // bigint literal (an int-literal product would wrap silently)
+        expr("(718270 * (68719476736 DIV s_full)) DIV 1000000"))
+      .select(col("wd"), col("n_regs_hit"), col("est_users_7d"))
+    val exact = ev.distinct()
+      .select(explode(sequence(col("d"), col("d") + 6)).as("wd"), col("user_id"))
+      .join(days.withColumnRenamed("d", "wd"), "wd")
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+    est.join(exact, "wd")
+      .select(col("wd").as("day_idx"), col("n_regs_hit"),
+        col("est_users_7d"), col("exact_users_7d"),
+        expr("abs(est_users_7d - exact_users_7d) * 1000000 DIV exact_users_7d")
+          .as("abs_err_ppm"))
+      .orderBy(col("day_idx"))
+  }
+
+  val w22Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "'u:' || CAST(user_id AS VARCHAR)")
+    s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+      |hx AS (SELECT d, user_id,
+      |         (($h % 1099511627776) + 1099511627776) % 1099511627776 AS hu
+      |       FROM ev),
+      |rr AS (SELECT d, hu % 256 AS reg, hu // 256 AS x FROM hx),
+      |daily AS (
+      |  SELECT d, reg, MAX(LEAST(CASE WHEN x = 0 THEN 33
+      |    ELSE bit_count((x & -x) - 1) + 1 END, 20)) AS mrho
+      |  FROM rr GROUP BY d, reg),
+      |days AS (SELECT DISTINCT d FROM ev),
+      |merged AS (
+      |  SELECT wd, reg, MAX(mrho) AS mrho
+      |  FROM (SELECT d + i AS wd, reg, mrho
+      |        FROM daily, LATERAL (SELECT unnest(generate_series(0, 6)) AS i))
+      |  JOIN days ON wd = days.d GROUP BY wd, reg),
+      |est AS (
+      |  SELECT wd, COUNT(*) AS n_regs_hit,
+      |    (718270 * (68719476736 //
+      |      (SUM(CAST(1 AS BIGINT) << (20 - mrho)) + (256 - COUNT(*)) * 1048576))) // 1000000
+      |      AS est_users_7d
+      |  FROM merged GROUP BY wd),
+      |ex AS (
+      |  SELECT wd, COUNT(DISTINCT user_id) AS exact_users_7d
+      |  FROM (SELECT d + i AS wd, user_id
+      |        FROM (SELECT DISTINCT d, user_id FROM ev),
+      |             LATERAL (SELECT unnest(generate_series(0, 6)) AS i))
+      |  JOIN days ON wd = days.d GROUP BY wd)
+      |SELECT CAST(est.wd AS BIGINT) AS day_idx,
+      |  CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+      |  CAST(est_users_7d AS BIGINT) AS est_users_7d,
+      |  CAST(exact_users_7d AS BIGINT) AS exact_users_7d,
+      |  CAST(abs(est_users_7d - exact_users_7d) * 1000000 // exact_users_7d
+      |    AS BIGINT) AS abs_err_ppm
+      |FROM est JOIN ex ON est.wd = ex.wd ORDER BY day_idx""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "w22_sketch_merge" -> (w22SketchMerge _),
     "w21_gap_histogram" -> (w21GapHistogram _),
     "w20_grouped_topk" -> (w20GroupedTopk _),
     "w19_last_touch" -> (w19LastTouch _),
@@ -968,6 +1089,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w22_sketch_merge" -> w22Sql,
     "w21_gap_histogram" -> w21Sql,
     "w20_grouped_topk" -> w20Sql,
     "w19_last_touch" -> w19Sql,

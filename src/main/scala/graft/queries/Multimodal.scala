@@ -243,7 +243,60 @@ object MultimodalQ {
       |  CAST(SUM((copies - 1) * nb) AS BIGINT) bytes_reclaimable
       |FROM g GROUP BY format ORDER BY format""".stripMargin
 
+  /** m6: REAL AUDIO DECODE — the audio column joins PNG (m2) in having
+    * an actual codec in this environment: `javax.sound.sampled` ships
+    * in the JDK, so WAV payloads are parsed by a real RIFF/PCM decoder
+    * (sample rate, channel count, frame length from the header; the
+    * sample sum streamed out of the signed-16-bit PCM body). Planted
+    * artifacts: every 20th doc contributes a WAV whose rate/channels/
+    * frames/amplitude are pure functions of doc_id — amplitude includes
+    * NEGATIVE values, so two's-complement sample decoding is under
+    * test, not just header parsing. The oracle is doc_id arithmetic: it
+    * matches only if the synth→parse→decode round trip is exact.
+    *
+    * Scale shape: synthesis and decode both live in the mapPartitions
+    * codec seam (distributed, init amortized per batch); the report is
+    * one tiny hash agg on sample_rate.
+    */
+  def m6AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(M.mediaSchema)
+    val wavs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = M.syntheticWav(
+            sampleRate = 8000 * (1 + (id % 3).toInt),
+            channels = 1 + (id % 2).toInt,
+            nFrames = 40 + (id % 60).toInt,
+            amp = (id % 200).toInt - 100)
+          Row(id + 3000000L, wav, "audio/wav")
+        }
+      }(enc)
+    M.audioFeatures(wavs)
+      .groupBy(col("sample_rate").cast("long").as("sample_rate"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("channels").cast("long")).as("total_channels"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("sample_sum")).as("total_sample_sum"))
+      .orderBy(col("sample_rate"))
+  }
+
+  val m6Sql: String =
+    """SELECT CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(1 + doc_id % 2) AS BIGINT) AS total_channels,
+      |  CAST(SUM(40 + doc_id % 60) AS BIGINT) AS total_frames,
+      |  CAST(SUM((40 + doc_id % 60) * (1 + doc_id % 2) * (doc_id % 200 - 100))
+      |    AS BIGINT) AS total_sample_sum
+      |FROM documents WHERE doc_id % 20 = 0
+      |GROUP BY 1 ORDER BY sample_rate""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "m6_audio_features" -> (m6AudioFeatures _),
     "m5_storage_dedup" -> (m5StorageDedup _),
     "m4_frame_neardup" -> (m4FrameNeardup _),
     "m1_media_metadata" -> (m1MediaMetadata _),
@@ -251,6 +304,7 @@ object MultimodalQ {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m6_audio_features" -> m6Sql,
     "m5_storage_dedup" -> m5Sql,
     "m4_frame_neardup" -> m4Sql,
     "m1_media_metadata" -> m1Sql,

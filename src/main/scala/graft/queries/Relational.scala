@@ -792,6 +792,97 @@ object Relational {
     * the window input is dozens of rows, so the unpartitioned running
     * sum is free, not a global-sort bottleneck.
     */
+  /** q31: Z-ORDER LAYOUT QUALITY — the data-layout report behind
+    * Delta/Iceberg `Z-ORDER BY`: interleave the low 16 bits of
+    * (l_partkey, l_suppkey) into a space-filling-curve key, bucket rows
+    * by its high bits (64 buckets), and measure each bucket's bounding
+    * rectangle in key space — against the SAME stats for naive
+    * l_orderkey-range bucketing. Small per-bucket rectangles are
+    * literally what makes min/max file pruning work at 100 TB: a scan
+    * filtered on either key can skip a z-ordered bucket whose rectangle
+    * misses the predicate, while ingest-order buckets span the whole
+    * domain and prune nothing. The report is one row per scheme: bucket
+    * count, mean and max rectangle area (integer DIV) — the numbers a
+    * table-layout decision actually reads.
+    *
+    * Scale shape: the z-value is a pure 16-term bit projection (no
+    * shuffle); each scheme pays one bucket hash agg over the fact table
+    * plus a 64-row rollup; the orderkey scheme's domain scalar
+    * broadcasts (q22's shape). Nothing is row-ordered globally —
+    * z-ordering is exactly the trick that AVOIDS a global sort at
+    * scale (a locality-preserving hash, not a total order).
+    */
+  def q31ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // keys normalized to a 16-bit grid by their DOMAIN (data-derived
+    // maxima, one-row broadcast) before interleaving — raw interleave
+    // would waste curve bits on the wider key's empty high range
+    val zval = expr(
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc
+        |  + shiftleft(CAST(1 AS BIGINT), 2 * i) * ((xn >> i) & 1)
+        |  + shiftleft(CAST(1 AS BIGINT), 2 * i + 1) * ((yn >> i) & 1))"""
+        .stripMargin)
+    def rectStats(bucketed: DataFrame, scheme: String): DataFrame = bucketed
+      .groupBy(col("bucket"))
+      .agg((max(col("l_partkey")) - min(col("l_partkey")) + 1L).as("pspan"),
+        (max(col("l_suppkey")) - min(col("l_suppkey")) + 1L).as("sspan"))
+      .select((col("pspan") * col("sspan")).as("area"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("sum(area) DIV count(1)").as("mean_rect_area"),
+        max(col("area")).as("max_rect_area"))
+      .select(lit(scheme).as("scheme"), col("n_buckets"),
+        col("mean_rect_area"), col("max_rect_area"))
+    val dom = li.agg(max(col("l_partkey")).as("maxp"),
+      max(col("l_suppkey")).as("maxs"), max(col("l_orderkey")).as("maxo"))
+    val n = li.crossJoin(broadcast(dom))
+      .withColumn("xn", expr("l_partkey * 65536 DIV (maxp + 1)"))
+      .withColumn("yn", expr("l_suppkey * 65536 DIV (maxs + 1)"))
+    val zb = rectStats(
+      n.withColumn("zv", zval)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("zv >> 26").as("bucket")), "z_order")
+    val ob = rectStats(
+      n.select(col("l_partkey"), col("l_suppkey"),
+        expr("l_orderkey * 64 DIV (maxo + 1)").as("bucket")),
+      "ingest_order")
+    zb.unionByName(ob).orderBy(col("scheme"))
+  }
+
+  val q31Sql: String = {
+    val zv =
+      """list_reduce(list_transform(generate_series(0, 15), i ->
+        |  (CAST(1 AS BIGINT) << (2 * i)) * ((xn >> i) & 1)
+        |  + (CAST(1 AS BIGINT) << (2 * i + 1)) * ((yn >> i) & 1)),
+        |  (a, b) -> a + b)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+      |d AS (SELECT MAX(l_partkey) AS maxp, MAX(l_suppkey) AS maxs,
+      |             MAX(l_orderkey) AS maxo FROM li),
+      |n AS (SELECT l_orderkey, l_partkey, l_suppkey, maxo,
+      |        l_partkey * 65536 // (maxp + 1) AS xn,
+      |        l_suppkey * 65536 // (maxs + 1) AS yn
+      |      FROM li, d),
+      |zb AS (
+      |  SELECT $zv >> 26 AS bucket,
+      |    MAX(l_partkey) - MIN(l_partkey) + 1 AS pspan,
+      |    MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sspan
+      |  FROM n GROUP BY 1),
+      |ob AS (
+      |  SELECT l_orderkey * 64 // (maxo + 1) AS bucket,
+      |    MAX(l_partkey) - MIN(l_partkey) + 1 AS pspan,
+      |    MAX(l_suppkey) - MIN(l_suppkey) + 1 AS sspan
+      |  FROM n GROUP BY 1)
+      |SELECT 'z_order' AS scheme, COUNT(*) AS n_buckets,
+      |  CAST(SUM(pspan * sspan) // COUNT(*) AS BIGINT) AS mean_rect_area,
+      |  CAST(MAX(pspan * sspan) AS BIGINT) AS max_rect_area
+      |FROM zb
+      |UNION ALL
+      |SELECT 'ingest_order', COUNT(*),
+      |  CAST(SUM(pspan * sspan) // COUNT(*) AS BIGINT),
+      |  CAST(MAX(pspan * sspan) AS BIGINT)
+      |FROM ob ORDER BY scheme""".stripMargin
+  }
+
   def q30OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
     val done = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -834,6 +925,7 @@ object Relational {
       |ORDER BY month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q31_zorder_layout" -> (q31ZorderLayout _),
     "q30_order_backlog" -> (q30OrderBacklog _),
     "q29_waiting_orders" -> (q29WaitingOrders _),
     "q28_small_qty_correlated" -> (q28SmallQtyCorrelated _),
@@ -866,6 +958,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q31_zorder_layout" -> q31Sql,
     "q30_order_backlog" -> q30Sql,
     "q29_waiting_orders" -> q29Sql,
     "q28_small_qty_correlated" -> q28Sql,

@@ -854,7 +854,74 @@ object Replication {
       |    AS applied_cum
       |FROM g ORDER BY batch_id""".stripMargin
 
+  /** r15: AS-OF (point-in-time) replica read — reconstruct the replica
+    * at a historical WAL offset T and diff it against the head state:
+    * per key bucket, keys live at T, live now, changed/created/deleted
+    * since. The operational answers a versioned log exists to give
+    * ("what did the table look like before the bad deploy?", "how much
+    * churn since the snapshot?") that the reference's ClickHouse target
+    * cannot — FINAL reads serve only the head. T is data-derived
+    * (head DIV 2) to stay SF-free; a real caller passes a tick.
+    *
+    * Scale shape: BOTH states come out of ONE user_id exchange — the
+    * aggregate computes max(struct(ver, del)) twice, unconditionally
+    * and gated on ver <= T (max ignores the nulls) — so time travel
+    * costs exactly the V1 FINAL collapse, not a second corpus pass;
+    * the cutoff scalar broadcasts (q22's shape) and the bucket rollup
+    * + sort ride |keys|-then-|buckets| frames.
+    */
+  def r15AsofRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("del"))
+    val cut = ev.agg(expr("max(event_id) DIV 2").as("cut"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("event_id"), col("del"))).as("n"),
+        max(when(col("event_id") <= col("cut"),
+          struct(col("event_id"), col("del")))).as("t"))
+      .select(col("user_id"),
+        col("n.event_id").as("vn"), col("n.del").as("dn"),
+        col("t.event_id").as("vt"), col("t.del").as("dt"))
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .agg(
+        sum(when(col("vt").isNotNull && col("dt") === 0, 1L).otherwise(0L))
+          .as("n_keys_asof"),
+        sum(when(col("dn") === 0, 1L).otherwise(0L)).as("n_keys_now"),
+        sum(when(col("vt").isNotNull && col("dt") === 0 && col("dn") === 0 &&
+          col("vn") > col("vt"), 1L).otherwise(0L)).as("n_changed_since"),
+        sum(when(col("dn") === 0 && (col("vt").isNull || col("dt") === 1), 1L)
+          .otherwise(0L)).as("n_created_since"),
+        sum(when(col("vt").isNotNull && col("dt") === 0 && col("dn") === 1, 1L)
+          .otherwise(0L)).as("n_deleted_since"))
+      .orderBy(col("bucket"))
+  }
+
+  val r15Sql: String =
+    """WITH c AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+      |e AS (SELECT user_id, event_id,
+      |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del
+      |      FROM events),
+      |g AS (SELECT user_id,
+      |        MAX(event_id) AS vn, arg_max(del, event_id) AS dn,
+      |        MAX(event_id) FILTER (event_id <= cut) AS vt,
+      |        arg_max(del, event_id) FILTER (event_id <= cut) AS dt
+      |      FROM e, c GROUP BY user_id)
+      |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+      |  CAST(SUM(CASE WHEN vt IS NOT NULL AND dt = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keys_asof,
+      |  CAST(SUM(CASE WHEN dn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_now,
+      |  CAST(SUM(CASE WHEN vt IS NOT NULL AND dt = 0 AND dn = 0 AND vn > vt
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_since,
+      |  CAST(SUM(CASE WHEN dn = 0 AND (vt IS NULL OR dt = 1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_created_since,
+      |  CAST(SUM(CASE WHEN vt IS NOT NULL AND dt = 0 AND dn = 1
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted_since
+      |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r15_asof_read" -> (r15AsofRead _),
     "r14_batch_ledger" -> (r14BatchLedger _),
     "r13_referential_audit" -> (r13ReferentialAudit _),
     "r12_checksum_audit" -> (r12ChecksumAudit _),
@@ -871,6 +938,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r15_asof_read" -> r15Sql,
     "r14_batch_ledger" -> r14Sql,
     "r13_referential_audit" -> r13Sql,
     "r12_checksum_audit" -> r12Sql,

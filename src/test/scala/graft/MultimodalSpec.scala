@@ -68,6 +68,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getLong(6) === 3L * 2 * 3 * 7, "raster pixel sum")
   }
 
+  test("a synthesized WAV decodes through javax.sound with exact header and PCM sum") {
+    import spark.implicits._
+    // 2 channels, 5 frames, amplitude -12: sample sum = 5 * 2 * -12
+    // (negative amplitude makes sign-extension part of the contract)
+    val wav = Multimodal.syntheticWav(
+      sampleRate = 16000, channels = 2, nFrames = 5, amp = -12)
+    assert(Multimodal.isWav(wav))
+    val rows = Multimodal.audioFeatures(
+      Seq((7L, wav, "audio/wav"), (8L, "notaudio".getBytes, "audio/wav"))
+        .toDF("media_id", "payload", "format")).collect()
+    // the non-WAV payload is dropped, not decoded
+    assert(rows.length === 1 && rows.head.getLong(0) === 7L)
+    val r = rows.head
+    assert(r.getInt(2) === 16000 && r.getInt(3) === 2)
+    assert(r.getLong(4) === 5L)
+    assert(r.getLong(5) === 5L * 2 * -12, "PCM sample sum")
+  }
+
   test("resizeStub emits target dims and a smaller-or-equal payload") {
     val out = Multimodal.resizeStub(media(), targetW = 8, targetH = 8).collect()
     assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))

@@ -94,7 +94,13 @@ class PlanAuditSpec extends SparkSpec {
       "d37_vocab_growth",
       //  - p18: the one-row (total, n_sources) broadcast next to the
       //    |sources|-row token table (d22's scalar shape)
-      "p18_repeat_factor")
+      "p18_repeat_factor",
+      //  - q31: the one-row key-domain maxima broadcast next to every
+      //    fact row (q22's scalar shape) for grid normalization
+      "q31_zorder_layout",
+      //  - r15: the one-row as-of cutoff broadcast next to every log row
+      //    (q22's scalar shape)
+      "r15_asof_read")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -184,6 +190,15 @@ class PlanAuditSpec extends SparkSpec {
       // q30: per-order completion max + two month-grid aggs + the
       // dozens-of-rows window/sort (full-outer join rides the grid)
       "q30_order_backlog" -> 4,
+      // q31: per scheme — a 1-row domain agg + one bucket hash agg over
+      // the fact table + a 64-row rollup (the union's sort rides the
+      // tiny frames); the fact table is deliberately SCANNED per branch
+      // rather than checkpointed: a pruned parquet re-read beats
+      // materializing a normalized copy of the corpus at scale
+      "q31_zorder_layout" -> 6,
+      // r15: the 1-row cutoff agg + ONE user_id collapse serving both
+      // the head and as-of states + the 8-row bucket rollup + sort
+      "r15_asof_read" -> 4,
       // r14: ONE batch_id hash agg over the corpus (rides the ledger's
       // checkpoint build); in-plan, everything runs on the |batches|-row
       // ledger — block-partial agg, the |blocks|-row exclusive-prefix
@@ -383,6 +398,15 @@ class PlanAuditSpec extends SparkSpec {
       // join) + the |sources|-row rollup/sort riding the doc frame
       "d38_source_label_noise" -> 7, "m1_media_metadata" -> 3,
       "m2_decode_features" -> 2, "m3_frame_sample" -> 3,
+      // m6: synthesis + decode are mapPartitions projections; one
+      // sample_rate hash agg + output sort
+      "m6_audio_features" -> 2,
+      // w22: the (day, reg) corpus sketch agg rides the checkpoint
+      // barrier; in-plan the merge/estimate run on the |days|x256 grid
+      // ((wd,reg) max + wd rollup) and the exact ground-truth side pays
+      // the (d,user) distinct + (wd,user) expand + wd rollup; est-exact
+      // join + output sort ride the |days|-row frames
+      "w22_sketch_merge" -> 8,
       // m4: frame hashes feed the d6 band groupBy + chunk-blocked pair
       // expansion; same 2-exchange shape as d6 (the sort is TakeOrdered)
       "m4_frame_neardup" -> 2, "p1_chunking" -> 2,

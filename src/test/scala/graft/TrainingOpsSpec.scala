@@ -1645,6 +1645,124 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cleaned4 === filler("d", 18).mkString(" "), "doc 4 must be untouched")
   }
 
+  test("r15: the as-of diff matches a per-key sequential replay and conserves keys") {
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "error").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = rows.map(_._2).max / 2
+    val byKey = rows.groupBy(_._1)
+    case class St(vt: Option[(Long, Long)], vn: (Long, Long))
+    val states = byKey.map { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      u -> St(sorted.filter(_._2 <= cut).lastOption.map(e => (e._2, e._3)),
+        (sorted.last._2, sorted.last._3))
+    }
+    val expected = states.toSeq.groupBy(_._1 % 8).map { case (b, g) =>
+      val liveT = g.count(_._2.vt.exists(_._2 == 0L))
+      val liveN = g.count(_._2.vn._2 == 0L)
+      val changed = g.count { case (_, s) =>
+        s.vt.exists(_._2 == 0L) && s.vn._2 == 0L && s.vn._1 > s.vt.get._1 }
+      val created = g.count { case (_, s) =>
+        s.vn._2 == 0L && !s.vt.exists(_._2 == 0L) }
+      val deleted = g.count { case (_, s) =>
+        s.vt.exists(_._2 == 0L) && s.vn._2 == 1L }
+      (b, liveT.toLong, liveN.toLong, changed.toLong, created.toLong,
+        deleted.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Replication.r15AsofRead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "as-of diff diverged from the replay")
+    // conservation: live-now = live-at-T + created - deleted, per bucket
+    got.foreach { case (b, t, n, _, cr, de) =>
+      assert(n === t + cr - de, s"bucket $b: churn accounting broken")
+    }
+  }
+
+  test("q31: z-order rectangles replay and beat ingest-order on mean area") {
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (maxo, maxp, maxs) =
+      (rows.map(_._1).max, rows.map(_._2).max, rows.map(_._3).max)
+    def interleave(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    def stats(buckets: Map[Long, Array[(Long, Long)]]): (Long, Long, Long) = {
+      val areas = buckets.values.map { ps =>
+        (ps.map(_._1).max - ps.map(_._1).min + 1) *
+          (ps.map(_._2).max - ps.map(_._2).min + 1)
+      }
+      (buckets.size.toLong, areas.sum / areas.size, areas.max)
+    }
+    val zStats = stats(rows.groupBy { case (_, p, s) =>
+      interleave(p * 65536 / (maxp + 1), s * 65536 / (maxs + 1)) >> 26
+    }.map { case (b, g) => b -> g.map(r => (r._2, r._3)) })
+    val oStats = stats(rows.groupBy(r => r._1 * 64 / (maxo + 1))
+      .map { case (b, g) => b -> g.map(r => (r._2, r._3)) })
+    val got = graft.queries.Relational.q31ZorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("z_order") === zStats, "z-order stats diverged from the replay")
+    assert(got("ingest_order") === oStats, "ingest stats diverged from the replay")
+    // the layout claim itself: the space-filling curve's mean bounding
+    // rectangle must be materially smaller than ingest-order's
+    assert(zStats._2 * 4 < oStats._2,
+      s"z-order mean area ${zStats._2} not <4x ingest ${oStats._2} — the " +
+        "locality demonstration is vacuous on this fixture")
+  }
+
+  test("w22: merged sketches equal the sketch of merged data, and the exact side replays") {
+    // THE mergeability property — merge-of-sketches ≡ sketch-of-union —
+    // is what lets a 100 TB pipeline answer rolling windows from stored
+    // daily state. It holds EXACTLY (register max is associative/
+    // commutative/idempotent), so assert it value-for-value: rebuild
+    // each window's sketch from the raw unioned events and compare the
+    // register-derived estimate to the query's.
+    val rows = Tables.load(spark, sf, "events")
+      .select(expr("unix_micros(ts) DIV 86400000000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5be(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.BIG_ENDIAN).getLong(8)
+    }
+    def sketch(users: Iterable[Long]): Map[Long, Long] =
+      users.map { u =>
+        val hu = math.floorMod(md5be(s"u:$u"), 1099511627776L)
+        val x = hu / 256
+        val rho = if (x == 0) 33L
+          else java.lang.Long.numberOfTrailingZeros(x) + 1L
+        (hu % 256, math.min(rho, 20L))
+      }.groupBy(_._1).map { case (reg, rs) => reg -> rs.map(_._2).max }
+    def estimate(regs: Map[Long, Long]): Long = {
+      val s = regs.values.map(r => 1L << (20 - r)).sum +
+        (256 - regs.size) * 1048576L
+      718270L * (68719476736L / s) / 1000000L
+    }
+    val byDay = rows.groupBy(_._1)
+    val days = byDay.keySet
+    val expected = days.toSeq.sorted.map { d =>
+      val windowUsers = byDay.filter { case (d2, _) => d2 >= d - 6 && d2 <= d }
+        .values.flatten.map(_._2)
+      val merged = sketch(windowUsers.toSet) // sketch of the UNION
+      // merge of per-day sketches must be the same map
+      val mergedFromDaily = byDay
+        .filter { case (d2, _) => d2 >= d - 6 && d2 <= d }
+        .values.map(v => sketch(v.map(_._2).toSet))
+        .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+          k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap)
+      assert(merged === mergedFromDaily, s"day $d: merge != sketch-of-union")
+      (d, merged.size.toLong, estimate(merged),
+        windowUsers.toSet.size.toLong)
+    }
+    val got = Events.w22SketchMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected.map(e => (e._1, e._2, e._3, e._4)),
+      "w22 diverged from the sketch replay")
+  }
+
   test("w21: the gap histogram matches a per-user sequential replay") {
     val rows = Tables.load(spark, sf, "events")
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
