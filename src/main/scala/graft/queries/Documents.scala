@@ -2396,7 +2396,12 @@ object Documents {
     * (doc, bigram) grid agg. Output is the drop list a curator reviews:
     * the bottom-25 docs by mean likelihood.
     */
-  def d31LmQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** The d31 per-doc LM-likelihood frame (doc_id, lang, n_bigrams,
+    * mean_lik_ppm) WITHOUT d31's presentation order/limit — shared by
+    * d31 (worst-25 report) and p19 (CCNet head/middle/tail buckets), so
+    * both describe the SAME model by construction.
+    */
+  private[graft] def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .filter(size(T.tokens(col("text"))) >= 2)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -2428,12 +2433,18 @@ object Documents {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("n_bigrams"),
         expr("SUM(cnt * lik) DIV SUM(cnt)").as("mean_lik_ppm"))
-      .orderBy(col("mean_lik_ppm"), col("doc_id"))
-      .limit(25)
   }
 
-  val d31Sql: String =
-    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+  def d31LmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmScored(spark, dir)
+      .orderBy(col("mean_lik_ppm"), col("doc_id"))
+      .limit(25)
+
+  /** The CTE chain producing `scored(doc_id, lang, n_bigrams,
+    * mean_lik_ppm)` — d31's oracle body, shared with p19's.
+    */
+  val lmScoreCtes: String =
+    s"""toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
       |              FROM documents WHERE len(string_split(text, ' ')) >= 2),
       |bi AS (SELECT doc_id, lang,
       |         unnest(list_transform(generate_series(1, len(w) - 1),
@@ -2451,11 +2462,16 @@ object Documents {
       |        FROM grid
       |        LEFT JOIN model m ON grid.g = m.g
       |        LEFT JOIN lft l ON string_split(grid.g, ' ')[1] = l.w1
-      |        CROSS JOIN vocab)
-      |SELECT doc_id, lang,
-      |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM(cnt * lik) // SUM(cnt) AS BIGINT) AS mean_lik_ppm
-      |FROM lik GROUP BY doc_id, lang
+      |        CROSS JOIN vocab),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(cnt * lik) // SUM(cnt) AS BIGINT) AS mean_lik_ppm
+      |  FROM lik GROUP BY doc_id, lang)""".stripMargin
+
+  val d31Sql: String =
+    s"""WITH $lmScoreCtes
+      |SELECT doc_id, lang, n_bigrams, mean_lik_ppm FROM scored
       |ORDER BY mean_lik_ppm, doc_id LIMIT 25""".stripMargin
 
   /** d32: LSH band-width tuning sweep — d6's knob priced like v19 prices

@@ -1052,7 +1052,57 @@ object Pipeline {
       |      4000000) * n_tokens // 1000000), 0) AS BIGINT) AS shortfall_tokens
       |FROM s, t ORDER BY source""".stripMargin
 
+  /** p19: CCNet PERPLEXITY BUCKETS — the head/middle/tail split CCNet
+    * cuts every language shard into by LM perplexity (Wenzek et al.;
+    * the head feeds training, the tail is dropped, the middle is
+    * judgment). The score is d31's integer bigram likelihood (shared
+    * helper — the buckets and the worst-25 report describe the SAME
+    * model by construction); the cut is NTILE(3) per language over
+    * (likelihood DESC, doc_id) — a deterministic rank split, not an
+    * interpolated threshold, so both engines bucket identically
+    * including ties and remainders. Per (lang, bucket): doc count,
+    * bigram mass, and the score range — the table that says what
+    * "head" actually means for each language before a mixing run
+    * commits to it.
+    *
+    * Scale shape: d31's scoring chain (one corpus repartition, tiny
+    * broadcast model sides) + ONE per-lang rank window over the
+    * |docs|-row scored frame + the 3|langs|-row rollup and sort.
+    * The window partitions by lang — the natural shard key a per-lang
+    * corpus is already laid out on.
+    */
+  def p19PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_lik_ppm").desc, col("doc_id"))
+    graft.queries.Documents.lmScored(spark, dir)
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket", when(col("nt") === 1, "0_head")
+        .when(col("nt") === 2, "1_middle").otherwise("2_tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        min(col("mean_lik_ppm")).as("min_lik_ppm"),
+        max(col("mean_lik_ppm")).as("max_lik_ppm"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val p19Sql: String =
+    s"""WITH ${graft.queries.Documents.lmScoreCtes},
+      |n AS (SELECT scored.*,
+      |        NTILE(3) OVER (PARTITION BY lang
+      |          ORDER BY mean_lik_ppm DESC, doc_id) AS nt
+      |      FROM scored)
+      |SELECT lang,
+      |  CASE WHEN nt = 1 THEN '0_head' WHEN nt = 2 THEN '1_middle'
+      |       ELSE '2_tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+      |  CAST(MIN(mean_lik_ppm) AS BIGINT) AS min_lik_ppm,
+      |  CAST(MAX(mean_lik_ppm) AS BIGINT) AS max_lik_ppm
+      |FROM n GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p19_perplexity_buckets" -> (p19PerplexityBuckets _),
     "p18_repeat_factor" -> (p18RepeatFactor _),
     "p17_packing_waste" -> (p17PackingWaste _),
     "p16_dataset_card" -> (p16DatasetCard _),
@@ -1071,6 +1121,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p19_perplexity_buckets" -> p19Sql,
     "p18_repeat_factor" -> p18Sql,
     "p17_packing_waste" -> p17Sql,
     "p16_dataset_card" -> p16Sql,

@@ -817,12 +817,19 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     // keys normalized to a 16-bit grid by their DOMAIN (data-derived
     // maxima, one-row broadcast) before interleaving — raw interleave
-    // would waste curve bits on the wider key's empty high range
-    val zval = expr(
-      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc
-        |  + shiftleft(CAST(1 AS BIGINT), 2 * i) * ((xn >> i) & 1)
-        |  + shiftleft(CAST(1 AS BIGINT), 2 * i + 1) * ((yn >> i) & 1))"""
-        .stripMargin)
+    // would waste curve bits on the wider key's empty high range.
+    // The interleave is the classic Morton mask-shift spread (5 bitwise
+    // steps per key, whole-stage codegen'd) — value-identical to the
+    // per-bit sum the oracle computes, measured 5.1 s -> sub-second at
+    // sf0.1 vs the interpreted higher-order-function form
+    def spread(c: Column): Column = {
+      val a = c.bitwiseAND(lit(65535L))
+      val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+      val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+      val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+    }
+    val zval = spread(col("xn")).bitwiseOR(shiftleft(spread(col("yn")), 1))
     def rectStats(bucketed: DataFrame, scheme: String): DataFrame = bucketed
       .groupBy(col("bucket"))
       .agg((max(col("l_partkey")) - min(col("l_partkey")) + 1L).as("pspan"),

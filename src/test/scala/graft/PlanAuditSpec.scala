@@ -100,7 +100,10 @@ class PlanAuditSpec extends SparkSpec {
       "q31_zorder_layout",
       //  - r15: the one-row as-of cutoff broadcast next to every log row
       //    (q22's scalar shape)
-      "r15_asof_read")
+      "r15_asof_read",
+      //  - p19: d31's one-row trusted-vocabulary broadcast (the shared
+      //    scoring chain's scalar shape)
+      "p19_perplexity_buckets")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -299,6 +302,9 @@ class PlanAuditSpec extends SparkSpec {
       // vocab distinct-count (2) fold over the checkpointed vocab-sized
       // model, not the corpus
       "d31_lm_quality" -> 4,
+      // p19: d31's scoring chain (same 4) with the TakeOrdered replaced
+      // by the per-lang ntile window + the 3|langs|-row rollup + sort
+      "p19_perplexity_buckets" -> 6,
       // p14: d22's shape — the rate-table build's tiny aggs + the final
       // epoch x lang rollup + output sort; the corpus scan is read once
       "p14_anneal_mix" -> 5,

@@ -1645,6 +1645,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cleaned4 === filler("d", 18).mkString(" "), "doc 4 must be untouched")
   }
 
+  test("p19: CCNet buckets replay NTILE(3) over d31's own scores") {
+    val scored = Documents.lmScored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      val ordered = g.sortBy(x => (-x._4, x._1))
+      // SQL-standard NTILE: the first (n mod 3) buckets get the extra row
+      val (base, rem) = (ordered.length / 3, ordered.length % 3)
+      val labels = (1 to 3).flatMap(b => Seq.fill(
+        base + (if (b <= rem) 1 else 0))(b match {
+        case 1 => "0_head"; case 2 => "1_middle"; case _ => "2_tail" }))
+      ordered.zip(labels).map { case (r, b) => (lang, b, r._3, r._4) }
+    }.groupBy(x => (x._1, x._2)).toSeq.map { case ((lang, b), g) =>
+      (lang, b, g.size.toLong, g.map(_._3).sum, g.map(_._4).min, g.map(_._4).max)
+    }.sortBy(x => (x._1, x._2))
+    val got = Pipeline.p19PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "perplexity buckets diverged from the replay")
+    // the CCNet ordering invariant: within a lang, head's minimum score
+    // is >= tail's maximum (rank split, so this must hold exactly)
+    got.groupBy(_._1).values.foreach { g =>
+      val byB = g.map(x => x._2 -> x).toMap
+      for (h <- byB.get("0_head"); t <- byB.get("2_tail"))
+        assert(h._5 >= t._6, s"head/tail overlap in ${g.head._1}")
+    }
+  }
+
   test("r15: the as-of diff matches a per-key sequential replay and conserves keys") {
     val rows = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"),
