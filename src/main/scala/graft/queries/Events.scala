@@ -970,22 +970,43 @@ object Events {
     * join appears anywhere; at scale you'd persist the daily grid and
     * skip the exact side entirely.
     */
-  def w22SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+  /** The w22 register derivation, shared verbatim by the batch sketch
+    * and [[graft.streaming.CdcStream.sketchStream]]'s input projection
+    * (the twin claim only means something if both sides hash/rank
+    * identically): (day_idx, reg, rho) per event, rho saturated at
+    * P=20. Trailing-zero rank on a NON-NEGATIVE domain: (x & -x) - 1 is
+    * the trailing-zero mask, bit_count counts it; x = 0 exhausts the 32
+    * hash bits -> rank 33 (saturates to 20).
+    */
+  private[graft] def sketchRegisterRows(events: DataFrame): DataFrame = {
     val h = graft.functions.HashFunctions.md5NumberBigEndian(
       concat(lit("u:"), col("user_id").cast("string")))
-    val ev = Tables.load(spark, dir, "events")
+    events
       .select(expr("unix_micros(ts) DIV 86400000000").as("d"), col("user_id"))
-    val daily = ev
       .withColumn("hu", pmod(h, lit(1099511627776L))) // 2^40, non-negative
       .withColumn("reg", col("hu") % 256)
       .withColumn("x", expr("hu DIV 256"))
-      // trailing-zero rank on a NON-NEGATIVE domain: (x & -x) - 1 is the
-      // trailing-zero mask, bit_count counts it; x = 0 exhausts the 32
-      // hash bits -> rank 33; P=20 saturation applied at aggregation
-      .withColumn("rho", when(col("x") === 0, lit(33L))
-        .otherwise(expr("CAST(bit_count((x & -x) - 1) AS BIGINT) + 1")))
+      .withColumn("rho", least(when(col("x") === 0, lit(33L))
+        .otherwise(expr("CAST(bit_count((x & -x) - 1) AS BIGINT) + 1")),
+        lit(20L)))
+      .select(col("d"), col("reg"), col("rho"))
+  }
+
+  /** Raw-HLL integer estimate from a register map (the w22 formula as
+    * plain Scala, for the streaming processor and specs): alpha ppm *
+    * m^2 * 2^P over the saturated register sum, one integer division.
+    */
+  private[graft] def sketchEstimate(regs: scala.collection.Map[Long, Long]): Long = {
+    val s = regs.valuesIterator.map(r => 1L << (20 - r)).sum +
+      (256L - regs.size) * 1048576L
+    718270L * (68719476736L / s) / 1000000L
+  }
+
+  def w22SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val daily = sketchRegisterRows(ev)
       .groupBy(col("d"), col("reg"))
-      .agg(max(least(col("rho"), lit(20L))).as("mrho"))
+      .agg(max(col("rho")).as("mrho"))
       // barrier: the daily grid is exactly the state a production
       // pipeline PERSISTS per day; here it has two consumers (the merge
       // and the day frame) that must not each re-pay the corpus agg
@@ -1012,7 +1033,9 @@ object Events {
         // bigint literal (an int-literal product would wrap silently)
         expr("(718270 * (68719476736 DIV s_full)) DIV 1000000"))
       .select(col("wd"), col("n_regs_hit"), col("est_users_7d"))
-    val exact = ev.distinct()
+    val exact = ev
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d"), col("user_id"))
+      .distinct()
       .select(explode(sequence(col("d"), col("d") + 6)).as("wd"), col("user_id"))
       .join(days.withColumnRenamed("d", "wd"), "wd")
       .groupBy(col("wd"))

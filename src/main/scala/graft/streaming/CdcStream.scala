@@ -592,6 +592,48 @@ object CdcStream {
 
   final case class MinuteAnomaly(key: String, minute: Long, cnt: Long, win_sum: Long)
 
+  final case class DaySketch(day_idx: Long, n_regs_hit: Long, est_users: Long)
+
+  /** w22's STREAMING half: the per-day HLL register sketch maintained as
+    * keyed state while events arrive — the write path whose stored
+    * output w22's batch merge reads. State per day is the register map
+    * (<= 256 entries, O(m) regardless of event volume — the whole point
+    * of sketching a stream); each micro-batch folds its rows in by
+    * register max (the same merge law as w22's window combine, so
+    * arrival order and batch boundaries provably cannot change the
+    * result) and emits the day's updated (n_regs_hit, est_users)
+    * changelog row. Registers only grow, so both emitted columns are
+    * monotone per day and the LAST emission equals the batch daily
+    * sketch — asserted in StreamingOpsSpec against
+    * [[graft.queries.Events.sketchRegisterRows]]-derived batch state.
+    */
+  def sketchStream(events: DataFrame): org.apache.spark.sql.Dataset[DaySketch] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val entryEnc = Encoders.product[(Long, Long)]
+    val processor = new StatefulProcessor[Long, (Long, Long, Long), DaySketch] {
+      @transient private var regs: ListState[(Long, Long)] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit =
+        regs = getHandle.getListState("regs", entryEnc, TTLConfig.NONE)
+      override def handleInputRows(d: Long,
+          rows: Iterator[(Long, Long, Long)],
+          tv: TimerValues): Iterator[DaySketch] = {
+        val cur = scala.collection.mutable.Map(regs.get().toSeq: _*)
+        rows.foreach { case (_, reg, rho) =>
+          if (cur.getOrElse(reg, 0L) < rho) cur(reg) = rho
+        }
+        regs.put(cur.toArray)
+        Iterator.single(DaySketch(d, cur.size.toLong,
+          graft.queries.Events.sketchEstimate(cur)))
+      }
+    }
+    graft.queries.Events.sketchRegisterRows(events)
+      .as[(Long, Long, Long)](Encoders.product[(Long, Long, Long)])
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[DaySketch])
+  }
+
   /** Streaming twin of the batch anomaly rule
     * ([[graft.queries.Events.w15Anomaly]]): per key, a trailing ring of
     * the last 10 CLOSED window counts lives in `transformWithState`

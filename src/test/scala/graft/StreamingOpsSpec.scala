@@ -368,6 +368,60 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("sketchStream's final per-day registers equal the batch daily sketch") {
+    val src = tmp("sk-src"); val ckpt = tmp("sk-ck")
+    // the REAL fixture events, re-fed as a 3-chunk stream: the twin claim
+    // is that batch boundaries and arrival order cannot change the final
+    // sketch (register max is order-free), so the last streamed emission
+    // per day must equal the batch-side daily state w22 merges
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    import scala.jdk.CollectionConverters._
+    ev.grouped((ev.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(src.resolve(s"c$i.json"),
+        chunk.map { case (t, u) => s"""{"ts":"$t","user_id":$u}""" }.toSeq.asJava)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.sketchStream(stream)
+        .writeStream.format("memory").queryName("sk_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // registers only grow -> both emitted columns are monotone per day,
+      // so max-per-day IS the final state
+      val got = spark.table("sk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (d, g) =>
+          (d, g.map(_._2).max, g.map(_._3).max)
+        }.toSeq.sorted
+      val expected = graft.queries.Events.sketchRegisterRows(
+          Tables.load(spark, "/root/testdata/sf0.001", "events"))
+        .groupBy(col("d"), col("reg")).agg(max(col("rho")).as("mrho"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (d, g) =>
+          val regs = g.map(x => x._2 -> x._3).toMap
+          (d, regs.size.toLong,
+            graft.queries.Events.sketchEstimate(
+              scala.collection.mutable.Map(regs.toSeq: _*)))
+        }.toSeq.sorted
+      assert(got === expected, "streamed sketch state diverges from batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("attributionStream emits the batch w19 credits across micro-batch boundaries") {
     val src = tmp("at-src"); val ckpt = tmp("at-ck")
     val schema = StructType(Seq(
