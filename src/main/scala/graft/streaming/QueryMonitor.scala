@@ -14,8 +14,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   *    min observed offset skips past the previous max is reported via
   *    `onGap` — processing continues, matching the reference;
   *  - E3 failure alerting (alert/mailer.py:24-38): `onQueryTerminated`
-  *    with an exception fires `onFailure` (the mail hop is out of
-  *    analytic scope; the hook is the seam).
+  *    with an exception fires `onFailure`; plug [[SmtpAlerter]] in for
+  *    the actual mail hop (a dependency-free RFC 5321 client —
+  *    SmtpAlerterSpec drives the whole chain from a real failing query
+  *    through a real SMTP conversation).
   */
 final class QueryMonitor(
     onGap: (String, Long, Long) => Unit = (_, _, _) => (),

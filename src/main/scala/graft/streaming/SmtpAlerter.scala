@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+/** E3 failure alerting over a REAL SMTP conversation — the reference
+  * mails on replication failure (`alert/mailer.py:24-38`:
+  * `smtplib.SMTP(host).sendmail(from, to, msg)`); this is the same hop
+  * without a mail library: the JDK ships none, but SMTP is a line
+  * protocol, so a dependency-free RFC 5321 client (EHLO / MAIL FROM /
+  * RCPT TO / DATA / QUIT over a socket) closes the last transport edge
+  * that was previously a listener hook only. Plugs into
+  * [[QueryMonitor]]'s `onFailure` seam.
+  *
+  * Design constraints honored:
+  *  - called from a listener thread, never the data path — blocking I/O
+  *    with a socket timeout is fine, and a mail failure must never take
+  *    down replication (callers wrap with [[sendQuietly]]);
+  *  - multiline replies ("250-..." continuation lines) are consumed per
+  *    RFC 5321 §4.2.1; body lines starting with '.' are dot-stuffed
+  *    (§4.5.2) so an error text containing a lone dot can't truncate
+  *    the DATA section.
+  */
+final class SmtpAlerter(
+    host: String,
+    port: Int,
+    from: String,
+    to: Seq[String],
+    timeoutMs: Int = 10000) {
+
+  /** Send the failure mail; throws on any protocol error. */
+  def sendFailure(queryName: String, error: String): Unit = {
+    val socket = new Socket(host, port)
+    try {
+      socket.setSoTimeout(timeoutMs)
+      val in = new BufferedReader(new InputStreamReader(
+        socket.getInputStream, StandardCharsets.US_ASCII))
+      val out = new BufferedWriter(new OutputStreamWriter(
+        socket.getOutputStream, StandardCharsets.US_ASCII))
+      def expect(code: String): Unit = {
+        var line = in.readLine()
+        if (line == null) sys.error("SMTP: connection closed")
+        // RFC 5321 multiline reply: "250-..." continues, "250 ..." ends
+        while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        if (!line.startsWith(code))
+          sys.error(s"SMTP: expected $code, got: $line")
+      }
+      def send(line: String): Unit = { out.write(line); out.write("\r\n"); out.flush() }
+      expect("220")
+      send("EHLO graft"); expect("250")
+      send(s"MAIL FROM:<$from>"); expect("250")
+      to.foreach { rcpt => send(s"RCPT TO:<$rcpt>"); expect("250") }
+      send("DATA"); expect("354")
+      val body = Seq(
+        s"From: $from",
+        s"To: ${to.mkString(", ")}",
+        s"Subject: [graft] replication query failed: $queryName",
+        "",
+        s"Streaming query '$queryName' terminated with an exception:",
+        "") ++ error.linesIterator
+      body.foreach { l =>
+        send(if (l.startsWith(".")) "." + l else l) // dot-stuffing
+      }
+      send("."); expect("250")
+      send("QUIT"); expect("221")
+    } finally socket.close()
+  }
+
+  /** The [[QueryMonitor.onFailure]]-shaped form: alerting is best-effort
+    * by contract — a dead mail host must never cascade into the
+    * replication control plane (the reference's mailer swallows too).
+    * Returns whether the mail went out, for callers that log.
+    */
+  def sendQuietly(queryName: String, error: String): Boolean =
+    try { sendFailure(queryName, error); true }
+    catch { case _: Exception => false }
+}
