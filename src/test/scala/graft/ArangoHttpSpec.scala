@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 class ArangoHttpSpec extends SparkSpec {
 
-  private val docs = (1 to 5).map(i => s"""{"k":$i,"v":"v$i"}""")
+  private val docs = (1 to 5).map(i => s"""{"k":$i,"v":"$i.5"}""")
 
   /** Arango-shaped mini server: 3-page cursor over `docs`, lastTick,
     * and a tail whose content grows when `headTick` is raised.
@@ -59,9 +59,10 @@ class ArangoHttpSpec extends SparkSpec {
       authed(ex) {
         val from = ex.getRequestURI.getQuery.split("=")(1).toLong
         // envelope lines in the WalSource contract; tick doubles as the
-        // offset (Arango ticks are the global order)
+        // offset (Arango ticks are the global order); the payload is in
+        // the Doc schema so the resync e2e can transform it
         val lines = ((from + 1) to headTick).map { t =>
-          s"""{"tick":"$t","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\\"k\\": ${t % 4}, \\"v\\": \\"t$t\\"}","offset":$t}"""
+          s"""{"tick":"$t","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\\"k\\": ${t % 4}, \\"v\\": \\"$t.5\\"}","offset":$t}"""
         }
         reply(ex, 200, lines.mkString("\n"),
           Map("X-Arango-Replication-Lastincluded" -> headTick.toString))
@@ -115,6 +116,67 @@ class ArangoHttpSpec extends SparkSpec {
       q.awaitTermination()
       assert(spark.table("arango_wal").count() === 25L)
       assert(unauthorized() === 0)
+    } finally server.stop(0)
+  }
+
+  test("full resync lifecycle runs over the live HTTP transport end to end") {
+    import graft.config.{ColumnSpec, TableConfig}
+    import org.apache.spark.sql.types._
+    val (server, advanceHead, _) = miniArango()
+    try {
+      val cfg = ArangoHttp.Config(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "d", "root", "pw")
+      val spool = Files.createTempDirectory("rs-spool").toString
+      val src = ArangoHttpCollectionSource(cfg, "events", spool, batchSize = 2)
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v"), default = Some(0.0))))
+      val payloadSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val tableDir = Files.createTempDirectory("rs-tbl").toString
+      val ckpt = Files.createTempDirectory("rs-ck").toString
+      val clock = lit("2024-01-01").cast("timestamp")
+
+      // backlog already in the WAL when the resync begins: ticks 1..20
+      // land in the spool; the tick high-pass drops everything BELOW the
+      // resync tick and replays the tick-20 event itself — the inclusive
+      // overlap direction (an event at the cutoff may or may not be in
+      // the snapshot, and replaying it is idempotent; dropping it could
+      // lose a change)
+      assert(src.pump() === Some((1L, 20L)))
+      val r = graft.streaming.Sync.resync(spark, src, config, payloadSchema,
+        tableDir, ckpt, collectionIds = Seq("c1"), clock = clock,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        queryName = None)
+      assert(r.initialTick === 20L, "tick must be read from the server BEFORE the scan")
+      r.query.awaitTermination()
+      val afterSnap = graft.streaming.CdcStream
+        .currentView(spark, tableDir, keys = Seq("K"))
+        .select("K", "V").collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toMap
+      assert(afterSnap ===
+        (1 to 5).map(i => i.toLong -> (i + 0.5)).toMap + (0L -> 20.5),
+        "backlog below the resync tick must not override the snapshot; " +
+          "the tick-20 overlap event must replay (k=0)")
+
+      // upstream moves on; the pump tails only the delta and the SAME
+      // checkpoint continues the stream — the steady-state leg
+      advanceHead()
+      assert(src.pump() === Some((21L, 25L)))
+      val q2 = graft.streaming.CdcStream.startReplication(
+        src.changes(spark), config, payloadSchema, tableDir, ckpt,
+        collectionIds = Seq("c1"), initialTick = Some(r.initialTick), clock = clock)
+      q2.awaitTermination()
+      val finalView = graft.streaming.CdcStream
+        .currentView(spark, tableDir, keys = Seq("K"))
+        .select("K", "V").collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toMap
+      // ticks 21..25 upsert k = t % 4 with v = t.5; latest tick per key
+      // wins over both the snapshot and earlier deltas
+      assert(finalView === Map(
+        0L -> 24.5, 1L -> 25.5, 2L -> 22.5, 3L -> 23.5,
+        4L -> 4.5, 5L -> 5.5),
+        "steady-state deltas did not apply latest-wins over the snapshot")
     } finally server.stop(0)
   }
 
