@@ -1052,6 +1052,97 @@ object Pipeline {
       |      4000000) * n_tokens // 1000000), 0) AS BIGINT) AS shortfall_tokens
       |FROM s, t ORDER BY source""".stripMargin
 
+  /** p20: TOKEN-BUDGET WATERFILLING — allocate a training budget B
+    * (half the corpus here; SF-free) across sources max-min fairly:
+    * every source gets up to the common waterline L, a source with less
+    * supply than L is taken whole ("capped"). The allocator behind
+    * balanced data mixes when supplies are skewed — uniform targets
+    * (p18) overdraw small sources; waterfilling is the standard fix.
+    *
+    * NOT an iterative driver loop: with supplies sorted ascending, the
+    * capped set is a PREFIX — source k is capped iff taking it whole
+    * still leaves >= s_k for everyone after (prefix_{k-1} + s_k*(n-k+1)
+    * <= B), a monotone predicate — so K = count(capped) and
+    * L = (B - prefix_K) DIV (n - K) come from ONE window pass over the
+    * |sources|-row frame (the deliberate tiny single-partition window,
+    * p15's class). Integer throughout; the DIV remainder is reported as
+    * `unallocated` rather than smeared, so conservation
+    * (sum(alloc) + unallocated = B) is exact and asserted in the spec.
+    *
+    * Scale shape: the corpus pays p18's ONE source-token agg; everything
+    * after runs on |sources| rows.
+    */
+  def p20BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = docs(spark, dir)
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("supply_tokens"))
+    val w = Window.orderBy(col("supply_tokens"), col("source"))
+    val all = Window.partitionBy(lit(1))
+    perSrc
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("supply_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      // B = 90% of the corpus — a near-full epoch budget, chosen so the
+      // fixture exercises BOTH branches (its two smallest sources cap)
+      .withColumn("budget", expr("sum(supply_tokens) OVER () * 9 DIV 10"))
+      // capped iff taking this source whole still leaves >= its supply
+      // for every larger source: prefix_{k-1} + s_k * (n - k + 1) <= B
+      .withColumn("capped",
+        (col("prefix") - col("supply_tokens")
+          + col("supply_tokens") * (col("n") - col("rn") + 1)
+          <= col("budget")).cast("long"))
+      .withColumn("k", sum(col("capped")).over(all))
+      .withColumn("prefix_k",
+        coalesce(max(when(col("capped") === 1, col("prefix"))).over(all),
+          lit(0L)))
+      .withColumn("waterline", when(col("k") === col("n"), lit(null))
+        .otherwise(expr("(budget - prefix_k) DIV (n - k)")))
+      .withColumn("alloc_tokens", when(col("capped") === 1,
+        col("supply_tokens")).otherwise(col("waterline")))
+      .withColumn("unallocated",
+        col("budget") - sum(col("alloc_tokens")).over(all))
+      .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
+        col("capped"), col("waterline"), col("unallocated"))
+      .orderBy(col("source"))
+  }
+
+  val p20Sql: String =
+    """WITH s AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS supply_tokens
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source, supply_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY supply_tokens, source) AS rn,
+      |    SUM(supply_tokens) OVER (ORDER BY supply_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+      |    COUNT(*) OVER () AS n,
+      |    SUM(supply_tokens) OVER () * 9 // 10 AS budget
+      |  FROM s),
+      |c AS (
+      |  SELECT *, CASE WHEN prefix - supply_tokens
+      |      + supply_tokens * (n - rn + 1) <= budget
+      |    THEN 1 ELSE 0 END AS capped
+      |  FROM r),
+      |g AS (
+      |  SELECT *, SUM(capped) OVER () AS k,
+      |    COALESCE(MAX(CASE WHEN capped = 1 THEN prefix END) OVER (), 0)
+      |      AS prefix_k
+      |  FROM c),
+      |a AS (
+      |  SELECT *, CASE WHEN k = n THEN NULL
+      |      ELSE (budget - prefix_k) // (n - k) END AS waterline,
+      |    CASE WHEN capped = 1 THEN supply_tokens
+      |      ELSE CASE WHEN k = n THEN NULL
+      |        ELSE (budget - prefix_k) // (n - k) END END AS alloc_tokens
+      |  FROM g)
+      |SELECT source, CAST(supply_tokens AS BIGINT) AS supply_tokens,
+      |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+      |  CAST(capped AS BIGINT) AS capped,
+      |  CAST(waterline AS BIGINT) AS waterline,
+      |  CAST(budget - SUM(alloc_tokens) OVER () AS BIGINT) AS unallocated
+      |FROM a ORDER BY source""".stripMargin
+
   /** p19: CCNet PERPLEXITY BUCKETS — the head/middle/tail split CCNet
     * cuts every language shard into by LM perplexity (Wenzek et al.;
     * the head feeds training, the tail is dropped, the middle is
@@ -1102,6 +1193,7 @@ object Pipeline {
       |FROM n GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "p20_budget_waterfill" -> (p20BudgetWaterfill _),
     "p19_perplexity_buckets" -> (p19PerplexityBuckets _),
     "p18_repeat_factor" -> (p18RepeatFactor _),
     "p17_packing_waste" -> (p17PackingWaste _),
@@ -1121,6 +1213,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p20_budget_waterfill" -> p20Sql,
     "p19_perplexity_buckets" -> p19Sql,
     "p18_repeat_factor" -> p18Sql,
     "p17_packing_waste" -> p17Sql,

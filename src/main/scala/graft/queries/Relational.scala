@@ -890,6 +890,55 @@ object Relational {
       |FROM ob ORDER BY scheme""".stripMargin
   }
 
+  /** q32: "IMPORTANT PARTS" — TPC-H Q11's shape on the lineitem graph:
+    * parts whose revenue exceeds a FIXED FRACTION of total revenue
+    * (Q11's `HAVING value > (SELECT SUM(...) * fraction)`): the
+    * group-vs-global HAVING class, next to q22's row-vs-global filter.
+    * One per-part aggregation, ONE one-row global broadcast (never a
+    * per-group recompute of the total), a selective filter, descending
+    * sort with the key as tiebreak. Both engines sum in DECIMAL(18,4)
+    * and compare in double, q14's exactness contract.
+    */
+  def q32ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(dsum(rev, 4).as("revenue"), count(lit(1)).as("n_items"))
+      // barrier: TWO consumers (the global total + the filtered output) —
+      // without it each re-pays the fact scan and the per-part exchange
+      .localCheckpoint(false)
+    val total = perPart.agg(dsum0(col("revenue")).as("total_revenue"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("revenue") > lit(0.002) * col("total_revenue"))
+      .select(col("l_partkey"), col("n_items"), col("revenue"),
+        (col("revenue") / col("total_revenue") * lit(1000000.0))
+          .as("share_ppm_f"))
+      .select(col("l_partkey"), col("n_items"), col("revenue"),
+        floor(col("share_ppm_f")).cast("long").as("share_ppm"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
+  /** Exact double sum for values that are THEMSELVES exact decimal casts
+    * (summing q32's per-part revenues into the global total must follow
+    * the same decimal discipline).
+    */
+  private def dsum0(c: Column): Column =
+    sum(c.cast(DecimalType(28, 4))).cast("double")
+
+  val q32Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,4))) AS DOUBLE)
+      |        AS total_revenue FROM pp)
+      |SELECT l_partkey, n_items, revenue,
+      |  CAST(floor(revenue / total_revenue * 1000000.0) AS BIGINT) AS share_ppm
+      |FROM pp, t WHERE revenue > 0.002 * total_revenue
+      |ORDER BY revenue DESC, l_partkey""".stripMargin
+
   def q30OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
     val done = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -932,6 +981,7 @@ object Relational {
       |ORDER BY month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q32_important_parts" -> (q32ImportantParts _),
     "q31_zorder_layout" -> (q31ZorderLayout _),
     "q30_order_backlog" -> (q30OrderBacklog _),
     "q29_waiting_orders" -> (q29WaitingOrders _),
@@ -965,6 +1015,7 @@ object Relational {
     "q17_distinct_agg" -> (q17DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q32_important_parts" -> q32Sql,
     "q31_zorder_layout" -> q31Sql,
     "q30_order_backlog" -> q30Sql,
     "q29_waiting_orders" -> q29Sql,

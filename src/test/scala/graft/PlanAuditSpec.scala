@@ -103,7 +103,10 @@ class PlanAuditSpec extends SparkSpec {
       "r15_asof_read",
       //  - p19: d31's one-row trusted-vocabulary broadcast (the shared
       //    scoring chain's scalar shape)
-      "p19_perplexity_buckets")
+      "p19_perplexity_buckets",
+      //  - q32: the one-row total-revenue broadcast next to the per-part
+      //    frame (q22's scalar shape — the group-vs-global HAVING)
+      "q32_important_parts")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -202,6 +205,14 @@ class PlanAuditSpec extends SparkSpec {
       // r15: the 1-row cutoff agg + ONE user_id collapse serving both
       // the head and as-of states + the 8-row bucket rollup + sort
       "r15_asof_read" -> 4,
+      // p20: ONE source-token corpus agg; the waterline algebra runs in
+      // the deliberate |sources|-row single-partition window + output sort
+      "p20_budget_waterfill" -> 2,
+      // q32: the per-part frame rides a checkpoint barrier (its corpus
+      // agg paid there, shared by both consumers); in-plan: the 1-row
+      // total agg + output sort (the HAVING filter and the scalar
+      // broadcast are exchange-free)
+      "q32_important_parts" -> 2,
       // r14: ONE batch_id hash agg over the corpus (rides the ledger's
       // checkpoint build); in-plan, everything runs on the |batches|-row
       // ledger — block-partial agg, the |blocks|-row exclusive-prefix

@@ -1707,6 +1707,95 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  /** Waterfill in plain Scala — the independent replay for p20. */
+  private def waterfillReplay(supplies: Seq[(String, Long)])
+      : (Seq[(String, Long, Long, Long)], Option[Long], Long) = {
+    val budget = supplies.map(_._2).sum * 9 / 10
+    val sorted = supplies.sortBy(x => (x._2, x._1))
+    val n = sorted.length
+    var prefix = 0L
+    val capped = sorted.zipWithIndex.map { case ((_, s), i) =>
+      val c = prefix + s * (n - i) <= budget
+      prefix += s
+      c
+    }
+    val k = capped.count(identity)
+    val prefixK = sorted.take(k).map(_._2).sum
+    val level = if (k == n) None else Some((budget - prefixK) / (n - k))
+    val allocs = sorted.zip(capped).map { case ((src, s), c) =>
+      (src, s, if (c) s else level.get, if (c) 1L else 0L)
+    }
+    (allocs.sortBy(_._1), level, budget - allocs.map(_._3).sum)
+  }
+
+  test("p20: waterfill replays exactly and conserves the budget on the fixture") {
+    val supplies = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }.toSeq
+    val (expAllocs, expLevel, expUnalloc) = waterfillReplay(supplies)
+    val got = Pipeline.p20BudgetWaterfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq === expAllocs,
+      "waterfill allocations diverged from the replay")
+    got.foreach { x =>
+      assert(x._5 === expLevel && x._6 === expUnalloc, "level/remainder wrong")
+    }
+    // conservation is EXACT by construction: allocations + remainder = B
+    assert(got.map(_._3).sum + got.head._6 ===
+      supplies.map(_._2).sum * 9 / 10)
+    // waterline properties: every capped supply <= level <= every
+    // uncapped supply (max-min fairness)
+    for (l <- expLevel) {
+      assert(got.filter(_._4 == 1L).forall(_._2 <= l))
+      assert(got.filter(_._4 == 0L).forall(_._2 >= l))
+    }
+  }
+
+  test("p20: a skewed corpus caps exactly its starved sources") {
+    // three fat sources + one tiny one: the tiny source must be taken
+    // whole, the fat ones pinned at a common waterline
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wf_fixture").toString
+    val texts = Seq(
+      (1L, filler("a", 400), "big_a"), (2L, filler("b", 400), "big_b"),
+      (3L, filler("c", 400), "big_c"), (4L, filler("d", 20), "tiny"))
+    texts.map { case (id, ts, src) => (id, ts.mkString(" "), "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.p20BudgetWaterfill(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // budget = 1220*9/10 = 1098; tiny(20) caps; level = (1098-20)/3 = 359
+    assert(got("tiny") === ((20L, 1L)), "starved source must be taken whole")
+    for (s <- Seq("big_a", "big_b", "big_c"))
+      assert(got(s) === ((359L, 0L)), s"$s must sit at the waterline")
+  }
+
+  test("q32: important parts replay with decimal-exact revenue sums") {
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // both engines: per-row IEEE product, then EXACT decimal(18,4) sums
+    def dec4(d: Double): BigDecimal =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val perPart = rows.groupBy(_._1).map { case (p, g) =>
+      (p, g.map(x => dec4(x._2 * (1.0 - x._3))).sum.toDouble, g.size.toLong)
+    }.toSeq
+    val total = perPart.map(x => BigDecimal(x._2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val expected = perPart.filter(_._2 > 0.002 * total)
+      .map { case (p, rev, n) =>
+        (p, n, rev, math.floor(rev / total * 1000000.0).toLong) }
+      .sortBy(x => (-x._3, x._1))
+    val got = graft.queries.Relational.q32ImportantParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected, "important-parts set diverged from the replay")
+    assert(got.nonEmpty, "threshold selects nothing — the HAVING is vacuous")
+  }
+
   test("q31: z-order rectangles replay and beat ingest-order on mean area") {
     val rows = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
