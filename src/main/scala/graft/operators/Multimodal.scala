@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode/feature-extract runs
   * per-partition over batches.
   *
-  * The decode is REAL for PNG (the JDK ships `javax.imageio` — width,
-  * height, channels, and a full-raster pixel sum come from an actual
-  * codec pass); every other format falls back to `fakeDecode`, a
-  * deterministic stub (this container ships no other codecs). Detection
-  * is by payload magic bytes, not the format label — a real pipeline
-  * can't trust upstream labels either. Everything around the decode —
+  * The decode is REAL for every format the JDK actually ships a codec
+  * for — PNG, GIF, and BMP through `javax.imageio` (width, height,
+  * channels, full-raster pixel sum read from the decoded raster) and
+  * WAV through `javax.sound.sampled` — and falls back to `fakeDecode`,
+  * a deterministic stub, only for formats with no offline codec (JPEG
+  * would decode too, but lossy codecs can't be pixel-sum-oracled, so
+  * nothing plants them). Detection is by payload magic bytes, not the
+  * format label — a real pipeline can't trust upstream labels either. Everything around the decode —
   * the schema contract, the mapPartitions batch shape, partition
   * sizing — is the real 100 TB plumbing: media blobs make rows wide, so
   * `spark.sql.files.maxPartitionBytes` (not row count) governs partition
@@ -58,12 +60,34 @@ object Multimodal {
       payload(1) == 'P'.toByte && payload(2) == 'N'.toByte &&
       payload(3) == 'G'.toByte
 
-  /** Synthesize a tiny constant-value RGB PNG through the JDK encoder —
-    * the planted real-codec artifact: every pixel is (v, v, v), so the
-    * decoded raster's component sum is exactly `w * h * 3 * v` and an
-    * arithmetic oracle can check a REAL ImageIO round-trip.
+  /** GIF87a/GIF89a magic. */
+  def isGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 && payload(0) == 'G'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
+      payload(3) == '8'.toByte
+
+  /** BMP magic ("BM" + the 4-byte file size matching reality — the
+    * two-byte prefix alone would false-positive on text).
     */
-  def syntheticPng(w: Int, h: Int, v: Int): Array[Byte] = {
+  def isBmp(payload: Array[Byte]): Boolean =
+    payload.length >= 6 && payload(0) == 'B'.toByte &&
+      payload(1) == 'M'.toByte && {
+        val sz = (payload(2) & 0xff) | ((payload(3) & 0xff) << 8) |
+          ((payload(4) & 0xff) << 16) | ((payload(5) & 0xff) << 24)
+        sz == payload.length
+      }
+
+  /** Every format the JDK's ImageIO genuinely decodes here. */
+  def isDecodableImage(payload: Array[Byte]): Boolean =
+    isPng(payload) || isGif(payload) || isBmp(payload)
+
+  /** [[syntheticPng]]'s shape for any ImageIO-writable format name
+    * ("png", "gif", "bmp"): constant-value RGB raster, exact component
+    * sum `w * h * 3 * v` after a real encode→decode round trip
+    * (constant color survives GIF's palette quantization exactly —
+    * a one-color image IS its own palette).
+    */
+  def syntheticImage(fmt: String, w: Int, h: Int, v: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (v << 16) | (v << 8) | v
@@ -74,9 +98,17 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
+
+  /** Synthesize a tiny constant-value RGB PNG through the JDK encoder —
+    * the planted real-codec artifact: every pixel is (v, v, v), so the
+    * decoded raster's component sum is exactly `w * h * 3 * v` and an
+    * arithmetic oracle can check a REAL ImageIO round-trip.
+    */
+  def syntheticPng(w: Int, h: Int, v: Int): Array[Byte] =
+    syntheticImage("png", w, h, v)
 
   /** WAV/RIFF magic. */
   def isWav(payload: Array[Byte]): Boolean =
@@ -163,7 +195,7 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
-        if (isPng(payload)) {
+        if (isDecodableImage(payload)) {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))
           val (w, h) = (img.getWidth, img.getHeight)

@@ -68,6 +68,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getLong(6) === 3L * 2 * 3 * 7, "raster pixel sum")
   }
 
+  test("GIF and BMP payloads also decode through ImageIO with exact rasters") {
+    import spark.implicits._
+    for (fmt <- Seq("gif", "bmp")) {
+      // 4x3 constant-value (v=9) image: component sum = 4*3*3*9 for any
+      // lossless format; constant color survives GIF's palette exactly
+      val img = Multimodal.syntheticImage(fmt, w = 4, h = 3, v = 9)
+      assert(Multimodal.isDecodableImage(img), s"$fmt magic not detected")
+      val out = Multimodal.decodeFeatures(
+        Seq((1L, img, s"image/$fmt")).toDF("media_id", "payload", "format"))
+        .collect().head
+      assert(out.getInt(3) === 4 && out.getInt(4) === 3, s"$fmt dims")
+      assert(out.getLong(6) === 4L * 3 * 3 * 9, s"$fmt raster pixel sum")
+    }
+    // fixture-path payloads (lowercase text) can never match the image
+    // magics, so the catalog's m2 output is provably untouched
+    assert(!Multimodal.isDecodableImage("big merge slow part".getBytes))
+  }
+
   test("a synthesized WAV decodes through javax.sound with exact header and PCM sum") {
     import spark.implicits._
     // 2 channels, 5 frames, amplitude -12: sample sum = 5 * 2 * -12
