@@ -1053,7 +1053,7 @@ object Pipeline {
       |FROM s, t ORDER BY source""".stripMargin
 
   /** p20: TOKEN-BUDGET WATERFILLING — allocate a training budget B
-    * (half the corpus here; SF-free) across sources max-min fairly:
+    * (90% of the corpus here; SF-free) across sources max-min fairly:
     * every source gets up to the common waterline L, a source with less
     * supply than L is taken whole ("capped"). The allocator behind
     * balanced data mixes when supplies are skewed — uniform targets

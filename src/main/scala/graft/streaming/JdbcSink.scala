@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the target being a `ReplacingMergeTree(_ver)` table (duplicate
   * replays collapse server-side exactly as in the reference).
   *
-  * Config-only in this environment (no database to connect to); the
-  * operator layer is transport-agnostic, so this sink and the parquet
-  * append sink in [[CdcStream.startReplication]] are interchangeable.
+  * Executes for real in this environment: JdbcSinkSpec round-trips
+  * micro-batches into an embedded Derby database and proves replay
+  * duplicates collapse in the versioned read view. The operator layer is
+  * transport-agnostic, so this sink and the parquet append sink in
+  * [[CdcStream.startReplication]] are interchangeable.
   */
 object JdbcSink {
 

@@ -29,6 +29,15 @@ final class SmtpAlerter(
     to: Seq[String],
     timeoutMs: Int = 10000) {
 
+  /** SMTP commands and headers are single-line by grammar: a CR/LF
+    * embedded in an interpolated value (query name from user config, the
+    * configured addresses) would otherwise inject commands into the
+    * envelope or extra headers into the message (the error BODY is safe —
+    * it is line-split and dot-stuffed). Flattened, not rejected: alerting
+    * must fire on whatever name the failing query actually has.
+    */
+  private def oneLine(s: String): String = s.replaceAll("[\\r\\n]+", " ")
+
   /** Send the failure mail; throws on any protocol error. */
   def sendFailure(queryName: String, error: String): Unit = {
     val socket = new Socket(host, port)
@@ -41,21 +50,27 @@ final class SmtpAlerter(
       def expect(code: String): Unit = {
         var line = in.readLine()
         if (line == null) sys.error("SMTP: connection closed")
-        // RFC 5321 multiline reply: "250-..." continues, "250 ..." ends
-        while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        // RFC 5321 multiline reply: "250-..." continues, "250 ..." ends;
+        // a connection dropped MID-reply must fail the same way as one
+        // dropped before it (readLine returns null, not an exception)
+        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+          line = in.readLine()
+        if (line == null) sys.error("SMTP: connection closed")
         if (!line.startsWith(code))
           sys.error(s"SMTP: expected $code, got: $line")
       }
       def send(line: String): Unit = { out.write(line); out.write("\r\n"); out.flush() }
       expect("220")
+      val safeFrom = oneLine(from)
+      val safeTo = to.map(oneLine)
       send("EHLO graft"); expect("250")
-      send(s"MAIL FROM:<$from>"); expect("250")
-      to.foreach { rcpt => send(s"RCPT TO:<$rcpt>"); expect("250") }
+      send(s"MAIL FROM:<$safeFrom>"); expect("250")
+      safeTo.foreach { rcpt => send(s"RCPT TO:<$rcpt>"); expect("250") }
       send("DATA"); expect("354")
       val body = Seq(
-        s"From: $from",
-        s"To: ${to.mkString(", ")}",
-        s"Subject: [graft] replication query failed: $queryName",
+        s"From: $safeFrom",
+        s"To: ${safeTo.mkString(", ")}",
+        s"Subject: [graft] replication query failed: ${oneLine(queryName)}",
         "",
         s"Streaming query '$queryName' terminated with an exception:",
         "") ++ error.linesIterator

@@ -37,6 +37,11 @@ object BenchAB {
     val qSec = txt.substring(qStart + 11, txt.indexOf("}", qStart))
     val subsetNames = "\"([a-zA-Z0-9_]+)\":".r
       .findAllMatchIn(qSec).map(_.group(1)).toSet
+    // the flat-brace extraction above assumes "queries" holds no nested
+    // objects; if the record format ever changes, fail loudly instead of
+    // silently timing a truncated subset
+    require(subsetNames.nonEmpty,
+      s"$subsetFile: parsed an empty \"queries\" subset — record format changed?")
     val catalog = SparkEntry.queries
     val subset = (subsetNames intersect catalog.keySet).toSeq.sorted
     val full = catalog.keys.toSeq.sorted

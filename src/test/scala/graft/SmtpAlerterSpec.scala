@@ -74,6 +74,23 @@ class SmtpAlerterSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("CR/LF in query name or addresses cannot inject SMTP commands or headers") {
+    val (port, server, transcript) = miniSmtpServer()
+    try {
+      val alerter = new SmtpAlerter("127.0.0.1", port,
+        "graft@local\r\nMAIL FROM:<evil@local>", Seq("oncall@local"))
+      alerter.sendFailure("q\r\nX-Injected: header", "boom")
+      val lines = transcript()
+      // the envelope saw exactly one MAIL FROM, with the newline flattened
+      assert(lines.count(_.startsWith("MAIL FROM:")) === 1)
+      assert(lines.contains("MAIL FROM:<graft@local MAIL FROM:<evil@local>>"))
+      // the subject is one header line; no free-standing injected header
+      assert(lines.exists(_ ==
+        "Subject: [graft] replication query failed: q X-Injected: header"))
+      assert(!lines.contains("X-Injected: header"))
+    } finally server.close()
+  }
+
   test("a dead mail host degrades quietly — alerting never cascades") {
     val dead = new ServerSocket(0)
     val port = dead.getLocalPort
