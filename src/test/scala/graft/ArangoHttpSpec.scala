@@ -2,8 +2,13 @@ package graft
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.sources.{ArangoHttp, ArangoHttpCollectionSource}
 import org.apache.spark.sql.functions._
@@ -11,26 +16,44 @@ import org.apache.spark.sql.functions._
 /** The live-Arango edge against a REAL HTTP protocol exchange: an
   * in-process Arango-shaped server (JDK HttpServer — the Derby/SMTP
   * move applied to the source side) serves the documented cursor and
-  * replication endpoints, and the client must speak them exactly:
-  * basic auth on every call, cursor paging until hasMore=false, WAL
-  * tail from an exclusive lower bound, and the spool handoff that turns
-  * tailed NDJSON into [[graft.sources.WalSource]] chunks the whole
-  * tested replication stack already runs on.
+  * replication endpoints as an actual AQL-evaluating pager: it honors
+  * batchSize with true server-side cursor continuation state, answers
+  * the control-plane forms the partitioned scan plans with (collection
+  * count, sorted-key offset probes), filters by `_key` ranges from bind
+  * vars, and bounds WAL tails to the requested chunkSize. The client
+  * must speak all of it exactly: basic auth on every call, cursor
+  * paging until hasMore=false, bounded tail loops from an exclusive
+  * lower bound, and the spool handoff that turns tailed NDJSON into
+  * [[graft.sources.WalSource]] chunks the whole tested replication
+  * stack already runs on.
   */
 class ArangoHttpSpec extends SparkSpec {
 
-  private val docs = (1 to 5).map(i => s"""{"k":$i,"v":"$i.5"}""")
+  // keys sort k01 < ... < k05 — the boundary probes rely on _key order
+  private val docs: Vector[(String, String)] = (1 to 5)
+    .map(i => (f"k$i%02d", s"""{"_key":"k$i%02d","k":$i,"v":"$i.5"}""")).toVector
 
-  /** Arango-shaped mini server: 3-page cursor over `docs`, lastTick,
-    * and a tail whose content grows when `headTick` is raised.
-    */
-  private def miniArango(): (HttpServer, () => Unit, () => Int) = {
-    val server = HttpServer.create(new InetSocketAddress(0), 0)
+  /** Arango-shaped mini server evaluating the protocol for real. */
+  private final class MiniArango {
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
     @volatile var headTick = 20L
-    @volatile var unauthorized = 0
-    val expectAuth = "Basic " + java.util.Base64.getEncoder.encodeToString(
+    /** ticks AFTER this bound carry an extra `w` field in their payload
+      * (schema evolution mid-tail); MaxValue = never.
+      */
+    @volatile var schemaCutover: Long = Long.MaxValue
+    val unauthorized = new AtomicInteger(0)
+    val maxPageServed = new AtomicInteger(0)
+    val maxTailServed = new AtomicInteger(0)
+    /** every data-scan cursor opened: (loBound, hiBound) from bindVars */
+    val scanCursors = new java.util.concurrent.CopyOnWriteArrayList[(Option[String], Option[String])]()
+    private val mapper = new ObjectMapper()
+    private val cursorState = new ConcurrentHashMap[String, (Seq[Seq[String]], Int)]()
+    private val nextCursor = new AtomicLong(0)
+
+    private val expectAuth = "Basic " + java.util.Base64.getEncoder.encodeToString(
       "root:pw".getBytes(StandardCharsets.UTF_8))
-    def reply(ex: HttpExchange, code: Int, body: String,
+
+    private def reply(ex: HttpExchange, code: Int, body: String,
         headers: Map[String, String] = Map.empty): Unit = {
       headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
       val b = body.getBytes(StandardCharsets.UTF_8)
@@ -38,51 +61,127 @@ class ArangoHttpSpec extends SparkSpec {
       ex.getResponseBody.write(b)
       ex.close()
     }
-    def authed(ex: HttpExchange)(ok: => Unit): Unit =
+
+    private def authed(ex: HttpExchange)(ok: => Unit): Unit =
       if (ex.getRequestHeaders.getFirst("Authorization") != expectAuth) {
-        unauthorized += 1; reply(ex, 401, """{"error":true,"code":401}""")
+        unauthorized.incrementAndGet(); reply(ex, 401, """{"error":true,"code":401}""")
       } else ok
+
+    private def cursorResponse(ex: HttpExchange, code: Int,
+        page: Seq[String], id: Option[String], hasMore: Boolean): Unit = {
+      maxPageServed.getAndUpdate(m => math.max(m, page.size))
+      val idPart = id.map(i => s""""id":"$i",""").getOrElse("")
+      reply(ex, code,
+        s"""{"result":[${page.mkString(",")}],${idPart}"hasMore":$hasMore,"code":$code}""")
+    }
+
+    private val LengthQ = """RETURN LENGTH\((\w+)\)""".r
+    private val ProbeQ = """FOR d IN (\w+) SORT d\._key LIMIT (\d+), 1 RETURN d\._key""".r
+
+    /** Evaluate one AQL POST body → full result list (pre-paging). */
+    private def evaluate(query: String, bindVars: Map[String, String]): Seq[String] =
+      query.trim match {
+        case LengthQ(_) => Seq(docs.size.toString)
+        case ProbeQ(_, off) =>
+          docs.map(_._1).sorted.drop(off.toInt).take(1).map(k => s""""$k"""")
+        case q if q.startsWith("FOR d IN ") && q.endsWith("RETURN d") =>
+          val lo = if (q.contains("@lo")) bindVars.get("lo") else None
+          val hi = if (q.contains("@hi")) bindVars.get("hi") else None
+          scanCursors.add((lo, hi))
+          docs.collect {
+            case (k, j) if lo.forall(k >= _) && hi.forall(k < _) => j
+          }
+        case other => sys.error(s"mini-arango: unsupported AQL: $other")
+      }
+
     server.createContext("/_db/d/_api/cursor", (ex: HttpExchange) =>
       authed(ex) {
         val path = ex.getRequestURI.getPath
-        if (path.endsWith("/cursor")) // first page
-          reply(ex, 201, s"""{"result":[${docs(0)},${docs(1)}],"hasMore":true,"id":"c1","code":201}""")
-        else if (path.endsWith("/c1") && ex.getRequestMethod == "PUT")
-          reply(ex, 200, s"""{"result":[${docs(2)},${docs(3)}],"hasMore":true,"id":"c2","code":200}""")
-        else if (path.endsWith("/c2") && ex.getRequestMethod == "PUT")
-          reply(ex, 200, s"""{"result":[${docs(4)}],"hasMore":false,"code":200}""")
-        else reply(ex, 404, """{"error":true,"code":404}""")
+        if (path.endsWith("/cursor") && ex.getRequestMethod == "POST") {
+          val body = mapper.readTree(new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          val query = body.get("query").asText
+          val batch = if (body.hasNonNull("batchSize")) body.get("batchSize").asInt else 1000
+          val bind =
+            if (body.hasNonNull("bindVars"))
+              body.get("bindVars").properties().asScala
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            else Map.empty[String, String]
+          val pagesList = evaluate(query, bind).grouped(batch).toSeq match {
+            case Seq() => Seq(Seq.empty[String])
+            case ps    => ps
+          }
+          if (pagesList.size == 1) cursorResponse(ex, 201, pagesList.head, None, hasMore = false)
+          else {
+            val id = s"c${nextCursor.incrementAndGet()}"
+            cursorState.put(id, (pagesList, 1))
+            cursorResponse(ex, 201, pagesList.head, Some(id), hasMore = true)
+          }
+        } else if (ex.getRequestMethod == "PUT") {
+          val id = path.substring(path.lastIndexOf('/') + 1)
+          cursorState.get(id) match {
+            case null => reply(ex, 404, """{"error":true,"code":404}""")
+            case (pagesList, i) =>
+              val last = i == pagesList.size - 1
+              if (last) cursorState.remove(id)
+              else cursorState.put(id, (pagesList, i + 1))
+              cursorResponse(ex, 200, pagesList(i),
+                if (last) None else Some(id), hasMore = !last)
+          }
+        } else reply(ex, 404, """{"error":true,"code":404}""")
       })
+
     server.createContext("/_db/d/_api/wal/lastTick", (ex: HttpExchange) =>
       authed(ex)(reply(ex, 200, s"""{"tick":"$headTick"}""")))
+
     server.createContext("/_db/d/_api/wal/tail", (ex: HttpExchange) =>
       authed(ex) {
-        val from = ex.getRequestURI.getQuery.split("=")(1).toLong
+        val params = ex.getRequestURI.getQuery.split("&")
+          .map(_.split("=", 2)).map(kv => kv(0) -> kv(1)).toMap
+        val from = params("from").toLong
+        val chunk = params.get("chunkSize").map(_.toLong).getOrElse(Long.MaxValue)
         // envelope lines in the WalSource contract; tick doubles as the
-        // offset (Arango ticks are the global order); the payload is in
-        // the Doc schema so the resync e2e can transform it
-        val lines = ((from + 1) to headTick).map { t =>
-          s"""{"tick":"$t","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\\"k\\": ${t % 4}, \\"v\\": \\"$t.5\\"}","offset":$t}"""
+        // offset (Arango ticks are the global order); payload is in the
+        // Doc schema so the resync e2e can transform it, gaining a `w`
+        // field after the schema cutover
+        val upTo = math.min(headTick, from + chunk)
+        val lines = ((from + 1) to upTo).map { t =>
+          val extra = if (t > schemaCutover) s""", \\"w\\": ${t * 10}""" else ""
+          s"""{"tick":"$t","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\\"k\\": ${t % 4}, \\"v\\": \\"$t.5\\"$extra}","offset":$t}"""
         }
+        maxTailServed.getAndUpdate(m => math.max(m, lines.size))
         reply(ex, 200, lines.mkString("\n"),
-          Map("X-Arango-Replication-Lastincluded" -> headTick.toString))
+          Map("X-Arango-Replication-Lastincluded" ->
+            (if (lines.isEmpty) "0" else upTo.toString)))
       })
+
     server.start()
-    (server, () => headTick = 25L, () => unauthorized)
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
   }
 
-  test("cursor scan pages to exhaustion, tail spools into WalSource, ticks line up") {
-    val (server, advanceHead, unauthorized) = miniArango()
-    try {
-      val cfg = ArangoHttp.Config(
-        s"http://127.0.0.1:${server.getAddress.getPort}", "d", "root", "pw")
-      val spool = Files.createTempDirectory("arango-spool").toString
-      val src = ArangoHttpCollectionSource(cfg, "events", spool, batchSize = 2)
+  private def cfgFor(m: MiniArango) =
+    ArangoHttp.Config(s"http://127.0.0.1:${m.port}", "d", "root", "pw")
 
-      // snapshot: all 5 docs across the 3 cursor pages, schema inferred
+  test("cursor scan pages to exhaustion, tail spools into WalSource, ticks line up") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-spool").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool, batchSize = 2)
+
+      // snapshot: all 5 docs across 3 cursor pages, schema inferred; the
+      // pages land as SPOOL FILES (bounded driver memory), not a Seq
       val snap = src.snapshot(spark)
       assert(snap.count() === 5)
       assert(snap.agg(sum(col("k"))).head.getLong(0) === 15L)
+      assert(m.maxPageServed.get() <= 2, "server page exceeded batchSize")
+      val snapDirs = Files.list(Paths.get(spool)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot-")).toSeq
+      assert(snapDirs.size === 1)
+      val pageFiles = Files.list(snapDirs.head).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(pageFiles === Seq("page-000000.json", "page-000001.json", "page-000002.json"),
+        s"snapshot pages not spooled as files: $pageFiles")
 
       // tick BEFORE scan (the resync ordering contract)
       assert(src.currentTick(spark) === 20L)
@@ -93,7 +192,7 @@ class ArangoHttpSpec extends SparkSpec {
       // pump with nothing new: no chunk, high water unchanged
       assert(src.pump() === None)
       // upstream advances; pump 2 tails ONLY the delta (from=20)
-      advanceHead()
+      m.headTick = 25L
       assert(src.pump() === Some((21L, 25L)))
       assert(src.spoolTick() === 25L)
 
@@ -115,19 +214,85 @@ class ArangoHttpSpec extends SparkSpec {
         .start()
       q.awaitTermination()
       assert(spark.table("arango_wal").count() === 25L)
-      assert(unauthorized() === 0)
-    } finally server.stop(0)
+      assert(m.unauthorized.get() === 0)
+    } finally m.stop()
+  }
+
+  test("a long backlog lands as multiple bounded chunks with contiguous ticks") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-bounded").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool)
+      // 20 pending ticks, chunk bound 8: the pump must LOOP bounded tail
+      // calls (the reference's chunk_size discipline, settings.yaml:32),
+      // emitting one durable chunk per call — never one driver-sized one
+      assert(src.pump(maxPerChunk = 8) === Some((1L, 20L)))
+      assert(m.maxTailServed.get() <= 8, "a tail call exceeded the chunk bound")
+      val chunks = Files.list(Paths.get(spool)).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(chunks === Seq("wal-1-8.json", "wal-17-20.json", "wal-9-16.json").sorted)
+      // contiguity + exactness through the real reader
+      val wal = spark.read.format("graft.sources.WalSource").load(spool)
+      assert(wal.select("tick").collect().map(_.getLong(0)).sorted
+        === (1L to 20L).toArray)
+      // the next pump starts AFTER the bounded chunks' high water
+      assert(src.pump(maxPerChunk = 8) === None)
+      m.headTick = 23L
+      assert(src.pump(maxPerChunk = 8) === Some((21L, 23L)))
+    } finally m.stop()
+  }
+
+  test("distributed scan opens one key-range cursor per partition and reunites exactly") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-dist").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool, batchSize = 2)
+
+      // 2 partitions: boundary probe at offset 5/2=2 → "k03"; ranges
+      // (-inf,k03) and [k03,+inf) — planned on the driver from O(1)
+      // probes, data pulled by per-partition cursors
+      val raw2 = spark.read.format("graft.sources.ArangoScanSource")
+        .option("url", cfgFor(m).baseUrl).option("db", "d")
+        .option("user", "root").option("password", "pw")
+        .option("collection", "events")
+        .option("numPartitions", 2).option("batchSize", 2)
+        .load()
+      assert(raw2.rdd.getNumPartitions === 2)
+      assert(raw2.count() === 5)
+      assert(m.scanCursors.asScala.toSet ===
+        Set((None, Some("k03")), (Some("k03"), None)))
+      assert(m.maxPageServed.get() <= 2, "a range cursor page exceeded batchSize")
+
+      // the convenience form parses distributedly and matches snapshot()
+      m.scanCursors.clear()
+      val dist = src.snapshotDistributed(spark, numPartitions = 3)
+      assert(dist.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === (1 to 5).map(i => (i.toLong, s"$i.5")).toSet)
+      // 3 partitions: probes at offsets 1 and 3 → k02, k04; inference +
+      // parse each ran the three range cursors once
+      val ranges = m.scanCursors.asScala.toSet
+      assert(ranges === Set(
+        (None, Some("k02")), (Some("k02"), Some("k04")), (Some("k04"), None)))
+
+      // with a known schema the scan is a single pass
+      m.scanCursors.clear()
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val one = src.snapshotDistributed(spark, 2, Some(schema))
+      assert(one.agg(sum(col("k"))).head.getLong(0) === 15L)
+      assert(m.scanCursors.asScala.size === 2,
+        s"schema-given scan should open exactly 2 range cursors, saw ${m.scanCursors.asScala}")
+    } finally m.stop()
   }
 
   test("full resync lifecycle runs over the live HTTP transport end to end") {
     import graft.config.{ColumnSpec, TableConfig}
     import org.apache.spark.sql.types._
-    val (server, advanceHead, _) = miniArango()
+    val m = new MiniArango
     try {
-      val cfg = ArangoHttp.Config(
-        s"http://127.0.0.1:${server.getAddress.getPort}", "d", "root", "pw")
       val spool = Files.createTempDirectory("rs-spool").toString
-      val src = ArangoHttpCollectionSource(cfg, "events", spool, batchSize = 2)
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool, batchSize = 2)
       val config = TableConfig("Doc", Seq(
         ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
         ColumnSpec("V", Seq("float"), ref = Some("v"), default = Some(0.0))))
@@ -161,7 +326,7 @@ class ArangoHttpSpec extends SparkSpec {
 
       // upstream moves on; the pump tails only the delta and the SAME
       // checkpoint continues the stream — the steady-state leg
-      advanceHead()
+      m.headTick = 25L
       assert(src.pump() === Some((21L, 25L)))
       val q2 = graft.streaming.CdcStream.startReplication(
         src.changes(spark), config, payloadSchema, tableDir, ckpt,
@@ -177,17 +342,62 @@ class ArangoHttpSpec extends SparkSpec {
         0L -> 24.5, 1L -> 25.5, 2L -> 22.5, 3L -> 23.5,
         4L -> 4.5, 5L -> 5.5),
         "steady-state deltas did not apply latest-wins over the snapshot")
-    } finally server.stop(0)
+    } finally m.stop()
+  }
+
+  test("documents gaining a column mid-tail keep the unified-view contract over HTTP") {
+    import graft.config.{ColumnSpec, TableConfig}
+    import org.apache.spark.sql.types._
+    val m = new MiniArango
+    try {
+      // upstream adds field `w` to every change after tick 22 — r11's
+      // concern driven through the LIVE transport: the spool stores the
+      // payload as raw JSON, the payload schema knows the NEW column,
+      // and rows from before the cutover must surface it as typed NULL
+      // (absence observable, never invented), exactly like a
+      // mergeSchema read across old and new parquet files
+      m.schemaCutover = 22L
+      val spool = Files.createTempDirectory("ev-spool").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool)
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v")),
+        ColumnSpec("W", Seq("int"), ref = Some("w"))))
+      val payloadSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType),
+        StructField("w", LongType)))
+      val tableDir = Files.createTempDirectory("ev-tbl").toString
+      val ckpt = Files.createTempDirectory("ev-ck").toString
+      m.headTick = 24L
+      assert(src.pump() === Some((1L, 24L)))
+      val q = graft.streaming.CdcStream.startReplication(
+        src.changes(spark), config, payloadSchema, tableDir, ckpt,
+        collectionIds = Seq("c1"), initialTick = None,
+        clock = lit("2024-01-01").cast("timestamp"))
+      q.awaitTermination()
+      val view = graft.streaming.CdcStream
+        .currentView(spark, tableDir, keys = Seq("K"))
+        .select("K", "W").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long])))
+        .toMap
+      // latest ticks per key: k0<-24, k1<-21, k2<-22, k3<-23; w exists
+      // only for ticks > 22
+      assert(view === Map(
+        0L -> Some(240L), 3L -> Some(230L),
+        1L -> None, 2L -> None),
+        "pre-cutover rows must carry typed NULL for the new column; " +
+          "post-cutover rows must carry its value")
+    } finally m.stop()
   }
 
   test("wrong credentials fail loudly with the server's 401, not silently") {
-    val (server, _, unauthorized) = miniArango()
+    val m = new MiniArango
     try {
       val bad = ArangoHttp.Config(
-        s"http://127.0.0.1:${server.getAddress.getPort}", "d", "root", "WRONG")
+        s"http://127.0.0.1:${m.port}", "d", "root", "WRONG")
       val e = intercept[RuntimeException](new ArangoHttp.Client(bad).lastTick())
       assert(e.getMessage.contains("401"), s"wrong failure mode: ${e.getMessage}")
-      assert(unauthorized() === 1)
-    } finally server.stop(0)
+      assert(m.unauthorized.get() === 1)
+    } finally m.stop()
   }
 }
