@@ -2400,8 +2400,34 @@ object Documents {
     * mean_lik_ppm) WITHOUT d31's presentation order/limit — shared by
     * d31 (worst-25 report) and p19 (CCNet head/middle/tail buckets), so
     * both describe the SAME model by construction.
+    *
+    * Persisted once per (corpus fingerprint, params) through
+    * [[graft.operators.PersistedIndex]] (the r7 verdict's #3): the model
+    * is corpus-derived and fingerprint-stable, so training it — and
+    * paying the corpus-sized scoring grid — twice because two queries
+    * both need it is a full corpus scan wasted at 100 TB. The SCORED
+    * frame persists rather than the model alone because persisting just
+    * the bigram counts would still re-pay the (doc, bigram) grid agg per
+    * consumer; this way the whole chain (train + score) runs exactly
+    * once and d31/p19 plans are reads of a bucketed table. Bucketed by
+    * `lang` — p19's rank window partitions by lang, so its only input
+    * exchange rides the bucket layout.
     */
-  private[graft] def lmScored(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lmScored(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PersistedIndex.ensure(
+      spark, "graft_lm_scored", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"bigram laplace trusted=en ppm=$LmScale") { table =>
+      lmScoredBuild(spark, dir)
+        .write.format("parquet").bucketBy(8, "lang").sortBy("lang")
+        .saveAsTable(table)
+    }
+
+  /** The full train+score chain (one corpus pass for the trusted model,
+    * one for the scoring grid) — runs only inside [[lmScored]]'s
+    * persist-once build.
+    */
+  private def lmScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .filter(size(T.tokens(col("text"))) >= 2)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))

@@ -71,9 +71,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - p14: the one-row min-count broadcast next to the rate table
       //    (d22's scalar shape, once per epoch row)
       "p14_anneal_mix",
-      //  - d31: the one-row trusted-vocabulary count broadcast next to
-      //    every scored bigram (p4/v7's scalar shape)
-      "d31_lm_quality",
+      // (d31/p19 no longer appear here: their one-row vocabulary
+      // broadcast lives in lmScored's persist-once BUILD; the audited
+      // query plans are reads of the persisted table)
       //  - v21: v1's deliberate broadcast-Q x scan-N (one pass scores
       //    all four prefix dims) plus v8's exact ground-truth side
       "v21_matryoshka_sweep",
@@ -101,9 +101,6 @@ class PlanAuditSpec extends SparkSpec {
       //  - r15: the one-row as-of cutoff broadcast next to every log row
       //    (q22's scalar shape)
       "r15_asof_read",
-      //  - p19: d31's one-row trusted-vocabulary broadcast (the shared
-      //    scoring chain's scalar shape)
-      "p19_perplexity_buckets",
       //  - q32: the one-row total-revenue broadcast next to the per-part
       //    frame (q22's scalar shape — the group-vs-global HAVING)
       "q32_important_parts")
@@ -308,14 +305,13 @@ class PlanAuditSpec extends SparkSpec {
       // in-plan cost is the pair distinct + the one-row sweep agg (the
       // 3-row output sort rides the single partition)
       "d32_lsh_band_sweep" -> 2,
-      // d31: one corpus repartition serves both the grid agg and the
-      // final per-doc agg (subset-key reuse); the left rollup (1) and
-      // vocab distinct-count (2) fold over the checkpointed vocab-sized
-      // model, not the corpus
-      "d31_lm_quality" -> 4,
-      // p19: d31's scoring chain (same 4) with the TakeOrdered replaced
-      // by the per-lang ntile window + the 3|langs|-row rollup + sort
-      "p19_perplexity_buckets" -> 6,
+      // d31: reads the persisted lm_scored table (train + score ran once
+      // at build); the worst-25 report is a TakeOrdered — exchange-free
+      "d31_lm_quality" -> 0,
+      // p19: the per-lang ntile window over the persisted scored table
+      // (bucketed by lang) + the 3|langs|-row rollup riding it; one
+      // exchange total
+      "p19_perplexity_buckets" -> 1,
       // p14: d22's shape — the rate-table build's tiny aggs + the final
       // epoch x lang rollup + output sort; the corpus scan is read once
       "p14_anneal_mix" -> 5,
