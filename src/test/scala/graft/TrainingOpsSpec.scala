@@ -1707,6 +1707,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("r15 x r9: as-of state equals the SCD2 interval containing T, for several T") {
+    // two INDEPENDENT reconstructions of the same history (the r12
+    // two-pipelines-agree discipline): r9 tiles each key's timeline into
+    // half-open [ver_from, ver_to) intervals via a lead window; r15's
+    // shape reads the state at T as one gated max per key. For any T,
+    // "the interval containing T" and "the gated max at T" must name the
+    // SAME (key -> version) map, with soft deletes excluded identically.
+    val intervals = graft.queries.Replication.r9Scd2History(spark, sf)
+      .select("user_id", "ver_from", "ver_to", "deleted").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2), r.getLong(3)))
+    val maxVer = intervals.map(_._2).max
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("del"))
+    for (t <- Seq(1L, maxVer / 10, maxVer / 2, 5000L, (maxVer * 3) / 4, maxVer)) {
+      // r9 side: the unique interval with ver_from <= T < ver_to, live
+      val viaIntervals = intervals.collect {
+        case (u, from, to, del) if from <= t && t < to && del == 0L => u -> from
+      }.toMap
+      // r15 side: per-key max(struct(ver, del)) gated on ver <= T, live
+      val viaGatedMax = ev
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_id") <= t,
+          struct(col("event_id"), col("del")))).as("s"))
+        .filter(col("s").isNotNull && col("s.del") === 0)
+        .select(col("user_id"), col("s.event_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaGatedMax === viaIntervals,
+        s"as-of reconstruction diverged between r15's gated max and " +
+          s"r9's intervals at T=$t")
+    }
+  }
+
   /** Waterfill in plain Scala — the independent replay for p20. */
   private def waterfillReplay(supplies: Seq[(String, Long)])
       : (Seq[(String, Long, Long, Long)], Option[Long], Long) = {
