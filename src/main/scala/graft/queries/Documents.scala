@@ -3036,7 +3036,70 @@ object Documents {
       |    x -> x.line), ' '), '') AS cleaned_text
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d40: TRAIN/EVAL CROSS-SPLIT LEAKAGE AUDIT — near-duplicate pairs
+    * that CROSS p2's deterministic train/val/test boundary. Benchmark
+    * decontamination (p3/p8/p9/d30) guards against an EXTERNAL eval set;
+    * this guards the internal split: a val/test doc with a near-dup in
+    * train inflates eval scores without any benchmark being touched (the
+    * held-out set isn't held out). Output is the actionable drop list —
+    * one row per leaked eval doc with its split, how many train near-dups
+    * it has, and the strongest estimate.
+    *
+    * Scale shape: the pair set is d6's PERSISTED fingerprint-scoped
+    * expansion — same tag, same params, so d6 and d40 in one session
+    * share ONE signature build (the lmScored discipline applied to the
+    * near-dup family); the split is a pure md5-bucket projection on the
+    * pair endpoints (p2's expression — no join against an assignment
+    * table), and everything after the expansion is candidate-sized.
+    */
+  def d40SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val pairs = candidatePairs(spark,
+      bandSignatures(spark, docs(spark, dir)), Seq("band", "sig"), "doc_id",
+      chunkSize = 256, tag = "d6", dir = dir)
+    scoreMinhashPairsUnordered(pairs)
+      .withColumn("sa", splitOf(col("da")))
+      .withColumn("sb", splitOf(col("db")))
+      // exactly one side in train: train<->train is healthy duplication
+      // (d1/d6's business), eval<->eval leaks nothing into training
+      .filter((col("sa") === "train") =!= (col("sb") === "train"))
+      .select(
+        when(col("sa") === "train", col("db")).otherwise(col("da")).as("doc_id"),
+        when(col("sa") === "train", col("sb")).otherwise(col("sa")).as("split"),
+        col("est_jaccard"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        max(col("est_jaccard")).as("max_est"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d40Sql: String =
+    s"""WITH $minhashCtesSql,
+      |sp AS (
+      |  SELECT da, db, est_jaccard,
+      |    CASE WHEN CAST('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 80
+      |      THEN 'train'
+      |      WHEN CAST('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90
+      |      THEN 'val' ELSE 'test' END AS sa,
+      |    CASE WHEN CAST('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 80
+      |      THEN 'train'
+      |      WHEN CAST('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90
+      |      THEN 'val' ELSE 'test' END AS sb
+      |  FROM est WHERE est_jaccard >= 0.5),
+      |x AS (
+      |  SELECT CASE WHEN sa = 'train' THEN db ELSE da END AS doc_id,
+      |    CASE WHEN sa = 'train' THEN sb ELSE sa END AS split, est_jaccard
+      |  FROM sp WHERE (sa = 'train') <> (sb = 'train'))
+      |SELECT doc_id, split, COUNT(*) AS n_train_dups,
+      |  MAX(est_jaccard) AS max_est
+      |FROM x GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d40_split_leakage" -> (d40SplitLeakage _),
     "d39_line_dedup" -> (d39LineDedup _),
     "d38_source_label_noise" -> (d38SourceLabelNoise _),
     "d37_vocab_growth" -> (d37VocabGrowth _),
@@ -3079,6 +3142,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d40_split_leakage" -> d40Sql,
     "d39_line_dedup" -> d39Sql,
     "d38_source_label_noise" -> d38Sql,
     "d37_vocab_growth" -> d37Sql,

@@ -1087,7 +1087,107 @@ object Events {
       |FROM est JOIN ex ON est.wd = ex.wd ORDER BY day_idx""".stripMargin
   }
 
+  /** w23: TIME-DECAY MULTI-TOUCH ATTRIBUTION — the third attribution
+    * model next to w19's last-touch and w17's transitions: every
+    * purchase's revenue is spread over ALL its preceding touches
+    * (view/click since the user's previous purchase), with weight
+    * halving per step of recency — touch k (1 = most recent) weighs
+    * 2^-(k-1). Weights are integer ppm (1000000 >> (k-1), zero beyond
+    * 20 steps) and each touch receives value·w/Σw in exact integer
+    * micro-units, so conservation (per-purchase shares sum to the
+    * purchase, up to DIV remainders) is checkable and both engines
+    * agree bitwise. Output per touch type: touches attributed, summed
+    * weight, attributed revenue, and its share of all attributed
+    * revenue.
+    *
+    * Scale shape: NO self-join of touches to purchases — one user-keyed
+    * exchange carries (a) the running purchase count that segments each
+    * user's timeline, then (b) per-(user, segment) frames for the
+    * recency rank, the weight sum, and the purchase value, all riding
+    * the same user hash partitioning (ClusteredDistribution is
+    * satisfied by the user exchange — no second shuffle); the rollup is
+    * |touch types| rows.
+    */
+  def w23DecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"),
+        (col("event_type") === "purchase").cast("long").as("is_p"))
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val seg = Window.partitionBy(col("user_id"), col("seg"))
+    val segDesc = seg.orderBy(col("us").desc, col("event_id").desc)
+    val attributed = ev
+      // purchases close their own segment: count of STRICTLY PRECEDING
+      // purchases, so a purchase row shares its seg with its touches
+      .withColumn("seg", coalesce(sum(col("is_p")).over(
+        tl.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rn", row_number().over(segDesc))
+      // the purchase is the segment's last row (rn=1), so touches rank
+      // rn>=2 and k=rn-1; a tail segment with no purchase leaves its
+      // touches at rn>=1 with no pval — the rn>=2 guard keeps the shift
+      // total (those rows drop at the filter either way)
+      .withColumn("w_ppm", when(col("is_p") === 0,
+        when(col("rn") >= 2 && col("rn") - 1 <= 20,
+          expr("shiftright(1000000L, cast(rn - 2 AS INT))"))
+          .otherwise(lit(0L))))
+      .withColumn("sw", sum(col("w_ppm")).over(seg))
+      .withColumn("pval_e6", max(when(col("is_p") === 1,
+        floor(col("value") * 1e6).cast("long"))).over(seg))
+      .filter(col("is_p") === 0 && col("pval_e6").isNotNull && col("sw") > 0)
+      .withColumn("attr_e6", expr("pval_e6 * w_ppm DIV sw"))
+    attributed.groupBy(col("event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("w_ppm")).as("sum_weight_ppm"),
+        sum(col("attr_e6")).as("attributed_rev_e6"))
+      .withColumn("share_ppm",
+        expr("attributed_rev_e6 * 1000000L DIV sum(attributed_rev_e6) OVER ()"))
+      .orderBy(col("touch_type"))
+  }
+
+  val w23Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |s AS (
+      |  SELECT *, COALESCE(SUM(is_p) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      |  FROM e),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, seg
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM s),
+      |w AS (
+      |  SELECT *, CASE WHEN is_p = 0 THEN
+      |      CASE WHEN rn >= 2 AND rn - 1 <= 20 THEN 1000000 >> (rn - 2)
+      |        ELSE 0 END
+      |    END AS w_ppm
+      |  FROM r),
+      |g AS (
+      |  SELECT *, SUM(w_ppm) OVER (PARTITION BY user_id, seg) AS sw,
+      |    MAX(CASE WHEN is_p = 1
+      |        THEN CAST(floor(value * 1e6) AS BIGINT) END)
+      |      OVER (PARTITION BY user_id, seg) AS pval_e6
+      |  FROM w),
+      |a AS (
+      |  SELECT event_type, w_ppm, pval_e6 * w_ppm // sw AS attr_e6
+      |  FROM g WHERE is_p = 0 AND pval_e6 IS NOT NULL AND sw > 0),
+      |t AS (
+      |  SELECT event_type AS touch_type, COUNT(*) AS n_touches,
+      |    SUM(w_ppm) AS sum_weight_ppm, SUM(attr_e6) AS attributed_rev_e6
+      |  FROM a GROUP BY event_type)
+      |SELECT touch_type, n_touches,
+      |  CAST(sum_weight_ppm AS BIGINT) AS sum_weight_ppm,
+      |  CAST(attributed_rev_e6 AS BIGINT) AS attributed_rev_e6,
+      |  CAST(attributed_rev_e6 * 1000000 // SUM(attributed_rev_e6) OVER ()
+      |    AS BIGINT) AS share_ppm
+      |FROM t ORDER BY touch_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w23_decay_attribution" -> (w23DecayAttribution _),
     "w22_sketch_merge" -> (w22SketchMerge _),
     "w21_gap_histogram" -> (w21GapHistogram _),
     "w20_grouped_topk" -> (w20GroupedTopk _),
@@ -1112,6 +1212,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w23_decay_attribution" -> w23Sql,
     "w22_sketch_merge" -> w22Sql,
     "w21_gap_histogram" -> w21Sql,
     "w20_grouped_topk" -> w20Sql,

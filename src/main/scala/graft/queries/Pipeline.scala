@@ -1192,7 +1192,65 @@ object Pipeline {
       |  CAST(MAX(mean_lik_ppm) AS BIGINT) AS max_lik_ppm
       |FROM n GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** p21: MIXTURE DRIFT MONITOR — the composition diff between two
+    * corpus snapshots every recurring ingestion runs before a training
+    * refresh ("did the crawl's source/language mix move?"). Snapshot A =
+    * even doc_ids, B = odd (SF-free stand-ins for consecutive dumps; a
+    * real caller filters by ingestion date). Per (source, lang) cell:
+    * doc counts and corpus-share ppm in each snapshot and the absolute
+    * share drift; plus the rolled-up total-variation distance
+    * TV = sum(|shareA - shareB|) / 2 — the single scalar a drift alarm
+    * thresholds on — repeated on every row (q22's global-next-to-grain
+    * convention). All-integer ppm so both engines agree bitwise.
+    *
+    * Scale shape: ONE corpus aggregation to |sources × langs| cells
+    * (two conditional counts in the same pass — no second scan, no
+    * join of two half-corpus aggs); the share/TV math is a closed-form
+    * window over the bounded cell frame (p15's deliberate tiny
+    * single-partition class).
+    */
+  def p21MixtureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    cells
+      .withColumn("share_a_ppm",
+        expr("n_a * 1000000L DIV sum(n_a) OVER ()"))
+      .withColumn("share_b_ppm",
+        expr("n_b * 1000000L DIV sum(n_b) OVER ()"))
+      .withColumn("drift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .withColumn("tv_ppm", expr("sum(drift_ppm) OVER () DIV 2"))
+      .select(col("source"), col("lang"), col("n_a"), col("n_b"),
+        col("share_a_ppm"), col("share_b_ppm"), col("drift_ppm"),
+        col("tv_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val p21Sql: String =
+    """WITH c AS (
+      |  SELECT source, lang,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+      |  FROM documents GROUP BY source, lang),
+      |s AS (
+      |  SELECT source, lang, n_a, n_b,
+      |    n_a * 1000000 // SUM(n_a) OVER () AS share_a_ppm,
+      |    n_b * 1000000 // SUM(n_b) OVER () AS share_b_ppm
+      |  FROM c),
+      |d AS (SELECT *, abs(share_a_ppm - share_b_ppm) AS drift_ppm FROM s)
+      |SELECT source, lang, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+      |  CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+      |  CAST(drift_ppm AS BIGINT) AS drift_ppm,
+      |  CAST(SUM(drift_ppm) OVER () // 2 AS BIGINT) AS tv_ppm
+      |FROM d ORDER BY source, lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p21_mixture_drift" -> (p21MixtureDrift _),
     "p20_budget_waterfill" -> (p20BudgetWaterfill _),
     "p19_perplexity_buckets" -> (p19PerplexityBuckets _),
     "p18_repeat_factor" -> (p18RepeatFactor _),
@@ -1213,6 +1271,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p21_mixture_drift" -> p21Sql,
     "p20_budget_waterfill" -> p20Sql,
     "p19_perplexity_buckets" -> p19Sql,
     "p18_repeat_factor" -> p18Sql,

@@ -2239,7 +2239,75 @@ object Vectors {
         |ORDER BY cell""".stripMargin
   }
 
+  /** v24: IVF CELL-BALANCE AUDIT — the partition-skew report an ANN
+    * operator reads before trusting v6/v8's latency numbers: cell
+    * population IS the per-probe scan cost, so one hot cell means every
+    * query probing it pays its size (the classic IVF failure mode at
+    * scale — a 10× overweight cell makes p99 latency 10× the mean, and
+    * re-training the coarse quantizer is the fix). Per home cell
+    * (crank=1, v6's own assignment): vector count, corpus-share ppm,
+    * and the cell-vs-ideal skew (n / (N/k) in ppm; 1000000 = perfectly
+    * balanced); the global max skew rides every row (q22's
+    * global-next-to-grain convention) as the single scalar a rebalance
+    * alarm thresholds on.
+    *
+    * Scale shape: v6's assignment pass (broadcast centroid table, the
+    * per-vector argmax projection) + ONE |cells|-sized aggregation;
+    * the share/skew math is a closed-form window over the bounded
+    * |cells| frame. No new corpus pass beyond what v6 already pays —
+    * and since the assignment is the bucketing key the vector table
+    * would be laid out on at 100 TB, this audit is a metadata read
+    * (per-bucket row counts) in the deployed form.
+    */
+  def v24CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    ivfRanked(base, labelMeans(base), maxRank = 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share_ppm",
+        expr("n_vectors * 1000000L DIV sum(n_vectors) OVER ()"))
+      .withColumn("skew_ppm",
+        expr("n_vectors * 1000000L DIV (sum(n_vectors) OVER () DIV count(1) OVER ())"))
+      .withColumn("max_skew_ppm", expr("max(skew_ppm) OVER ()"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("share_ppm"), col("skew_ppm"), col("max_skew_ppm"))
+      .orderBy(col("cell"))
+  }
+
+  val v24Sql: String =
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT b.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1),
+      |n AS (SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell),
+      |s AS (
+      |  SELECT cell, n_vectors,
+      |    n_vectors * 1000000 // SUM(n_vectors) OVER () AS share_ppm,
+      |    n_vectors * 1000000 //
+      |      (SUM(n_vectors) OVER () // COUNT(*) OVER ()) AS skew_ppm
+      |  FROM n)
+      |SELECT CAST(cell AS BIGINT) AS cell,
+      |  CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(share_ppm AS BIGINT) AS share_ppm,
+      |  CAST(skew_ppm AS BIGINT) AS skew_ppm,
+      |  CAST(MAX(skew_ppm) OVER () AS BIGINT) AS max_skew_ppm
+      |FROM s ORDER BY cell""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v24_cell_balance" -> (v24CellBalance _),
     "v23_index_staleness" -> (v23IndexStaleness _),
     "v22_int8_ann" -> (v22Int8Ann _),
     "v21_matryoshka_sweep" -> (v21MatryoshkaSweep _),
@@ -2265,6 +2333,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v24_cell_balance" -> v24Sql,
     "v23_index_staleness" -> v23Sql,
     "v22_int8_ann" -> v22Sql,
     "v21_matryoshka_sweep" -> v21Sql,

@@ -103,7 +103,10 @@ class PlanAuditSpec extends SparkSpec {
       "r15_asof_read",
       //  - q32: the one-row total-revenue broadcast next to the per-part
       //    frame (q22's scalar shape — the group-vs-global HAVING)
-      "q32_important_parts")
+      "q32_important_parts",
+      //  - v24: the cell assignment scores every vector against the
+      //    10-row broadcast centroid table (v6's coarse-quantizer shape)
+      "v24_cell_balance")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -305,6 +308,21 @@ class PlanAuditSpec extends SparkSpec {
       // in-plan cost is the pair distinct + the one-row sweep agg (the
       // 3-row output sort rides the single partition)
       "d32_lsh_band_sweep" -> 2,
+      // d40: the pair expansion reads d6's persisted chunked bucket
+      // table; in-plan cost is the pair distinct + the per-doc leak
+      // rollup + output sort — everything candidate-sized
+      "d40_split_leakage" -> 3,
+      // p21: ONE corpus agg to |sources x langs| cells + the
+      // single-partition share/TV window over that bounded frame (the
+      // window's exchange and the output sort share it)
+      "p21_mixture_drift" -> 2,
+      // w23: one user exchange carries the timeline window AND the
+      // (user, seg) rank/sum/max windows (clustered-distribution
+      // reuse); the rollup agg + 2-row share window are the other two
+      "w23_decay_attribution" -> 3,
+      // v24: v6's broadcast-centroid assignment (projection-shaped),
+      // then the |cells| agg + the bounded share/skew window
+      "v24_cell_balance" -> 2,
       // d31: reads the persisted lm_scored table (train + score ran once
       // at build); the worst-25 report is a TakeOrdered — exchange-free
       "d31_lm_quality" -> 0,

@@ -2019,4 +2019,124 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach { case (_, up, rm, _, _, _, app) => cum += up - rm; assert(app === cum) }
     assert(got.map(t => t._2 + t._3 + t._4).sum === rows.length.toLong)
   }
+
+  /** p2's md5-bucket split, replayed in plain JVM arithmetic. */
+  private def splitOf(id: Long): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val bucket = java.lang.Long.parseLong(
+      md5.take(4).map("%02x".format(_)).mkString, 16) % 100
+    if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+  }
+
+  test("d40: split leakage equals a replay over d6's own near-dup pairs") {
+    val pairs = Documents.d6MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "fixture yields no near-dup pairs — replay is vacuous")
+    val expected = pairs.toSeq.flatMap { case (da, db, est) =>
+      val (sa, sb) = (splitOf(da), splitOf(db))
+      if ((sa == "train") != (sb == "train"))
+        Some(if (sa == "train") (db, sb, est) else (da, sa, est))
+      else None
+    }.groupBy(x => (x._1, x._2)).toSeq.map { case ((d, s), xs) =>
+      (d, s, xs.length.toLong, xs.map(_._3).max)
+    }.sortBy(_._1)
+    val got = Documents.d40SplitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected, "leak list diverges from the d6-pair replay")
+    got.foreach { case (d, s, n, e) =>
+      assert(s != "train", s"doc $d: a train doc cannot be a leaked eval doc")
+      assert(splitOf(d) === s, s"doc $d: split column wrong")
+      assert(n >= 1 && e >= 0.5, s"doc $d: admission invariants broken")
+    }
+  }
+
+  test("p21: mixture drift equals an integer replay and TV is conserved") {
+    val rows = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cells = rows.toSeq.groupBy(x => (x._2, x._3)).toSeq.map {
+      case ((s, l), xs) =>
+        (s, l, xs.count(_._1 % 2 == 0).toLong, xs.count(_._1 % 2 == 1).toLong)
+    }
+    val (ta, tb) = (cells.map(_._3).sum, cells.map(_._4).sum)
+    val scored = cells.map { case (s, l, na, nb) =>
+      val (sa, sb) = (na * 1000000L / ta, nb * 1000000L / tb)
+      (s, l, na, nb, sa, sb, math.abs(sa - sb))
+    }
+    val tv = scored.map(_._7).sum / 2
+    val expected = scored.map(x =>
+      (x._1, x._2, x._3, x._4, x._5, x._6, x._7, tv)).sortBy(x => (x._1, x._2))
+    val got = Pipeline.p21MixtureDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected, "drift cells diverge from the integer replay")
+    // TV is a metric on [0, 1e6]: bounded, and zero iff the mixes match
+    assert(tv >= 0 && tv <= 1000000L)
+    assert((tv == 0) === scored.forall(_._7 == 0))
+  }
+
+  test("w23: time-decay attribution equals a per-user sequential replay") {
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    // replay: walk each user's timeline; a purchase closes the open
+    // segment and distributes floor(value*1e6) over its touches with
+    // weight 1000000 >> (k-1) for recency rank k (0 beyond 20 steps)
+    case class A(touchType: String, w: Long, attr: Long)
+    val out = scala.collection.mutable.ArrayBuffer.empty[A]
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      var open = List.empty[(String, Long, Long)] // type, us, event_id
+      es.sortBy(e => (e._4, e._2)).foreach { e =>
+        if (e._3 != "purchase") open ::= (e._3, e._4, e._2)
+        else {
+          val ordered = open // most recent first (prepend order)
+          val weighted = ordered.zipWithIndex.map { case (t, i) =>
+            val k = i + 1
+            (t._1, if (k <= 20) 1000000L >> (k - 1) else 0L)
+          }
+          val sw = weighted.map(_._2).sum
+          if (sw > 0) {
+            val pval = math.floor(e._5 * 1e6).toLong
+            weighted.foreach { case (tt, w) => out += A(tt, w, pval * w / sw) }
+          }
+          open = Nil
+        }
+      }
+    }
+    val expected = out.groupBy(_.touchType).toSeq.map { case (tt, as) =>
+      (tt, as.size.toLong, as.map(_.w).sum, as.map(_.attr).sum)
+    }
+    val totalAttr = expected.map(_._4).sum
+    val withShare = expected.map(x =>
+      (x._1, x._2, x._3, x._4, x._4 * 1000000L / totalAttr))
+      .sortBy(_._1)
+    val got = graft.queries.Events.w23DecayAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === withShare, "attribution diverges from the sequential replay")
+  }
+
+  test("v24: cell balance audits v6's layout — counts conserve, skew math exact") {
+    val got = Vectors.v24CellBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val nEmb = Tables.load(spark, sf, "embeddings").count()
+    // every vector lives in exactly ONE home cell
+    assert(got.map(_._2).sum === nEmb, "cell populations do not partition the corpus")
+    val total = got.map(_._2).sum
+    val mean = total / got.size
+    got.foreach { case (cell, n, share, skew, maxSkew) =>
+      assert(share === n * 1000000L / total, s"cell $cell: share not the integer quotient")
+      assert(skew === n * 1000000L / mean, s"cell $cell: skew not n/mean in ppm")
+      assert(maxSkew === got.map(_._4).max, s"cell $cell: global max skew wrong")
+    }
+    // shares can only under-count by the DIV remainders
+    val shareSum = got.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+  }
 }
