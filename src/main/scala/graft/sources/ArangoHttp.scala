@@ -207,11 +207,15 @@ final case class ArangoHttpCollectionSource(
     * `spark.read.json` over that spool — inference and parsing run on
     * executors against durable files, and re-reads (schema inference +
     * the write action) never re-page the cursor. The spool files live
-    * as long as the returned frame may be acted on; a resync cleans the
-    * spool after its snapshot write completes.
+    * as long as the returned frame may be acted on; each new snapshot
+    * sweeps PRIOR snapshot dirs that have gone quiet for >30 min
+    * (PersistedIndex's orphan discipline — a concurrent snapshot's dir
+    * is necessarily fresher and is never touched), so a resync loop
+    * can't accumulate spool garbage.
     */
   override def snapshot(spark: SparkSession): DataFrame = {
     val root = Files.createDirectories(Paths.get(spoolDir))
+    sweepStaleSnapshots(root)
     val snapDir = Files.createTempDirectory(root, "snapshot-")
     var pages = 0
     client.cursorPages(s"FOR d IN $collection RETURN d", batchSize) { page =>
@@ -225,6 +229,29 @@ final case class ArangoHttpCollectionSource(
     }
     if (pages == 0) spark.emptyDataFrame
     else spark.read.json(snapDir.toString)
+  }
+
+  /** Delete `snapshot-*` spool dirs untouched for >30 min: they belong
+    * to finished (or crashed) earlier snapshots whose frames are long
+    * consumed. Age-gated so a LIVE concurrent snapshot — whose dir is
+    * being written right now — is never swept.
+    */
+  private def sweepStaleSnapshots(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    val stream = Files.list(root)
+    try stream.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snapshot-") &&
+        Files.isDirectory(p) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toList // materialize before deleting under the open listing
+      .foreach { dir =>
+        val files = Files.list(dir)
+        try files.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
+        finally files.close()
+        Files.deleteIfExists(dir)
+      }
+    finally stream.close()
   }
 
   /** Executor-distributed snapshot: `numPartitions` key-range cursors

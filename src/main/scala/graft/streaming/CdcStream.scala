@@ -521,6 +521,82 @@ object CdcStream {
         Encoders.product[TouchAttribution])
   }
 
+  final case class DecayCredit(
+      key: Long, purchase_id: Long, touch_type: String, w_ppm: Long, attr_e6: Long)
+
+  /** Streaming twin of the batch w23 time-decay attribution: a per-key
+    * `ListState` holds the OPEN touches of the user's current segment
+    * (everything since their previous purchase), CAPPED at the 20 most
+    * recent — the batch rule's own horizon (weight 1000000 >> (k-1) is
+    * ZERO beyond 20 steps), so state is O(20) per key no matter how many
+    * touches a bot session accumulates, provably without changing any
+    * credit. A purchase arrival reads the list most-recent-first, emits
+    * one credit row per NON-ZERO-weight touch (value·w/Σw in exact
+    * integer micro-units, the batch arithmetic verbatim), and clears the
+    * segment.
+    *
+    * Exactness contract (attributionStream's): equal to the batch rule's
+    * positive-weight rows as long as arrivals are per-key event-time
+    * ordered ACROSS micro-batches (the CDC transport guarantee); WITHIN
+    * a batch, rows sort on (us, event_id) before folding. Zero-weight
+    * touches (k > 20) appear in the batch ROLLUP's n_touches but carry
+    * no revenue; the stream, which exists to bound state, never stores
+    * them — the documented difference.
+    */
+  def decayAttributionStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String): org.apache.spark.sql.Dataset[DecayCredit] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val rowEnc = Encoders.product[(Long, Long, Long, String, Double)]
+    val touchEnc = Encoders.product[(Long, Long, String)] // us, event_id, type
+    val MaxTouches = 20
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, Long, String, Double), DecayCredit] {
+        @transient private var open: ListState[(Long, Long, String)] = _
+        override def init(om: OutputMode, tm: TimeMode): Unit =
+          open = getHandle.getListState("open", touchEnc, TTLConfig.NONE)
+        override def handleInputRows(k: Long,
+            rows: Iterator[(Long, Long, Long, String, Double)],
+            tv: TimerValues): Iterator[DecayCredit] = {
+          val out = Seq.newBuilder[DecayCredit]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, id, tp, v) =>
+            if (tp == "purchase") {
+              val touches = open.get().toList.sortBy(t => (-t._1, -t._2))
+              val weighted = touches.zipWithIndex.map { case (t, i) =>
+                (t._3, 1000000L >> i) // i < 20 by the state cap
+              }
+              val sw = weighted.map(_._2).sum
+              if (sw > 0) {
+                val pval = math.floor(v * 1e6).toLong
+                weighted.withFilter(_._2 > 0).foreach { case (tt, w) =>
+                  out += DecayCredit(k, id, tt, w, pval * w / sw)
+                }
+              }
+              open.clear()
+            } else {
+              val kept = (open.get().toList :+ ((us, id, tp)))
+                .sortBy(t => (-t._1, -t._2)).take(MaxTouches)
+              open.clear()
+              if (kept.nonEmpty) open.put(kept.toArray)
+            }
+          }
+          out.result().iterator
+        }
+      }
+    events
+      .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(typeCol), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, String, Double)](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[DecayCredit])
+  }
+
   /** Streaming twin of the batch w17 transition matrix: a per-key
     * `ValueState` holds the LAST seen event, and each arrival emits its
     * (from → to) edge when the gap stays inside the session bound —

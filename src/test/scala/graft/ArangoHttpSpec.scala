@@ -242,6 +242,25 @@ class ArangoHttpSpec extends SparkSpec {
     } finally m.stop()
   }
 
+  test("a new snapshot sweeps stale snapshot spool dirs but never fresh ones") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-sweep")
+      val stale = Files.createDirectory(spool.resolve("snapshot-stale"))
+      Files.write(stale.resolve("page-000000.json"), "{}".getBytes)
+      val fresh = Files.createDirectory(spool.resolve("snapshot-fresh"))
+      Files.write(fresh.resolve("page-000000.json"), "{}".getBytes)
+      // age only the stale one past the 30-min orphan cutoff
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 40L * 60 * 1000)
+      Files.setLastModifiedTime(stale, old)
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool.toString)
+      assert(src.snapshot(spark).count() === 5)
+      assert(!Files.exists(stale), "stale snapshot dir survived the sweep")
+      assert(Files.exists(fresh), "a fresh (possibly live) snapshot dir was swept")
+    } finally m.stop()
+  }
+
   test("distributed scan opens one key-range cursor per partition and reunites exactly") {
     val m = new MiniArango
     try {

@@ -470,6 +470,74 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("decayAttributionStream matches the batch w23 arithmetic and caps state at 20 touches") {
+    val src = tmp("da-src"); val ckpt = tmp("da-ck")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("eid", LongType), StructField("etype", StringType),
+      StructField("value", DoubleType)))
+    def ev(uid: Long, t: String, eid: Long, tp: String, v: Double = 0.0) =
+      s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp","value":$v}"""
+    import scala.jdk.CollectionConverters._
+    // user 1: three views + a click, purchase of 10.0 in a LATER batch
+    // (the segment crosses the boundary); a second immediate purchase
+    // finds a cleared segment and emits nothing.
+    // user 2: 25 views then a purchase — only the 20 most recent carry
+    // weight; the 5 oldest views must get no credit (the state cap is
+    // exactly the batch rule's zero-weight horizon).
+    // user 3: purchase with no touches at all — nothing.
+    Files.write(src.resolve("a.json"), (Seq(
+      ev(1, "2024-01-01T10:00:00.000Z", 1, "view"),
+      ev(1, "2024-01-01T10:10:00.000Z", 2, "view"),
+      ev(1, "2024-01-01T10:20:00.000Z", 3, "view"),
+      ev(1, "2024-01-01T10:30:00.000Z", 4, "click")) ++
+      (0 until 25).map(i =>
+        ev(2, f"2024-01-01T09:${i}%02d:00.000Z", 100 + i, "view")) :+
+      ev(3, "2024-01-01T08:00:00.000Z", 300, "purchase", 5.0)).asJava)
+    Files.write(src.resolve("b.json"), Seq(
+      ev(1, "2024-01-01T11:00:00.000Z", 5, "purchase", 10.0),
+      ev(1, "2024-01-01T11:00:01.000Z", 6, "purchase", 3.0),
+      ev(2, "2024-01-01T09:30:00.000Z", 200, "purchase", 1.0)).asJava)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.decayAttributionStream(stream, "uid", "ts", "eid", "etype", "value")
+        .writeStream.format("memory").queryName("da_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("da_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // user 1: the batch arithmetic verbatim
+      val w1 = Seq(1000000L, 500000L, 250000L, 125000L) // click, v3, v2, v1
+      val sw1 = w1.sum
+      val u1 = Set(
+        (1L, 5L, "click", w1(0), 10000000L * w1(0) / sw1),
+        (1L, 5L, "view", w1(1), 10000000L * w1(1) / sw1),
+        (1L, 5L, "view", w1(2), 10000000L * w1(2) / sw1),
+        (1L, 5L, "view", w1(3), 10000000L * w1(3) / sw1))
+      val w2 = (0 until 20).map(i => 1000000L >> i)
+      val sw2 = w2.sum
+      val u2 = w2.map(w => (2L, 200L, "view", w, 1000000L * w / sw2)).toSet
+      assert(got === u1 ++ u2,
+        "streamed decay credits diverge from the batch arithmetic")
+      // cap evidence: exactly 20 credits for user 2's 25 touches, and
+      // no second-purchase or touchless-purchase rows anywhere
+      assert(got.count(_._1 == 2L) === 20)
+      assert(!got.exists(_._2 == 6L) && !got.exists(_._1 == 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamStaticDedup flags incoming docs against the static corpus index") {
     import spark.implicits._
     val src = tmp("ssd-src"); val ckpt = tmp("ssd-ck")
