@@ -3098,7 +3098,75 @@ object Documents {
       |  MAX(est_jaccard) AS max_est
       |FROM x GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
 
+  /** d41: ZIPF VOCABULARY-COVERAGE CURVE — for top-N word cutoffs
+    * N ∈ {100, 1000, 10000}, what fraction of all token OCCURRENCES the
+    * N most frequent words cover (ties broken by word, so the cutoff is
+    * deterministic in both engines). The table behind every vocabulary
+    * budget: a tokenizer/embedding-table size is chosen where this
+    * curve flattens (Zipf's law says the head covers most of the mass;
+    * this measures by how much on THIS corpus), and d37's growth curve
+    * says when to re-measure.
+    *
+    * Scale shape: ONE corpus pass to per-word counts (map-side
+    * combined); the total is a 1-row broadcast off that same frame; the
+    * top-10000 cut is a distributed TakeOrdered (never a global sort),
+    * and the rank/coverage window runs over the bounded 10k-row head —
+    * the corpus is never touched again.
+    */
+  def d41VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Seq(100, 1000, 10000)
+    val wc = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(T.tokens(coalesce(col("text"), lit("")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // head cut + total both fold from it
+    val total = wc.agg(sum(col("c")).as("total_occurrences"))
+    val head = wc.orderBy(col("c").desc, col("w")).limit(cuts.max)
+    val w0 = Window.orderBy(col("c").desc, col("w"))
+    val ranked = head
+      .withColumn("rank", row_number().over(w0).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // |vocab| may be smaller than a cut — the curve then reads its
+      // own last point (vocab_used < n_top makes that visible)
+      .withColumn("maxr", expr("max(rank) OVER ()"))
+    ranked
+      .crossJoin(broadcast(total))
+      .select(explode(array(cuts.map(n => lit(n.toLong)): _*)).as("n_top"),
+        col("rank"), col("cum"), col("maxr"), col("total_occurrences"))
+      .filter(col("rank") === least(col("n_top"), col("maxr")))
+      .select(col("n_top"),
+        col("rank").as("vocab_used"), col("cum").as("covered_occurrences"),
+        col("total_occurrences"),
+        expr("cum * 1000000L DIV total_occurrences").as("coverage_ppm"))
+      .orderBy(col("n_top"))
+  }
+
+  val d41Sql: String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |t AS (SELECT SUM(c) AS total_occurrences FROM wc),
+      |h AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank,
+      |    SUM(c) OVER (ORDER BY c DESC, w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM wc ORDER BY c DESC, w LIMIT 10000),
+      |m AS (SELECT MAX(rank) AS maxr FROM h),
+      |cuts AS (SELECT unnest([100, 1000, 10000]) AS n_top)
+      |SELECT CAST(n_top AS BIGINT) AS n_top,
+      |  CAST(rank AS BIGINT) AS vocab_used,
+      |  CAST(cum AS BIGINT) AS covered_occurrences,
+      |  CAST(total_occurrences AS BIGINT) AS total_occurrences,
+      |  CAST(cum * 1000000 // total_occurrences AS BIGINT) AS coverage_ppm
+      |FROM cuts, h, m, t
+      |WHERE rank = LEAST(n_top, maxr)
+      |ORDER BY n_top""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d41_vocab_coverage" -> (d41VocabCoverage _),
     "d40_split_leakage" -> (d40SplitLeakage _),
     "d39_line_dedup" -> (d39LineDedup _),
     "d38_source_label_noise" -> (d38SourceLabelNoise _),
@@ -3142,6 +3210,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d41_vocab_coverage" -> d41Sql,
     "d40_split_leakage" -> d40Sql,
     "d39_line_dedup" -> d39Sql,
     "d38_source_label_noise" -> d38Sql,

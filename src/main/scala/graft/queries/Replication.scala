@@ -920,7 +920,71 @@ object Replication {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted_since
       |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** r16: TOMBSTONE RETENTION / GC REPORT — the cleanup read the soft-
+    * delete design (V2) eventually owes: `_deleted=1` rows must be
+    * RETAINED by compaction (r10 plants the revival bug that dropping
+    * one causes) but not forever — once the replay low-water mark has
+    * passed a tombstone's version, no event below it can ever arrive,
+    * so the key's whole history is physically collectable (ClickHouse
+    * answers this with TTL + `OPTIMIZE ... CLEANUP`; the reference's
+    * readers just filter `_deleted` and the garbage accrues unbounded).
+    * Per key bucket: live keys, tombstoned keys, tombstones already
+    * safe to collect at the horizon T (= max version DIV 2, SF-free; a
+    * real caller passes the checkpoint low-water mark), and the
+    * reclaimable share — the table a retention policy is sized from.
+    *
+    * Scale shape: r15's discipline — ONE user_id exchange computes the
+    * latest-state collapse (max(struct(ver, del)) ignores nulls), the
+    * GC classification is a projection on the collapsed |keys| frame,
+    * and the rollup + sort ride |buckets| rows. The horizon scalar
+    * broadcasts (q22's shape).
+    */
+  def r16TombstoneGc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("del"))
+    val cut = ev.agg(expr("max(event_id) DIV 2").as("cut"))
+    ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("del"))).as("n"),
+        max(col("cut")).as("cut"))
+      .select(col("user_id"), col("n.event_id").as("ver"),
+        col("n.del").as("del"), col("cut"))
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .agg(
+        sum(when(col("del") === 0, 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("del") === 1, 1L).otherwise(0L)).as("n_tombstones"),
+        sum(when(col("del") === 1 && col("ver") <= col("cut"), 1L)
+          .otherwise(0L)).as("n_gc_eligible"))
+      .withColumn("reclaim_ppm",
+        expr("n_gc_eligible * 1000000L DIV (n_live + n_tombstones)"))
+      .orderBy(col("bucket"))
+  }
+
+  val r16Sql: String =
+    """WITH c AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+      |e AS (SELECT user_id, event_id,
+      |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del
+      |      FROM events),
+      |g AS (SELECT user_id, MAX(event_id) AS ver,
+      |        arg_max(del, event_id) AS del, MAX(cut) AS cut
+      |      FROM e, c GROUP BY user_id),
+      |b AS (
+      |  SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+      |    SUM(CASE WHEN del = 0 THEN 1 ELSE 0 END) AS n_live,
+      |    SUM(CASE WHEN del = 1 THEN 1 ELSE 0 END) AS n_tombstones,
+      |    SUM(CASE WHEN del = 1 AND ver <= cut THEN 1 ELSE 0 END)
+      |      AS n_gc_eligible
+      |  FROM g GROUP BY 1)
+      |SELECT bucket, CAST(n_live AS BIGINT) AS n_live,
+      |  CAST(n_tombstones AS BIGINT) AS n_tombstones,
+      |  CAST(n_gc_eligible AS BIGINT) AS n_gc_eligible,
+      |  CAST(n_gc_eligible * 1000000 // (n_live + n_tombstones) AS BIGINT)
+      |    AS reclaim_ppm
+      |FROM b ORDER BY bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r16_tombstone_gc" -> (r16TombstoneGc _),
     "r15_asof_read" -> (r15AsofRead _),
     "r14_batch_ledger" -> (r14BatchLedger _),
     "r13_referential_audit" -> (r13ReferentialAudit _),
@@ -938,6 +1002,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r16_tombstone_gc" -> r16Sql,
     "r15_asof_read" -> r15Sql,
     "r14_batch_ledger" -> r14Sql,
     "r13_referential_audit" -> r13Sql,

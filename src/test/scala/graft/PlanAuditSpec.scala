@@ -106,7 +106,13 @@ class PlanAuditSpec extends SparkSpec {
       "q32_important_parts",
       //  - v24: the cell assignment scores every vector against the
       //    10-row broadcast centroid table (v6's coarse-quantizer shape)
-      "v24_cell_balance")
+      "v24_cell_balance",
+      //  - d41: the one-row total-occurrences broadcast next to the
+      //    bounded 10k-row head frame (q22's scalar shape)
+      "d41_vocab_coverage",
+      //  - r16: the one-row GC-horizon scalar broadcast next to every
+      //    log row (r15's shape)
+      "r16_tombstone_gc")
 
   test("no catalog query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
@@ -312,6 +318,13 @@ class PlanAuditSpec extends SparkSpec {
       // table; in-plan cost is the pair distinct + the per-doc leak
       // rollup + output sort — everything candidate-sized
       "d40_split_leakage" -> 3,
+      // d41: word counts fold behind the checkpoint barrier; in-plan
+      // cost is the single-partition window over the bounded 10k head
+      // (the TakeOrdered cut and the scalar broadcast are exchange-free)
+      "d41_vocab_coverage" -> 1,
+      // r16: r15's collapse shape — the user_id exchange + the horizon
+      // scalar's tiny agg + the bucket rollup + output sort
+      "r16_tombstone_gc" -> 4,
       // p21: ONE corpus agg to |sources x langs| cells + the
       // single-partition share/TV window over that bounded frame (the
       // window's exchange and the output sort share it)

@@ -2121,6 +2121,53 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === withShare, "attribution diverges from the sequential replay")
   }
 
+  test("d41: vocabulary coverage equals a brute-force Zipf replay") {
+    val words = Tables.load(spark, sf, "documents")
+      .select(coalesce(col("text"), lit(""))).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val total = words.length.toLong
+    val byCount = words.groupBy(identity).toSeq
+      .map { case (w, ws) => (w, ws.length.toLong) }
+      .sortBy { case (w, c) => (-c, w) }
+    val expected = Seq(100, 1000, 10000).map { n =>
+      val used = math.min(n, byCount.size)
+      val cum = byCount.take(used).map(_._2).sum
+      (n.toLong, used.toLong, cum, total, cum * 1000000L / total)
+    }
+    val got = Documents.d41VocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "coverage curve diverges from the Zipf replay")
+    // monotone curve: more vocabulary can only cover more
+    assert(got.map(_._3) === got.map(_._3).sorted)
+  }
+
+  test("r16: tombstone GC report equals a per-key replay and conserves keys") {
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "error").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = rows.map(_._2).max / 2
+    val latest = rows.groupBy(_._1).map { case (u, es) =>
+      val l = es.maxBy(_._2); (u, l._2, l._3)
+    }
+    val expected = latest.toSeq.groupBy(_._1 % 8).toSeq.map { case (b, g) =>
+      val live = g.count(_._3 == 0L).toLong
+      val tomb = g.count(_._3 == 1L).toLong
+      val gc = g.count(x => x._3 == 1L && x._2 <= cut).toLong
+      (b, live, tomb, gc, gc * 1000000L / (live + tomb))
+    }.sortBy(_._1)
+    val got = graft.queries.Replication.r16TombstoneGc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "GC report diverges from the per-key replay")
+    // every key is live or tombstoned; GC-eligible is a tombstone subset
+    assert(got.map(t => t._2 + t._3).sum === latest.size.toLong)
+    got.foreach { case (b, _, tomb, gc, _) =>
+      assert(gc <= tomb, s"bucket $b: GC-eligible exceeds tombstones")
+    }
+  }
+
   test("v24: cell balance audits v6's layout — counts conserve, skew math exact") {
     val got = Vectors.v24CellBalance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
