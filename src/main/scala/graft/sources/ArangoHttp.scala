@@ -195,7 +195,15 @@ final case class ArangoHttpCollectionSource(
     cfg: ArangoHttp.Config,
     collection: String,
     spoolDir: String,
-    batchSize: Int = 10000) extends CollectionSource {
+    batchSize: Int = 10000,
+    /** > 0 routes [[snapshot]] through the executor-distributed
+      * key-range scan with this many partitions — the whole resync
+      * orchestration (Sync.resync is written against the
+      * CollectionSource seam) then never moves snapshot data through
+      * the driver at all. 0 keeps the reference-shaped single-cursor
+      * page spool.
+      */
+    scanPartitions: Int = 0) extends CollectionSource {
 
   private val client = new ArangoHttp.Client(cfg)
   private val mapper = new ObjectMapper()
@@ -214,6 +222,7 @@ final case class ArangoHttpCollectionSource(
     * can't accumulate spool garbage.
     */
   override def snapshot(spark: SparkSession): DataFrame = {
+    if (scanPartitions > 0) return snapshotDistributed(spark, scanPartitions)
     val root = Files.createDirectories(Paths.get(spoolDir))
     sweepStaleSnapshots(root)
     val snapDir = Files.createTempDirectory(root, "snapshot-")

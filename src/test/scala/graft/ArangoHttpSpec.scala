@@ -364,6 +364,38 @@ class ArangoHttpSpec extends SparkSpec {
     } finally m.stop()
   }
 
+  test("resync rides the executor-distributed scan when scanPartitions is set") {
+    import graft.config.{ColumnSpec, TableConfig}
+    import org.apache.spark.sql.types._
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("rsd-spool").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool,
+        batchSize = 2, scanPartitions = 2)
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v"), default = Some(0.0))))
+      val payloadSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val r = graft.streaming.Sync.resync(spark, src, config, payloadSchema,
+        Files.createTempDirectory("rsd-tbl").toString,
+        Files.createTempDirectory("rsd-ck").toString,
+        collectionIds = Seq("c1"), clock = lit("2024-01-01").cast("timestamp"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        queryName = None)
+      r.query.awaitTermination()
+      assert(r.snapshotRows === 5L)
+      // the snapshot came through key-range cursors, not the page spool
+      assert(m.scanCursors.asScala.nonEmpty,
+        "distributed resync never opened a range cursor")
+      assert(m.scanCursors.asScala.toSet ===
+        Set((None, Some("k03")), (Some("k03"), None)))
+      val snapDirs = Files.list(Paths.get(spool)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
+      assert(snapDirs.isEmpty, "distributed snapshot must not write the page spool")
+    } finally m.stop()
+  }
+
   test("documents gaining a column mid-tail keep the unified-view contract over HTTP") {
     import graft.config.{ColumnSpec, TableConfig}
     import org.apache.spark.sql.types._
