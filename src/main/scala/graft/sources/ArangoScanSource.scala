@@ -114,9 +114,12 @@ private class ArangoScan(
       .map(i => i * count / numPartitions)
       .filter(off => off > 0 && off < count)
       .distinct
-      .map { off =>
-        mapper.readTree(client.cursorQuery(
-          s"FOR d IN $collection SORT d._key LIMIT $off, 1 RETURN d._key").head).asText
+      .flatMap { off =>
+        // a concurrent shrink between count and probe can empty a probe;
+        // a dropped boundary only widens a range, never loses coverage
+        client.cursorQuery(
+          s"FOR d IN $collection SORT d._key LIMIT $off, 1 RETURN d._key")
+          .headOption.map(mapper.readTree(_).asText)
       }
       .distinct
       .sorted
