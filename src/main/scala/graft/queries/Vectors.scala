@@ -2306,7 +2306,92 @@ object Vectors {
       |  CAST(MAX(skew_ppm) OVER () AS BIGINT) AS max_skew_ppm
       |FROM s ORDER BY cell""".stripMargin
 
+  /** v25: CLUSTER-BALANCED SAMPLING — the semantic-space counterpart of
+    * d22's language-temperature flattening (SemDeDup's pruning idea
+    * generalized to density-based selection: over-represented regions
+    * of embedding space contribute near-duplicate gradient signal, so a
+    * curation run downsamples HOT clusters toward a per-cluster quota
+    * and keeps sparse clusters whole). Clusters are v6's home cells;
+    * the budget is 90% of the corpus (p20's near-full-epoch
+    * convention), split equally: quota = 0.9·N DIV k, and each cell
+    * keeps rate_ppm = min(10⁶, quota·10⁶ DIV n_cell) of its vectors by
+    * the d17 deterministic md5 gate (salted "cbs:", so this op's coin
+    * is independent of every other sampler's) — reproducible under any
+    * partitioning, composable with incremental ingestion.
+    *
+    * Scale shape: v6's broadcast-centroid assignment (projection), ONE
+    * |cells| agg, rates via closed-form windows on the bounded cell
+    * frame, the gate as a broadcast join back + pure projection, one
+    * rollup. The corpus is scanned once.
+    */
+  def v25ClusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val assigned = ivfRanked(base, labelMeans(base), maxRank = 1)
+      .select(col("vec_id"), col("cell"))
+    val rates = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("quota",
+        expr("(sum(n_vectors) OVER () * 9 DIV 10) DIV count(1) OVER ()"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("quota * 1000000L DIV n_vectors")))
+    val gate = pmod(
+      H.md5NumberBigEndian(concat(lit("cbs:"), col("vec_id").cast("string"))),
+      lit(1000000L))
+    assigned
+      .join(broadcast(rates), Seq("cell"))
+      .withColumn("keep", (gate < col("rate_ppm")).cast("long"))
+      .groupBy(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("quota"), col("rate_ppm"))
+      .agg(sum(col("keep")).as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000L DIV n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  val v25Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "'cbs:' || CAST(vec_id AS VARCHAR)")
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT b.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn = 1),
+      |r AS (
+      |  SELECT cell, n_vectors,
+      |    (SUM(n_vectors) OVER () * 9 // 10) // COUNT(*) OVER () AS quota
+      |  FROM (SELECT cell, COUNT(*) AS n_vectors FROM assigned GROUP BY cell)),
+      |r2 AS (
+      |  SELECT cell, n_vectors, quota,
+      |    LEAST(1000000, quota * 1000000 // n_vectors) AS rate_ppm
+      |  FROM r),
+      |k AS (
+      |  SELECT a.cell, r2.n_vectors, r2.quota, r2.rate_ppm,
+      |    CASE WHEN ((($h) % 1000000) + 1000000) % 1000000 < r2.rate_ppm
+      |      THEN 1 ELSE 0 END AS keep
+      |  FROM assigned a JOIN r2 USING (cell))
+      |SELECT CAST(cell AS BIGINT) AS cell,
+      |  CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(quota AS BIGINT) AS quota,
+      |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  CAST(SUM(keep) * 1000000 // n_vectors AS BIGINT) AS kept_ppm
+      |FROM k GROUP BY cell, n_vectors, quota, rate_ppm
+      |ORDER BY cell""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v25_cluster_balanced" -> (v25ClusterBalancedSample _),
     "v24_cell_balance" -> (v24CellBalance _),
     "v23_index_staleness" -> (v23IndexStaleness _),
     "v22_int8_ann" -> (v22Int8Ann _),
@@ -2333,6 +2418,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v25_cluster_balanced" -> v25Sql,
     "v24_cell_balance" -> v24Sql,
     "v23_index_staleness" -> v23Sql,
     "v22_int8_ann" -> v22Sql,

@@ -110,6 +110,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - d41: the one-row total-occurrences broadcast next to the
       //    bounded 10k-row head frame (q22's scalar shape)
       "d41_vocab_coverage",
+      //  - v25: the cell assignment scores every vector against the
+      //    10-row broadcast centroid table (v6's coarse-quantizer shape)
+      "v25_cluster_balanced",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -336,6 +339,10 @@ class PlanAuditSpec extends SparkSpec {
       // v24: v6's broadcast-centroid assignment (projection-shaped),
       // then the |cells| agg + the bounded share/skew window
       "v24_cell_balance" -> 2,
+      // v25: the |cells| rate agg + its bounded quota window, the gate
+      // join-back's rollup, and the output sort — assignment itself is
+      // the broadcast projection
+      "v25_cluster_balanced" -> 4,
       // d31: reads the persisted lm_scored table (train + score ran once
       // at build); the worst-25 report is a TakeOrdered — exchange-free
       "d31_lm_quality" -> 0,

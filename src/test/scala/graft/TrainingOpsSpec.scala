@@ -1762,6 +1762,57 @@ class TrainingOpsSpec extends SparkSpec {
     (allocs.sortBy(_._1), level, budget - allocs.map(_._3).sum)
   }
 
+  test("p20 property: the closed-form waterline equals an iterative fixpoint on random supplies") {
+    // the textbook waterfilling algorithm ITERATES: compute a tentative
+    // waterline over the free sources, cap every source at-or-below it,
+    // repeat until stable. p20 claims the capped set is a sorted PREFIX
+    // decided by one monotone predicate — this test proves the claim on
+    // random instances by running both to completion.
+    def iterative(supplies: Seq[Long], budget: Long): (Set[Int], Option[Long]) = {
+      var capped = Set.empty[Int]
+      var changed = true
+      while (changed && capped.size < supplies.size) {
+        changed = false
+        val free = supplies.indices.filterNot(capped)
+        val rem = budget - capped.toSeq.map(supplies).sum
+        val level = rem / free.size
+        val newly = free.filter(i => supplies(i) <= level)
+        if (newly.nonEmpty) { capped ++= newly; changed = true }
+      }
+      if (capped.size == supplies.size) (capped, None)
+      else (capped,
+        Some((budget - capped.toSeq.map(supplies).sum) / (supplies.size - capped.size)))
+    }
+    for (seed <- 1L to 40L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(12)
+      val supplies = (1 to n).map(i => (f"s$i%02d", 1L + rnd.nextInt(1000).toLong))
+      val budget = supplies.map(_._2).sum * 9 / 10
+      val (allocs, level, unallocated) = waterfillReplay(supplies)
+      val (itCapped, itLevel) = iterative(supplies.map(_._2), budget)
+      val closedCapped = allocs.zipWithIndex.collect {
+        case ((src, _, _, 1L), _) => src
+      }.toSet
+      val itCappedNames = itCapped.map(i => supplies(i)._1)
+      assert(closedCapped === itCappedNames,
+        s"seed $seed: capped sets diverge (closed $closedCapped vs iterative $itCappedNames)")
+      assert(level === itLevel, s"seed $seed: waterlines diverge")
+      // conservation + max-min fairness: uncapped get exactly L, capped
+      // supplies never exceed L, and the remainder is bounded by the
+      // number of uncapped sources
+      assert(allocs.map(_._3).sum + unallocated === budget, s"seed $seed: not conserved")
+      level.foreach { l =>
+        allocs.foreach { case (src, s, a, c) =>
+          if (c == 1L) assert(s <= l || a === s,
+            s"seed $seed $src: capped source above the waterline")
+          else assert(a === l, s"seed $seed $src: uncapped source not at the waterline")
+        }
+        assert(unallocated >= 0 && unallocated < n.toLong,
+          s"seed $seed: remainder exceeds the uncapped count")
+      }
+    }
+  }
+
   test("p20: waterfill replays exactly and conserves the budget on the fixture") {
     val supplies = Tables.load(spark, sf, "documents")
       .select(col("source"), col("text")).collect()
@@ -2166,6 +2217,33 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach { case (b, _, tomb, gc, _) =>
       assert(gc <= tomb, s"bucket $b: GC-eligible exceeds tombstones")
     }
+  }
+
+  test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
+    val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val total = got.map(_._2).sum
+    assert(total === Tables.load(spark, sf, "embeddings").count(),
+      "cells do not partition the corpus")
+    val quota = total * 9 / 10 / got.size
+    got.foreach { case (cell, n, q, rate, kept, keptPpm) =>
+      assert(q === quota, s"cell $cell: quota not the equal split")
+      assert(rate === math.min(1000000L, quota * 1000000L / n),
+        s"cell $cell: rate not the closed form")
+      if (n <= quota)
+        assert(rate === 1000000L && kept === n,
+          s"cell $cell: a sparse cell must be kept whole")
+      assert(kept <= n && keptPpm === kept * 1000000L / n)
+    }
+    // non-vacuous on the fixture: both branches present
+    assert(got.exists(_._4 == 1000000L), "no cell was kept whole")
+    assert(got.exists(_._4 < 1000000L), "no cell was downsampled")
+    // determinism/composability: the same gate decides per vector, so
+    // re-running yields the identical table (no sampling drift)
+    val again = Vectors.v25ClusterBalancedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(again === got.map(t => (t._1, t._5)))
   }
 
   test("v24: cell balance audits v6's layout — counts conserve, skew math exact") {
