@@ -1186,7 +1186,61 @@ object Events {
       |    AS BIGINT) AS share_ppm
       |FROM t ORDER BY touch_type""".stripMargin
 
+  /** w24: DAU/WAU STICKINESS — the engagement ratio (mean daily active
+    * over weekly active, ppm) next to w14's retention curve: retention
+    * says who comes BACK, stickiness says how much of the weekly
+    * audience shows up on a typical day — the first KPI an activity
+    * dashboard plots. Weeks are integer 7-day buckets from the fixed
+    * anchor (a config epoch, not data-derived, so weeks are stable as
+    * data arrives); all ratios integer ppm.
+    *
+    * Scale shape: w14's discipline — the (user, day) activity grid is
+    * DISTINCT'd first (one corpus-keyed shuffle) and checkpointed, so
+    * the daily counts, the weekly distinct-user counts, and the rollup
+    * all fold from at most |users|×|days| rows; the weekly join is
+    * |weeks|-sized.
+    */
+  def w24Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("week_idx",
+        (datediff(col("day"), lit("2024-01-01").cast("date")) / 7)
+          .cast("long"))
+      .localCheckpoint(false) // read by the daily AND weekly folds
+    val daily = grid.groupBy(col("week_idx"), col("day"))
+      .agg(count(lit(1)).as("dau")) // grid is (user, day)-distinct
+      .groupBy(col("week_idx"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val weekly = grid.groupBy(col("week_idx"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    daily.join(weekly, Seq("week_idx"))
+      .select(col("week_idx"), col("n_days"), col("wau"),
+        expr("sum_dau DIV n_days").as("avg_dau"),
+        expr("(sum_dau DIV n_days) * 1000000L DIV wau").as("stickiness_ppm"))
+      .orderBy(col("week_idx"))
+  }
+
+  val w24Sql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |w AS (SELECT user_id, day,
+      |        (day - DATE '2024-01-01') // 7 AS week_idx FROM g),
+      |d AS (SELECT week_idx, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+      |      FROM (SELECT week_idx, day, COUNT(*) AS dau
+      |            FROM w GROUP BY week_idx, day)
+      |      GROUP BY week_idx),
+      |u AS (SELECT week_idx, COUNT(DISTINCT user_id) AS wau
+      |      FROM w GROUP BY week_idx)
+      |SELECT CAST(d.week_idx AS BIGINT) AS week_idx,
+      |  CAST(n_days AS BIGINT) AS n_days, CAST(wau AS BIGINT) AS wau,
+      |  CAST(sum_dau // n_days AS BIGINT) AS avg_dau,
+      |  CAST((sum_dau // n_days) * 1000000 // wau AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM d JOIN u ON d.week_idx = u.week_idx
+      |ORDER BY week_idx""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w24_stickiness" -> (w24Stickiness _),
     "w23_decay_attribution" -> (w23DecayAttribution _),
     "w22_sketch_merge" -> (w22SketchMerge _),
     "w21_gap_histogram" -> (w21GapHistogram _),
@@ -1212,6 +1266,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w24_stickiness" -> w24Sql,
     "w23_decay_attribution" -> w23Sql,
     "w22_sketch_merge" -> w22Sql,
     "w21_gap_histogram" -> w21Sql,

@@ -336,6 +336,10 @@ class PlanAuditSpec extends SparkSpec {
       // (user, seg) rank/sum/max windows (clustered-distribution
       // reuse); the rollup agg + 2-row share window are the other two
       "w23_decay_attribution" -> 3,
+      // w24: the (user, day) grid distinct folds behind the checkpoint;
+      // in-plan cost is the two weekly folds (daily rollup + wau
+      // distinct), their |weeks|-row join, and the output sort
+      "w24_stickiness" -> 5,
       // v24: v6's broadcast-centroid assignment (projection-shaped),
       // then the |cells| agg + the bounded share/skew window
       "v24_cell_balance" -> 2,

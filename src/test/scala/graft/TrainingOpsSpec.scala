@@ -2219,6 +2219,32 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("w24: stickiness equals a brute-force grid replay and stays in (0, 1]") {
+    val grid = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val anchor = java.time.LocalDate.parse("2024-01-01")
+    val byWeek = grid.groupBy { case (_, d) =>
+      java.time.temporal.ChronoUnit.DAYS.between(
+        anchor, java.time.LocalDate.parse(d)) / 7
+    }
+    val expected = byWeek.toSeq.map { case (w, g) =>
+      val days = g.map(_._2).distinct.size.toLong
+      val wau = g.map(_._1).distinct.size.toLong
+      val sumDau = g.groupBy(_._2).map(_._2.size.toLong).sum
+      val avgDau = sumDau / days
+      (w, days, wau, avgDau, avgDau * 1000000L / wau)
+    }.sortBy(_._1)
+    val got = Events.w24Stickiness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "stickiness diverges from the grid replay")
+    // a day's actives are a subset of the week's: ratio in (0, 1e6]
+    got.foreach { case (w, _, _, _, s) =>
+      assert(s > 0 && s <= 1000000L, s"week $w: stickiness out of range")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
