@@ -3165,7 +3165,104 @@ object Documents {
       |WHERE rank = LEAST(n_top, maxr)
       |ORDER BY n_top""".stripMargin
 
+  /** d42: CONTAINMENT near-dup pairs — the asymmetric companion to d5.
+    * Jaccard misses the classic curation failure where a short document
+    * is embedded verbatim inside a much longer one (a quoted article
+    * inside a forum dump, a README inside a repo tarball): the union
+    * term drowns the overlap. Containment(A→B) = |S_A ∩ S_B| / |S_A|
+    * scores the SHORT side's coverage alone, so A-inside-B scores ~1
+    * regardless of |B| (Broder's two measures: resemblance vs
+    * containment). The fixture's near-dups are same-length edits, so —
+    * exactly as d1 unions a shifted copy to have something to dedup —
+    * the corpus is augmented with a deterministic EXCERPT of every 10th
+    * document (its first max(3, |tokens|/3) tokens, doc_id + 2000000):
+    * planted short-inside-long pairs the oracle reproduces. Emits
+    * DIRECTIONAL rows (contained, container) at containment >= 0.9 with
+    * jaccard_ppm alongside, so the report shows which pairs d5's 0.8
+    * Jaccard gate would have missed (the planted ones score ~1/3).
+    *
+    * Scale shape: identical to d5 — the same df-capped inverted shingle
+    * index (its own persisted build, tag d42, over the augmented
+    * corpus), one aggregation for the intersection, and the two
+    * directions come from a 2-element explode of the SAME aggregated
+    * pair row — not a union of two subtrees, which would re-pay the
+    * pair expansion twice. All ratios integer ppm.
+    */
+  def d42Containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("array_join(slice(toks, 1, greatest(3, size(toks) div 3)), ' ')")
+          .as("text"))
+    val base = shingledOf(spark, d.unionByName(excerpts))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+    val sh = base
+      .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
+    candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
+        tag = "d42", dir = dir, maxBucket = Some(D5MaxShingleDf))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          col("na").as("n_contained"), col("nb").as("n_container"),
+          col("inter")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          col("nb").as("n_contained"), col("na").as("n_container"),
+          col("inter")))).as("e"))
+      .select(col("e.contained").as("contained"),
+        col("e.container").as("container"),
+        col("e.n_contained").as("n_contained"),
+        col("e.n_container").as("n_container"),
+        expr("e.inter * 1000000L DIV e.n_contained").as("containment_ppm"),
+        expr("e.inter * 1000000L DIV (e.n_contained + e.n_container - e.inter)")
+          .as("jaccard_ppm"))
+      .filter(col("containment_ppm") >= 900000L)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val d42Sql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(w[1:greatest(3, len(w) // 3)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+      |  WHERE doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |shc AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)
+      |        WHERE df <= $D5MaxShingleDf),
+      |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+      |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT da, db, inter, sa.n na, sb.n nb
+      |      FROM inter JOIN sizes sa ON da = sa.doc_id
+      |                 JOIN sizes sb ON db = sb.doc_id),
+      |dirs AS (
+      |  SELECT da AS contained, db AS container,
+      |         na AS n_contained, nb AS n_container, inter FROM j
+      |  UNION ALL
+      |  SELECT db, da, nb, na, inter FROM j)
+      |SELECT contained, container,
+      |  CAST(n_contained AS BIGINT) AS n_contained,
+      |  CAST(n_container AS BIGINT) AS n_container,
+      |  CAST(inter * 1000000 // n_contained AS BIGINT) AS containment_ppm,
+      |  CAST(inter * 1000000 // (n_contained + n_container - inter) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM dirs
+      |WHERE inter * 1000000 // n_contained >= 900000
+      |ORDER BY contained, container""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d42_containment" -> (d42Containment _),
     "d41_vocab_coverage" -> (d41VocabCoverage _),
     "d40_split_leakage" -> (d40SplitLeakage _),
     "d39_line_dedup" -> (d39LineDedup _),
@@ -3210,6 +3307,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d42_containment" -> d42Sql,
     "d41_vocab_coverage" -> d41Sql,
     "d40_split_leakage" -> d40Sql,
     "d39_line_dedup" -> d39Sql,

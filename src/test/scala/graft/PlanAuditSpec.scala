@@ -241,6 +241,11 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d42: d5's exact shape over the excerpt-augmented corpus — the
+      // pair expansion re-reads its persisted bucket table (build paid
+      // out-of-plan), one intersection agg + the output sort; the
+      // direction explode is projection-shaped
+      "d42_containment" -> 2,
       // d22: the corpus-statistics rate side costs 2 tiny aggs (lang
       // counts + global min) before broadcast; the corpus itself sees
       // only the final per-lang rollup + sort

@@ -2245,6 +2245,46 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d42: containment pairs equal a brute-force replay and catch planted excerpts") {
+    val raw = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def toks(t: String): Array[String] = t.split(" ", -1)
+    val corpus = raw ++ raw.collect { case (id, t) if id % 10 == 0 =>
+      val w = toks(t)
+      (id + 2000000L, w.take(math.max(3, w.length / 3)).mkString(" "))
+    }
+    val sets = corpus.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length >= 3) Some(id -> w.sliding(3).map(_.mkString(" ")).toSet)
+      else None
+    }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).map { case (s, o) => (s, o.size) }
+    val capped = sets.map { case (id, s) => id -> s.filter(df(_) <= Documents.D5MaxShingleDf) }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (capped(a) & capped(b)).size.toLong if inter > 0
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+      (cd, cr, ncd, ncr) <- Seq((a, b, na, nb), (b, a, nb, na))
+      cont = inter * 1000000L / ncd if cont >= 900000L
+    } yield (cd, cr, ncd, ncr, cont,
+      inter * 1000000L / (ncd + ncr - inter))).sortBy(r => (r._1, r._2))
+    val got = Documents.d42Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "containment diverges from the brute-force replay")
+    // the planted excerpt-in-original pairs are the asymmetric case d5's
+    // Jaccard gate cannot see: full containment, jaccard ~ 1/3
+    val planted = got.filter { case (cd, cr, _, _, _, _) => cd == cr + 2000000L }
+    assert(planted.nonEmpty, "no planted excerpt pair surfaced")
+    planted.foreach { case (_, _, _, _, cont, jac) =>
+      assert(cont === 1000000L, "excerpt shingles are a subset of the original's")
+      assert(jac < 800000L, "a planted pair must be invisible to the jaccard gate")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
