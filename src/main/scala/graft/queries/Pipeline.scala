@@ -1249,7 +1249,73 @@ object Pipeline {
       |  CAST(SUM(drift_ppm) OVER () // 2 AS BIGINT) AS tv_ppm
       |FROM d ORDER BY source, lang""".stripMargin
 
+  /** p22: CURRICULUM BATCHES — order the corpus easy-to-hard by a
+    * difficulty proxy (mean token length, ppm — short-word docs first)
+    * and cut it into fixed-size training batches; the report is one row
+    * per batch (size, min/max/mean difficulty), the thing a curriculum-
+    * learning run logs to confirm the schedule is actually monotone.
+    *
+    * Scale shape: a GLOBAL rank with no global window — r14's two-level
+    * discipline applied to ordering. Per-doc scores fold to a
+    * |distinct scores| group table; the exclusive prefix over that
+    * table is the only single-partition pass (bounded by score
+    * granularity — mean-length ppm has at most ~1e6 distinct values,
+    * and in practice far fewer — never by corpus size); each doc then
+    * gets rank = group offset (broadcast back) + row_number INSIDE its
+    * score group (a window partitioned by score, parallel across
+    * groups; ties are doc_id-broken and tie groups are tiny because the
+    * score is near-continuous). Batch assignment and the per-batch
+    * rollup are plain hash aggs. A naive `row_number() OVER (ORDER BY
+    * score)` funnels the entire corpus through ONE partition — the
+    * exact anti-pattern this shape exists to avoid.
+    */
+  def p22CurriculumBatches(spark: SparkSession, dir: String): DataFrame = {
+    val batchSize = 32L
+    val s = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"),
+        expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))" +
+          " * 1000000L DIV size(w)").as("score"))
+      // barrier: the score frame feeds the group fold AND the rank join
+      .localCheckpoint(false)
+    val offsets = s.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score"), col("off"))
+    s.join(broadcast(offsets), "score")
+      .withColumn("rank", col("off") +
+        row_number().over(
+          Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      .groupBy(expr(s"(rank - 1) DIV $batchSize").as("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_difficulty_ppm"),
+        max(col("score")).as("max_difficulty_ppm"),
+        sum(col("score")).as("sum_score"))
+      .select(col("batch_idx"), col("n_docs"),
+        col("min_difficulty_ppm"), col("max_difficulty_ppm"),
+        expr("sum_score DIV n_docs").as("mean_difficulty_ppm"))
+      .orderBy(col("batch_idx"))
+  }
+
+  val p22Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+      |      * 1000000 // len(w) AS score
+      |  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') w
+      |        FROM documents)),
+      |r AS (SELECT score,
+      |        ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rank FROM s)
+      |SELECT CAST((rank - 1) // 32 AS BIGINT) AS batch_idx,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(score) AS BIGINT) AS min_difficulty_ppm,
+      |  CAST(MAX(score) AS BIGINT) AS max_difficulty_ppm,
+      |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_difficulty_ppm
+      |FROM r GROUP BY 1 ORDER BY batch_idx""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p22_curriculum_batches" -> (p22CurriculumBatches _),
     "p21_mixture_drift" -> (p21MixtureDrift _),
     "p20_budget_waterfill" -> (p20BudgetWaterfill _),
     "p19_perplexity_buckets" -> (p19PerplexityBuckets _),
@@ -1271,6 +1337,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p22_curriculum_batches" -> p22Sql,
     "p21_mixture_drift" -> p21Sql,
     "p20_budget_waterfill" -> p20Sql,
     "p19_perplexity_buckets" -> p19Sql,

@@ -341,6 +341,12 @@ class PlanAuditSpec extends SparkSpec {
       // (user, seg) rank/sum/max windows (clustered-distribution
       // reuse); the rollup agg + 2-row share window are the other two
       "w23_decay_attribution" -> 3,
+      // p22: the score projection folds behind the checkpoint; in-plan
+      // cost is the |scores| group agg, its bounded single-partition
+      // prefix window, the score-partitioned rank window (parallel
+      // across groups; the offsets side broadcasts), the batch agg, and
+      // the output sort — the corpus itself never crosses one partition
+      "p22_curriculum_batches" -> 5,
       // w24: the (user, day) grid distinct folds behind the checkpoint;
       // in-plan cost is the two weekly folds (daily rollup + wau
       // distinct), their |weeks|-row join, and the output sort

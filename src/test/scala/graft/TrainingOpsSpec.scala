@@ -2285,6 +2285,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p22: curriculum batches equal a driver-side sort replay and are monotone") {
+    val scores = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = Option(r.getString(1)).getOrElse("").split(" ", -1)
+        (r.getLong(0), w.map(_.length.toLong).sum * 1000000L / w.length)
+      }
+    val expected = scores.sortBy { case (id, s) => (s, id) }
+      .map(_._2).grouped(32).zipWithIndex
+      .map { case (g, i) =>
+        (i.toLong, g.size.toLong, g.min, g.max, g.sum / g.size) }.toSeq
+    val got = Pipeline.p22CurriculumBatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "batches diverge from the driver-side sort replay")
+    // the curriculum promise: difficulty never decreases across batches
+    got.sliding(2).foreach {
+      case Seq((_, _, _, maxPrev, _), (i, _, minNext, _, _)) =>
+        assert(minNext >= maxPrev, s"batch $i breaks the easy-to-hard order")
+      case _ =>
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
