@@ -1239,7 +1239,97 @@ object Events {
       |FROM d JOIN u ON d.week_idx = u.week_idx
       |ORDER BY week_idx""".stripMargin
 
+  /** w25: TIME-TO-CONVERT — the latency distribution behind w13's funnel
+    * counts: for each ordered stage pair (view→click, click→purchase,
+    * view→purchase), how long users took, banded hour/day/week with
+    * min/max and each band's share of the stage's converters (ppm).
+    * w13 says HOW MANY reach each step; w25 says HOW FAST — the second
+    * chart on every conversion dashboard.
+    *
+    * Scale shape: w13's per-user funnel timestamps cost ONE user-keyed
+    * exchange (the groupBy reuses the window's partitioning); the three
+    * stage durations explode from the same per-user row (projection-
+    * shaped, x3 on |users|); the band rollup is a hash agg and the
+    * share window runs on the <= |stages x bands| = 12-row frame.
+    */
+  def w25TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val us = unix_micros(col("ts"))
+    val funnel = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), us.as("us"))
+      .withColumn("t1_us",
+        min(when(col("event_type") === "view", col("us"))).over(wu))
+      .withColumn("t2_us",
+        min(when(col("event_type") === "click" && col("us") > col("t1_us"),
+          col("us"))).over(wu))
+      .withColumn("t3_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2_us"),
+          col("us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1_us")).as("t1_us"), max(col("t2_us")).as("t2_us"),
+        max(col("t3_us")).as("t3_us"))
+    val stages = funnel.select(explode(array(
+        struct(lit("1_view_to_click").as("stage"),
+          (col("t2_us") - col("t1_us")).as("dur_us")),
+        struct(lit("2_click_to_purchase").as("stage"),
+          (col("t3_us") - col("t2_us")).as("dur_us")),
+        struct(lit("3_view_to_purchase").as("stage"),
+          (col("t3_us") - col("t1_us")).as("dur_us")))).as("e"))
+      .select(col("e.stage").as("stage"), col("e.dur_us").as("dur_us"))
+      .filter(col("dur_us").isNotNull)
+    val band = when(col("dur_us") < 3600L * 1000000, "0_under_1h")
+      .when(col("dur_us") < 86400L * 1000000, "1_under_1d")
+      .when(col("dur_us") < 7L * 86400L * 1000000, "2_under_1w")
+      .otherwise("3_over_1w")
+    stages.groupBy(col("stage"), band.as("latency_band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("dur_us")).as("min_us"), max(col("dur_us")).as("max_us"))
+      .withColumn("stage_total",
+        sum(col("n_users")).over(Window.partitionBy(col("stage"))))
+      .select(col("stage"), col("latency_band"), col("n_users"),
+        col("min_us"), col("max_us"),
+        expr("n_users * 1000000 DIV stage_total").as("share_ppm"))
+      .orderBy(col("stage"), col("latency_band"))
+  }
+
+  val w25Sql: String =
+    """WITH l1 AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id) AS t1_us
+      |  FROM events),
+      |l2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS t2_us
+      |  FROM l1),
+      |l3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
+      |    OVER (PARTITION BY user_id) AS t3_us
+      |  FROM l2),
+      |f AS (SELECT user_id, MAX(t1_us) t1, MAX(t2_us) t2, MAX(t3_us) t3
+      |      FROM l3 GROUP BY user_id),
+      |st AS (
+      |  SELECT stage, dur_us FROM (
+      |    SELECT '1_view_to_click' AS stage, t2 - t1 AS dur_us FROM f
+      |    UNION ALL SELECT '2_click_to_purchase', t3 - t2 FROM f
+      |    UNION ALL SELECT '3_view_to_purchase', t3 - t1 FROM f)
+      |  WHERE dur_us IS NOT NULL),
+      |g AS (
+      |  SELECT stage,
+      |    CASE WHEN dur_us < 3600000000 THEN '0_under_1h'
+      |         WHEN dur_us < 86400000000 THEN '1_under_1d'
+      |         WHEN dur_us < 604800000000 THEN '2_under_1w'
+      |         ELSE '3_over_1w' END AS latency_band,
+      |    COUNT(*) AS n_users, MIN(dur_us) AS mn, MAX(dur_us) AS mx
+      |  FROM st GROUP BY 1, 2)
+      |SELECT stage, latency_band, n_users,
+      |  CAST(mn AS BIGINT) AS min_us, CAST(mx AS BIGINT) AS max_us,
+      |  CAST(n_users * 1000000 // SUM(n_users) OVER (PARTITION BY stage)
+      |    AS BIGINT) AS share_ppm
+      |FROM g ORDER BY stage, latency_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w25_time_to_convert" -> (w25TimeToConvert _),
     "w24_stickiness" -> (w24Stickiness _),
     "w23_decay_attribution" -> (w23DecayAttribution _),
     "w22_sketch_merge" -> (w22SketchMerge _),
@@ -1266,6 +1356,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w25_time_to_convert" -> w25Sql,
     "w24_stickiness" -> w24Sql,
     "w23_decay_attribution" -> w23Sql,
     "w22_sketch_merge" -> w22Sql,

@@ -351,6 +351,10 @@ class PlanAuditSpec extends SparkSpec {
       // in-plan cost is the two weekly folds (daily rollup + wau
       // distinct), their |weeks|-row join, and the output sort
       "w24_stickiness" -> 5,
+      // w25: one user-keyed exchange serves the funnel window AND the
+      // per-user collapse; the band rollup, the 12-row share window,
+      // and the output sort are the rest
+      "w25_time_to_convert" -> 4,
       // v24: v6's broadcast-centroid assignment (projection-shaped),
       // then the |cells| agg + the bounded share/skew window
       "v24_cell_balance" -> 2,

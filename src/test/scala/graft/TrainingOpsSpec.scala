@@ -2308,6 +2308,44 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("w25: time-to-convert bands equal a brute-force funnel replay") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val durs = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val t1 = es.collect { case (_, "view", t) => t }.minOption
+      val t2 = t1.flatMap(a =>
+        es.collect { case (_, "click", t) if t > a => t }.minOption)
+      val t3 = t2.flatMap(b =>
+        es.collect { case (_, "purchase", t) if t > b => t }.minOption)
+      Seq(("1_view_to_click", for (a <- t1; b <- t2) yield b - a),
+        ("2_click_to_purchase", for (b <- t2; c <- t3) yield c - b),
+        ("3_view_to_purchase", for (a <- t1; c <- t3) yield c - a))
+        .collect { case (s, Some(d)) => (s, d) }
+    }
+    def bandOf(d: Long): String =
+      if (d < 3600000000L) "0_under_1h"
+      else if (d < 86400000000L) "1_under_1d"
+      else if (d < 604800000000L) "2_under_1w" else "3_over_1w"
+    val totals = durs.groupBy(_._1).map { case (s, g) => (s, g.size.toLong) }
+    val expected = durs.groupBy { case (s, d) => (s, bandOf(d)) }.toSeq
+      .map { case ((s, b), g) =>
+        val ds = g.map(_._2)
+        (s, b, ds.size.toLong, ds.min, ds.max,
+          ds.size.toLong * 1000000L / totals(s))
+      }.sortBy(r => (r._1, r._2))
+    val got = Events.w25TimeToConvert(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "latency bands diverge from the funnel replay")
+    // each stage's band shares account for (almost) the whole stage —
+    // integer ppm floors lose at most |bands| ppm
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val share = rows.map(_._6).sum
+      assert(share > 1000000L - 8 && share <= 1000000L, s"$s shares: $share")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
