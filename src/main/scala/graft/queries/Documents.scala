@@ -1804,13 +1804,16 @@ object Documents {
     * it when it fits); keeper election is one window over the cluster
     * partitioning — the count and first_value share a single exchange.
     */
-  def d23CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
-    // cluster labels depend only on (corpus, d6 params) — persist them
-    // like v14's (r6): the first construction pays the pair expansion +
-    // CC fixpoint (durable round tables), every later pass (the second
-    // bench pass, a purge re-run) reads bucketed parquet; the round
-    // store is reclaimed once the labels are written
-    val labels = graft.operators.PersistedIndex.ensure(
+  /** d6-pair cluster labels, persisted once per (corpus, d6 params) —
+    * the first construction pays the pair expansion + CC fixpoint
+    * (durable round tables), every later pass (the second bench pass,
+    * a purge re-run) reads bucketed parquet; the round store is
+    * reclaimed once the labels are written. Shared by d23 (keeper
+    * election) and d43 (yield accounting) — one build serves both, the
+    * d31/p19 shared-chain discipline.
+    */
+  private def d6ClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PersistedIndex.ensure(
       spark, "graft_cc_d23", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = "d6pairs cos=minhash0.5") { table =>
@@ -1825,6 +1828,9 @@ object Documents {
         .saveAsTable(table)
       store.reset()
     }
+
+  def d23CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val labels = d6ClusterLabels(spark, dir)
     val quality = docs(spark, dir).select(col("doc_id"),
       T.lexicalDiversity(T.tokens(col("text"))).as("lex_diversity"))
     val byCluster = Window.partitionBy(col("comp"))
@@ -3261,7 +3267,100 @@ object Documents {
       |WHERE inter * 1000000 // n_contained >= 900000
       |ORDER BY contained, container""".stripMargin
 
+  /** d43: DEDUP YIELD — the curation accounting report over d23's
+    * clusters: per cluster-size band, how many clusters/docs exist, how
+    * many docs the keeper election removes, and the token mass removed,
+    * plus each band's share of the WHOLE corpus's tokens (ppm). This is
+    * the number a data curator actually reports ("near-dup dedup drops
+    * 4.1% of tokens, 90% of it from 2-doc clusters") and the sanity
+    * check that a banding change didn't silently start deleting half
+    * the corpus.
+    *
+    * Scale shape: reads d23's PERSISTED cluster labels (one CC build
+    * serves both queries — the d31/p19 shared-chain discipline); the
+    * quality/token join touches only cluster members; the keeper/size
+    * windows share one comp-keyed exchange; the rollup is a <= 4-row
+    * hash agg; the corpus token total arrives as a one-row broadcast
+    * (p4's scalar shape).
+    */
+  def d43DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val labels = d6ClusterLabels(spark, dir)
+    val feats = docs(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        T.lexicalDiversity(col("w")).as("lex_diversity"))
+    val byCluster = Window.partitionBy(col("comp"))
+    val election = Window.partitionBy(col("comp"))
+      .orderBy(col("lex_diversity").desc, col("doc_id"))
+    val band = when(col("cluster_size") === 2, "0_size_2")
+      .when(col("cluster_size") <= 4, "1_size_3_4")
+      .when(col("cluster_size") <= 8, "2_size_5_8")
+      .otherwise("3_size_9_plus")
+    val rolled = feats.join(labels, feats("doc_id") === labels("id"))
+      .select(col("comp"), col("doc_id"), col("n_tokens"), col("lex_diversity"))
+      .withColumn("keeper_id", first(col("doc_id")).over(election))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .groupBy(band.as("size_band"))
+      .agg(countDistinct(col("comp")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("doc_id") =!= col("keeper_id"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_removed"))
+    val corpusTokens = docs(spark, dir)
+      .agg(sum(size(T.tokens(col("text"))).cast("long")).as("corpus_tokens"))
+    rolled.crossJoin(broadcast(corpusTokens))
+      .select(col("size_band"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_docs_removed"),
+        col("tokens_total"), col("tokens_removed"), col("corpus_tokens"),
+        expr("tokens_removed * 1000000 DIV corpus_tokens")
+          .as("removed_share_ppm"))
+      .orderBy(col("size_band"))
+  }
+
+  val d43Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+      |nodes AS (SELECT da AS id FROM pairs UNION SELECT db FROM pairs),
+      |sym AS (SELECT da AS s, db AS d FROM pairs
+      |        UNION SELECT db, da FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.d, w.comp FROM walk w JOIN sym s ON s.s = w.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+      |q AS (SELECT doc_id, len(w) AS n_tokens,
+      |        len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS lex_diversity
+      |      FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+      |m AS (SELECT cc.comp, cc.id AS doc_id, q.n_tokens, q.lex_diversity
+      |      FROM cc JOIN q ON cc.id = q.doc_id),
+      |sel AS (SELECT comp, doc_id, n_tokens,
+      |  FIRST_VALUE(doc_id) OVER (
+      |    PARTITION BY comp ORDER BY lex_diversity DESC, doc_id) AS keeper_id,
+      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size FROM m),
+      |g AS (SELECT
+      |    CASE WHEN cluster_size = 2 THEN '0_size_2'
+      |         WHEN cluster_size <= 4 THEN '1_size_3_4'
+      |         WHEN cluster_size <= 8 THEN '2_size_5_8'
+      |         ELSE '3_size_9_plus' END AS size_band,
+      |    COUNT(DISTINCT comp) AS n_clusters, COUNT(*) AS n_docs,
+      |    SUM(n_tokens) AS tokens_total,
+      |    SUM(CASE WHEN doc_id <> keeper_id THEN n_tokens ELSE 0 END)
+      |      AS tokens_removed
+      |  FROM sel GROUP BY 1),
+      |t AS (SELECT SUM(len(string_split(text, ' '))) AS corpus_tokens
+      |      FROM documents)
+      |SELECT size_band, CAST(n_clusters AS BIGINT) AS n_clusters,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_docs - n_clusters AS BIGINT) AS n_docs_removed,
+      |  CAST(tokens_total AS BIGINT) AS tokens_total,
+      |  CAST(tokens_removed AS BIGINT) AS tokens_removed,
+      |  CAST(corpus_tokens AS BIGINT) AS corpus_tokens,
+      |  CAST(tokens_removed * 1000000 // corpus_tokens AS BIGINT)
+      |    AS removed_share_ppm
+      |FROM g, t ORDER BY size_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d43_dedup_yield" -> (d43DedupYield _),
     "d42_containment" -> (d42Containment _),
     "d41_vocab_coverage" -> (d41VocabCoverage _),
     "d40_split_leakage" -> (d40SplitLeakage _),
@@ -3307,6 +3406,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d43_dedup_yield" -> d43Sql,
     "d42_containment" -> d42Sql,
     "d41_vocab_coverage" -> d41Sql,
     "d40_split_leakage" -> d40Sql,

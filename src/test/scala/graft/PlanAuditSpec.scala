@@ -113,6 +113,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - v25: the cell assignment scores every vector against the
       //    10-row broadcast centroid table (v6's coarse-quantizer shape)
       "v25_cluster_balanced",
+      //  - d43: the one-row corpus-token-total broadcast next to the
+      //    <=4-row band rollup (p4/q22's scalar shape)
+      "d43_dedup_yield",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -241,6 +244,10 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d43: reads d23's persisted cluster labels (CC build paid
+      // out-of-plan, shared); the member join + comp windows + band
+      // rollup + output sort; the corpus-token scalar broadcasts
+      "d43_dedup_yield" -> 4,
       // d42: d5's exact shape over the excerpt-augmented corpus — the
       // pair expansion re-reads its persisted bucket table (build paid
       // out-of-plan), one intersection agg + the output sort; the

@@ -2346,6 +2346,33 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d43: yield report equals an accounting replay over d23's clusters") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("").split(" ", -1).length.toLong))
+      .toMap
+    val members = Documents.d23CanonicalKeep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    def bandOf(sz: Long): String =
+      if (sz == 2) "0_size_2" else if (sz <= 4) "1_size_3_4"
+      else if (sz <= 8) "2_size_5_8" else "3_size_9_plus"
+    val corpusTokens = toks.values.sum
+    val expected = members.groupBy { case (_, _, _, sz) => bandOf(sz) }.toSeq
+      .map { case (b, g) =>
+        val removed = g.collect {
+          case (_, doc, keeper, _) if doc != keeper => toks(doc) }.sum
+        (b, g.map(_._1).distinct.size.toLong, g.size.toLong,
+          g.size.toLong - g.map(_._1).distinct.size.toLong,
+          g.map { case (_, doc, _, _) => toks(doc) }.sum, removed,
+          corpusTokens, removed * 1000000L / corpusTokens)
+      }.sortBy(_._1)
+    val got = Documents.d43DedupYield(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected, "yield diverges from the d23 accounting replay")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
