@@ -2390,7 +2390,110 @@ object Vectors {
       |ORDER BY cell""".stripMargin
   }
 
+  /** v26: HARD-NEGATIVE MINING — for each query vector, the top-3 most
+    * similar vectors with a DIFFERENT label: the contrastive-training
+    * staple (a retrieval/embedding model learns most from negatives
+    * that look like positives). The candidate set is the IVF cell join
+    * (v8's nprobe=2 probe) with the label-exclusion predicate — a
+    * JOIN-DEPENDENT filter, unlike v16's constant one — and each mined
+    * negative carries exact_hit: whether the exhaustive label-excluded
+    * scan agrees it is a true top-3 hard negative (the family's
+    * measured-recall discipline).
+    *
+    * Scale shape: one broadcast-centroid assignment (shared,
+    * checkpointed) feeds both the candidate and query sides; scoring
+    * touches only probed-cell members; the exact side is v1's
+    * deliberate broadcast-Q x scan-N baseline.
+    */
+  def v26HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val ranked = ivfRanked(base, labelMeans(base), maxRank = 2,
+      keep = Seq("label"))
+    val cands = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("cid"), col("label").as("neg_label"),
+        col("v").as("ce"), col("cell"))
+    val queries = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qe"), col("cell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val mined = broadcast(queries).join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("neg_label"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("neg_label"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+    val qfull = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("v").as("qe"))
+    val exact = broadcast(qfull)
+      .join(base.select(col("vec_id").as("cid"), col("label").as("cl"),
+          col("v").as("ce")),
+        col("qid") =!= col("cid") && col("ql") =!= col("cl"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+          .as("cosine"))
+      .withColumn("er", row_number().over(wq))
+      .filter(col("er") <= 3)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    mined.join(broadcast(exact), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("qlabel"), col("rank").cast("long").as("rank"),
+        col("cid"), col("neg_label"), col("cosine"),
+        coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v26Sql: String =
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |ranked AS (
+      |  SELECT vec_id, label, v, cell, rn AS crank FROM (
+      |    SELECT b.vec_id, b.label, b.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${dotSql("b.v", "c.cvec")} DESC, c.cell) AS rn
+      |    FROM base b, cent c)
+      |  WHERE rn <= 2),
+      |n AS (SELECT vec_id, label, v, cell, crank,
+      |        sqrt(${dotSql("v", "v")}) nrm FROM ranked),
+      |cands AS (SELECT vec_id cid, label neg_label, v, nrm, cell FROM n
+      |          WHERE crank = 1),
+      |q AS (SELECT vec_id qid, label qlabel, v, nrm, cell FROM n
+      |      WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, q.qlabel, c.cid, c.neg_label,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      |  FROM q JOIN cands c ON q.cell = c.cell AND q.qid <> c.cid
+      |    AND q.qlabel <> c.neg_label),
+      |wr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY cosine DESC, cid) AS rank
+      |  FROM scored),
+      |nb AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |      AND a.label <> b.label)
+      |  WHERE er <= 3)
+      |SELECT w.qid, w.qlabel, CAST(w.rank AS BIGINT) AS rank, w.cid,
+      |  w.neg_label, w.cosine,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS exact_hit
+      |FROM wr w LEFT JOIN exact e ON w.qid = e.qid AND w.cid = e.cid
+      |WHERE w.rank <= 3
+      |ORDER BY w.qid, w.rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v26_hard_negatives" -> (v26HardNegatives _),
     "v25_cluster_balanced" -> (v25ClusterBalancedSample _),
     "v24_cell_balance" -> (v24CellBalance _),
     "v23_index_staleness" -> (v23IndexStaleness _),
@@ -2418,6 +2521,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v26_hard_negatives" -> v26Sql,
     "v25_cluster_balanced" -> v25Sql,
     "v24_cell_balance" -> v24Sql,
     "v23_index_staleness" -> v23Sql,

@@ -116,6 +116,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - d43: the one-row corpus-token-total broadcast next to the
       //    <=4-row band rollup (p4/q22's scalar shape)
       "d43_dedup_yield",
+      //  - v26: v6's broadcast-centroid assignment plus v1's deliberate
+      //    broadcast-Q x scan-N exact ground-truth side
+      "v26_hard_negatives",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -362,6 +365,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-user collapse; the band rollup, the 12-row share window,
       // and the output sort are the rest
       "w25_time_to_convert" -> 4,
+      // v26: the shared assignment checkpoint feeds both sides; the
+      // mined and exact top-3 windows + the output sort are the rest
+      "v26_hard_negatives" -> 3,
       // v24: v6's broadcast-centroid assignment (projection-shaped),
       // then the |cells| agg + the bounded share/skew window
       "v24_cell_balance" -> 2,

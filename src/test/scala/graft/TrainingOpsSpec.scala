@@ -2373,6 +2373,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === expected, "yield diverges from the d23 accounting replay")
   }
 
+  test("v26: mined hard negatives equal a full IVF replay; exact_hit is truthful") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) v").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val cents = vecs.groupBy(_._2).map { case (lab, g) =>
+      lab -> Array.tabulate(64) { i =>
+        (g.map(v => math.floor(v._3(i) * 1e9).toLong).sum / g.size) / 1e9 }
+    }
+    def probed(v: Array[Double]): Seq[Long] = cents.toSeq
+      .map { case (c, cv) => (c, dotD(v, cv)) }
+      .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+    val home = vecs.map { case (id, _, v) => id -> probed(v).head }.toMap
+    val queries = vecs.filter(_._1 < 10)
+    val exact = queries.map { case (q, ql, qv) =>
+      q -> vecs.filter { case (c, cl, _) => c != q && cl != ql }
+        .map { case (c, _, cv) => (c, cosD(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val expected = queries.flatMap { case (q, ql, qv) =>
+      val cells = probed(qv).toSet
+      vecs.filter { case (c, cl, _) =>
+          c != q && cl != ql && cells.contains(home(c)) }
+        .map { case (c, cl, cv) => (c, cl, cosD(qv, cv)) }
+        .sortBy { case (c, _, s) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((c, cl, s), i) =>
+          (q, ql, i + 1L, c, cl, s, if (exact(q)(c)) 1L else 0L) }
+    }.sortBy(r => (r._1, r._3))
+    val got = Vectors.v26HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3),
+        r.getInt(4).toLong, r.getDouble(5), r.getLong(6))).toSeq
+    assert(got === expected.toSeq, "v26 diverges from the IVF replay")
+    got.foreach { case (_, ql, _, _, nl, _, _) =>
+      assert(ql != nl, "a mined negative shares the query's label")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
