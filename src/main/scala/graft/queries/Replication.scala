@@ -983,7 +983,64 @@ object Replication {
       |    AS reclaim_ppm
       |FROM b ORDER BY bucket""".stripMargin
 
+  /** r17: BATCH FRESHNESS — the consumer-lag profile of the batched
+    * insert path. The reference coalesces the change stream into
+    * batches (buffer tables / micro-batch triggers) and its monitor
+    * alerts on lag; this query quantifies the STALENESS that batching
+    * itself introduces: within each 1000-offset commit batch (r14's
+    * convention), an event's lag is the gap between its own time and
+    * the batch's sealing event (the max event time the batch waited
+    * for). The banded rollup is the freshness SLA table an operator
+    * reads ("99% of rows land under a minute stale; the tail is the
+    * backfill batches").
+    *
+    * Scale shape: ONE batch-keyed exchange serves the sealing-time
+    * window; the band rollup is a hash agg with map-side combine and
+    * the share window runs on the 5-row band frame.
+    */
+  def r17BatchFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("batch_id"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("batch_id", expr("event_id DIV 1000"))
+      .withColumn("lag_us", max(col("ts_us")).over(wb) - col("ts_us"))
+    val band = when(col("lag_us") === 0, "0_sealing_event")
+      .when(col("lag_us") < 60L * 1000000, "1_under_1m")
+      .when(col("lag_us") < 3600L * 1000000, "2_under_1h")
+      .when(col("lag_us") < 86400L * 1000000, "3_under_1d")
+      .otherwise("4_over_1d")
+    ev.groupBy(band.as("lag_band"))
+      .agg(count(lit(1)).as("n_events"), max(col("lag_us")).as("max_lag_us"))
+      .withColumn("share_ppm",
+        expr("n_events * 1000000L DIV sum(n_events) OVER ()"))
+      .orderBy(col("lag_band"))
+  }
+
+  val r17Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, event_id // 1000 AS batch_id
+      |  FROM events),
+      |l AS (
+      |  SELECT MAX(ts_us) OVER (PARTITION BY batch_id) - ts_us AS lag_us
+      |  FROM e),
+      |b AS (
+      |  SELECT CASE WHEN lag_us = 0 THEN '0_sealing_event'
+      |       WHEN lag_us < 60000000 THEN '1_under_1m'
+      |       WHEN lag_us < 3600000000 THEN '2_under_1h'
+      |       WHEN lag_us < 86400000000 THEN '3_under_1d'
+      |       ELSE '4_over_1d' END AS lag_band, lag_us
+      |  FROM l),
+      |g AS (SELECT lag_band, COUNT(*) AS n_events,
+      |        MAX(lag_us) AS max_lag_us
+      |      FROM b GROUP BY 1)
+      |SELECT lag_band, n_events, CAST(max_lag_us AS BIGINT) AS max_lag_us,
+      |  CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT)
+      |    AS share_ppm
+      |FROM g ORDER BY lag_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r17_batch_freshness" -> (r17BatchFreshness _),
     "r16_tombstone_gc" -> (r16TombstoneGc _),
     "r15_asof_read" -> (r15AsofRead _),
     "r14_batch_ledger" -> (r14BatchLedger _),
@@ -1002,6 +1059,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r17_batch_freshness" -> r17Sql,
     "r16_tombstone_gc" -> r16Sql,
     "r15_asof_read" -> r15Sql,
     "r14_batch_ledger" -> r14Sql,

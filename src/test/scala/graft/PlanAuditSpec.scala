@@ -365,6 +365,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-user collapse; the band rollup, the 12-row share window,
       // and the output sort are the rest
       "w25_time_to_convert" -> 4,
+      // r17: one batch-keyed exchange for the sealing-time window, the
+      // band rollup, and the output sort (the 5-row share window rides)
+      "r17_batch_freshness" -> 3,
       // v26: the shared assignment checkpoint feeds both sides; the
       // mined and exact top-3 windows + the output sort are the rest
       "v26_hard_negatives" -> 3,

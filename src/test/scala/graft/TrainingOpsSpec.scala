@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Documents, Events, Pipeline, Vectors}
+import graft.queries.{Documents, Events, Pipeline, Replication, Vectors}
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-data operators: duplicated-substring spans (d16),
@@ -2415,6 +2415,31 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach { case (_, ql, _, _, nl, _, _) =>
       assert(ql != nl, "a mined negative shares the query's label")
     }
+  }
+
+  test("r17: freshness bands equal a batch replay; shares cover the log") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lags = ev.groupBy(_._1 / 1000).values.flatMap { b =>
+      val seal = b.map(_._2).max
+      b.map(seal - _._2)
+    }.toSeq
+    def bandOf(l: Long): String =
+      if (l == 0) "0_sealing_event"
+      else if (l < 60000000L) "1_under_1m"
+      else if (l < 3600000000L) "2_under_1h"
+      else if (l < 86400000000L) "3_under_1d" else "4_over_1d"
+    val expected = lags.groupBy(bandOf).toSeq.map { case (b, g) =>
+      (b, g.size.toLong, g.max, g.size.toLong * 1000000L / lags.size)
+    }.sortBy(_._1)
+    val got = Replication.r17BatchFreshness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected, "freshness diverges from the batch replay")
+    // every event is in exactly one band and each batch has one sealer
+    assert(got.map(_._2).sum === ev.length.toLong)
+    assert(got.find(_._1 == "0_sealing_event").exists(_._2 >=
+      ev.map(_._1 / 1000).distinct.length), "each batch needs a sealing event")
   }
 
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
