@@ -456,6 +456,74 @@ object CdcStream {
 
   final case class PathTransition(key: Long, from_type: String, to_type: String, gap_us: Long)
 
+  final case class StageLatency(key: Long, stage: String, dur_us: Long)
+
+  /** Streaming twin of the batch w25 time-to-convert: a per-key
+    * `ValueState` packs the partial funnel `(t1, t2, t3)` — first view,
+    * first later click, first later purchase (-1 = unreached) — and the
+    * moment a stage pair completes, its latency row is emitted (the
+    * exact rows w25's batch `stages` frame holds before banding).
+    * State is THREE longs per user forever: a completed funnel ignores
+    * all further events, an incomplete one only ever fills later
+    * slots, so a bot replaying a million clicks still costs 24 bytes.
+    *
+    * Exactness contract (transitionStream's): equal to the batch w13
+    * ordered-funnel rule — t1 = min view, t2 = min click with us > t1,
+    * t3 = min purchase with us > t2 — as long as arrivals are per-key
+    * event-time ordered ACROSS micro-batches (the CDC transport
+    * guarantee): under that ordering the first qualifying arrival IS
+    * the min. WITHIN a batch, rows sort on (us, event_id) before
+    * folding. A click preceding every view is skipped exactly as the
+    * batch rule's strict `us > t1` excludes it.
+    */
+  def funnelStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): org.apache.spark.sql.Dataset[StageLatency] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val rowEnc = Encoders.product[(Long, Long, Long, String)]
+    val stEnc = Encoders.product[(Long, Long, Long)]
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, Long, String), StageLatency] {
+        @transient private var funnel: ValueState[(Long, Long, Long)] = _
+        override def init(om: OutputMode, tm: TimeMode): Unit =
+          funnel = getHandle.getValueState("funnel", stEnc, TTLConfig.NONE)
+        override def handleInputRows(k: Long,
+            rows: Iterator[(Long, Long, Long, String)],
+            tv: TimerValues): Iterator[StageLatency] = {
+          val out = Seq.newBuilder[StageLatency]
+          var (t1, t2, t3) =
+            if (funnel.exists()) funnel.get() else (-1L, -1L, -1L)
+          rows.toSeq.sortBy { case (_, us, id, _) => (us, id) }
+            .foreach { case (_, us, _, tp) =>
+              if (t3 < 0) tp match {
+                case "view" if t1 < 0 => t1 = us
+                case "click" if t1 >= 0 && t2 < 0 && us > t1 =>
+                  t2 = us
+                  out += StageLatency(k, "1_view_to_click", t2 - t1)
+                case "purchase" if t2 >= 0 && us > t2 =>
+                  t3 = us
+                  out += StageLatency(k, "2_click_to_purchase", t3 - t2)
+                  out += StageLatency(k, "3_view_to_purchase", t3 - t1)
+                case _ =>
+              }
+            }
+          funnel.update((t1, t2, t3))
+          out.result().iterator
+        }
+      }
+    events
+      .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+        Encoders.product[StageLatency])
+  }
+
   final case class TouchAttribution(key: Long, touch_type: String, lag_us: Long)
 
   /** Streaming twin of the batch w19 last-touch attribution: a per-key

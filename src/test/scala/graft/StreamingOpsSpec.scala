@@ -368,6 +368,65 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("funnelStream emits the batch w25 stage latencies across micro-batch boundaries") {
+    val src = tmp("fn-src"); val ckpt = tmp("fn-ck")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("eid", LongType), StructField("etype", StringType)))
+    def ev(uid: Long, t: String, eid: Long, tp: String) =
+      s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp"}"""
+    import scala.jdk.CollectionConverters._
+    // user 1: a PRE-view click (skipped, the batch rule's strict
+    // us > t1), then view / click / purchase each in a DIFFERENT file so
+    // every stage completion crosses a micro-batch boundary; a second
+    // click and a post-completion purchase must both be ignored.
+    // user 2: purchase-before-click is skipped (t2 unset), then the
+    // funnel completes in order. user 3 never converts.
+    Files.write(src.resolve("a.json"), Seq(
+      ev(1, "2024-01-01T09:50:00.000Z", 1, "click"),
+      ev(1, "2024-01-01T10:00:00.000Z", 2, "view"),
+      ev(2, "2024-01-01T09:00:00.000Z", 3, "view"),
+      ev(3, "2024-01-01T08:00:00.000Z", 4, "view")).asJava)
+    Files.write(src.resolve("b.json"), Seq(
+      ev(2, "2024-01-01T09:10:00.000Z", 5, "purchase"),
+      ev(2, "2024-01-01T09:20:00.000Z", 6, "click"),
+      ev(1, "2024-01-01T10:30:00.000Z", 7, "click"),
+      ev(1, "2024-01-01T10:40:00.000Z", 8, "click")).asJava)
+    Files.write(src.resolve("c.json"), Seq(
+      ev(1, "2024-01-01T11:00:00.000Z", 9, "purchase"),
+      ev(2, "2024-01-01T09:45:00.000Z", 10, "purchase"),
+      ev(1, "2024-01-01T11:30:00.000Z", 11, "purchase")).asJava)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+      val q = CdcStream.funnelStream(stream, "uid", "ts", "eid", "etype")
+        .writeStream.format("memory").queryName("fn_out")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("fn_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val m = 60L * 1000000
+      assert(got === Set(
+        (1L, "1_view_to_click", 30 * m),
+        (1L, "2_click_to_purchase", 30 * m),
+        (1L, "3_view_to_purchase", 60 * m),
+        (2L, "1_view_to_click", 20 * m),
+        (2L, "2_click_to_purchase", 25 * m),
+        (2L, "3_view_to_purchase", 45 * m)),
+        "streaming stage latencies diverge from the batch w25 rule")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sketchStream's final per-day registers equal the batch daily sketch") {
     val src = tmp("sk-src"); val ckpt = tmp("sk-ck")
     // the REAL fixture events, re-fed as a 3-chunk stream: the twin claim
