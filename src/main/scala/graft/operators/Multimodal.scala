@@ -230,6 +230,92 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("content_hash"))
 
+  /** [[syntheticPng]]'s gradient sibling: pixel (x, y) is the grey
+    * value `(seed + 7x + 13y) % 256` — position-DEPENDENT, so a resize
+    * that samples the wrong source pixel produces the wrong sum (a
+    * constant image would hide the bug). PNG is lossless, so the raster
+    * round-trips exactly.
+    */
+  def syntheticGradientPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_w", LongType),
+    StructField("src_h", LongType),
+    StructField("thumb_w", LongType),
+    StructField("thumb_h", LongType),
+    StructField("thumb_px_sum", LongType)))
+
+  /** REAL thumbnailing for PNG payloads: decode through the JDK codec,
+    * nearest-neighbor downsample on the raster (integer source mapping
+    * `x_src = x' * W DIV tw` — no float resampling, so the result is
+    * bit-deterministic and oracle-computable), RE-ENCODE the thumbnail
+    * as PNG, then RE-DECODE the produced artifact and sum its
+    * components. The emitted sum comes from the re-decoded bytes, so a
+    * corrupt encoder output cannot pass the oracle. Non-PNG payloads
+    * drop (a real pipeline dead-letters them). Same per-partition codec
+    * seam as [[decodeFeatures]].
+    */
+  def thumbnailFeatures(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(thumbSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (!isPng(payload)) None
+        else {
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (src.getWidth, src.getHeight)
+          val thumb = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              thumb.setRGB(x, y, src.getRGB(x * w / tw, y * h / th))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var s = 0L
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val rgb = back.getRGB(xx, yy)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              xx += 1
+            }
+            yy += 1
+          }
+          Some(Row(r.getLong(0), w.toLong, h.toLong,
+            back.getWidth.toLong, back.getHeight.toLong, s))
+        }
+      }
+    }(enc)
+  }
+
   /** STUB resize: emits target-dimension metadata plus a deterministic
     * proportional byte sample of the payload (a real image library slots
     * into the same mapPartitions shape — per-partition codec init, one

@@ -295,7 +295,58 @@ object MultimodalQ {
       |FROM documents WHERE doc_id % 20 = 0
       |GROUP BY 1 ORDER BY sample_rate""".stripMargin
 
+  /** m7: REAL THUMBNAIL PIPELINE — decode → nearest-neighbor resize →
+    * re-encode → re-decode, all through the JDK PNG codec in the
+    * mapPartitions seam. The planted artifacts are GRADIENT images
+    * (pixel = (id + 7x + 13y) % 256), so the oracle's arithmetic sum
+    * only matches if the resize sampled exactly the right source pixels
+    * AND the re-encoded thumbnail round-trips losslessly — a constant
+    * image (m2's plant) could hide a wrong-pixel bug; a gradient
+    * cannot. The emitted sum is computed from the RE-DECODED thumbnail
+    * bytes, so the produced artifact itself is what's checked.
+    *
+    * Scale shape: pure per-row codec work in one mapPartitions pass —
+    * scan-speed, no shuffle but the output sort; thumbnails never
+    * materialize beyond their task.
+    */
+  def m7ThumbnailAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(M.mediaSchema)
+    val gradients = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = M.syntheticGradientPng(
+            w = 4 + (id % 9).toInt, h = 4 + (id % 7).toInt, seed = id)
+          Row(id + 4000000L, png, "image/png")
+        }
+      }(enc)
+    M.thumbnailFeatures(gradients, tw = 3, th = 3)
+      .orderBy(col("media_id"))
+  }
+
+  val m7Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |px AS (
+      |  SELECT id, w, h,
+      |    SUM(3 * ((id + 7 * ((x * w) // 3) + 13 * ((y * h) // 3)) % 256)) AS s
+      |  FROM src,
+      |       (SELECT unnest(generate_series(0, 2)) x),
+      |       (SELECT unnest(generate_series(0, 2)) y)
+      |  GROUP BY id, w, h)
+      |SELECT id + 4000000 AS media_id, CAST(w AS BIGINT) AS src_w,
+      |  CAST(h AS BIGINT) AS src_h, CAST(3 AS BIGINT) AS thumb_w,
+      |  CAST(3 AS BIGINT) AS thumb_h, CAST(s AS BIGINT) AS thumb_px_sum
+      |FROM px ORDER BY media_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "m7_thumbnail_audit" -> (m7ThumbnailAudit _),
     "m6_audio_features" -> (m6AudioFeatures _),
     "m5_storage_dedup" -> (m5StorageDedup _),
     "m4_frame_neardup" -> (m4FrameNeardup _),
@@ -304,6 +355,7 @@ object MultimodalQ {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m7_thumbnail_audit" -> m7Sql,
     "m6_audio_features" -> m6Sql,
     "m5_storage_dedup" -> m5Sql,
     "m4_frame_neardup" -> m4Sql,

@@ -4,9 +4,10 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: schema contracts, mapPartitions batch shape,
-  * frame sampling boundaries. Decode/resize are stubs by design (no
-  * codecs in this environment) — what is tested is everything a real
-  * codec would rely on.
+  * frame sampling boundaries. PNG/GIF/BMP decode, WAV decode, and the
+  * PNG thumbnail pipeline run REAL JDK codecs; the remaining stubs
+  * (non-decodable formats, resizeStub's byte sampling) test everything
+  * a real codec would rely on.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -112,6 +113,21 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]](4).length <= in(r.getLong(0)).length ||
         in(r.getLong(0)).isEmpty)
     }
+  }
+
+  test("thumbnailFeatures: the NN resize replays arithmetically; non-PNG drops") {
+    import spark.implicits._
+    val png = Multimodal.syntheticGradientPng(w = 8, h = 6, seed = 42L)
+    val in = Seq((1L, png, "image/png"), (2L, "notpng".getBytes, "image/jpg"))
+      .toDF("media_id", "payload", "format")
+    val out = Multimodal.thumbnailFeatures(in, tw = 3, th = 3).collect()
+    assert(out.length === 1, "the non-PNG payload must drop out")
+    val expected = (for (x <- 0 until 3; y <- 0 until 3)
+      yield 3L * ((42L + 7L * (x * 8 / 3) + 13L * (y * 6 / 3)) % 256)).sum
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (1L, 8L, 6L, 3L, 3L, expected),
+      "the re-decoded thumbnail sum diverges from the raster arithmetic")
   }
 
   test("sampleFrames: boundaries, count, and content") {

@@ -365,6 +365,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-user collapse; the band rollup, the 12-row share window,
       // and the output sort are the rest
       "w25_time_to_convert" -> 4,
+      // m7: pure per-row codec work in one mapPartitions pass — the
+      // only exchange is the output sort
+      "m7_thumbnail_audit" -> 1,
       // r17: one batch-keyed exchange for the sealing-time window, the
       // band rollup, and the output sort (the 5-row share window rides)
       "r17_batch_freshness" -> 3,
