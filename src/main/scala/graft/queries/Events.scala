@@ -1328,7 +1328,49 @@ object Events {
       |    AS BIGINT) AS share_ppm
       |FROM g ORDER BY stage, latency_band""".stripMargin
 
+  /** w26: SEQUENTIAL PATTERNS — support counts for every contiguous
+    * event-type trigram in per-user journeys (the k=3 sequence-mining
+    * pass behind "what do users do right before an error?"): w17's
+    * transition matrix sees single steps; w26 sees three-step paths,
+    * with both raw occurrence counts and distinct-user support, ordered
+    * by support.
+    *
+    * Scale shape: ONE user-keyed exchange serves both lead() windows;
+    * the trigram rollup folds to at most |types|^3 = 125 rows with
+    * map-side partial combine (the distinct-user count shuffles the
+    * (trigram, user) grid once), and the output sort is over that
+    * bounded frame.
+    */
+  def w26SequencePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("t2").as("e2"),
+        col("t3").as("e3"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("e1"), col("e2"), col("e3"))
+  }
+
+  val w26Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type AS e1,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w26_sequence_patterns" -> (w26SequencePatterns _),
     "w25_time_to_convert" -> (w25TimeToConvert _),
     "w24_stickiness" -> (w24Stickiness _),
     "w23_decay_attribution" -> (w23DecayAttribution _),
@@ -1356,6 +1398,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w26_sequence_patterns" -> w26Sql,
     "w25_time_to_convert" -> w25Sql,
     "w24_stickiness" -> w24Sql,
     "w23_decay_attribution" -> w23Sql,

@@ -365,6 +365,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-user collapse; the band rollup, the 12-row share window,
       // and the output sort are the rest
       "w25_time_to_convert" -> 4,
+      // w26: one user-keyed exchange shared by both lead() windows, the
+      // (trigram, user) distinct grid agg, and the 125-row output sort
+      "w26_sequence_patterns" -> 3,
       // m7: pure per-row codec work in one mapPartitions pass — the
       // only exchange is the output sort
       "m7_thumbnail_audit" -> 1,

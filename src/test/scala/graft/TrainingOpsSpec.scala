@@ -2442,6 +2442,28 @@ class TrainingOpsSpec extends SparkSpec {
       ev.map(_._1 / 1000).distinct.length), "each batch needs a sealing event")
   }
 
+  test("w26: trigram supports equal a per-user sequence replay") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.size == 3).map(t => (u, (t(0), t(1), t(2))))
+    }
+    val expected = tris.groupBy(_._2).toSeq.map { case ((a, b, c), g) =>
+      (a, b, c, g.size.toLong, g.map(_._1).distinct.size.toLong)
+    }.sortBy { case (a, b, c, n, _) => (-n, a, b, c) }
+    val got = Events.w26SequencePatterns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected, "supports diverge from the sequence replay")
+    // conservation: every user with n >= 3 events contributes n-2 trigrams
+    val total = ev.groupBy(_._1).values
+      .map(g => math.max(0, g.size - 2).toLong).sum
+    assert(got.map(_._4).sum === total, "trigram occurrences must conserve")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
