@@ -2390,6 +2390,79 @@ object Vectors {
       |ORDER BY cell""".stripMargin
   }
 
+  /** p23: SEMANTIC DECONTAMINATION — the embedding-space leg of the
+    * decontamination family (p3 exact n-gram, p8 fuzzy, p9 Bloom, d30
+    * attribution all work in TOKEN space): a train document whose
+    * EMBEDDING is near-identical to an eval document leaks the eval set
+    * even when paraphrasing defeats every token-level check. Splits are
+    * p2/d40's md5-bucket rule; since the fixture's embedding space has
+    * no natural near-pairs (max pairwise cosine ~0.51), every 3rd eval
+    * vector is PLANTED back into train as a mildly perturbed copy (the
+    * realistic near-verbatim case, cosine ~0.99998 but not 1) — d1's
+    * planted-signal discipline. Output: the (train_id, eval_id)
+    * contamination pairs at cosine >= 0.95.
+    *
+    * Scale shape: the eval side is tiny BY CONSTRUCTION (eval sets are
+    * KBs against a 100 TB corpus — p3's own broadcast argument), so the
+    * scan side never shuffles: one broadcast nested loop over
+    * |train| x |evals|, then the output sort. At production scale the
+    * same query runs against v6's IVF cells to prune the scan; the
+    * brute-force form here is the measured-exact baseline.
+    */
+  def p23SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val base = emb(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("split", splitOf(col("vec_id")))
+    val evals = base.filter(col("split") =!= "train")
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val planted = evals.filter(col("eval_id") % 3 === 0)
+      .select((col("eval_id") + 5000000L).as("train_id"),
+        expr("transform(ev, (x, i) -> x * (1.0d + ((eval_id + i) % 7 - 3) / 1000.0d))")
+          .as("v"))
+    val train = base.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("v"))
+      .unionByName(planted)
+    train.crossJoin(broadcast(evals))
+      .select(col("train_id"), col("eval_id"),
+        (dot(col("v"), col("ev")) / (norm(col("v")) * norm(col("ev"))))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.95)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val p23Sql: String =
+    s"""WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+      |    CASE WHEN CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+      |           AS UBIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+      |           AS UBIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS ev FROM base WHERE split <> 'train'),
+      |pl AS (
+      |  SELECT eval_id + 5000000 AS train_id,
+      |    list_transform(generate_series(1, 64),
+      |      i -> ev[i] * (1.0 + ((eval_id + i - 1) % 7 - 3) / 1000.0)) AS v
+      |  FROM ev WHERE eval_id % 3 = 0),
+      |tr AS (
+      |  SELECT vec_id AS train_id, v FROM base WHERE split = 'train'
+      |  UNION ALL SELECT train_id, v FROM pl),
+      |sc AS (
+      |  SELECT t.train_id, e.eval_id,
+      |    ${dotSql("t.v", "e.ev")} /
+      |      (sqrt(${dotSql("t.v", "t.v")}) * sqrt(${dotSql("e.ev", "e.ev")}))
+      |      AS cosine
+      |  FROM tr t, ev e)
+      |SELECT train_id, eval_id, cosine FROM sc
+      |WHERE cosine >= 0.95 ORDER BY train_id, eval_id""".stripMargin
+
   /** v26: HARD-NEGATIVE MINING — for each query vector, the top-3 most
     * similar vectors with a DIFFERENT label: the contrastive-training
     * staple (a retrieval/embedding model learns most from negatives
@@ -2493,6 +2566,7 @@ object Vectors {
       |ORDER BY w.qid, w.rank""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "p23_semantic_decontaminate" -> (p23SemanticDecontaminate _),
     "v26_hard_negatives" -> (v26HardNegatives _),
     "v25_cluster_balanced" -> (v25ClusterBalancedSample _),
     "v24_cell_balance" -> (v24CellBalance _),
@@ -2521,6 +2595,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "p23_semantic_decontaminate" -> p23Sql,
     "v26_hard_negatives" -> v26Sql,
     "v25_cluster_balanced" -> v25Sql,
     "v24_cell_balance" -> v24Sql,

@@ -119,6 +119,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - v26: v6's broadcast-centroid assignment plus v1's deliberate
       //    broadcast-Q x scan-N exact ground-truth side
       "v26_hard_negatives",
+      //  - p23: the deliberate broadcast-eval x scan-train product —
+      //    the eval side is KBs by construction (p3's own argument)
+      "p23_semantic_decontaminate",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -365,6 +368,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-user collapse; the band rollup, the 12-row share window,
       // and the output sort are the rest
       "w25_time_to_convert" -> 4,
+      // p23: the eval side broadcasts (tiny by construction); the one
+      // exchange is the output sort
+      "p23_semantic_decontaminate" -> 1,
       // w26: one user-keyed exchange shared by both lead() windows, the
       // (trigram, user) distinct grid agg, and the 125-row output sort
       "w26_sequence_patterns" -> 3,

@@ -2464,6 +2464,45 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum === total, "trigram occurrences must conserve")
   }
 
+  test("p23: semantic decontamination equals a replay; every planted leak is caught") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val evals = vecs.filter { case (id, _) => splitOf(id) != "train" }
+    val planted = evals.collect { case (id, v) if id % 3 == 0 =>
+      (id + 5000000L, Array.tabulate(64)(i =>
+        v(i) * (1.0 + ((id + i) % 7 - 3) / 1000.0)))
+    }
+    val train = vecs.filter { case (id, _) => splitOf(id) == "train" } ++ planted
+    val expected = (for {
+      (tid, tv) <- train; (eid, ev) <- evals
+      c = cosD(tv, ev) if c >= 0.95
+    } yield (tid, eid, c)).sortBy(r => (r._1, r._2)).toSeq
+    val got = Vectors.p23SemanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected, "contamination pairs diverge from the replay")
+    // completeness: every planted leak is flagged against ITS eval source
+    planted.foreach { case (tid, _) =>
+      assert(got.exists(r => r._1 == tid && r._2 == tid - 5000000L),
+        s"planted leak $tid escaped the gate")
+    }
+    assert(got.size === planted.length,
+      "nothing but the planted leaks clears 0.95 in this space")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
