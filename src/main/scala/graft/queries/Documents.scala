@@ -3359,7 +3359,64 @@ object Documents {
       |    AS removed_share_ppm
       |FROM g, t ORDER BY size_band""".stripMargin
 
+  /** d44: N-GRAM NOVELTY CURVE — per corpus decile (by doc_id order,
+    * the ingestion order), what fraction of each document's 3-shingles
+    * is NEW (first occurrence in the corpus so far)? d37 tracks unigram
+    * VOCABULARY growth; d44 tracks phrase-level novelty — the curve
+    * that tells a curator when additional data stops contributing new
+    * n-grams (the memorization-pressure / diminishing-returns signal
+    * behind dataset-scaling decisions).
+    *
+    * Scale shape: the shingle explode folds behind a checkpoint read by
+    * BOTH consumers; first-occurrence is one k-keyed min agg whose
+    * |shingles|-row output folds straight to per-doc novel counts (no
+    * join back against the data-sized explode); the per-doc frames join
+    * at |docs| size and the decile rollup is 10 rows. The corpus-count
+    * scalar broadcasts (p4's shape).
+    */
+  def d44NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("k"))
+      .localCheckpoint(false) // first-occurrence fold + per-doc counts
+    val novel = sh.groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    cnt.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(expr("doc_id * 10 DIV n_docs").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_shingles").as("novelty_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val d44Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |f AS (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s),
+      |nov AS (SELECT doc_id, COUNT(*) AS n_novel FROM f GROUP BY 1),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |j AS (SELECT c.doc_id, c.n_sh, COALESCE(nov.n_novel, 0) AS n_novel
+      |      FROM cnt c LEFT JOIN nov USING (doc_id)),
+      |dec AS (SELECT doc_id * 10 // n_docs AS decile, n_sh, n_novel
+      |        FROM j, nd)
+      |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+      |  CAST(SUM(n_novel) * 1000000 // SUM(n_sh) AS BIGINT) AS novelty_ppm
+      |FROM dec GROUP BY 1 ORDER BY decile""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d44_novelty_curve" -> (d44NoveltyCurve _),
     "d43_dedup_yield" -> (d43DedupYield _),
     "d42_containment" -> (d42Containment _),
     "d41_vocab_coverage" -> (d41VocabCoverage _),
@@ -3406,6 +3463,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d44_novelty_curve" -> d44Sql,
     "d43_dedup_yield" -> d43Sql,
     "d42_containment" -> d42Sql,
     "d41_vocab_coverage" -> d41Sql,

@@ -122,6 +122,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - p23: the deliberate broadcast-eval x scan-train product —
       //    the eval side is KBs by construction (p3's own argument)
       "p23_semantic_decontaminate",
+      //  - d44: the one-row corpus-count broadcast next to the per-doc
+      //    frame (p4/q22's scalar shape)
+      "d44_novelty_curve",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -250,6 +253,11 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d44: the explode folds behind the checkpoint; in-plan: the
+      // k-keyed first-occurrence agg, its per-doc rollup, the per-doc
+      // count agg, their |docs|-row join, the 10-row decile agg, and
+      // the output sort (the corpus-count scalar broadcasts)
+      "d44_novelty_curve" -> 6,
       // d43: reads d23's persisted cluster labels (CC build paid
       // out-of-plan, shared); the member join + comp windows + band
       // rollup + output sort; the corpus-token scalar broadcasts

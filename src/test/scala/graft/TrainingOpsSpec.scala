@@ -2503,6 +2503,34 @@ class TrainingOpsSpec extends SparkSpec {
       "nothing but the planted leaks clears 0.95 in this space")
   }
 
+  test("d44: the novelty curve equals a first-occurrence replay") {
+    val raw = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val sets = raw.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 3) Some(id -> w.sliding(3).map(_.mkString(" ")).toSet)
+      else None
+    }.sortBy(_._1)
+    val first = scala.collection.mutable.Map[String, Long]()
+    sets.foreach { case (id, s) =>
+      s.foreach(g => if (!first.contains(g)) first(g) = id) }
+    val nDocs = raw.length.toLong
+    val per = sets.map { case (id, s) =>
+      (id, s.size.toLong, s.count(first(_) == id).toLong) }
+    val expected = per.groupBy { case (id, _, _) => id * 10 / nDocs }.toSeq
+      .map { case (d, g) =>
+        (d, g.size.toLong, g.map(_._2).sum, g.map(_._3).sum,
+          g.map(_._3).sum * 1000000L / g.map(_._2).sum) }.sortBy(_._1)
+    val got = Documents.d44NoveltyCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "novelty diverges from the first-occurrence replay")
+    // a shingle's first occurrence is unique: novel counts conserve
+    assert(got.map(_._4).sum === first.size.toLong,
+      "novel counts must sum to the distinct-shingle count")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
