@@ -1314,7 +1314,76 @@ object Pipeline {
       |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_difficulty_ppm
       |FROM r GROUP BY 1 ORDER BY batch_idx""".stripMargin
 
+  /** p24: SLOT APPORTIONMENT — the integer scheduling step downstream
+    * of the mixing family: given per-source token mass (the weights
+    * p14/p18/p20 produce), split an epoch of N batch slots across
+    * sources by the LARGEST-REMAINDER method (floor quotas, then the
+    * leftover slots go to the largest remainders — Hamilton
+    * apportionment): every slot is assigned, no source drifts from its
+    * ideal share by more than one slot, and the schedule is fully
+    * deterministic (remainder ties break on source name). Reported for
+    * three epoch sizes with each source's signed drift from ideal
+    * (ppm) — the table a training-loader config is generated from.
+    *
+    * Scale shape: ONE corpus fold to |sources| rows; every window after
+    * it (epoch totals, remainder rank) runs on the |sources| x
+    * |epochs| frame. Remainders are exact integers ((tokens x N) mod
+    * total — no float apportionment), safe to 1e13-token sources.
+    */
+  def p24SlotApportionment(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = Seq(100, 1000, 10000)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .groupBy(col("source"))
+      .agg(sum(size(col("w")).cast("long")).as("tokens"))
+      .withColumn("total", expr("sum(tokens) OVER ()"))
+    val we = Window.partitionBy(col("epoch_size"))
+    toks
+      .select(col("source"), col("tokens"), col("total"),
+        explode(lit(epochs.map(_.toLong).toArray)).as("epoch_size"))
+      .withColumn("quota", expr("tokens * epoch_size DIV total"))
+      .withColumn("rem", expr("(tokens * epoch_size) % total"))
+      .withColumn("leftover",
+        col("epoch_size") - sum(col("quota")).over(we))
+      .withColumn("rrank", row_number().over(
+        we.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc",
+        col("quota") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("epoch_size"), col("source"), col("tokens"), col("alloc"),
+        expr("alloc * 1000000L DIV epoch_size - tokens * 1000000L DIV total")
+          .as("drift_ppm"))
+      .orderBy(col("epoch_size"), col("source"))
+  }
+
+  val p24Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    SUM(len(string_split(COALESCE(text, ''), ' '))) AS tokens
+      |  FROM documents GROUP BY source),
+      |tt AS (SELECT source, tokens, SUM(tokens) OVER () AS total FROM t),
+      |e AS (SELECT unnest([100, 1000, 10000]) AS epoch_size),
+      |q AS (
+      |  SELECT source, tokens, total, epoch_size,
+      |    tokens * epoch_size // total AS quota,
+      |    (tokens * epoch_size) % total AS rem
+      |  FROM tt, e),
+      |l AS (
+      |  SELECT *, epoch_size - SUM(quota) OVER (PARTITION BY epoch_size)
+      |      AS leftover,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch_size
+      |      ORDER BY rem DESC, source) AS rrank
+      |  FROM q)
+      |SELECT CAST(epoch_size AS BIGINT) AS epoch_size, source,
+      |  CAST(tokens AS BIGINT) AS tokens,
+      |  CAST(quota + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc,
+      |  CAST((quota + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END)
+      |      * 1000000 // epoch_size
+      |    - tokens * 1000000 // total AS BIGINT) AS drift_ppm
+      |FROM l ORDER BY epoch_size, source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p24_slot_apportionment" -> (p24SlotApportionment _),
     "p22_curriculum_batches" -> (p22CurriculumBatches _),
     "p21_mixture_drift" -> (p21MixtureDrift _),
     "p20_budget_waterfill" -> (p20BudgetWaterfill _),
@@ -1337,6 +1406,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p24_slot_apportionment" -> p24Sql,
     "p22_curriculum_batches" -> p22Sql,
     "p21_mixture_drift" -> p21Sql,
     "p20_budget_waterfill" -> p20Sql,

@@ -379,6 +379,9 @@ class PlanAuditSpec extends SparkSpec {
       // p23: the eval side broadcasts (tiny by construction); the one
       // exchange is the output sort
       "p23_semantic_decontaminate" -> 1,
+      // p24: one corpus fold to |sources| rows; the epoch windows and
+      // the output sort run on the bounded |sources| x 3 frame
+      "p24_slot_apportionment" -> 2,
       // w26: one user-keyed exchange shared by both lead() windows, the
       // (trigram, user) distinct grid agg, and the 125-row output sort
       "w26_sequence_patterns" -> 3,

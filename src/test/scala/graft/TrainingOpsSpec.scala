@@ -2531,6 +2531,39 @@ class TrainingOpsSpec extends SparkSpec {
       "novel counts must sum to the distinct-shingle count")
   }
 
+  test("p24: slot apportionment replays Hamilton's method exactly and conserves slots") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        Option(r.getString(1)).getOrElse("").split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }.toSeq
+    val total = toks.map(_._2).sum
+    val expected = Seq(100L, 1000L, 10000L).flatMap { n =>
+      val q = toks.map { case (s, t) => (s, t, t * n / total, (t * n) % total) }
+      val leftover = n - q.map(_._3).sum
+      val bump = q.sortBy { case (s, _, _, r) => (-r, s) }
+        .take(leftover.toInt).map(_._1).toSet
+      q.map { case (s, t, fl, _) =>
+        val alloc = fl + (if (bump(s)) 1L else 0L)
+        (n, s, t, alloc, alloc * 1000000L / n - t * 1000000L / total)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Pipeline.p24SlotApportionment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "apportionment diverges from the Hamilton replay")
+    // every slot assigned; no source off its ideal share by > 1 slot
+    Seq(100L, 1000L, 10000L).foreach { n =>
+      val rows = got.filter(_._1 == n)
+      assert(rows.map(_._4).sum === n, s"epoch $n: slots must conserve")
+      rows.foreach { case (_, s, t, alloc, _) =>
+        val ideal = t.toDouble * n / total
+        assert(math.abs(alloc - ideal) < 1.0 + 1e-9,
+          s"epoch $n source $s: |$alloc - $ideal| >= 1 slot")
+      }
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
