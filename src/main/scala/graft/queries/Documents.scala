@@ -3415,7 +3415,81 @@ object Documents {
       |  CAST(SUM(n_novel) * 1000000 // SUM(n_sh) AS BIGINT) AS novelty_ppm
       |FROM dec GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** d45: DEDUP-THRESHOLD SENSITIVITY — how many near-dup pairs and
+    * affected documents exist at each exact-Jaccard gate (0.5 / 0.7 /
+    * 0.8 / 0.9)? d32 sweeps the LSH BAND layouts (the recall knob);
+    * d45 sweeps the THRESHOLD itself (the precision knob) — together
+    * they are the two-axis tuning report a curator reads before
+    * committing a dedup config. Pairs-per-removed-doc (ppm) shows the
+    * clustering density each gate implies.
+    *
+    * Scale shape: the pair set is computed ONCE over d5's persisted
+    * df-capped index (same build, third consumer) and each pair row
+    * explodes into only its QUALIFYING thresholds; the rollup frames
+    * are |thresholds|-sized. No per-threshold re-expansion.
+    */
+  def d45ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(500000L, 700000L, 800000L, 900000L)
+    val base = shingled(spark, dir)
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+    val sh = base
+      .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
+    val pairs = candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
+        tag = "d5", dir = dir, maxBucket = Some(D5MaxShingleDf))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("da"), col("db"),
+        expr("inter * 1000000L DIV (na + nb - inter)").as("jac_ppm"))
+      // each pair lands only in the thresholds it clears — the explode
+      // is over a 4-element literal, filtered before it fans out
+      .select(col("da"), col("db"),
+        explode(filter(lit(thresholds.toArray),
+          t => col("jac_ppm") >= t)).as("threshold_ppm"))
+    pairs
+      .groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(when(col("da") < col("db"), col("db"))
+          .otherwise(col("da"))).as("n_docs_removed"))
+      .select(col("threshold_ppm"), col("n_pairs"), col("n_docs_removed"),
+        expr("n_pairs * 1000000L DIV n_docs_removed")
+          .as("pairs_per_removed_e6"))
+      .orderBy(col("threshold_ppm"))
+  }
+
+  val d45Sql: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) i)
+      |  WHERE i <= len(w) - 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |shc AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)
+      |        WHERE df <= $D5MaxShingleDf),
+      |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+      |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT da, db,
+      |        inter * 1000000 // (sa.n + sb.n - inter) AS jac_ppm
+      |      FROM inter JOIN sizes sa ON da = sa.doc_id
+      |                 JOIN sizes sb ON db = sb.doc_id),
+      |x AS (SELECT da, db, t.threshold_ppm
+      |      FROM j, (SELECT unnest([500000, 700000, 800000, 900000])
+      |               AS threshold_ppm) t
+      |      WHERE jac_ppm >= threshold_ppm),
+      |g AS (SELECT threshold_ppm, COUNT(*) AS n_pairs,
+      |        COUNT(DISTINCT greatest(da, db)) AS n_docs_removed
+      |      FROM x GROUP BY 1)
+      |SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+      |  n_pairs, n_docs_removed,
+      |  CAST(n_pairs * 1000000 // n_docs_removed AS BIGINT)
+      |    AS pairs_per_removed_e6
+      |FROM g ORDER BY threshold_ppm""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d45_threshold_sweep" -> (d45ThresholdSweep _),
     "d44_novelty_curve" -> (d44NoveltyCurve _),
     "d43_dedup_yield" -> (d43DedupYield _),
     "d42_containment" -> (d42Containment _),
@@ -3463,6 +3537,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d45_threshold_sweep" -> d45Sql,
     "d44_novelty_curve" -> d44Sql,
     "d43_dedup_yield" -> d43Sql,
     "d42_containment" -> d42Sql,

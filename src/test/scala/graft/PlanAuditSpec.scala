@@ -253,6 +253,9 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d45: d5's persisted pair expansion (2) + the threshold rollup's
+      // (threshold, doc) distinct grid + the 4-row output sort
+      "d45_threshold_sweep" -> 4,
       // d44: the explode folds behind the checkpoint; in-plan: the
       // k-keyed first-occurrence agg, its per-doc rollup, the per-doc
       // count agg, their |docs|-row join, the 10-row decile agg, and

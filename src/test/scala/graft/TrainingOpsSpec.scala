@@ -2564,6 +2564,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d45: the threshold sweep equals a pair replay and is monotone in the gate") {
+    val raw = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val sets = raw.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 3) Some(id -> w.sliding(3).map(_.mkString(" ")).toSet)
+      else None
+    }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity)
+      .map { case (s, o) => (s, o.size) }
+    val capped = sets.map { case (id, s) =>
+      id -> s.filter(df(_) <= Documents.D5MaxShingleDf) }
+    val ids = sets.keys.toSeq.sorted
+    val jacs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (capped(a) & capped(b)).size.toLong if inter > 0
+    } yield (a, b, inter * 1000000L / (sets(a).size + sets(b).size - inter))
+    val expected = Seq(500000L, 700000L, 800000L, 900000L).map { t =>
+      val hit = jacs.filter(_._3 >= t)
+      (t, hit.size.toLong, hit.map(p => math.max(p._1, p._2)).distinct.size.toLong)
+    }.map { case (t, np, nd) => (t, np, nd, np * 1000000L / nd) }
+    val got = Documents.d45ThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, "sweep diverges from the pair replay")
+    // tightening the gate can only shrink both counts
+    got.sliding(2).foreach {
+      case Seq((_, p1, d1, _), (t, p2, d2, _)) =>
+        assert(p2 <= p1 && d2 <= d1, s"gate $t grew the pair or doc count")
+      case _ =>
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
