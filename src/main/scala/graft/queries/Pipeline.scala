@@ -1382,7 +1382,76 @@ object Pipeline {
       |    - tokens * 1000000 // total AS BIGINT) AS drift_ppm
       |FROM l ORDER BY epoch_size, source""".stripMargin
 
+  /** p25: CHUNK-OVERLAP INFLATION AUDIT — p1's sliding context windows
+    * (size 64, stride 48) deliberately re-emit the 16-token overlap of
+    * adjacent chunks; this query quantifies what that costs: per
+    * chunk-count band, how many tokens the corpus holds vs how many the
+    * chunked delivery actually EMITS, and the inflation ppm — the
+    * token-budget overhead a training run pays for windowed context
+    * (p17 reports the padding waste of packing; p25 reports the
+    * duplication waste of overlap — the two sides of delivery
+    * overhead). Chunk lengths come from the same slice arithmetic p1
+    * uses, so the numbers describe the real delivery, not an estimate.
+    *
+    * Scale shape: the per-doc explode is |chunks|-sized (p1's own
+    * fan-out) and folds immediately to one row per doc on the
+    * repartition's key; the band rollup is a 3-row hash agg.
+    */
+  def p25OverlapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val len = size(col("w"))
+    val nChunks = lit(1) +
+      ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
+    val per = Tables.load(spark, dir, "documents")
+      .filter(size(T.tokens(col("text"))) >= 1)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), len.cast("long").as("n_tokens"),
+        explode(sequence(lit(0), nChunks - 1)).as("k"))
+      .select(col("doc_id"), col("n_tokens"),
+        least(lit(ChunkSize.toLong),
+          col("n_tokens") - col("k") * ChunkStride).as("clen"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("emitted"))
+    val band = when(col("n_chunks") === 1, "0_single")
+      .when(col("n_chunks") <= 4, "1_2_to_4").otherwise("2_5_plus")
+    per.groupBy(band.as("chunk_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("corpus_tokens"),
+        sum(col("emitted")).as("emitted_tokens"))
+      .select(col("chunk_band"), col("n_docs"), col("corpus_tokens"),
+        col("emitted_tokens"),
+        expr("(emitted_tokens - corpus_tokens) * 1000000 DIV corpus_tokens")
+          .as("overhead_ppm"))
+      .orderBy(col("chunk_band"))
+  }
+
+  val p25Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    least($ChunkSize, n - k * $ChunkStride) AS clen
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(ceil(greatest(n - $ChunkSize, 0) / $ChunkStride.0) AS INT))) AS k)),
+      |p AS (SELECT doc_id, n, COUNT(*) AS n_chunks, SUM(clen) AS emitted
+      |      FROM c GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CASE WHEN n_chunks = 1 THEN '0_single'
+      |       WHEN n_chunks <= 4 THEN '1_2_to_4'
+      |       ELSE '2_5_plus' END AS chunk_band,
+      |    COUNT(*) AS n_docs, SUM(n) AS corpus_tokens,
+      |    SUM(emitted) AS emitted_tokens
+      |  FROM p GROUP BY 1)
+      |SELECT chunk_band, n_docs,
+      |  CAST(corpus_tokens AS BIGINT) AS corpus_tokens,
+      |  CAST(emitted_tokens AS BIGINT) AS emitted_tokens,
+      |  CAST((emitted_tokens - corpus_tokens) * 1000000 // corpus_tokens
+      |    AS BIGINT) AS overhead_ppm
+      |FROM g ORDER BY chunk_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p25_overlap_audit" -> (p25OverlapAudit _),
     "p24_slot_apportionment" -> (p24SlotApportionment _),
     "p22_curriculum_batches" -> (p22CurriculumBatches _),
     "p21_mixture_drift" -> (p21MixtureDrift _),
@@ -1406,6 +1475,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p25_overlap_audit" -> p25Sql,
     "p24_slot_apportionment" -> p24Sql,
     "p22_curriculum_batches" -> p22Sql,
     "p21_mixture_drift" -> p21Sql,

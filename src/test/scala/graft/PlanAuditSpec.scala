@@ -385,6 +385,9 @@ class PlanAuditSpec extends SparkSpec {
       // p24: one corpus fold to |sources| rows; the epoch windows and
       // the output sort run on the bounded |sources| x 3 frame
       "p24_slot_apportionment" -> 2,
+      // p25: the chunk fan-out folds on the repartition's own key; the
+      // 3-row band rollup and the output sort are the rest
+      "p25_overlap_audit" -> 3,
       // w26: one user-keyed exchange shared by both lead() windows, the
       // (trigram, user) distinct grid agg, and the 125-row output sort
       "w26_sequence_patterns" -> 3,

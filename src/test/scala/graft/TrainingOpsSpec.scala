@@ -2598,6 +2598,37 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p25: overlap inflation equals p1's real chunks and coverage is exact") {
+    // replay from p1's ACTUAL chunk output, not from the formula — the
+    // audit must describe the delivery p1 really makes
+    val chunks = Pipeline.p1Chunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("").split(" ", -1).length.toLong))
+      .filter(_._2 >= 1).toMap
+    val per = chunks.groupBy(_._1).map { case (d, g) =>
+      (d, lens(d), g.size.toLong, g.map(_._3).sum) }
+    def bandOf(nc: Long): String =
+      if (nc == 1) "0_single" else if (nc <= 4) "1_2_to_4" else "2_5_plus"
+    val expected = per.groupBy { case (_, _, nc, _) => bandOf(nc) }.toSeq
+      .map { case (b, g) =>
+        val (ct, et) = (g.map(_._2).sum, g.map(_._4).sum)
+        (b, g.size.toLong, ct, et, (et - ct) * 1000000L / ct)
+      }.sortBy(_._1)
+    val got = Pipeline.p25OverlapAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "inflation diverges from p1's real chunk output")
+    // coverage exactness: the union of p1's chunk spans is [1, n] per doc
+    per.foreach { case (d, n, nc, _) =>
+      val covered = (0L until nc).flatMap { k =>
+        (k * 48 + 1) to math.min(n, k * 48 + 64) }.distinct.size
+      assert(covered === n, s"doc $d: chunk union covers $covered of $n")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
