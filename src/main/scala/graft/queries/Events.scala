@@ -1369,7 +1369,79 @@ object Events {
       |GROUP BY 1, 2, 3
       |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin
 
+  /** w27: ASSOCIATION RULES — support and two-way confidence for every
+    * unordered event-type pair CO-OCCURRING inside one session (w3's 4h
+    * gap rule): "sessions that contain an error also contain a click
+    * 83% of the time". w26 mines ordered paths; w27 mines unordered
+    * basket structure — the classic market-basket pass run on session
+    * baskets. All ratios integer ppm.
+    *
+    * Scale shape: ONE session_window exchange builds the (session,
+    * type-set) frame, checkpointed for its three readers (total, type
+    * rates, pair counts); the pair fan-out is <= |types|^2 per session
+    * from the in-row set (no self-join of the event log); every rollup
+    * after it is a <= |types|^2-row frame, and the rate joins
+    * broadcast.
+    */
+  def w27AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(col("types"))
+      .localCheckpoint(false) // total + type rates + pair counts
+    val total = sess.agg(count(lit(1)).as("n_sessions"))
+    val tc = sess.select(explode(col("types")).as("ty"))
+      .groupBy(col("ty")).agg(count(lit(1)).as("c"))
+    val pairs = sess
+      .select(explode(col("types")).as("type_a"), col("types"))
+      .select(col("type_a"), explode(col("types")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tc.select(col("ty").as("type_a"), col("c").as("n_a"))),
+        "type_a")
+      .join(broadcast(tc.select(col("ty").as("type_b"), col("c").as("n_b"))),
+        "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_sessions"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        expr("n_ab * 1000000L DIV n_sessions").as("support_ppm"),
+        expr("n_ab * 1000000L DIV n_a").as("conf_a_to_b_ppm"),
+        expr("n_ab * 1000000L DIV n_b").as("conf_b_to_a_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val w27Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT user_id, event_type,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) island
+      |      FROM s),
+      |t AS (SELECT DISTINCT user_id, island, event_type AS ty FROM i),
+      |n AS (SELECT COUNT(*) AS n_sessions
+      |      FROM (SELECT DISTINCT user_id, island FROM t)),
+      |tc AS (SELECT ty, COUNT(*) AS c FROM t GROUP BY 1),
+      |p AS (SELECT a.ty type_a, b.ty type_b, COUNT(*) n_ab
+      |      FROM t a JOIN t b ON a.user_id = b.user_id
+      |        AND a.island = b.island AND a.ty < b.ty
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+      |  CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(n_ab * 1000000 // n_sessions AS BIGINT) AS support_ppm,
+      |  CAST(n_ab * 1000000 // ca.c AS BIGINT) AS conf_a_to_b_ppm,
+      |  CAST(n_ab * 1000000 // cb.c AS BIGINT) AS conf_b_to_a_ppm
+      |FROM p JOIN tc ca ON p.type_a = ca.ty
+      |       JOIN tc cb ON p.type_b = cb.ty, n
+      |ORDER BY type_a, type_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w27_association_rules" -> (w27AssociationRules _),
     "w26_sequence_patterns" -> (w26SequencePatterns _),
     "w25_time_to_convert" -> (w25TimeToConvert _),
     "w24_stickiness" -> (w24Stickiness _),
@@ -1398,6 +1470,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w27_association_rules" -> w27Sql,
     "w26_sequence_patterns" -> w26Sql,
     "w25_time_to_convert" -> w25Sql,
     "w24_stickiness" -> w24Sql,

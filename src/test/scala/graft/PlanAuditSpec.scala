@@ -388,6 +388,11 @@ class PlanAuditSpec extends SparkSpec {
       // p25: the chunk fan-out folds on the repartition's own key; the
       // 3-row band rollup and the output sort are the rest
       "p25_overlap_audit" -> 3,
+      // w27: the session_window exchange folds behind the checkpoint;
+      // in-plan: the 1-row total agg, the |types| rate agg, the
+      // |types|^2 pair agg, its pair-keyed finalization, and the output
+      // sort (rate joins broadcast)
+      "w27_association_rules" -> 5,
       // w26: one user-keyed exchange shared by both lead() windows, the
       // (trigram, user) distinct grid agg, and the 125-row output sort
       "w26_sequence_patterns" -> 3,

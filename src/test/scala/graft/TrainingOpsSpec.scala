@@ -2629,6 +2629,46 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("w27: association rules equal a session-basket replay") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 4L * 3600 * 1000000
+    val baskets = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val islands = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Set[String]())
+      var prev = Long.MinValue
+      sorted.foreach { case (_, us, _, tp) =>
+        if (prev != Long.MinValue && us - prev >= gap)
+          islands += scala.collection.mutable.Set[String]()
+        islands.last += tp
+        prev = us
+      }
+      islands.map(_.toSet)
+    }.toSeq
+    val n = baskets.size.toLong
+    val tc = baskets.flatten.groupBy(identity)
+      .map { case (t, o) => (t, o.size.toLong) }
+    val expected = baskets.flatMap(b =>
+        for (a <- b; c <- b if a < c) yield (a, c))
+      .groupBy(identity).toSeq
+      .map { case ((a, c), o) =>
+        val ab = o.size.toLong
+        (a, c, n, tc(a), tc(c), ab, ab * 1000000L / n,
+          ab * 1000000L / tc(a), ab * 1000000L / tc(c))
+      }.sortBy(r => (r._1, r._2))
+    val got = Events.w27AssociationRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq === expected, "rules diverge from the basket replay")
+    // confidence can never exceed 1e6, support never exceeds confidence
+    got.foreach { case (_, _, _, _, _, _, s, ca, cb) =>
+      assert(ca <= 1000000L && cb <= 1000000L && s <= ca && s <= cb)
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
