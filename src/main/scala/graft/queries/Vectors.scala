@@ -2390,6 +2390,83 @@ object Vectors {
       |ORDER BY cell""".stripMargin
   }
 
+  /** v27: PQ DISTORTION REPORT — the OTHER tuning axis of the product
+    * quantizer: v9/v12/v13 measure end-to-end recall; v27 measures the
+    * quantization ERROR itself, per subspace — total/mean/max squared
+    * reconstruction error of each 16-dim sub-vector against its chosen
+    * sub-centroid. A skewed subspace (one dim family quantizing badly)
+    * is invisible in recall until it is catastrophic; this is the table
+    * that catches it early, and what an M/nbits sweep reads.
+    *
+    * Scale shape: v9's coder unchanged (broadcast packed codebook,
+    * argmin fold as a pure projection); the per-subspace explode is x4
+    * on |vectors| and folds straight into a 4-row hash agg. Errors are
+    * integerized per row (floor(err x 1e9)) BEFORE the sum, so the
+    * aggregation is exact-integer and order-independent — summing raw
+    * doubles across an unordered aggregation would not reproduce
+    * against the oracle.
+    */
+  def v27PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val coded = base
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(pqBook(labelMeans(base))))
+      .select(col("vec_id"), col("v"), pqRecon.as("recon"))
+    val diff = zip_with(
+      expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"),
+      expr(s"slice(recon, m * $PqSubDim + 1, $PqSubDim)"),
+      (a, b) => a - b)
+    coded
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("v"), col("recon"))
+      .select(col("m").cast("long").as("subspace"),
+        floor(dot(diff, diff) * lit(1e9)).cast("long").as("err_e9"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("err_e9")).as("total_err_e9"),
+        max(col("err_e9")).as("max_err_e9"))
+      .select(col("subspace"), col("n_vectors"), col("total_err_e9"),
+        expr("total_err_e9 DIV n_vectors").as("mean_err_e9"),
+        col("max_err_e9"))
+      .orderBy(col("subspace"))
+  }
+
+  val v27Sql: String = {
+    val subErr =
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |subc AS (
+      |  SELECT cell, m, cvec[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS csub
+      |  FROM cent, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |subs AS (
+      |  SELECT vec_id, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sub
+      |  FROM base, (SELECT unnest(generate_series(0, ${PqM - 1})) m)),
+      |codes AS (
+      |  SELECT vec_id, m, sub, csub FROM (
+      |    SELECT s.vec_id, s.m, s.sub, c.csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY $subErr, c.cell) AS rn
+      |    FROM subs s JOIN subc c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |errs AS (
+      |  SELECT m, CAST(floor($subErr * 1e9) AS BIGINT) AS err_e9 FROM codes)
+      |SELECT CAST(m AS BIGINT) AS subspace, COUNT(*) AS n_vectors,
+      |  CAST(SUM(err_e9) AS BIGINT) AS total_err_e9,
+      |  CAST(SUM(err_e9) // COUNT(*) AS BIGINT) AS mean_err_e9,
+      |  CAST(MAX(err_e9) AS BIGINT) AS max_err_e9
+      |FROM errs GROUP BY m ORDER BY subspace""".stripMargin
+  }
+
   /** p23: SEMANTIC DECONTAMINATION — the embedding-space leg of the
     * decontamination family (p3 exact n-gram, p8 fuzzy, p9 Bloom, d30
     * attribution all work in TOKEN space): a train document whose
@@ -2566,6 +2643,7 @@ object Vectors {
       |ORDER BY w.qid, w.rank""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "v27_pq_distortion" -> (v27PqDistortion _),
     "p23_semantic_decontaminate" -> (p23SemanticDecontaminate _),
     "v26_hard_negatives" -> (v26HardNegatives _),
     "v25_cluster_balanced" -> (v25ClusterBalancedSample _),
@@ -2595,6 +2673,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v27_pq_distortion" -> v27Sql,
     "p23_semantic_decontaminate" -> p23Sql,
     "v26_hard_negatives" -> v26Sql,
     "v25_cluster_balanced" -> v25Sql,

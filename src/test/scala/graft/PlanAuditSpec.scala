@@ -125,6 +125,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - d44: the one-row corpus-count broadcast next to the per-doc
       //    frame (p4/q22's scalar shape)
       "d44_novelty_curve",
+      //  - v27: v9's coder — the packed one-row codebook broadcast next
+      //    to every vector (the deliberate projection-shaped argmin)
+      "v27_pq_distortion",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
@@ -399,6 +402,10 @@ class PlanAuditSpec extends SparkSpec {
       // m7: pure per-row codec work in one mapPartitions pass — the
       // only exchange is the output sort
       "m7_thumbnail_audit" -> 1,
+      // v27: v9's coder (centroid fold aggs + the vec_id repartition
+      // spreading the interpreted argmin lambdas) + the 4-row subspace
+      // agg + output sort
+      "v27_pq_distortion" -> 5,
       // r17: one batch-keyed exchange for the sealing-time window, the
       // band rollup, and the output sort (the 5-row share window rides)
       "r17_batch_freshness" -> 3,

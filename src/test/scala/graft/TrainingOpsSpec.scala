@@ -2669,6 +2669,38 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("v27: per-subspace distortion equals a full coder replay") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) v").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (lab, g) =>
+      lab -> Array.tabulate(64) { i =>
+        (g.map(v => math.floor(v._3(i) * 1e9).toLong).sum / g.size) / 1e9 }
+    }.toSeq.sortBy(_._1)
+    def subErr(a: Array[Double], off: Int, b: Array[Double], boff: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < 16) {
+        val d = a(off + i) - b(boff + i); s += d * d; i += 1
+      }; s
+    }
+    val errs = vecs.flatMap { case (_, _, v) =>
+      (0 until 4).map { m =>
+        val best = cents.map { case (c, cv) => (subErr(v, m * 16, cv, m * 16), c) }
+          .minBy(identity) // (err asc, cell asc) — the coder's tie rule
+        (m.toLong, math.floor(best._1 * 1e9).toLong)
+      }
+    }
+    val expected = errs.groupBy(_._1).toSeq.map { case (m, g) =>
+      val es = g.map(_._2)
+      (m, es.size.toLong, es.sum, es.sum / es.size, es.max)
+    }.sortBy(_._1)
+    val got = Vectors.v27PqDistortion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected, "distortion diverges from the coder replay")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
