@@ -128,6 +128,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - v27: v9's coder — the packed one-row codebook broadcast next
       //    to every vector (the deliberate projection-shaped argmin)
       "v27_pq_distortion",
+      //  - w27: the one-row session-total broadcast next to the
+      //    |types|^2-row pair frame (p4/q22's scalar shape)
+      "w27_association_rules",
       //  - r16: the one-row GC-horizon scalar broadcast next to every
       //    log row (r15's shape)
       "r16_tombstone_gc")
