@@ -1450,7 +1450,87 @@ object Pipeline {
       |    AS BIGINT) AS overhead_ppm
       |FROM g ORDER BY chunk_band""".stripMargin
 
+  /** p26: RENDEZVOUS SHARDING — highest-random-weight placement of
+    * documents onto shards, and the ELASTICITY audit that is the whole
+    * point of choosing rendezvous over mod-N: growing 8 → 9 shards,
+    * ONLY documents whose new-shard weight wins move (arrivals land
+    * exclusively on the new shard, departures are ~1/9 spread evenly) —
+    * vs mod-N where nearly everything reshuffles. Per shard: docs
+    * before, docs after, arrivals, departures. This is the placement
+    * primitive a 100 TB ingest tier actually uses for stable
+    * doc-to-worker assignment under scaling.
+    *
+    * Scale shape: both assignments are ONE projection (an argmax fold
+    * over 9 md5 weights per doc — no explode, no shuffle); the corpus
+    * folds once into the <= 81-row (before, after) cell grid and every
+    * report column derives from that grid.
+    */
+  def p26RendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    def assign(n: Int): org.apache.spark.sql.Column = expr(
+      s"""aggregate(sequence(0, ${n - 1}),
+         |  struct(CAST(-1 AS BIGINT) AS w, -1 AS s),
+         |  (acc, s) -> CASE WHEN CAST(conv(substring(md5(
+         |        concat('shard:', CAST(s AS STRING), ':',
+         |               CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+         |      > acc.w
+         |    THEN struct(CAST(conv(substring(md5(
+         |        concat('shard:', CAST(s AS STRING), ':',
+         |               CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+         |        AS w, s AS s)
+         |    ELSE acc END,
+         |  acc -> acc.s)""".stripMargin)
+    val cells = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .select(assign(8).as("a8"), assign(9).as("a9"))
+      .groupBy(col("a8"), col("a9")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // the four report columns all fold from it
+    val before = cells.groupBy(col("a8").cast("long").as("shard"))
+      .agg(sum(col("c")).as("n_before"),
+        sum(when(col("a8") =!= col("a9"), col("c")).otherwise(0L))
+          .as("n_departed"))
+    val after = cells.groupBy(col("a9").cast("long").as("shard"))
+      .agg(sum(col("c")).as("n_after"),
+        sum(when(col("a8") =!= col("a9"), col("c")).otherwise(0L))
+          .as("n_arrived"))
+    before.join(after, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+        coalesce(col("n_departed"), lit(0L)).as("n_departed"))
+      .orderBy(col("shard"))
+  }
+
+  val p26Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, s,
+      |    CAST('0x' || substring(md5('shard:' || CAST(s AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS wt
+      |  FROM documents, (SELECT unnest(generate_series(0, 8)) s)),
+      |a8 AS (SELECT doc_id, s AS a8 FROM (
+      |        SELECT doc_id, s, ROW_NUMBER() OVER (
+      |          PARTITION BY doc_id ORDER BY wt DESC, s) rn
+      |        FROM w WHERE s < 8) WHERE rn = 1),
+      |a9 AS (SELECT doc_id, s AS a9 FROM (
+      |        SELECT doc_id, s, ROW_NUMBER() OVER (
+      |          PARTITION BY doc_id ORDER BY wt DESC, s) rn
+      |        FROM w) WHERE rn = 1),
+      |j AS (SELECT a8.a8, a9.a9 FROM a8 JOIN a9 USING (doc_id)),
+      |sh AS (SELECT unnest(generate_series(0, 8)) AS shard)
+      |SELECT CAST(sh.shard AS BIGINT) AS shard,
+      |  CAST(COALESCE(SUM(CASE WHEN j.a8 = sh.shard THEN 1 END), 0)
+      |    AS BIGINT) AS n_before,
+      |  CAST(COALESCE(SUM(CASE WHEN j.a9 = sh.shard THEN 1 END), 0)
+      |    AS BIGINT) AS n_after,
+      |  CAST(COALESCE(SUM(CASE WHEN j.a9 = sh.shard AND j.a8 <> j.a9
+      |    THEN 1 END), 0) AS BIGINT) AS n_arrived,
+      |  CAST(COALESCE(SUM(CASE WHEN j.a8 = sh.shard AND j.a8 <> j.a9
+      |    THEN 1 END), 0) AS BIGINT) AS n_departed
+      |FROM sh LEFT JOIN j ON j.a8 = sh.shard OR j.a9 = sh.shard
+      |GROUP BY sh.shard ORDER BY shard""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "p26_rendezvous_shards" -> (p26RendezvousShards _),
     "p25_overlap_audit" -> (p25OverlapAudit _),
     "p24_slot_apportionment" -> (p24SlotApportionment _),
     "p22_curriculum_batches" -> (p22CurriculumBatches _),
@@ -1475,6 +1555,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p26_rendezvous_shards" -> p26Sql,
     "p25_overlap_audit" -> p25Sql,
     "p24_slot_apportionment" -> p24Sql,
     "p22_curriculum_batches" -> p22Sql,

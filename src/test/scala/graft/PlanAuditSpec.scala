@@ -394,6 +394,10 @@ class PlanAuditSpec extends SparkSpec {
       // p25: the chunk fan-out folds on the repartition's own key; the
       // 3-row band rollup and the output sort are the rest
       "p25_overlap_audit" -> 3,
+      // p26: both assignments are one projection (argmax folds, no
+      // explode); the <=81-cell grid folds behind the checkpoint, and
+      // in-plan the two 9-row rollups meet in a tiny join + sort
+      "p26_rendezvous_shards" -> 3,
       // w27: the session_window exchange folds behind the checkpoint;
       // in-plan: the 1-row total agg, the |types| rate agg, the
       // |types|^2 pair agg, its pair-keyed finalization, and the output

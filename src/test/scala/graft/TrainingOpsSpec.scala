@@ -2701,6 +2701,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === expected, "distortion diverges from the coder replay")
   }
 
+  test("p26: rendezvous placement replays; scaling 8->9 moves docs ONLY to the new shard") {
+    val ids = Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def weight(s: Int, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard:$s:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def assign(n: Int, id: Long): Int =
+      (0 until n).map(s => (weight(s, id), -s)).max._2 * -1
+    val pairs = ids.map(id => (assign(8, id), assign(9, id)))
+    val expected = (0 to 8).map { s =>
+      (s.toLong,
+        pairs.count(_._1 == s).toLong,
+        pairs.count(_._2 == s).toLong,
+        pairs.count(p => p._2 == s && p._1 != p._2).toLong,
+        pairs.count(p => p._1 == s && p._1 != p._2).toLong)
+    }
+    val out = Pipeline.p26RendezvousShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === expected, "placement diverges from the rendezvous replay")
+    // THE rendezvous property: arrivals land exclusively on the new shard
+    out.filter(_._1 < 8).foreach { case (s, _, _, arrived, _) =>
+      assert(arrived === 0L, s"shard $s received docs on scale-up")
+    }
+    assert(out.last._4 === out.map(_._5).sum,
+      "every departed doc must land on the new shard")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
