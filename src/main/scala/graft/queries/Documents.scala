@@ -3488,7 +3488,58 @@ object Documents {
       |    AS pairs_per_removed_e6
       |FROM g ORDER BY threshold_ppm""".stripMargin
 
+  /** d46: MEMORIZATION-RISK REPORT — d16's exact cross-doc duplicated
+    * spans rolled up per SOURCE: how much of each feed's token mass
+    * sits inside verbatim cross-document repeats (the text most likely
+    * to be regurgitated by a trained model — Lee et al.'s motivation
+    * for span dedup, expressed as the per-feed triage table). d38
+    * audits a source's LABEL quality; d46 audits its CONTENT quality
+    * on the duplication axis.
+    *
+    * Scale shape: d16's persisted k-gram index does the heavy lifting
+    * (one build, shared with d16/d18); on top of it only a per-doc
+    * span-mass fold, a |docs|-row join, and a |sources|-row rollup.
+    */
+  def d46MemorizationRisk(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = d16SubstringSpans(spark, dir)
+      .groupBy(col("doc_id")).agg(sum(col("dup_tokens")).as("dup"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        T.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("n"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n"), coalesce(col("dup"), lit(0L)).as("dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup") > 0, 1L).otherwise(0L)).as("n_docs_with_dups"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("dup")).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_dups"),
+        col("total_tokens"), col("dup_tokens"),
+        expr("dup_tokens * 1000000 DIV total_tokens").as("memorization_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val d46Sql: String =
+    s"""$substringDetectionCte,
+      |spans AS (SELECT doc_id, span_id,
+      |    MAX(pos) + $D16KgramWidth - MIN(pos) AS dup_tokens
+      |  FROM sid GROUP BY doc_id, span_id),
+      |pd AS (SELECT doc_id, SUM(dup_tokens) AS dup FROM spans GROUP BY doc_id),
+      |d2 AS (SELECT doc_id, source,
+      |    len(string_split(COALESCE(text, ''), ' ')) AS n FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN COALESCE(dup, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_with_dups,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(COALESCE(dup, 0)) * 1000000 // SUM(n) AS BIGINT)
+      |    AS memorization_ppm
+      |FROM d2 LEFT JOIN pd USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d46_memorization_risk" -> (d46MemorizationRisk _),
     "d45_threshold_sweep" -> (d45ThresholdSweep _),
     "d44_novelty_curve" -> (d44NoveltyCurve _),
     "d43_dedup_yield" -> (d43DedupYield _),
@@ -3537,6 +3588,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d46_memorization_risk" -> d46Sql,
     "d45_threshold_sweep" -> d45Sql,
     "d44_novelty_curve" -> d44Sql,
     "d43_dedup_yield" -> d43Sql,

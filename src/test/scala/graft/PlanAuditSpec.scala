@@ -259,6 +259,10 @@ class PlanAuditSpec extends SparkSpec {
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d46: d16's spans off the persisted k-gram index (its in-plan
+      // exchanges) + the per-doc fold, the docs join, and the
+      // |sources|-row rollup/sort
+      "d46_memorization_risk" -> 3,
       // d45: d5's persisted pair expansion (2) + the threshold rollup's
       // (threshold, doc) distinct grid + the 4-row output sort
       "d45_threshold_sweep" -> 4,

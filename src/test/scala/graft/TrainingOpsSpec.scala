@@ -2732,6 +2732,29 @@ class TrainingOpsSpec extends SparkSpec {
       "every departed doc must land on the new shard")
   }
 
+  test("d46: memorization risk equals an accounting replay over d16's spans") {
+    val spans = Documents.d16SubstringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val perDoc = spans.groupBy(_._1).map { case (d, g) => (d, g.map(_._2).sum) }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("").split(" ", -1).length.toLong))
+    val expected = docs.groupBy(_._2).toSeq.map { case (s, g) =>
+      val dups = g.map(d => perDoc.getOrElse(d._1, 0L))
+      (s, g.size.toLong, dups.count(_ > 0).toLong, g.map(_._3).sum, dups.sum,
+        dups.sum * 1000000L / g.map(_._3).sum)
+    }.sortBy(_._1)
+    val got = Documents.d46MemorizationRisk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "risk diverges from the d16 span accounting")
+    // dup mass is bounded by the corpus it lives in
+    got.foreach { case (s, _, _, tot, dup, _) =>
+      assert(dup <= tot, s"source $s: dup tokens exceed total")
+    }
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
