@@ -1440,7 +1440,65 @@ object Events {
       |       JOIN tc cb ON p.type_b = cb.ty, n
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** w28: ERROR-RECOVERY PROFILE — for every error event, how long
+    * until the same user's next successful (non-error) event, banded,
+    * plus the errors never followed by one ('4_never') — the
+    * reliability dashboard's MTTR table, user-scoped. Row-order
+    * semantics: the next non-error ROW in (ts, event_id) order (same
+    * frame rule on both engines).
+    *
+    * Scale shape: ONE user-keyed exchange; the next-ok lookup is a
+    * min over the FOLLOWING frame (Spark computes unbounded-following
+    * frames in a single reverse pass per partition — no self-join);
+    * the band rollup is a 5-row hash agg and its share window rides.
+    */
+  def w28ErrorRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val band = when(col("rec_us").isNull, "4_never")
+      .when(col("rec_us") < 60L * 1000000, "0_under_1m")
+      .when(col("rec_us") < 3600L * 1000000, "1_under_1h")
+      .when(col("rec_us") < 86400L * 1000000, "2_under_1d")
+      .otherwise("3_over_1d")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_ok_us",
+        min(when(col("event_type") =!= "error", col("us")))
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "error")
+      .withColumn("rec_us", col("next_ok_us") - col("us"))
+      .groupBy(band.as("recovery_band"))
+      .agg(count(lit(1)).as("n_errors"), max(col("rec_us")).as("max_us"))
+      .withColumn("share_ppm",
+        expr("n_errors * 1000000L DIV sum(n_errors) OVER ()"))
+      .orderBy(col("recovery_band"))
+  }
+
+  val w28Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    MIN(CASE WHEN event_type <> 'error' THEN epoch_us(ts) END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ok_us
+      |  FROM events),
+      |r AS (SELECT next_ok_us - us AS rec_us FROM e
+      |      WHERE event_type = 'error'),
+      |b AS (
+      |  SELECT CASE WHEN rec_us IS NULL THEN '4_never'
+      |       WHEN rec_us < 60000000 THEN '0_under_1m'
+      |       WHEN rec_us < 3600000000 THEN '1_under_1h'
+      |       WHEN rec_us < 86400000000 THEN '2_under_1d'
+      |       ELSE '3_over_1d' END AS recovery_band, rec_us
+      |  FROM r),
+      |g AS (SELECT recovery_band, COUNT(*) AS n_errors, MAX(rec_us) AS mx
+      |      FROM b GROUP BY 1)
+      |SELECT recovery_band, n_errors, CAST(mx AS BIGINT) AS max_us,
+      |  CAST(n_errors * 1000000 // SUM(n_errors) OVER () AS BIGINT)
+      |    AS share_ppm
+      |FROM g ORDER BY recovery_band""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w28_error_recovery" -> (w28ErrorRecovery _),
     "w27_association_rules" -> (w27AssociationRules _),
     "w26_sequence_patterns" -> (w26SequencePatterns _),
     "w25_time_to_convert" -> (w25TimeToConvert _),
@@ -1470,6 +1528,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w28_error_recovery" -> w28Sql,
     "w27_association_rules" -> w27Sql,
     "w26_sequence_patterns" -> w26Sql,
     "w25_time_to_convert" -> w25Sql,

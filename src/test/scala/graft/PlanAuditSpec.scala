@@ -402,6 +402,9 @@ class PlanAuditSpec extends SparkSpec {
       // explode); the <=81-cell grid folds behind the checkpoint, and
       // in-plan the two 9-row rollups meet in a tiny join + sort
       "p26_rendezvous_shards" -> 3,
+      // w28: one user-keyed exchange (the following-frame min), the
+      // 5-row band rollup + its share window, and the output sort
+      "w28_error_recovery" -> 3,
       // w27: the session_window exchange folds behind the checkpoint;
       // in-plan: the 1-row total agg, the |types| rate agg, the
       // |types|^2 pair agg, its pair-keyed finalization, and the output

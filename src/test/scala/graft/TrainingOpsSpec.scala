@@ -2755,6 +2755,39 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("w28: error-recovery bands equal a sequence replay; errors conserve") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val recs = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3))
+      s.indices.collect {
+        case i if s(i)._4 == "error" =>
+          s.drop(i + 1).collectFirst {
+            case (_, us, _, tp) if tp != "error" => us - s(i)._2 }
+      }
+    }.toSeq
+    def bandOf(r: Option[Long]): String = r match {
+      case None => "4_never"
+      case Some(d) if d < 60000000L => "0_under_1m"
+      case Some(d) if d < 3600000000L => "1_under_1h"
+      case Some(d) if d < 86400000000L => "2_under_1d"
+      case _ => "3_over_1d"
+    }
+    val total = recs.size.toLong
+    val expected = recs.groupBy(bandOf).toSeq.map { case (b, g) =>
+      (b, g.size.toLong, g.flatten.maxOption,
+        g.size.toLong * 1000000L / total)
+    }.sortBy(_._1)
+    val got = Events.w28ErrorRecovery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    assert(got === expected, "recovery bands diverge from the sequence replay")
+    assert(got.map(_._2).sum === ev.count(_._4 == "error").toLong,
+      "every error lands in exactly one band")
+  }
+
   test("v25: cluster-balanced sampling keeps sparse cells whole and quotas hot ones") {
     val got = Vectors.v25ClusterBalancedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
