@@ -427,6 +427,60 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("funnelStream's partial funnel survives a checkpoint restart") {
+    val src = tmp("fr-src"); val ckpt = tmp("fr-ck")
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("eid", LongType), StructField("etype", StringType)))
+    def ev(uid: Long, t: String, eid: Long, tp: String) =
+      s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp"}"""
+    import scala.jdk.CollectionConverters._
+    // run 1 delivers view + click only: one latency row, t1/t2 now live
+    // ONLY in the checkpointed ValueState
+    Files.write(src.resolve("a.json"), Seq(
+      ev(1, "2024-01-01T10:00:00.000Z", 1, "view"),
+      ev(1, "2024-01-01T10:30:00.000Z", 2, "click")).asJava)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(src.toString)
+        val q = CdcStream.funnelStream(stream, "uid", "ts", "eid", "etype")
+          .writeStream.foreachBatch {
+            (df: org.apache.spark.sql.Dataset[CdcStream.StageLatency], _: Long) =>
+              df.collect().foreach(s => got.add((s.key, s.stage, s.dur_us)))
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val m = 60L * 1000000
+      assert(got.asScala.toSet === Set((1L, "1_view_to_click", 30 * m)),
+        "run 1 must emit exactly the view->click latency")
+      // run 2, SAME checkpoint: only the purchase arrives. Both purchase
+      // latencies need t1 AND t2 from the RECOVERED state — a fresh
+      // processor would have no funnel and stay silent.
+      Files.write(src.resolve("b.json"), Seq(
+        ev(1, "2024-01-01T11:00:00.000Z", 3, "purchase")).asJava)
+      runOnce()
+      assert(got.asScala.toSet === Set(
+        (1L, "1_view_to_click", 30 * m),
+        (1L, "2_click_to_purchase", 30 * m),
+        (1L, "3_view_to_purchase", 60 * m)),
+        "restarted stream lost the partial funnel state")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sketchStream's final per-day registers equal the batch daily sketch") {
     val src = tmp("sk-src"); val ckpt = tmp("sk-ck")
     // the REAL fixture events, re-fed as a 3-chunk stream: the twin claim
