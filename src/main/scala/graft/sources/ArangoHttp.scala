@@ -41,6 +41,25 @@ object ArangoHttp {
     */
   val DefaultChunkSize = 16384
 
+  /** ArangoDB's documented collection-name charset (letters, digits,
+    * underscore, hyphen; must start with a letter). Collection names are
+    * the ONE value this transport splices into AQL text (AQL has no
+    * collection bind on plain `FOR` without `@@coll`, and the in-process
+    * protocol tests match on query text) — so the splice is gated on
+    * this validation; everything data-valued (keys, range bounds) goes
+    * through `bindVars`. A config-sourced name like
+    * `c RETURN 1; FOR x IN secrets` fails here instead of executing.
+    */
+  private val CollectionName = "^[A-Za-z][A-Za-z0-9_-]{0,255}$".r
+
+  def requireValidCollectionName(name: String): String = {
+    require(CollectionName.matches(name),
+      s"invalid ArangoDB collection name '$name' — collection names are " +
+        "spliced into AQL, so anything outside [A-Za-z][A-Za-z0-9_-]* is " +
+        "rejected to make injection impossible")
+    name
+  }
+
   final case class Config(
       baseUrl: String, // e.g. http://host:8529
       db: String,
@@ -203,7 +222,21 @@ final case class ArangoHttpCollectionSource(
       * the driver at all. 0 keeps the reference-shaped single-cursor
       * page spool.
       */
-    scanPartitions: Int = 0) extends CollectionSource {
+    scanPartitions: Int = 0,
+    /** How long a prior snapshot's spool files stay readable after its
+      * writer last touched them — the FRAME-LIFETIME CONTRACT of
+      * [[snapshot]]: the returned frame is a lazy read over spool files
+      * that a LATER snapshot of this same source will garbage-collect
+      * once they have been quiet this long. Consumers that may act on a
+      * snapshot frame hours later must either raise this or write the
+      * frame out (Sync.resync does — the snapshot lands in the replica
+      * table within the same orchestration step).
+      */
+    spoolRetentionMinutes: Int = 30) extends CollectionSource {
+
+  ArangoHttp.requireValidCollectionName(collection)
+  require(spoolRetentionMinutes > 0,
+    s"spoolRetentionMinutes must be positive, got $spoolRetentionMinutes")
 
   private val client = new ArangoHttp.Client(cfg)
   private val mapper = new ObjectMapper()
@@ -214,12 +247,15 @@ final case class ArangoHttpCollectionSource(
     * to Spark's file listing), and the returned frame is a DISTRIBUTED
     * `spark.read.json` over that spool — inference and parsing run on
     * executors against durable files, and re-reads (schema inference +
-    * the write action) never re-page the cursor. The spool files live
-    * as long as the returned frame may be acted on; each new snapshot
-    * sweeps PRIOR snapshot dirs that have gone quiet for >30 min
-    * (PersistedIndex's orphan discipline — a concurrent snapshot's dir
-    * is necessarily fresher and is never touched), so a resync loop
-    * can't accumulate spool garbage.
+    * the write action) never re-page the cursor. The spool files MUST
+    * live as long as the returned frame may be acted on: each new
+    * snapshot sweeps PRIOR snapshot dirs that have gone quiet for
+    * `spoolRetentionMinutes` (PersistedIndex's orphan discipline — a
+    * concurrent snapshot's dir is refreshed by every page write and is
+    * never touched), so a resync loop can't accumulate spool garbage.
+    * A caller holding a frame past the retention window gets
+    * FileNotFoundException on the late action — size the window to the
+    * consumer, or consume promptly (see `spoolRetentionMinutes`).
     */
   override def snapshot(spark: SparkSession): DataFrame = {
     if (scanPartitions > 0) return snapshotDistributed(spark, scanPartitions)
@@ -240,14 +276,16 @@ final case class ArangoHttpCollectionSource(
     else spark.read.json(snapDir.toString)
   }
 
-  /** Delete `snapshot-*` spool dirs untouched for >30 min: they belong
-    * to finished (or crashed) earlier snapshots whose frames are long
-    * consumed. Age-gated so a LIVE concurrent snapshot — whose dir is
-    * being written right now — is never swept.
+  /** Delete `snapshot-*` spool dirs untouched for longer than the
+    * configured retention: they belong to finished (or crashed) earlier
+    * snapshots whose frames are presumed consumed (the contract
+    * documented on `spoolRetentionMinutes`). Age-gated so a LIVE
+    * concurrent snapshot — whose dir is being written right now, each
+    * page move refreshing its mtime — is never swept.
     */
   private def sweepStaleSnapshots(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    val cutoff = System.currentTimeMillis() - spoolRetentionMinutes * 60L * 1000
     val stream = Files.list(root)
     try stream.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("snapshot-") &&
@@ -334,10 +372,21 @@ final case class ArangoHttpCollectionSource(
       val (lines, _) = client.tail(from, maxPerChunk)
       if (lines.isEmpty) draining = false
       else {
+        // `from` is an EXCLUSIVE lower bound, but a server may legally
+        // re-include the boundary entry (inclusive-bound looseness) or
+        // replay already-spooled ticks — those are durable already and
+        // are DROPPED here, never re-spooled. If NOTHING in a non-empty
+        // response advances past `from`, continuing would spin forever
+        // re-writing the same chunk: treat it as end-of-drain (a server
+        // sitting at head behind an inclusive bound looks exactly like
+        // this; a genuinely stuck server is retried on the next pump
+        // cycle by the Supervisor's cadence, never by a hot loop here).
         val ticked = lines.map { l =>
           val n = mapper.readTree(l).get("tick")
           (if (n.isTextual) n.asText.toLong else n.asLong, l)
-        }.sortBy(_._1)
+        }.filter(_._1 > from).sortBy(_._1)
+        if (ticked.isEmpty) draining = false
+        else
         // a compliant server returns at most maxPerChunk entries; the
         // grouped write bounds chunk-file size even against one that
         // over-serves, so no chunk ever exceeds the configured bound

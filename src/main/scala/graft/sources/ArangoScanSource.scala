@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     index seek returning ONE key (Arango keeps a persistent index on
   *     `_key`), at offsets i·count/n.
   * The boundaries split the key space into half-open ranges
-  * `(-inf, b1), [b1, b2), …, [bk, +inf)`: coverage is complete and
-  * disjoint BY CONSTRUCTION, so probe staleness under concurrent writes
-  * only skews partition sizes, never correctness — and the scan is
+  * `(-inf, b1), [b1, b2), …, [bk, +inf)` under the SERVER's collation
+  * (boundaries are kept in probe order — the server's own SORT order —
+  * never re-sorted client-side): coverage is complete by construction
+  * and ranges are disjoint on a quiescent collection; probe staleness
+  * under concurrent writes only skews partition sizes or duplicates
+  * boundary-adjacent documents, never loses rows — and the scan is
   * non-transactional exactly like the reference's single cursor, with
   * the resync tick protocol (capture tick BEFORE scan, replay overlap,
   * versions collapse) absorbing concurrent changes either way.
@@ -65,7 +68,11 @@ class ArangoScanSource extends TableProvider {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     new ArangoScanTable(
       ArangoHttp.Config(req("url"), req("db"), req("user"), req("password")),
-      req("collection"), numPartitions, batchSize)
+      // the name is spliced into the count/probe/range AQL below — gate it
+      // on Arango's collection-name charset so a hostile option value
+      // cannot inject query text (keys/bounds go through bindVars)
+      ArangoHttp.requireValidCollectionName(req("collection")),
+      numPartitions, batchSize)
   }
 }
 
@@ -109,7 +116,20 @@ private class ArangoScan(
     if (count == 0L) return Array.empty
     // boundary keys at offsets i·count/n — O(1) result each; duplicates
     // (possible when n > count or keys cluster) collapse, shrinking the
-    // partition count rather than emitting overlapping ranges
+    // partition count rather than emitting overlapping ranges.
+    //
+    // ORDER: boundaries stay in probe-offset order, which IS the
+    // server's own collation order (offsets ascend under the server's
+    // SORT d._key) — the order the range FILTERs are evaluated under.
+    // Re-sorting client-side (JVM codepoint order) would scramble
+    // mixed-case/non-ASCII keys (ICU collates 'a' < 'B'; codepoints the
+    // reverse) into OVERLAPPING ranges that emit documents twice.
+    // Seq#distinct preserves first-occurrence order. A concurrent write
+    // shifting offsets between probes can still reorder boundaries —
+    // coverage stays complete (every range is anchored to ±inf ends),
+    // duplicates are possible exactly as with the reference's
+    // non-transactional cursor, and the resync version-collapse absorbs
+    // them; under a quiescent collection ranges are disjoint.
     val boundaries = (1 until numPartitions)
       .map(i => i * count / numPartitions)
       .filter(off => off > 0 && off < count)
@@ -122,7 +142,6 @@ private class ArangoScan(
           .headOption.map(mapper.readTree(_).asText)
       }
       .distinct
-      .sorted
     val los = None +: boundaries.map(Option(_))
     val his = boundaries.map(Option(_)) :+ None
     los.zip(his).map { case (lo, hi) =>

@@ -134,6 +134,13 @@ class ArangoHttpSpec extends SparkSpec {
     server.createContext("/_db/d/_api/wal/lastTick", (ex: HttpExchange) =>
       authed(ex)(reply(ex, 200, s"""{"tick":"$headTick"}""")))
 
+    /** re-include the exclusive lower bound in tail responses (a real
+      * protocol looseness the pump must tolerate by dropping it) */
+    @volatile var inclusiveTail = false
+    /** misbehave: answer every tail with ONLY the boundary tick — a
+      * non-advancing response the pump must refuse to spin on */
+    @volatile var stuckTail = false
+
     server.createContext("/_db/d/_api/wal/tail", (ex: HttpExchange) =>
       authed(ex) {
         val params = ex.getRequestURI.getQuery.split("&")
@@ -145,10 +152,14 @@ class ArangoHttpSpec extends SparkSpec {
         // Doc schema so the resync e2e can transform it, gaining a `w`
         // field after the schema cutover
         val upTo = math.min(headTick, from + chunk)
-        val lines = ((from + 1) to upTo).map { t =>
+        def line(t: Long): String = {
           val extra = if (t > schemaCutover) s""", \\"w\\": ${t * 10}""" else ""
           s"""{"tick":"$t","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\\"k\\": ${t % 4}, \\"v\\": \\"$t.5\\"$extra}","offset":$t}"""
         }
+        val start = if ((inclusiveTail || stuckTail) && from >= 1) from else from + 1
+        val lines =
+          if (stuckTail) Seq(line(from))
+          else (start to upTo).map(line)
         maxTailServed.getAndUpdate(m => math.max(m, lines.size))
         reply(ex, 200, lines.mkString("\n"),
           Map("X-Arango-Replication-Lastincluded" ->
@@ -438,6 +449,63 @@ class ArangoHttpSpec extends SparkSpec {
         1L -> None, 2L -> None),
         "pre-cutover rows must carry typed NULL for the new column; " +
           "post-cutover rows must carry its value")
+    } finally m.stop()
+  }
+
+  test("a boundary-re-including tail is deduped; a non-advancing tail fails loudly") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-stuck").toString
+      val src = ArangoHttpCollectionSource(cfgFor(m), "events", spool)
+      m.headTick = 5L
+      assert(src.pump() === Some((1L, 5L)))
+
+      // protocol looseness: the server re-includes the exclusive bound
+      // (tick 5) in the next tail — the pump must DROP it and spool only
+      // the genuinely new ticks, or every cycle would re-write (and
+      // double-count) the boundary entry
+      m.inclusiveTail = true
+      m.headTick = 8L
+      assert(src.pump() === Some((6L, 8L)),
+        "boundary re-delivery must be dropped, not spooled")
+      assert(src.spoolTick() === 8L)
+      val wal = spark.read.format("graft.sources.WalSource").load(spool)
+      assert(wal.select("tick").collect().map(_.getLong(0)).sorted
+        === (1L to 8L).toArray, "re-included boundary duplicated a tick")
+
+      // misbehaving server: non-empty responses that never advance past
+      // `from` — the old drain loop would spin forever re-writing the
+      // same chunk; it must end the drain cleanly (a compliant server
+      // sitting at head behind an inclusive bound looks identical), so
+      // the cycle terminates with nothing spooled and nothing corrupted
+      m.inclusiveTail = false
+      m.stuckTail = true
+      m.headTick = 12L
+      assert(src.pump() === None, "a non-advancing tail must end the drain")
+      assert(src.spoolTick() === 8L, "a stuck tail must not corrupt the spool")
+    } finally m.stop()
+  }
+
+  test("collection names that could inject AQL are rejected before any splice") {
+    val m = new MiniArango
+    try {
+      val spool = Files.createTempDirectory("arango-inj").toString
+      // the page-spool source validates at construction
+      val e1 = intercept[IllegalArgumentException](
+        ArangoHttpCollectionSource(cfgFor(m), "c RETURN 1; FOR x IN secrets", spool))
+      assert(e1.getMessage.contains("collection name"))
+      // the DSv2 scan validates when the table is resolved
+      val e2 = intercept[Exception] {
+        spark.read.format("graft.sources.ArangoScanSource")
+          .option("url", cfgFor(m).baseUrl).option("db", "d")
+          .option("user", "root").option("password", "pw")
+          .option("collection", "events FILTER 1 == 1 REMOVE d IN events")
+          .load().count()
+      }
+      assert(e2.getMessage != null && e2.getMessage.contains("collection name"),
+        s"scan accepted an injectable collection name: ${e2.getMessage}")
+      // legitimate names (incl. hyphen/underscore) still pass
+      ArangoHttp.requireValidCollectionName("my-coll_2")
     } finally m.stop()
   }
 
