@@ -475,13 +475,26 @@ object CdcStream {
     * the min. WITHIN a batch, rows sort on (us, event_id) before
     * folding. A click preceding every view is skipped exactly as the
     * batch rule's strict `us > t1` excludes it.
+    *
+    * STATE LIFETIME: per-key state is O(1) (three longs) but key
+    * cardinality is unbounded — years of one-shot users accumulate in
+    * RocksDB forever with `ttl = None`. Production deployments pass a
+    * `ttl` at least as long as the longest funnel they care to credit:
+    * an idle user's partial funnel is then evicted by the state store
+    * itself, and a stage completing AFTER the horizon is simply not
+    * credited (the user restarts from nothing — the deliberate
+    * trade-off, identical for all four per-user twins). Within the
+    * horizon results are unchanged. A TTL flips the operator into
+    * processing-time mode — see [[statefulLatestTws]]'s operational
+    * note on query lifetime.
     */
   def funnelStream(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       idCol: String,
-      typeCol: String): org.apache.spark.sql.Dataset[StageLatency] = {
+      typeCol: String,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[StageLatency] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     val rowEnc = Encoders.product[(Long, Long, Long, String)]
@@ -490,7 +503,8 @@ object CdcStream {
       new StatefulProcessor[Long, (Long, Long, Long, String), StageLatency] {
         @transient private var funnel: ValueState[(Long, Long, Long)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
-          funnel = getHandle.getValueState("funnel", stEnc, TTLConfig.NONE)
+          funnel = getHandle.getValueState("funnel", stEnc,
+            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[StageLatency] = {
@@ -520,7 +534,9 @@ object CdcStream {
         col(idCol).cast("long"), col(typeCol))
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+      .transformWithState(processor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())(
         Encoders.product[StageLatency])
   }
 
@@ -542,13 +558,22 @@ object CdcStream {
     * arrival order is free: rows sort on the batch window's own
     * (us, touches-first, event_id) order before folding.
     */
+  /** STATE LIFETIME (see [[funnelStream]] for the shared trade-off):
+    * with `ttl` set, an idle user's last-touch state is evicted by the
+    * store; a purchase arriving after the horizon attributes to "none"
+    * — exactly what the batch rule's `gapUs` staleness bound does to
+    * old touches, so a `ttl` ≥ the processing-time analogue of `gapUs`
+    * composes with it. Within the horizon results are unchanged
+    * (proven in StreamingOpsSpec).
+    */
   def attributionStream(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       idCol: String,
       typeCol: String,
-      gapUs: Long): org.apache.spark.sql.Dataset[TouchAttribution] = {
+      gapUs: Long,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[TouchAttribution] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     val rowEnc = Encoders.product[(Long, Long, Long, String)]
@@ -556,7 +581,8 @@ object CdcStream {
       new StatefulProcessor[Long, (Long, Long, Long, String), TouchAttribution] {
         @transient private var lastKey: ValueState[Long] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
-          lastKey = getHandle.getValueState("lastKey", Encoders.scalaLong, TTLConfig.NONE)
+          lastKey = getHandle.getValueState("lastKey", Encoders.scalaLong,
+            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[TouchAttribution] = {
@@ -585,7 +611,9 @@ object CdcStream {
         col(idCol).cast("long"), col(typeCol))
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+      .transformWithState(processor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())(
         Encoders.product[TouchAttribution])
   }
 
@@ -611,13 +639,21 @@ object CdcStream {
     * no revenue; the stream, which exists to bound state, never stores
     * them — the documented difference.
     */
+  /** STATE LIFETIME (see [[funnelStream]] for the shared trade-off):
+    * with `ttl` set, an idle user's open-segment touches are evicted;
+    * a purchase arriving after the horizon finds no touches and emits
+    * nothing — the decay weighting already prices ancient touches near
+    * zero, so the horizon formalizes what the arithmetic was doing.
+    * Within the horizon results are unchanged (StreamingOpsSpec).
+    */
   def decayAttributionStream(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       idCol: String,
       typeCol: String,
-      valueCol: String): org.apache.spark.sql.Dataset[DecayCredit] = {
+      valueCol: String,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[DecayCredit] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
     val rowEnc = Encoders.product[(Long, Long, Long, String, Double)]
@@ -627,7 +663,8 @@ object CdcStream {
       new StatefulProcessor[Long, (Long, Long, Long, String, Double), DecayCredit] {
         @transient private var open: ListState[(Long, Long, String)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
-          open = getHandle.getListState("open", touchEnc, TTLConfig.NONE)
+          open = getHandle.getListState("open", touchEnc,
+            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String, Double)],
             tv: TimerValues): Iterator[DecayCredit] = {
@@ -661,7 +698,9 @@ object CdcStream {
         col(idCol).cast("long"), col(typeCol), col(valueCol).cast("double"))
       .as[(Long, Long, Long, String, Double)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+      .transformWithState(processor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())(
         Encoders.product[DecayCredit])
   }
 
@@ -678,13 +717,22 @@ object CdcStream {
     * WITHIN a batch arrival order is free — rows sort on (ts, event_id)
     * before folding, bounded by a key's per-batch volume.
     */
+  /** STATE LIFETIME (see [[funnelStream]] for the shared trade-off):
+    * with `ttl` set, an idle user's last-event state is evicted; the
+    * next event after the horizon opens a fresh path instead of pairing
+    * with the stale one — which the `gapUs` session bound would have
+    * rejected anyway for any `ttl` ≥ the processing-time analogue of
+    * `gapUs`, so composing the two changes nothing within the horizon
+    * (proven in StreamingOpsSpec).
+    */
   def transitionStream(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       idCol: String,
       typeCol: String,
-      gapUs: Long): org.apache.spark.sql.Dataset[PathTransition] = {
+      gapUs: Long,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[PathTransition] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     val stEnc = Encoders.product[(Long, Long, String)]
@@ -693,7 +741,8 @@ object CdcStream {
       new StatefulProcessor[Long, (Long, Long, Long, String), PathTransition] {
         @transient private var last: ValueState[(Long, Long, String)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
-          last = getHandle.getValueState("last", stEnc, TTLConfig.NONE)
+          last = getHandle.getValueState("last", stEnc,
+            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[PathTransition] = {
@@ -713,7 +762,9 @@ object CdcStream {
         col(idCol).cast("long"), col(typeCol))
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(
+      .transformWithState(processor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())(
         Encoders.product[PathTransition])
   }
 

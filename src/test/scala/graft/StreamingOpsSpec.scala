@@ -742,4 +742,206 @@ class StreamingOpsSpec extends SparkSpec
     // only the click within [buy-1h, buy] for the same user joins
     assert(got === Set((7L, "click-in-window")))
   }
+
+  // ---- per-user state TTL (the round-8 verdict's top scale item): the
+  // four per-user twins thread `ttl` through to the state store, so
+  // years of one-shot users cannot accumulate in RocksDB forever. Two
+  // proofs: (a) an IDLE key's state expires — later events for it find
+  // nothing; (b) WITHIN the horizon results are unchanged vs the no-TTL
+  // (= batch-rule-equivalent) run. A TTL'd query runs in processing-time
+  // mode and never self-terminates (documented on statefulLatestTws), so
+  // these poll the sink and stop explicitly.
+
+  private val twinSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("ts", TimestampType),
+    StructField("eid", LongType), StructField("etype", StringType),
+    StructField("value", DoubleType)))
+
+  private def twinEv(uid: Long, t: String, eid: Long, tp: String, v: Double = 0.0) =
+    s"""{"uid":$uid,"ts":"$t","eid":$eid,"etype":"$tp","value":$v}"""
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def pollSink(q: org.apache.spark.sql.streaming.StreamingQuery,
+      table: String, atLeast: Long): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.table(table).count() < atLeast && System.nanoTime() < deadline) {
+      q.exception.foreach(e => throw e)
+      Thread.sleep(200)
+    }
+    assert(spark.table(table).count() >= atLeast,
+      s"sink $table never reached $atLeast rows")
+  }
+
+  test("per-user twins with ttl: an idle key's state expires in the store") {
+    import java.time.Duration
+    import scala.jdk.CollectionConverters._
+    val ttl = Some(Duration.ofSeconds(1))
+    // one source dir + sink per twin; a shared 2.5 s quiet period between
+    // file a (user 1 seeds state everywhere) and file b (user 1 returns
+    // AFTER the horizon; user 77 is the fresh in-batch sentinel proving
+    // batch b was fully processed). User 60 is the batch-a sentinel.
+    val dirs = Seq("fnttl", "atttl", "trttl", "dcttl").map(n => (n, tmp(s"$n-src"), tmp(s"$n-ck")))
+    val Seq((_, fnSrc, fnCk), (_, atSrc, atCk), (_, trSrc, trCk), (_, dcSrc, dcCk)) = dirs
+    def stream(src: java.nio.file.Path) =
+      spark.readStream.schema(twinSchema).json(src.toString)
+
+    Files.write(fnSrc.resolve("a.json"), Seq(
+      twinEv(60, "2024-01-01T10:00:00.000Z", 1, "view"),
+      twinEv(60, "2024-01-01T10:30:00.000Z", 2, "click"),
+      twinEv(1, "2024-01-01T10:00:00.000Z", 3, "view")).asJava)
+    Files.write(atSrc.resolve("a.json"), Seq(
+      twinEv(60, "2024-01-01T09:00:00.000Z", 1, "view"),
+      twinEv(60, "2024-01-01T09:30:00.000Z", 2, "purchase"),
+      twinEv(1, "2024-01-01T10:00:00.000Z", 3, "click")).asJava)
+    Files.write(trSrc.resolve("a.json"), Seq(
+      twinEv(60, "2024-01-01T09:00:00.000Z", 1, "view"),
+      twinEv(60, "2024-01-01T09:30:00.000Z", 2, "click"),
+      twinEv(1, "2024-01-01T10:00:00.000Z", 3, "view")).asJava)
+    Files.write(dcSrc.resolve("a.json"), Seq(
+      twinEv(60, "2024-01-01T09:00:00.000Z", 1, "view"),
+      twinEv(60, "2024-01-01T09:30:00.000Z", 2, "purchase", 1.0),
+      twinEv(1, "2024-01-01T10:00:00.000Z", 3, "click")).asJava)
+
+    withRocksDb {
+      val hugeGap = 100L * 3600 * 1000000 // so only the TTL can suppress
+      val qs = Seq(
+        CdcStream.funnelStream(stream(fnSrc), "uid", "ts", "eid", "etype", ttl)
+          .writeStream.format("memory").queryName("fnttl_out")
+          .option("checkpointLocation", fnCk.toString).start(),
+        CdcStream.attributionStream(stream(atSrc), "uid", "ts", "eid", "etype", hugeGap, ttl)
+          .writeStream.format("memory").queryName("atttl_out")
+          .option("checkpointLocation", atCk.toString).start(),
+        CdcStream.transitionStream(stream(trSrc), "uid", "ts", "eid", "etype", hugeGap, ttl)
+          .writeStream.format("memory").queryName("trttl_out")
+          .option("checkpointLocation", trCk.toString).start(),
+        CdcStream.decayAttributionStream(stream(dcSrc), "uid", "ts", "eid", "etype", "value", ttl)
+          .writeStream.format("memory").queryName("dcttl_out")
+          .option("checkpointLocation", dcCk.toString).start())
+      try {
+        // batch-a sentinels visible => user 1's state is written and its
+        // TTL clock is running
+        pollSink(qs(0), "fnttl_out", 1)
+        pollSink(qs(1), "atttl_out", 1)
+        pollSink(qs(2), "trttl_out", 1)
+        pollSink(qs(3), "dcttl_out", 1)
+        Thread.sleep(2500) // > ttl: user 1's state must expire
+
+        Files.write(fnSrc.resolve("b.json"), Seq(
+          twinEv(1, "2024-01-01T11:00:00.000Z", 4, "click"),
+          twinEv(77, "2024-01-01T09:00:00.000Z", 5, "view"),
+          twinEv(77, "2024-01-01T09:30:00.000Z", 6, "click")).asJava)
+        Files.write(atSrc.resolve("b.json"), Seq(
+          twinEv(1, "2024-01-01T11:00:00.000Z", 4, "purchase"),
+          twinEv(77, "2024-01-01T09:00:00.000Z", 5, "click"),
+          twinEv(77, "2024-01-01T09:10:00.000Z", 6, "purchase")).asJava)
+        Files.write(trSrc.resolve("b.json"), Seq(
+          twinEv(1, "2024-01-01T11:00:00.000Z", 4, "click"),
+          twinEv(77, "2024-01-01T09:00:00.000Z", 5, "view"),
+          twinEv(77, "2024-01-01T09:30:00.000Z", 6, "click")).asJava)
+        Files.write(dcSrc.resolve("b.json"), Seq(
+          twinEv(1, "2024-01-01T11:00:00.000Z", 4, "purchase", 2.0),
+          twinEv(77, "2024-01-01T09:00:00.000Z", 5, "click"),
+          twinEv(77, "2024-01-01T09:05:00.000Z", 6, "purchase", 1.0)).asJava)
+
+        pollSink(qs(0), "fnttl_out", 2) // funnel: u77 sentinel only
+        pollSink(qs(1), "atttl_out", 3) // attribution: u1 "none" + u77
+        pollSink(qs(2), "trttl_out", 2) // transition: u77 edge only
+        pollSink(qs(3), "dcttl_out", 2) // decay: u77 credit only
+      } finally qs.foreach(_.stop())
+    }
+    val mUs = 60L * 1000000
+    // funnel: user 1's click found its view EXPIRED (no latency row);
+    // without the ttl the restart proof above shows it WOULD emit
+    assert(spark.table("fnttl_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((60L, "1_view_to_click"), (77L, "1_view_to_click")),
+      "an expired partial funnel still credited a stage")
+    // attribution: user 1's purchase found its touch EXPIRED -> "none"
+    // (an EMITTED eviction witness, not just an absence)
+    assert(spark.table("atttl_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((60L, "view", 30 * mUs), (1L, "none", -1L), (77L, "click", 10 * mUs)),
+      "an expired touch still received attribution credit")
+    // transition: user 1's post-expiry click opens a FRESH path (no edge)
+    assert(spark.table("trttl_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      === Set((60L, "view", "click"), (77L, "view", "click")),
+      "an expired last-event still paired into an edge")
+    // decay: user 1's purchase found its open segment EXPIRED (no credit)
+    assert(spark.table("dcttl_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+      === Set((60L, "view"), (77L, "click")),
+      "expired open touches still earned decay credit")
+  }
+
+  test("per-user twins with ttl: within the horizon results equal the no-ttl rule") {
+    import java.time.Duration
+    import scala.jdk.CollectionConverters._
+    val ttl = Some(Duration.ofHours(1))
+    // the same per-key state must SURVIVE a micro-batch boundary (file a
+    // then file b via maxFilesPerTrigger=1) and produce exactly the rows
+    // the no-ttl twins (proven batch-equivalent above) would
+    val dirs = Seq("fnh", "ath", "trh", "dch").map(n => (n, tmp(s"$n-src"), tmp(s"$n-ck")))
+    val Seq((_, fnSrc, fnCk), (_, atSrc, atCk), (_, trSrc, trCk), (_, dcSrc, dcCk)) = dirs
+    Seq(fnSrc, atSrc, trSrc, dcSrc).foreach { src =>
+      Files.write(src.resolve("a.json"), Seq(
+        twinEv(1, "2024-01-01T10:00:00.000Z", 1,
+          if (src == atSrc || src == dcSrc) "click" else "view")).asJava)
+      Files.write(src.resolve("b.json"), Seq(
+        twinEv(1, "2024-01-01T11:00:00.000Z", 2,
+          if (src == atSrc || src == dcSrc) "purchase" else "click", 2.0)).asJava)
+    }
+    def stream(src: java.nio.file.Path) =
+      spark.readStream.schema(twinSchema).option("maxFilesPerTrigger", 1)
+        .json(src.toString)
+    withRocksDb {
+      val hugeGap = 100L * 3600 * 1000000
+      val qs = Seq(
+        CdcStream.funnelStream(stream(fnSrc), "uid", "ts", "eid", "etype", ttl)
+          .writeStream.format("memory").queryName("fnh_out")
+          .option("checkpointLocation", fnCk.toString).start(),
+        CdcStream.attributionStream(stream(atSrc), "uid", "ts", "eid", "etype", hugeGap, ttl)
+          .writeStream.format("memory").queryName("ath_out")
+          .option("checkpointLocation", atCk.toString).start(),
+        CdcStream.transitionStream(stream(trSrc), "uid", "ts", "eid", "etype", hugeGap, ttl)
+          .writeStream.format("memory").queryName("trh_out")
+          .option("checkpointLocation", trCk.toString).start(),
+        CdcStream.decayAttributionStream(stream(dcSrc), "uid", "ts", "eid", "etype", "value", ttl)
+          .writeStream.format("memory").queryName("dch_out")
+          .option("checkpointLocation", dcCk.toString).start())
+      try {
+        pollSink(qs(0), "fnh_out", 1)
+        pollSink(qs(1), "ath_out", 1)
+        pollSink(qs(2), "trh_out", 1)
+        pollSink(qs(3), "dch_out", 1)
+      } finally qs.foreach(_.stop())
+    }
+    val hourUs = 3600L * 1000000
+    assert(spark.table("fnh_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((1L, "1_view_to_click", hourUs)),
+      "funnel state within the ttl horizon diverged from the no-ttl rule")
+    assert(spark.table("ath_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((1L, "click", hourUs)),
+      "attribution within the ttl horizon diverged from the no-ttl rule")
+    assert(spark.table("trh_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      === Set((1L, "view", "click", hourUs)),
+      "transition within the ttl horizon diverged from the no-ttl rule")
+    assert(spark.table("dch_out").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      === Set((1L, "click", 1000000L, 2000000L)),
+      "decay credit within the ttl horizon diverged from the no-ttl rule")
+  }
 }
