@@ -45,4 +45,93 @@ object JdbcSink {
           .save()
       }
       .start()
+
+  /** Keyed-upsert (MERGE) replication — the engine-side idempotent
+    * option for JDBC stores WITHOUT ReplacingMergeTree semantics. The
+    * reference's own division of labor ships duplicates and lets the
+    * table engine collapse them (`clickhouse/connect.py:28-49` +
+    * ReplacingMergeTree FINAL); [[start]] mirrors that. Against a plain
+    * relational target that contract leaks duplicates to every reader,
+    * so this mode makes the SINK idempotent instead, mirroring the
+    * parquet path's per-batch ledger:
+    *
+    *  1. the micro-batch collapses to its latest row per key (two rows
+    *     of one key in one batch would also be an illegal double-match
+    *     for MERGE);
+    *  2. executors bulk-load it into `<table>_stage` (the distributed
+    *     leg — all data moves in parallel JDBC appends, exactly like
+    *     [[start]]);
+    *  3. the driver issues ONE set-based `MERGE INTO` from stage to
+    *     target — update when the incoming version advances the key,
+    *     insert when the key is new (the driver moves SQL text only,
+    *     never rows; the merge itself runs inside the store, which is
+    *     where a warehouse wants it).
+    *
+    * Idempotence: a redelivered batch re-merges the same stage rows —
+    * versions don't advance, keys all match — so the raw table does NOT
+    * grow, unlike append mode where every crash-replay doubles storage
+    * until the read view collapses it. Stale replays (version <= stored)
+    * are ignored row-wise, the same latest-wins law as [[ReplicaTable]].
+    *
+    * The target table is created from the stage schema on first batch
+    * (`CREATE TABLE .. AS .. WITH NO DATA`). Identifiers are quoted, so
+    * `_ver`-style column names survive the store's case folding.
+    */
+  def startUpsert(
+      changes: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      verCol: String,
+      user: String,
+      password: String,
+      checkpointDir: String,
+      batchSize: Int = 10000,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    require(keys.nonEmpty, "upsert mode needs at least one key column")
+    val stage = s"${table}_stage"
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ReplicaTable.latest(batch, keys, verCol)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage)
+            .option("user", user)
+            .option("password", password)
+            .option("batchsize", batchSize)
+            .mode("overwrite")
+            .save()
+          val cols = batch.columns.toSeq
+          def q(c: String) = "\"" + c + "\""
+          val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+          val sets = cols.filterNot(keys.contains)
+            .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+          val conn = java.sql.DriverManager.getConnection(url, user, password)
+          try {
+            val exists = {
+              val rs = conn.getMetaData.getTables(
+                null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+              try rs.next() finally rs.close()
+            }
+            val st = conn.createStatement()
+            try {
+              if (!exists)
+                st.executeUpdate(
+                  s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+              st.executeUpdate(
+                s"MERGE INTO $table t USING $stage s ON $on " +
+                  s"WHEN MATCHED AND s.${q(verCol)} > t.${q(verCol)} " +
+                  s"THEN UPDATE SET $sets " +
+                  s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+                  s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})")
+            } finally st.close()
+          } finally conn.close()
+        }
+        ()
+      }
+      .start()
+  }
 }

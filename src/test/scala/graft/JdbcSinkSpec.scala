@@ -92,4 +92,52 @@ class JdbcSinkSpec extends SparkSpec {
     assert(current === Seq((1L, "b"), (2L, "c")),
       "versioned read view over the JDBC table diverged")
   }
+
+  private def runUpsert(srcDir: Path, url: String, table: String, ckpt: Path): Unit = {
+    val src = spark.readStream.schema(schema).json(srcDir.toString)
+    val q = JdbcSink.startUpsert(src, url, table, keys = Seq("k"), verCol = "_ver",
+      user = "app", password = "app", checkpointDir = ckpt.toString, batchSize = 2)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("upsert mode: redelivery does not grow the raw table; view is value-exact") {
+    val url = "jdbc:derby:memory:graft_up;create=true"
+    val srcDir = tmp("jdbc_src3")
+    // in-batch duplicate key (1): the batch collapses to its latest row
+    // per key BEFORE the merge (two matches on one target row would be
+    // an illegal MERGE), so only (1,"b",2) lands
+    writeBatch(srcDir, "b1.json", Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 1L)))
+    runUpsert(srcDir, url, "changes_up", tmp("jdbc_ck5"))
+    def rows() = readBack(url, "changes_up")
+      .select("k", "v", "_ver").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(rows() === Seq((1L, "b", 2L), (2L, "c", 1L)),
+      "first upsert batch did not land collapsed")
+
+    // fresh checkpoint = full redelivery: in APPEND mode this doubles the
+    // raw table (proven in the test above); upsert must leave it EXACT
+    runUpsert(srcDir, url, "changes_up", tmp("jdbc_ck6"))
+    assert(rows() === Seq((1L, "b", 2L), (2L, "c", 1L)),
+      "redelivered batch grew or altered the upserted table")
+
+    // steady state: a stale version is ignored row-wise, an advancing
+    // version updates in place, a new key inserts
+    writeBatch(srcDir, "b2.json",
+      Seq((1L, "a-stale", 1L), (2L, "c2", 7L), (3L, "d", 5L)))
+    runUpsert(srcDir, url, "changes_up", tmp("jdbc_ck7"))
+    assert(rows() === Seq((1L, "b", 2L), (2L, "c2", 7L), (3L, "d", 5L)),
+      "merge did not apply latest-wins per row")
+
+    // the upserted table IS the read view: value-exact with what the
+    // append-mode path + versioned collapse produces from the same log
+    val appendUrl = "jdbc:derby:memory:graft_up_ref;create=true"
+    runStream(srcDir, appendUrl, "changes_ref", tmp("jdbc_ck8"))
+    val viaAppend = graft.operators.ReplicaTable
+      .current(readBack(appendUrl, "changes_ref").withColumn("_deleted", lit(0)),
+        keys = Seq("k"), ver = "_ver")
+      .select("k", "v", "_ver").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(rows() === viaAppend,
+      "upsert mode and append+collapse mode disagree on the current view")
+  }
 }
