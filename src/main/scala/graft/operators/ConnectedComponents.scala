@@ -47,6 +47,11 @@ object ConnectedComponents {
     /** Materialize this round's edges; the returned frame must be safe to
       * read repeatedly without recomputing upstream. */
     def put(df: DataFrame, round: Int): DataFrame
+    /** Run the whole fixpoint under this store's liveness regime (a
+      * durable store heartbeats so concurrent sessions' orphan sweeps
+      * see an ACTIVE run, however long a round takes). Default: no-op.
+      */
+    def withLiveness[T](f: => T): T = f
   }
 
   /** Executor-local eager checkpoint: cheapest, but blocks are lost with
@@ -69,9 +74,19 @@ object ConnectedComponents {
   final case class TableRounds(spark: SparkSession, prefix: String, numBuckets: Int = 8)
       extends RoundStore {
     private def name(round: Int) = s"${prefix}_${round % 2}"
+    /** The liveness unit is the PREFIX (covers both alternating tables):
+      * heartbeat file `<warehouse>/<prefix>._GRAFT_ALIVE`. */
+    private def warehousePrefix = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"), prefix)
+    private def fs = warehousePrefix.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     def reset(): Unit =
       Seq(0, 1).foreach(g => ReplicaTable.dropTableAndLocation(spark, s"${prefix}_$g"))
     override def put(df: DataFrame, round: Int): DataFrame = {
+      // phase-boundary heartbeat (the ticker in withLiveness covers a
+      // single LONG round; this keeps the mtime honest between rounds
+      // even when run() was bypassed and puts are issued directly)
+      LivenessMarker.touch(fs, warehousePrefix)
       val n = name(round)
       ReplicaTable.dropTableAndLocation(spark, n)
       df.write.format("parquet")
@@ -79,6 +94,8 @@ object ConnectedComponents {
         .saveAsTable(n)
       spark.table(n)
     }
+    override def withLiveness[T](f: => T): T =
+      LivenessMarker.whileAlive(fs, warehousePrefix)(f)
   }
 
   /** A fresh durable [[TableRounds]] for a query family (e.g.
@@ -101,10 +118,15 @@ object ConnectedComponents {
   /** Remove round-table DIRECTORIES orphaned by earlier JVMs: the
     * in-memory catalog forgets `<family>_*` tables at process exit while
     * their warehouse dirs survive, so repeated bench/verify processes
-    * would otherwise accumulate one final-table dir each. Only dirs not
-    * in THIS session's catalog and untouched for >30 min are removed —
-    * a concurrently running query (unique prefix, minutes old) is never
-    * swept.
+    * would otherwise accumulate one final-table dir each. Removal is
+    * gated on LIVENESS, not just age: a dir is swept only when it is
+    * (a) absent from this session's catalog, (b) untouched for >30 min,
+    * AND (c) its prefix's [[LivenessMarker]] heartbeat is absent or
+    * equally stale — so a concurrent session mid-way through a
+    * genuinely-long round (at 100 TB one star round can exceed 30 min;
+    * its dir's own mtime is its CREATION time until files land) is
+    * never swept while its ticker keeps the heartbeat fresh. Stale
+    * heartbeat files themselves are reclaimed under the same cutoff.
     */
   private def sweepOrphanRoundDirs(spark: SparkSession, family: String): Unit = {
     val warehouse = new org.apache.hadoop.fs.Path(
@@ -114,9 +136,18 @@ object ConnectedComponents {
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
     fs.listStatus(warehouse).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(s"${family}_") && st.getModificationTime < cutoff &&
-          !spark.catalog.tableExists(n))
-        fs.delete(st.getPath, true)
+      if (n.startsWith(s"${family}_") && st.getModificationTime < cutoff) {
+        if (LivenessMarker.isMarkerName(n)) {
+          fs.delete(st.getPath, false) // a dead builder's stale heartbeat
+        } else if (!spark.catalog.tableExists(n)) {
+          // round tables are <prefix>_0/<prefix>_1 — the heartbeat
+          // guards the prefix, covering both alternating tables
+          val guarded = new org.apache.hadoop.fs.Path(
+            warehouse, n.replaceFirst("_[01]$", ""))
+          if (!LivenessMarker.isAlive(fs, guarded, cutoff))
+            fs.delete(st.getPath, true)
+        }
+      }
     }
   }
 
@@ -164,7 +195,7 @@ object ConnectedComponents {
       nodes: DataFrame,
       edges: DataFrame,
       maxIters: Int = 50,
-      store: RoundStore = CheckpointRounds): DataFrame = {
+      store: RoundStore = CheckpointRounds): DataFrame = store.withLiveness {
     store match { case t: TableRounds => t.reset(); case _ => }
     var e = store.put(
       edges.select(

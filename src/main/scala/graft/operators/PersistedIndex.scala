@@ -40,10 +40,11 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * fingerprints) in the catalog AND their storage; the target location
   * itself if a crashed earlier build of this session left a partial
   * write; and orphan sibling locations left by DEAD sessions — identified
-  * by age (untouched for >30 min and absent from this session's catalog),
-  * so a live concurrent build, whose directory is necessarily fresh, is
-  * never swept. The one remaining assumption: a single build takes well
-  * under 30 minutes (at sf0.1 they take seconds).
+  * by age (untouched for >30 min and absent from this session's catalog)
+  * AND by the absence of a live [[LivenessMarker]] heartbeat — every
+  * build runs under a 5-minute heartbeat ticker, so a genuinely long
+  * build at scale (hours) is provably alive to concurrent sweeps, not
+  * merely assumed to finish inside the 30-minute age window.
   */
 object PersistedIndex {
 
@@ -145,20 +146,35 @@ object PersistedIndex {
         if (fs.exists(parent)) {
           // a partial write a crashed earlier build of THIS session left
           // at the target (the session tag makes the name ours alone)
-          // would wedge the create — always cleared
+          // would wedge the create — always cleared (including our own
+          // stale heartbeat; whileAlive below mints a fresh one)
           val mine = new Path(parent, s"$table*")
           fs.globStatus(mine).foreach(st => fs.delete(st.getPath, true))
           // orphan sibling locations from DEAD sessions: absent from this
-          // catalog and untouched for >30 min. A live concurrent
-          // session's build (or actively re-read index — reuse refreshes
-          // mtime) is necessarily fresher and is never swept.
+          // catalog, untouched for >30 min, AND without a live heartbeat.
+          // Age alone is not liveness — a concurrent session's genuinely
+          // long build keeps its [[LivenessMarker]] fresh via the ticker,
+          // so it survives here even when its dir mtime (= creation time
+          // until files land) has aged past the cutoff. Stale heartbeat
+          // files themselves are reclaimed under the same cutoff.
           val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
           fs.globStatus(new Path(parent, pattern))
-            .filter(st => st.getModificationTime < cutoff &&
-              !catalog.tableExists(TableIdentifier(st.getPath.getName)))
-            .foreach(st => fs.delete(st.getPath, true))
+            .filter(st => st.getModificationTime < cutoff)
+            .foreach { st =>
+              val n = st.getPath.getName
+              if (LivenessMarker.isMarkerName(n))
+                fs.delete(st.getPath, false)
+              else if (!catalog.tableExists(TableIdentifier(n)) &&
+                  !LivenessMarker.isAlive(fs, st.getPath, cutoff))
+                fs.delete(st.getPath, true)
+            }
         }
-        build(table)
+        // heartbeat for the build's whole duration (ticker refreshes
+        // every 5 min), so a multi-hour build at scale is never swept
+        // mid-write by a concurrent session's cleanup above
+        LivenessMarker.whileAlive(fs, new Path(parent, table)) {
+          build(table)
+        }
         fs.create(new Path(loc(table), Marker), true).close()
       } else {
         // best-effort liveness signal for the cross-session orphan sweep
