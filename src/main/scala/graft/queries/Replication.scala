@@ -1039,7 +1039,74 @@ object Replication {
       |    AS share_ppm
       |FROM g ORDER BY lag_band""".stripMargin
 
+  /** r18: schema NARROWING + WIDENING mid-stream — the other real
+    * migration r11's column-addition case leaves unproven: upstream
+    * DROPS a column and WIDENS a type at the cutover. Generation 1
+    * (event_id < cut) is the "old deployment": it stored `amount` as
+    * whole integer units (BIGINT — truncated from the raw value, the
+    * planted arithmetic that makes the widening observable) and carried
+    * a `legacy_flag` column; generation 2 stores `amount` as DOUBLE and
+    * dropped `legacy_flag` entirely. The unified read —
+    * [[graft.operators.SchemaEvolution.unionEvolved]] — reads both
+    * generations at the widened type (gen-1 amounts surface as exact
+    * .0 doubles) and keeps the dropped column observable as typed NULL
+    * on gen-2 rows, then the ordinary latest-wins collapse runs over
+    * the unified log. A user whose latest record is gen-2 shows
+    * `legacy_flag IS NULL` (absence, never invented); a gen-1-latest
+    * user keeps the old integral semantics.
+    *
+    * Scale: like r11 — disjoint generations scan once each, the
+    * unification itself is pure projection (no shuffle), the cutover
+    * scalar broadcasts, and the only log-keyed exchange is the
+    * latest-wins collapse.
+    */
+  def r18SchemaNarrowing(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val cut = events.agg(expr("max(event_id) DIV 2").as("cut"))
+    val g1 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") < col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast("long").as("amount"), // old schema: integer units
+        (col("value") >= 50).cast("long").as("legacy_flag"), // dropped in gen 2
+        lit(1L).as("schema_ver"))
+    val g2 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") >= col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").as("amount"), // widened to double
+        lit(2L).as("schema_ver"))
+    val unified = graft.operators.SchemaEvolution.unionEvolved(Seq(g1, g2))
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    ReplicaTable.current(unified, keys = Seq("user_id"), ver = "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("amount"),
+        col("legacy_flag"), col("schema_ver"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The oracle hand-performs the widen (trunc → BIGINT → DOUBLE, the
+    * same truncate-toward-zero both engines) and the NULL backfill.
+    */
+  val r18Sql: String =
+    """WITH cut AS (SELECT max(event_id) // 2 AS cut FROM events),
+      |u AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE) AS amount,
+      |    CAST(value >= 50 AS BIGINT) AS legacy_flag,
+      |    CAST(1 AS BIGINT) AS schema_ver
+      |  FROM events, cut WHERE event_id < cut
+      |  UNION ALL
+      |  SELECT user_id, event_id, event_type, value AS amount,
+      |    CAST(NULL AS BIGINT) AS legacy_flag, CAST(2 AS BIGINT)
+      |  FROM events, cut WHERE event_id >= cut)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  amount, legacy_flag, schema_ver
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM u)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r18_schema_narrowing" -> (r18SchemaNarrowing _),
     "r17_batch_freshness" -> (r17BatchFreshness _),
     "r16_tombstone_gc" -> (r16TombstoneGc _),
     "r15_asof_read" -> (r15AsofRead _),
@@ -1059,6 +1126,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r18_schema_narrowing" -> r18Sql,
     "r17_batch_freshness" -> r17Sql,
     "r16_tombstone_gc" -> r16Sql,
     "r15_asof_read" -> r15Sql,

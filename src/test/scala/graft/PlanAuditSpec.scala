@@ -80,6 +80,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - r11: the one-row cutover-tick scalar broadcast next to each
       //    generation's branch scan (q22's shape, once per branch)
       "r11_schema_evolution",
+      //  - r18: r11's cutover-scalar broadcasts, unchanged (the widen/
+      //    drop unification itself is pure projection, shuffle-free)
+      "r18_schema_narrowing",
       //  - v22: the deliberate broadcast-Q x scan-N over the int8 codes
       //    (v1's shape on 4x narrower rows) plus the one-row packed
       //    stats broadcast (v7's scalar shape) and the exact-truth side
@@ -341,6 +344,10 @@ class PlanAuditSpec extends SparkSpec {
       // w17: the user_id window exchange + the |types|^2 grid rollup
       // (distinct-user expand rides it) + the grid output sort
       "w17_transition_matrix" -> 3,
+      // r18: r11's shape exactly — the evolved-union projection adds
+      // no exchange; the four are the two cutover scalar aggs + the
+      // latest-wins collapse + the final sort
+      "r18_schema_narrowing" -> 4,
       // r11: one tiny scalar agg per generation branch (the cutover
       // tick), the ArgMaxRow collapse, and the output sort
       "r11_schema_evolution" -> 4,

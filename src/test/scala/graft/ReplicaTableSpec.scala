@@ -115,6 +115,43 @@ class ReplicaTableSpec extends SparkSpec {
     assert(r11 === r1, "schema evolution changed the current view's values")
   }
 
+  test("r18: a dropped column stays NULL-observable and a widened type reads both generations") {
+    import org.apache.spark.sql.functions._
+    // planted log, ids 0..10 -> cutover = 5. value drives BOTH migrations:
+    // gen-1 stores amount = trunc(value) (old integer units) and
+    // legacy_flag = value >= 50; gen-2 stores amount = value (double) and
+    // DROPPED legacy_flag.
+    val dir = java.nio.file.Files.createTempDirectory("events_fixture").toString
+    Seq(
+      (1L, 1L, "click", 61.75),  // gen-1, superseded
+      (3L, 1L, "view", 12.25),   // gen-1 latest u1: amount 12.0, flag 0
+      (2L, 2L, "view", 99.5),    // gen-1 latest u2 (flag 1): amount 99.0
+      (8L, 3L, "view", 61.75),   // gen-2 latest u3: amount 61.75, flag NULL
+      (4L, 3L, "click", 1.0),    // gen-1, superseded by gen-2
+      (9L, 4L, "error", 0.0),    // gen-2 tombstone -> user 4 dropped
+      (10L, 5L, "signup", 50.0)  // gen-2 only user
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      .withColumn("props", lit("""{"k": 1}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Replication.r18SchemaNarrowing(spark, dir)
+    // the widened column must BE double in the unified schema
+    assert(out.schema("amount").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.schema("legacy_flag").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 12.0, Some(0L), 1L),  // gen-1: truncated amount, flag kept
+      (2L, 2L, 99.0, Some(1L), 1L),
+      (3L, 8L, 61.75, None, 2L),     // gen-2 wins: exact double, flag NULL
+      (5L, 10L, 50.0, None, 2L)),
+      "unified view lost a generation's semantics")
+  }
+
   test("r12/checksumAudit: healthy replicas match everywhere; corruption pinpoints its bucket") {
     import org.apache.spark.sql.functions._
     // healthy: the two independent materialization paths agree bucket-wise
