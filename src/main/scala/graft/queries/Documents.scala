@@ -509,15 +509,17 @@ object Documents {
       |SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin
 
   /** SimHash sketches (48-bit to stay in positive int64) + near-dup pairs
-    * at hamming distance <= 3, found by pigeonhole banding: the 48 bits
-    * split into 4 bands of 12; two sketches within hamming 3 differ in at
-    * most 3 bands, so they agree EXACTLY on at least one band — candidates
-    * are same-band-value pairs, a bucketed equality problem, never an
-    * all-pairs scan. Exact: same output as the naive quadratic join, but
-    * candidate volume is sum of bucket^2 over band buckets (linear for
-    * real corpora where near-dup clusters are small), and hot buckets are
-    * chunk-blocked by [[graft.operators.BlockedSelfJoin]] so no single
-    * task ever sees more than chunkSize^2 pairs.
+    * at hamming distance <= 3, found by Manku-style block permutation
+    * (WWW'07): the 48 bits split into 6 blocks of 8, one candidate table
+    * per 3-of-6 block triple (24-bit keys); two sketches within hamming 3
+    * flip bits in at most 3 blocks, so they agree EXACTLY on at least one
+    * triple — candidates are same-key pairs, a bucketed equality problem,
+    * never an all-pairs scan. Exact: same output as the naive quadratic
+    * join; candidate volume is linear in corpus size (random 24-bit key
+    * collisions are ~n^2/2^24 — negligible where the old fixed 4096-
+    * bucket banding grew measurably quadratic, see ScalingSpec), and hot
+    * buckets are chunk-blocked by [[graft.operators.BlockedSelfJoin]] so
+    * no single task ever sees more than chunkSize^2 pairs.
     */
   def d7Simhash(spark: SparkSession, dir: String): DataFrame = {
     // one groupBy(doc_id) with 48 partially-aggregated bit-score sums
@@ -536,9 +538,28 @@ object Documents {
       (0 until 48).map(j =>
           when(col(s"score$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _).as("simhash"))
+    // Candidate keys via BLOCK PERMUTATION (Manku, Jain, Das Sarma —
+    // "Detecting Near-Duplicates for Web Crawling", WWW'07): the naive
+    // 4x12-bit banding keys candidates into a FIXED 4096-bucket space
+    // per band, so RANDOM collisions — and the pair exchange — grow
+    // ~n^2/4096 (ScalingSpec measured exactly that: 102x pair volume for
+    // 10x docs). Splitting the 48-bit sketch into 6 blocks of 8 bits and
+    // keying one table per 3-of-6 block TRIPLE keeps the exact
+    // pigeonhole guarantee (<= 3 flipped bits touch <= 3 blocks, so some
+    // triple is untouched and matches exactly — recall identical to the
+    // all-pairs oracle, unchanged below) while widening the key space to
+    // 2^24 per table: random collisions drop by 2^12 and candidate
+    // volume stays LINEAR in corpus size. C(6,3) = 20 key rows per doc
+    // instead of 4 — the trade Manku's construction makes deliberately
+    // (more, wider tables; far fewer false candidates to verify).
+    def blockOf(b: Int) =
+      shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL))
+    val tripleKeys = (0 until 6).combinations(3).toSeq.map { t =>
+      t.zipWithIndex.map { case (b, i) => shiftleft(blockOf(b), (2 - i) * 8) }
+        .reduce(_ bitwiseOR _)
+    }
     val banded = sketch.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("simhash"), b * 12).bitwiseAND(lit(0xfffL))): _*)))
+        posexplode(array(tripleKeys: _*)))
       .select(col("doc_id"), col("simhash"),
         col("pos").as("band"), col("col").as("bkey"))
     candidatePairs(spark, banded, Seq("band", "bkey"), "doc_id",

@@ -1,0 +1,122 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Intermediate-VOLUME scaling gate for the pair/expansion family
+  * (round-8 verdict #2): the plan-shape goldens (PlanAuditSpec) pin HOW
+  * MANY exchanges a query runs, and the property tests bound the blocked
+  * expansion combinatorially, but neither measures how the rows flowing
+  * through the WIDEST exchange grow with data size — the axis on which a
+  * quietly quadratic operator (a dropped df-cap, an accidental all-pairs
+  * bucket) would still pass every shape gate at one SF.
+  *
+  * This spec executes each family query at sf0.01 and sf0.1 in its
+  * self-contained in-query form (persisted-index routing off, so the
+  * measurement covers the FULL pipeline including what the persisted
+  * path would amortize into a build, and is independent of which other
+  * suite built which index first), records max-over-stages of shuffle
+  * records written via a SparkListener, and asserts:
+  *
+  *  1. ABSOLUTE goldens (±25%): the committed per-query volumes at both
+  *     SFs — a plan change that silently multiplies exchange volume
+  *     fails even if it stays "linear";
+  *  2. LINEAR growth: volume(sf0.1) <= 2x corpusRatio x volume(sf0.01).
+  *     The corpus grows 10x between these SFs; a pair expansion gone
+  *     quadratic grows ~100x and lands far outside the band, while the
+  *     legitimate df-capped/banded designs stay near 10x.
+  *
+  * Goldens were measured on the committed fixtures (FIXTURES.md
+  * fingerprints; FixtureCanarySpec guards them). To refresh after an
+  * INTENTIONAL plan/fixture change: rerun this suite and copy the
+  * measured values from the assertion messages.
+  */
+class ScalingSpec extends SparkSpec {
+
+  /** Max over stages of shuffle records written by `run`'s jobs — the
+    * rows through the widest exchange, robust to AQE coalescing (record
+    * counts are partition-layout-independent).
+    */
+  private def maxExchangeRows(run: => Unit): Long = {
+    val perStage = new ConcurrentHashMap[Integer, java.lang.Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && t.taskInfo != null && t.taskInfo.successful)
+          perStage.merge(t.stageId, m.shuffleWriteMetrics.recordsWritten,
+            (a, b) => a + b)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    perStage.values.asScala.map(_.longValue).maxOption.getOrElse(0L)
+  }
+
+  /** (query, volume golden at sf0.01, volume golden at sf0.1, slope
+    * budget). Slope = v(sf0.1) / v(sf0.01) / corpusRatio; 1.0 is exactly
+    * linear. Budgets over 2 are DOCUMENTED regimes, not slack — the
+    * ABSOLUTE goldens stay the sharp gate either way:
+    *  - d5/d42 run the df-capped shingle expansion in its transitional
+    *    window — per-shingle pair volume grows ~df^2 UNTIL the cap
+    *    (D5MaxShingleDf) binds, after which each shingle's contribution
+    *    is a constant and growth is linear in #distinct shingles. The
+    *    cap is what makes 100 TB safe; the budget (6) bounds how far the
+    *    transition can drift.
+    *  - d7's widest exchange IS its own result (the distinct + sort over
+    *    emitted pairs — verified row-for-row: volume == output count at
+    *    both SFs): the fixture's near-dup clusters grow with SF, and a
+    *    PAIR-reporting contract over growing clusters is inherently
+    *    quadratic in cluster size (cluster-linear reporting is d12's
+    *    job). The budget (12) tracks the fixture's own output growth
+    *    (102x output for 10x docs) with modest headroom; candidate-side
+    *    regressions still trip the absolute goldens. This gate's first
+    *    run ALSO caught d7's old fixed-4096-bucket banding quietly
+    *    generating quadratic FALSE candidates — rebuilt on Manku 3-of-6
+    *    block permutation (24-bit keys), which this golden pins.
+    */
+  private val goldens: Seq[(String, Long, Long, Double)] = Seq(
+    ("d5_ngram_jaccard", 26136L, 1189282L, 6.0),
+    ("d6_minhash_lsh", 2000L, 20000L, 2.0),
+    ("d7_simhash", 9303L, 952474L, 12.0),
+    ("d16_substring_spans", 23582L, 232596L, 2.0),
+    ("d42_containment", 26931L, 1264643L, 6.0),
+    ("m4_frame_neardup", 4000L, 40000L, 2.0))
+
+  test("pair-family widest-exchange volume stays linear in corpus size") {
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val corpusRatio = {
+      val counts = sfs.map(d => spark.read.parquet(s"$d/documents.parquet").count())
+      counts(1).toDouble / counts(0)
+    }
+    val confs = Seq("graft.neardup.persistPairs", "graft.substring.persistIndex")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "false"))
+    try {
+      val failures = goldens.flatMap { case (name, g001, g01, slopeBudget) =>
+        val fn = SparkEntry.queries(name)
+        val Seq(v001, v01) =
+          sfs.map(d => maxExchangeRows { fn(spark, d).write.format("noop").mode("overwrite").save() })
+        val checks = Seq(
+          (math.abs(v001 - g001) <= g001 / 4,
+            s"$name sf0.01 volume $v001 outside golden $g001 +-25%"),
+          (math.abs(v01 - g01) <= g01 / 4,
+            s"$name sf0.1 volume $v01 outside golden $g01 +-25%"),
+          (v01 <= slopeBudget * corpusRatio * v001,
+            s"$name grows superlinearly: $v001 -> $v01 at corpus ratio " +
+              f"$corpusRatio%.1f (slope ${v01.toDouble / v001 / corpusRatio}%.2f " +
+              f"> budget $slopeBudget%.1f; a quadratic pair expansion looks " +
+              "exactly like this)"))
+        checks.collect { case (false, msg) => msg }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
