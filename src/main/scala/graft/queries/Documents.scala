@@ -818,13 +818,15 @@ object Documents {
     val edges = keyed
       .select(col("doc_id").as("src"), min(col("doc_id")).over(wb).as("dst"))
       .filter(col("src") =!= col("dst"))
-    // durable rounds: each star iteration persists to a bucketed catalog
-    // table, so executor loss recomputes from parquet (VERDICT r2 #2);
-    // freshTableRounds handles the per-run unique prefix, previous-run
-    // reclamation, and orphan-dir sweep
+    // durable rounds: each star iteration persists to a plain-parquet
+    // catalog table, so executor loss recomputes from parquet (VERDICT
+    // r2 #2); graft.cc.durableEvery > 1 switches to the cadenced store
+    // (write every k-th round) for TB-scale edge sets; freshRounds
+    // handles the per-run unique prefix, previous-run reclamation, and
+    // orphan-dir sweep
     val labels = graft.operators.ConnectedComponents.run(
       corpus.select(col("doc_id").as("id")), edges,
-      store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d12"))
+      store = graft.operators.ConnectedComponents.freshRounds(spark, "cc_d12"))
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .filter(col("cluster_size") >= 2)
@@ -1841,7 +1843,7 @@ object Documents {
       val pairs = d6MinhashLsh(spark, dir).select(col("da"), col("db"))
       val nodes = pairs.select(col("da").as("id"))
         .unionByName(pairs.select(col("db").as("id"))).distinct()
-      val store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_d23")
+      val store = graft.operators.ConnectedComponents.freshRounds(spark, "cc_d23")
       graft.operators.ConnectedComponents.run(
           nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
           store = store)
@@ -1933,7 +1935,7 @@ object Documents {
       graft.operators.ConnectedComponents.run(
           baseNodes, basePairs,
           store = graft.operators.ConnectedComponents
-            .freshTableRounds(spark, "cc_d26b"))
+            .freshRounds(spark, "cc_d26b"))
         .write.format("parquet").bucketBy(8, "id").sortBy("id")
         .saveAsTable(table)
     }
@@ -1947,7 +1949,7 @@ object Documents {
     graft.operators.ConnectedComponents.run(
         nodes, starEdges.unionByName(delta),
         store = graft.operators.ConnectedComponents
-          .freshTableRounds(spark, "cc_d26"))
+          .freshRounds(spark, "cc_d26"))
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -2018,7 +2020,7 @@ object Documents {
     val recomputed = graft.operators.ConnectedComponents.run(
         subNodes, subPairs,
         store = graft.operators.ConnectedComponents
-          .freshTableRounds(spark, "cc_d28"))
+          .freshRounds(spark, "cc_d28"))
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
     untouched.unionByName(recomputed)
       .withColumn("cluster_size",

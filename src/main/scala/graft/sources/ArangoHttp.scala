@@ -65,7 +65,14 @@ object ArangoHttp {
       db: String,
       user: String,
       password: String,
-      timeoutMs: Int = 30000)
+      timeoutMs: Int = 30000,
+      /** Bounded transparent retries for IDEMPOTENT calls that fail
+        * transiently (connect/timeout IOException, or HTTP 429/502/503/
+        * 504). 0 disables. Auth/protocol errors (401/400/404…) never
+        * retry — they fail loudly on the first response, as before.
+        */
+      maxRetries: Int = 3,
+      retryBackoffMs: Int = 200)
 
   final class Client(cfg: Config) {
     private val http = HttpClient.newBuilder()
@@ -75,8 +82,31 @@ object ArangoHttp {
     private val auth = "Basic " + java.util.Base64.getEncoder.encodeToString(
       s"${cfg.user}:${cfg.password}".getBytes(StandardCharsets.UTF_8))
 
-    private def send(method: String, path: String, body: Option[String])
-        : HttpResponse[String] = {
+    private def transientStatus(code: Int): Boolean =
+      code == 429 || code == 502 || code == 503 || code == 504
+
+    /** One HTTP exchange, with bounded exponential-backoff retry when —
+      * and only when — the CALLER marked the request idempotent:
+      *
+      *  - `GET lastTick` / `GET wal/tail?from=` — pure reads keyed by the
+      *    request itself; a retry returns the same answer.
+      *  - `POST /_api/cursor` — re-POSTing after a lost response opens a
+      *    second server cursor, but both serve the same read-only query;
+      *    the abandoned one is reaped by the server's cursor TTL.
+      *  - `PUT /_api/cursor/{id}` is NOT retriable: the PUT *advances*
+      *    the cursor, so a retry after a response lost in flight would
+      *    silently SKIP a page. A transient failure mid-pagination
+      *    propagates; the consumer restarts the scan (snapshot spooling
+      *    and the DSv2 scan both re-run their whole partition on task
+      *    retry, which re-POSTs a fresh cursor — correct by re-execution,
+      *    not by resumption).
+      *
+      * At a 1000-executor scale-out every executor holds its own range
+      * cursor; without this, one 503 on one lastTick/tail probe fails a
+      * whole stage attempt.
+      */
+    private def send(method: String, path: String, body: Option[String],
+        idempotent: Boolean = true): HttpResponse[String] = {
       val b = HttpRequest.newBuilder(URI.create(s"${cfg.baseUrl}$path"))
         .timeout(java.time.Duration.ofMillis(cfg.timeoutMs.toLong))
         .header("Authorization", auth)
@@ -85,14 +115,37 @@ object ArangoHttp {
         case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s))
         case None    => b.method(method, HttpRequest.BodyPublishers.noBody())
       }).build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 400)
-        sys.error(s"arango $method $path -> HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
-      resp
+      val maxAttempts = 1 + (if (idempotent) math.max(0, cfg.maxRetries) else 0)
+      var attempt = 0
+      var lastFailure: String = ""
+      while (attempt < maxAttempts) {
+        attempt += 1
+        val respOrErr =
+          try Right(http.send(req, HttpResponse.BodyHandlers.ofString()))
+          catch { case e: java.io.IOException => Left(e.toString) }
+        respOrErr match {
+          case Right(resp) if resp.statusCode() < 400 => return resp
+          case Right(resp) if !(idempotent && transientStatus(resp.statusCode())) =>
+            sys.error(s"arango $method $path -> HTTP ${resp.statusCode()}: " +
+              resp.body().take(200))
+          case Right(resp) => lastFailure = s"HTTP ${resp.statusCode()}"
+          case Left(err)   => lastFailure = err
+        }
+        if (attempt < maxAttempts) {
+          // full-jitter exponential backoff (AWS architecture blog shape):
+          // sleep U(0, base * 2^(attempt-1)) so a fleet of executors
+          // retrying the same blip doesn't re-stampede in lockstep
+          val ceil = cfg.retryBackoffMs.toLong << (attempt - 1)
+          Thread.sleep((ceil * math.random()).toLong.max(1L))
+        }
+      }
+      sys.error(s"arango $method $path failed after $maxAttempts attempts " +
+        s"(last: $lastFailure)")
     }
 
-    private def json(method: String, path: String, body: Option[String]): JsonNode =
-      mapper.readTree(send(method, path, body).body())
+    private def json(method: String, path: String, body: Option[String],
+        idempotent: Boolean = true): JsonNode =
+      mapper.readTree(send(method, path, body, idempotent).body())
 
     /** `wal.get_last_tick()` — GET lastTick (tick is a STRING in the
       * protocol; Arango ticks exceed double precision).
@@ -129,7 +182,9 @@ object ArangoHttp {
         override def next(): IndexedSeq[String] = {
           val node = pending match {
             case Left(body)      => json("POST", cursorPath, Some(body))
-            case Right(Some(id)) => json("PUT", s"$cursorPath/$id", None)
+            // PUT advances the server cursor — NOT idempotent (see send):
+            // a retry after a lost response would skip a page silently
+            case Right(Some(id)) => json("PUT", s"$cursorPath/$id", None, idempotent = false)
             case Right(None)     => throw new NoSuchElementException("cursor exhausted")
           }
           pending = Right(

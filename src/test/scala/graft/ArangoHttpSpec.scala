@@ -42,6 +42,10 @@ class ArangoHttpSpec extends SparkSpec {
       */
     @volatile var schemaCutover: Long = Long.MaxValue
     val unauthorized = new AtomicInteger(0)
+    /** fail the next N requests (any endpoint) with 503 — transient-blip
+      * injection for the client's bounded-retry contract */
+    val failNext = new AtomicInteger(0)
+    val requestsServed = new AtomicInteger(0)
     val maxPageServed = new AtomicInteger(0)
     val maxTailServed = new AtomicInteger(0)
     /** every data-scan cursor opened: (loBound, hiBound) from bindVars */
@@ -62,10 +66,14 @@ class ArangoHttpSpec extends SparkSpec {
       ex.close()
     }
 
-    private def authed(ex: HttpExchange)(ok: => Unit): Unit =
-      if (ex.getRequestHeaders.getFirst("Authorization") != expectAuth) {
+    private def authed(ex: HttpExchange)(ok: => Unit): Unit = {
+      requestsServed.incrementAndGet()
+      if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        reply(ex, 503, """{"error":true,"code":503}""")
+      else if (ex.getRequestHeaders.getFirst("Authorization") != expectAuth) {
         unauthorized.incrementAndGet(); reply(ex, 401, """{"error":true,"code":401}""")
       } else ok
+    }
 
     private def cursorResponse(ex: HttpExchange, code: Int,
         page: Seq[String], id: Option[String], hasMore: Boolean): Unit = {
@@ -516,7 +524,61 @@ class ArangoHttpSpec extends SparkSpec {
         s"http://127.0.0.1:${m.port}", "d", "root", "WRONG")
       val e = intercept[RuntimeException](new ArangoHttp.Client(bad).lastTick())
       assert(e.getMessage.contains("401"), s"wrong failure mode: ${e.getMessage}")
+      // 401 is NOT a transient status: exactly one request, zero retries
       assert(m.unauthorized.get() === 1)
+      assert(m.requestsServed.get() === 1)
+    } finally m.stop()
+  }
+
+  test("transient 503s on idempotent calls retry transparently, bounded") {
+    val m = new MiniArango
+    try {
+      val cfg = cfgFor(m).copy(maxRetries = 3, retryBackoffMs = 1)
+      val client = new ArangoHttp.Client(cfg)
+
+      // two blips, three retries allowed: lastTick succeeds on attempt 3
+      m.failNext.set(2)
+      assert(client.lastTick() === 20L)
+      assert(m.requestsServed.get() === 3, "expected exactly 2 failed + 1 ok")
+
+      // blips longer than the budget: fail loudly, attempts bounded at 4
+      m.requestsServed.set(0)
+      m.failNext.set(10)
+      val e = intercept[RuntimeException](client.lastTick())
+      assert(e.getMessage.contains("failed after 4 attempts"), e.getMessage)
+      assert(m.requestsServed.get() === 4)
+      m.failNext.set(0)
+
+      // tail (GET, idempotent) rides the same policy
+      m.requestsServed.set(0)
+      m.failNext.set(1)
+      val (lines, last) = client.tail(0L)
+      assert(lines.size === 20 && last === 20L)
+      assert(m.requestsServed.get() === 2)
+
+      // retries disabled: first 503 propagates
+      m.failNext.set(1)
+      val off = new ArangoHttp.Client(cfg.copy(maxRetries = 0))
+      intercept[RuntimeException](off.lastTick())
+    } finally m.stop()
+  }
+
+  test("PUT cursor-advance never retries: a lost page cannot be skipped") {
+    val m = new MiniArango
+    try {
+      val cfg = cfgFor(m).copy(maxRetries = 3, retryBackoffMs = 1)
+      val client = new ArangoHttp.Client(cfg)
+      // 5 docs at batchSize 2 → POST page + 2 PUT pages
+      val pages = client.cursorPageIterator(
+        "FOR d IN events RETURN d", batchSize = 2)
+      assert(pages.next().size === 2) // POST (idempotent, no blip here)
+      m.requestsServed.set(0)
+      m.failNext.set(1)
+      // PUT advances server state — the client must surface the 503
+      // rather than retry into a silently skipped page
+      val e = intercept[RuntimeException](pages.next())
+      assert(e.getMessage.contains("503"), e.getMessage)
+      assert(m.requestsServed.get() === 1, "PUT was retried — page-skip hazard")
     } finally m.stop()
   }
 }

@@ -78,7 +78,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     val nodes = (0L until 30L)
     val edges = (1L until 30L).map(i => (i, i - 1)) // one long chain
     try {
-      val got = labelsOf(nodes, edges, store = TableRounds(spark, "cc_spec", numBuckets = 4))
+      val got = labelsOf(nodes, edges, store = TableRounds(spark, "cc_spec"))
       assert(got.values.toSet === Set(0L))
       // the final round's edges live in a catalog table (durable lineage
       // root), not an executor-local checkpoint block
@@ -86,6 +86,67 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(gens.nonEmpty, "at least the final-round generation table must exist")
     } finally Seq("cc_spec_0", "cc_spec_1")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("cadenced rounds: same labels, durable final table, no leaked cache") {
+    val nodes = (0L until 64L)
+    // long chain: converges in ~4-5 star rounds, so with durableEvery=3
+    // the run exercises durable round 0, ephemeral 1-2, durable 3,
+    // ephemeral 4..., and a seal promotion of an ephemeral final round
+    val edges = (1L until 64L).map(i => (i, i - 1))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    try {
+      val store = ConnectedComponents.CadencedRounds(
+        TableRounds(spark, "cc_cad"), durableEvery = 3)
+      val labels = ConnectedComponents.run(
+        nodes.toDF("id"), edges.toDF("src", "dst"), store = store)
+      // labels identical to the all-durable and checkpoint stores
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === unionFind(nodes, edges))
+      // the CONVERGED round is durable: after evicting every cached block,
+      // the labels frame still evaluates (its lineage roots at the sealed
+      // catalog table's parquet, not at ephemeral persist blocks)
+      spark.sharedState.cacheManager.clearCache()
+      assert(labels.filter(col("comp") === 0L).count() === 64L)
+      val gens = Seq("cc_cad_0", "cc_cad_1").filter(spark.catalog.tableExists)
+      assert(gens.nonEmpty, "sealed final-round generation table must exist")
+      // every mid-burst persist was released at seal time
+      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+        "cadenced rounds leaked persisted RDDs past seal")
+    } finally Seq("cc_cad_0", "cc_cad_1")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("cadenced rounds agree with union-find across cadences and graphs") {
+    val rnd = new scala.util.Random(7)
+    Seq(1, 2, 4).foreach { k =>
+      val nodes = (0L until 50L)
+      val edges = Seq.fill(55)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      try {
+        val got = labelsOf(nodes, edges,
+          store = ConnectedComponents.CadencedRounds(
+            TableRounds(spark, s"cc_cadk$k"), durableEvery = k))
+        assert(got === unionFind(nodes, edges), s"cadence $k diverged")
+      } finally Seq(s"cc_cadk${k}_0", s"cc_cadk${k}_1")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("graft.cc.durableEvery selects the store: same labels either way") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0L until 40L)
+    val edges = Seq.fill(45)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val expect = unionFind(nodes, edges)
+    Seq("1", "3").foreach { k =>
+      spark.conf.set("graft.cc.durableEvery", k)
+      try {
+        val got = labelsOf(nodes, edges,
+          store = ConnectedComponents.freshRounds(spark, "cc_conf"))
+        assert(got === expect, s"durableEvery=$k diverged")
+      } finally spark.conf.unset("graft.cc.durableEvery")
+    }
   }
 
   test("non-convergence inside the round bound fails loudly, not silently") {
