@@ -79,25 +79,44 @@ class ScalingSpec extends SparkSpec {
     *    generating quadratic FALSE candidates — rebuilt on Manku 3-of-6
     *    block permutation (24-bit keys), which this golden pins.
     */
-  private val goldens: Seq[(String, Long, Long, Double)] = Seq(
-    ("d5_ngram_jaccard", 26136L, 1189282L, 6.0),
-    ("d6_minhash_lsh", 2000L, 20000L, 2.0),
-    ("d7_simhash", 9303L, 952474L, 12.0),
-    ("d16_substring_spans", 23582L, 232596L, 2.0),
-    ("d42_containment", 26931L, 1264643L, 6.0),
-    ("m4_frame_neardup", 4000L, 40000L, 2.0))
+  /** Volumes are gated against the growth of the TABLE the query
+    * actually expands over: the documents corpus grows 10x between
+    * these SFs, the embeddings table 4x — gating an ANN query on the
+    * documents ratio would hand it 2.5x of silent slack.
+    */
+  private val goldens: Seq[(String, String, Long, Long, Double)] = Seq(
+    ("d5_ngram_jaccard", "documents", 26136L, 1189282L, 6.0),
+    ("d6_minhash_lsh", "documents", 2000L, 20000L, 2.0),
+    ("d7_simhash", "documents", 9303L, 952474L, 12.0),
+    ("d16_substring_spans", "documents", 23582L, 232596L, 2.0),
+    ("d42_containment", "documents", 26931L, 1264643L, 6.0),
+    ("m4_frame_neardup", "documents", 4000L, 40000L, 2.0),
+    // round 9: the other two families whose candidate generation could
+    // quietly go quadratic —
+    // d12 = the full cluster pipeline (LSH pairs -> star-round CC
+    // fixpoint): its widest exchange is the banded signature expansion,
+    // and every CC round is edge-linear (3000 -> 30000, slope 1.0);
+    // v5 = LSH-bucketed cosine near-dup: the bucket SELF-JOIN is the
+    // classic hot-bucket n^2 risk (487 -> 1953, slope 1.0 vs the 4x
+    // embeddings growth);
+    // v6 = IVF cell-join ANN: candidates = queries x their cell's
+    // members, sublinear by construction (640 -> 2000, slope 0.78).
+    ("d12_dup_clusters", "documents", 3000L, 30000L, 2.0),
+    ("v5_embedding_neardup", "embeddings", 487L, 1953L, 2.0),
+    ("v6_ivf_ann", "embeddings", 640L, 2000L, 2.0))
 
   test("pair-family widest-exchange volume stays linear in corpus size") {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    val corpusRatio = {
-      val counts = sfs.map(d => spark.read.parquet(s"$d/documents.parquet").count())
-      counts(1).toDouble / counts(0)
-    }
+    val ratios: Map[String, Double] = Seq("documents", "embeddings").map { t =>
+      val counts = sfs.map(d => spark.read.parquet(s"$d/$t.parquet").count())
+      t -> counts(1).toDouble / counts(0)
+    }.toMap
     val confs = Seq("graft.neardup.persistPairs", "graft.substring.persistIndex")
     val prev = confs.map(k => k -> spark.conf.getOption(k))
     confs.foreach(spark.conf.set(_, "false"))
     try {
-      val failures = goldens.flatMap { case (name, g001, g01, slopeBudget) =>
+      val failures = goldens.flatMap { case (name, table, g001, g01, slopeBudget) =>
+        val corpusRatio = ratios(table)
         val fn = SparkEntry.queries(name)
         val Seq(v001, v01) =
           sfs.map(d => maxExchangeRows { fn(spark, d).write.format("noop").mode("overwrite").save() })
@@ -107,7 +126,7 @@ class ScalingSpec extends SparkSpec {
           (math.abs(v01 - g01) <= g01 / 4,
             s"$name sf0.1 volume $v01 outside golden $g01 +-25%"),
           (v01 <= slopeBudget * corpusRatio * v001,
-            s"$name grows superlinearly: $v001 -> $v01 at corpus ratio " +
+            s"$name grows superlinearly: $v001 -> $v01 at $table ratio " +
               f"$corpusRatio%.1f (slope ${v01.toDouble / v001 / corpusRatio}%.2f " +
               f"> budget $slopeBudget%.1f; a quadratic pair expansion looks " +
               "exactly like this)"))
