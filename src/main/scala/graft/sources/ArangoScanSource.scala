@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  2. `numPartitions - 1` boundary probes
   *     `FOR d IN c SORT d._key LIMIT off, 1 RETURN d._key` — each an
   *     index seek returning ONE key (Arango keeps a persistent index on
-  *     `_key`), at offsets i·count/n.
+  *     `_key`), at offsets i·count/n, issued with bounded (≤8-way)
+  *     client-side concurrency and assembled in OFFSET order (AQL LIMIT
+  *     takes only constant/bind-param offsets, so the probes cannot be
+  *     one server-side query; sequentially they would put numPartitions
+  *     consecutive round trips on the plan-time critical path).
   * The boundaries split the key space into half-open ranges
   * `(-inf, b1), [b1, b2), …, [bk, +inf)` under the SERVER's collation
   * (boundaries are kept in probe order — the server's own SORT order —
@@ -130,20 +134,37 @@ private class ArangoScan(
     // duplicates are possible exactly as with the reference's
     // non-transactional cursor, and the resync version-collapse absorbs
     // them; under a quiescent collection ranges are disjoint.
-    val boundaries = (1 until numPartitions)
+    val offsets = (1 until numPartitions)
       .map(i => i * count / numPartitions)
       .filter(off => off > 0 && off < count)
       .distinct
-      .flatMap { off =>
-        // a concurrent shrink between count and probe can empty a probe;
-        // a dropped boundary only widens a range, never loses coverage
-        client.cursorQuery(
-          s"FOR d IN $collection SORT d._key LIMIT $off, 1 RETURN d._key")
-          .headOption.map(mapper.readTree(_).asText)
-      }
-      .distinct
-    val los = None +: boundaries.map(Option(_))
-    val his = boundaries.map(Option(_)) :+ None
+    // Probes are independent single-key index seeks — issue them with
+    // BOUNDED client-side concurrency (AQL's LIMIT takes only constant/
+    // bind-param offsets, so there is no one-query server-side form):
+    // sequential probes serialize numPartitions round trips on the
+    // driver's critical path at plan time — at 1000 partitions that is
+    // 1000 consecutive RTTs before the first task can launch. Results
+    // are assembled IN OFFSET ORDER regardless of completion order
+    // (futures are awaited positionally), preserving the
+    // server-collation boundary order the range FILTERs require.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, offsets.size)))
+    val boundaries =
+      try {
+        offsets.map { off =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            // a concurrent shrink between count and probe can empty a
+            // probe; a dropped boundary only widens a range, never
+            // loses coverage
+            override def call(): Option[String] = client.cursorQuery(
+              s"FOR d IN $collection SORT d._key LIMIT $off, 1 RETURN d._key")
+              .headOption.map(mapper.readTree(_).asText)
+          })
+        }.flatMap(_.get())
+      } finally pool.shutdown()
+    val dedupedBoundaries = boundaries.distinct
+    val los = None +: dedupedBoundaries.map(Option(_))
+    val his = dedupedBoundaries.map(Option(_)) :+ None
     los.zip(his).map { case (lo, hi) =>
       ArangoRangePartition(cfg, collection, lo, hi, batchSize): InputPartition
     }.toArray

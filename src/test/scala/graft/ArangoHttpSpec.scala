@@ -86,11 +86,18 @@ class ArangoHttpSpec extends SparkSpec {
     private val LengthQ = """RETURN LENGTH\((\w+)\)""".r
     private val ProbeQ = """FOR d IN (\w+) SORT d\._key LIMIT (\d+), 1 RETURN d\._key""".r
 
+    /** per-offset artificial latency for boundary probes: concurrent
+      * probes completing OUT of offset order must not scramble the
+      * assembled boundary sequence */
+    @volatile var probeDelayMs: Int => Long = _ => 0L
+
     /** Evaluate one AQL POST body → full result list (pre-paging). */
     private def evaluate(query: String, bindVars: Map[String, String]): Seq[String] =
       query.trim match {
         case LengthQ(_) => Seq(docs.size.toString)
         case ProbeQ(_, off) =>
+          val d = probeDelayMs(off.toInt)
+          if (d > 0) Thread.sleep(d)
           docs.map(_._1).sorted.drop(off.toInt).take(1).map(k => s""""$k"""")
         case q if q.startsWith("FOR d IN ") && q.endsWith("RETURN d") =>
           val lo = if (q.contains("@lo")) bindVars.get("lo") else None
@@ -174,6 +181,9 @@ class ArangoHttpSpec extends SparkSpec {
             (if (lines.isEmpty) "0" else upTo.toString)))
       })
 
+    // concurrent request handling (the JDK default serializes on one
+    // dispatcher thread, which would mask client-side probe concurrency)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
@@ -321,6 +331,28 @@ class ArangoHttpSpec extends SparkSpec {
       assert(one.agg(sum(col("k"))).head.getLong(0) === 15L)
       assert(m.scanCursors.asScala.size === 2,
         s"schema-given scan should open exactly 2 range cursors, saw ${m.scanCursors.asScala}")
+    } finally m.stop()
+  }
+
+  test("concurrent boundary probes completing out of order keep ranges disjoint") {
+    val m = new MiniArango
+    try {
+      // reverse the completion order: SMALL offsets answer slowest, so a
+      // collect-by-completion bug would assemble boundaries backwards
+      // (k05, k04, k03, k02) and plan overlapping ranges that emit rows
+      // twice; positional assembly must keep probe-offset order
+      m.probeDelayMs = off => (5 - off) * 150L
+      val raw = spark.read.format("graft.sources.ArangoScanSource")
+        .option("url", cfgFor(m).baseUrl).option("db", "d")
+        .option("user", "root").option("password", "pw")
+        .option("collection", "events")
+        .option("numPartitions", 5).option("batchSize", 2)
+        .load()
+      assert(raw.count() === 5, "overlapping ranges would double-emit rows")
+      assert(m.scanCursors.asScala.toSet === Set(
+        (None, Some("k02")), (Some("k02"), Some("k03")),
+        (Some("k03"), Some("k04")), (Some("k04"), Some("k05")),
+        (Some("k05"), None)))
     } finally m.stop()
   }
 
