@@ -167,13 +167,23 @@ object ConnectedComponents {
         out
       }
     }
-    override def seal(df: DataFrame, round: Int): DataFrame = {
-      val out = if (lastWasDurable) df else putDurable(df)
+    private def releaseEphemerals(): Unit = {
       ephemerals.foreach(_.unpersist(blocking = false))
       ephemerals.clear()
+    }
+    override def seal(df: DataFrame, round: Int): DataFrame = {
+      val out = if (lastWasDurable) df else putDurable(df)
+      releaseEphemerals()
       out
     }
-    override def withLiveness[T](f: => T): T = underlying.withLiveness(f)
+    // release mid-burst caches even when the fixpoint FAILS before
+    // seal() (non-convergence require, job failure): withLiveness wraps
+    // the whole run, so its finally is the one hook that always fires —
+    // without it, up to two rounds of MEMORY_AND_DISK edge-set blocks
+    // (TB-sized in exactly the regime this store exists for) stay
+    // registered until the application exits. Idempotent after seal.
+    override def withLiveness[T](f: => T): T =
+      try underlying.withLiveness(f) finally releaseEphemerals()
     override def reset(): Unit = underlying.reset()
   }
 

@@ -45,13 +45,30 @@ object SchemaEvolution {
   private def numeric(t: DataType): Boolean =
     integralLadder.contains(t) || fractionalLadder.contains(t)
 
-  /** The widest of two column types under the safe ladder; identical
-    * types pass through (any type, including nested), numeric pairs
-    * widen, anything else is a REAL conflict and fails loudly — silently
-    * stringifying a conflicted column would corrupt every reader.
+  /** Recursively mark every nesting level nullable: two generations of
+    * the SAME logical struct/array/map column routinely differ only in
+    * nested nullability flags (literal-built frames infer NOT NULL,
+    * parsed data infers nullable) — that is not a type conflict, and
+    * the union's result is nullable at every level anyway.
+    */
+  private def relaxNullability(t: DataType): DataType = t match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(relaxNullability(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(relaxNullability(m.keyType), relaxNullability(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** The widest of two column types under the safe ladder; types equal
+    * up to (nested) nullability pass through in nullable form (any
+    * type, including nested), numeric pairs widen, anything else is a
+    * REAL conflict and fails loudly — silently stringifying a
+    * conflicted column would corrupt every reader.
     */
   def widen(a: DataType, b: DataType): DataType =
-    if (a == b) a
+    if (relaxNullability(a) == relaxNullability(b)) relaxNullability(a)
     else if (integralLadder.contains(a) && integralLadder.contains(b)) {
       if (integralLadder.indexOf(a) >= integralLadder.indexOf(b)) a else b
     } else if (fractionalLadder.contains(a) && fractionalLadder.contains(b)) {
@@ -67,21 +84,32 @@ object SchemaEvolution {
 
   /** Union `gens` under the unified (widest, by-name) schema. Column
     * order is first-seen across the generations in the given order.
+    * Names match CASE-INSENSITIVELY (Spark's own default resolution):
+    * a generation that renamed `Amount` to `amount` is the same column
+    * evolving, not two columns — keying by exact case would emit both,
+    * with the backfilled twin shadowing the real one under the default
+    * resolver. The first-seen spelling wins for the output schema.
     */
   def unionEvolved(gens: Seq[DataFrame]): DataFrame = {
     require(gens.nonEmpty, "unionEvolved needs at least one generation")
-    val unified = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    // lowercase key -> (first-seen display name, widest type)
+    val unified = scala.collection.mutable.LinkedHashMap.empty[String, (String, DataType)]
     gens.foreach(_.schema.fields.foreach { f =>
-      unified(f.name) =
-        unified.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType)
+      val k = f.name.toLowerCase(java.util.Locale.ROOT)
+      unified(k) = unified.get(k) match {
+        case Some((display, t)) => (display, widen(t, f.dataType))
+        case None                => (f.name, f.dataType)
+      }
     })
     gens.map { g =>
-      val have = g.schema.fields.map(f => f.name -> f.dataType).toMap
-      g.select(unified.toSeq.map { case (n, t) =>
-        have.get(n) match {
-          case Some(dt) if dt == t => col(n)
-          case Some(_)             => col(n).cast(t).as(n)
-          case None                => lit(null).cast(t).as(n)
+      val have = g.schema.fields
+        .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> (f.name, f.dataType))
+        .toMap
+      g.select(unified.toSeq.map { case (k, (display, t)) =>
+        have.get(k) match {
+          case Some((n, dt)) if dt == t => col(n).as(display)
+          case Some((n, _))             => col(n).cast(t).as(display)
+          case None                     => lit(null).cast(t).as(display)
         }
       }: _*)
     }.reduce(_.unionByName(_))

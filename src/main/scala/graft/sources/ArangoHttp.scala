@@ -50,13 +50,14 @@ object ArangoHttp {
     * through `bindVars`. A config-sourced name like
     * `c RETURN 1; FOR x IN secrets` fails here instead of executing.
     */
-  private val CollectionName = "^[A-Za-z][A-Za-z0-9_-]{0,255}$".r
+  private val CollectionName = "^_?[A-Za-z][A-Za-z0-9_-]{0,255}$".r
 
   def requireValidCollectionName(name: String): String = {
     require(CollectionName.matches(name),
       s"invalid ArangoDB collection name '$name' — collection names are " +
-        "spliced into AQL, so anything outside [A-Za-z][A-Za-z0-9_-]* is " +
-        "rejected to make injection impossible")
+        "spliced into AQL, so anything outside _?[A-Za-z][A-Za-z0-9_-]* " +
+        "(an optional leading underscore marks Arango SYSTEM collections) " +
+        "is rejected to make injection impossible")
     name
   }
 

@@ -106,15 +106,32 @@ object JdbcSink {
             .save()
           val cols = batch.columns.toSeq
           def q(c: String) = "\"" + c + "\""
-          val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+          // NULL-SAFE key match: plain `t.k = s.k` evaluates UNKNOWN for
+          // NULL keys, so a NULL-keyed row would be WHEN NOT MATCHED on
+          // every redelivery and re-inserted without bound — the exact
+          // failure upsert mode exists to prevent. SQL's portable
+          // null-safe form (MERGE accepts no <=> operator) is the OR'd
+          // IS NULL pair.
+          val on = keys.map(k =>
+            s"(t.${q(k)} = s.${q(k)} OR (t.${q(k)} IS NULL AND s.${q(k)} IS NULL))")
+            .mkString(" AND ")
           val sets = cols.filterNot(keys.contains)
             .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
           val conn = java.sql.DriverManager.getConnection(url, user, password)
           try {
+            // existence probe by QUERY, not catalog metadata: identifier
+            // folding is store-specific (Derby folds unquoted names to
+            // upper case, PostgreSQL to lower), and `_` in a JDBC
+            // getTables pattern is a single-char wildcard — both make a
+            // metadata lookup wrong somewhere. A zero-row SELECT is
+            // portable and wildcard-free.
             val exists = {
-              val rs = conn.getMetaData.getTables(
-                null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-              try rs.next() finally rs.close()
+              val probe = conn.createStatement()
+              try {
+                probe.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+                true
+              } catch { case _: java.sql.SQLException => false }
+              finally probe.close()
             }
             val st = conn.createStatement()
             try {

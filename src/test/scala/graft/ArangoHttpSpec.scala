@@ -544,8 +544,15 @@ class ArangoHttpSpec extends SparkSpec {
       }
       assert(e2.getMessage != null && e2.getMessage.contains("collection name"),
         s"scan accepted an injectable collection name: ${e2.getMessage}")
-      // legitimate names (incl. hyphen/underscore) still pass
+      // legitimate names (incl. hyphen/underscore and Arango SYSTEM
+      // collections' leading underscore) still pass
       ArangoHttp.requireValidCollectionName("my-coll_2")
+      ArangoHttp.requireValidCollectionName("_analytics")
+      // but a bare/doubled underscore is not a valid name
+      intercept[IllegalArgumentException](
+        ArangoHttp.requireValidCollectionName("__weird"))
+      intercept[IllegalArgumentException](
+        ArangoHttp.requireValidCollectionName("_"))
     } finally m.stop()
   }
 

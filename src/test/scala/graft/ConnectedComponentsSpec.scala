@@ -133,6 +133,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("cadenced rounds release mid-burst caches when the fixpoint FAILS pre-seal") {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    try {
+      intercept[IllegalArgumentException] {
+        // maxIters=1 trips the non-convergence require AFTER round 1's
+        // ephemeral persist — seal() never runs; withLiveness's finally
+        // must release the cached blocks anyway
+        labelsOf(
+          nodes = (0L until 16L), edges = (1L until 16L).map(i => (i, i - 1)),
+          maxIters = 1,
+          store = ConnectedComponents.CadencedRounds(
+            TableRounds(spark, "cc_fail"), durableEvery = 3))
+      }
+      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+        "failed fixpoint leaked persisted round caches")
+    } finally Seq("cc_fail_0", "cc_fail_1")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("graft.cc.durableEvery selects the store: same labels either way") {
     val rnd = new scala.util.Random(11)
     val nodes = (0L until 40L)

@@ -140,4 +140,31 @@ class JdbcSinkSpec extends SparkSpec {
     assert(rows() === viaAppend,
       "upsert mode and append+collapse mode disagree on the current view")
   }
+
+  test("upsert mode: NULL keys are merge-idempotent, not re-inserted per redelivery") {
+    // plain `t.k = s.k` is UNKNOWN for NULL = NULL, so a NULL-keyed row
+    // would be WHEN NOT MATCHED on EVERY redelivery and the raw table
+    // would grow without bound — the exact failure upsert mode exists to
+    // prevent; the ON clause must match null-safely
+    val url = "jdbc:derby:memory:graft_upnull;create=true"
+    val srcDir = tmp("jdbc_src4")
+    Files.write(srcDir.resolve("b1.json"),
+      Seq("""{"k":null,"v":"n","_ver":1}""", """{"k":1,"v":"a","_ver":1}""")
+        .mkString("\n").getBytes("UTF-8"))
+    runUpsert(srcDir, url, "changes_un", tmp("jdbc_ck9"))
+    runUpsert(srcDir, url, "changes_un", tmp("jdbc_ck10")) // fresh ckpt = replay
+    def rows() = readBack(url, "changes_un")
+      .select("k", "v", "_ver").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1.getOrElse(Long.MinValue), t._3))
+    assert(rows() === Seq((None, "n", 1L), (Some(1L), "a", 1L)),
+      s"NULL-keyed row duplicated on redelivery: ${rows()}")
+    // and the NULL key still advances in place like any other key
+    Files.write(srcDir.resolve("b2.json"),
+      Seq("""{"k":null,"v":"n2","_ver":5}""").mkString("\n").getBytes("UTF-8"))
+    runUpsert(srcDir, url, "changes_un", tmp("jdbc_ck11"))
+    assert(rows() === Seq((None, "n2", 5L), (Some(1L), "a", 1L)),
+      "NULL-keyed row did not update in place")
+  }
 }

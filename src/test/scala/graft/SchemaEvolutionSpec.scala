@@ -52,4 +52,42 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SchemaEvolution.unionEvolved(Seq(bad.withColumn("amount", lit("s")), g2)))
   }
+
+  test("nested types equal up to nullability are NOT conflicts") {
+    // literal-built frames infer NOT NULL nested fields; parsed/read
+    // data infers nullable — the same logical column either way
+    val strict = StructType(Seq(StructField("a", IntegerType, nullable = false)))
+    val loose = StructType(Seq(StructField("a", IntegerType, nullable = true)))
+    assert(SchemaEvolution.widen(strict, loose) === loose)
+    assert(SchemaEvolution.widen(
+        ArrayType(IntegerType, containsNull = false),
+        ArrayType(IntegerType, containsNull = true))
+      === ArrayType(IntegerType, containsNull = true))
+    // end to end: frames whose struct column differs only in nested
+    // nullability union instead of throwing
+    val g1 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(10))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("props", strict, nullable = false))))
+    val g2 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(20))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("props", loose, nullable = true))))
+    val u = SchemaEvolution.unionEvolved(Seq(g1, g2))
+    assert(u.orderBy("id").collect().map(_.getStruct(1).getInt(0)).toSeq === Seq(10, 20))
+  }
+
+  test("column names match case-insensitively, first-seen spelling wins") {
+    // a generation that respelled Amount -> amount is the same column
+    // evolving (Spark's default resolver is case-insensitive); exact-case
+    // keying would emit BOTH columns, the twin NULL-backfilled
+    val g1 = Seq((1L, 10)).toDF("id", "Amount")
+      .select(col("id"), col("Amount").cast("int").as("Amount"))
+    val g2 = Seq((2L, 2.5)).toDF("id", "amount")
+    val u = SchemaEvolution.unionEvolved(Seq(g1, g2))
+    assert(u.columns.toSeq === Seq("id", "Amount"),
+      s"case-respelled column duplicated: ${u.columns.toSeq}")
+    assert(u.schema("Amount").dataType === DoubleType)
+    assert(u.orderBy("id").collect().map(_.getDouble(1)).toSeq === Seq(10.0, 2.5))
+  }
 }
