@@ -36,14 +36,18 @@ object LivenessMarker {
   def heartbeatPath(dir: Path): Path =
     new Path(dir.getParent, dir.getName + Suffix)
 
-  /** Create-or-refresh the heartbeat for `dir`. Best-effort by design:
-    * a failed touch degrades to the age guard, never fails the build. */
+  /** Create-or-refresh the heartbeat for `dir`. Refresh is
+    * OVERWRITE-CREATE, never `setTimes`: Hadoop's FileSystem base
+    * implementation of setTimes is a silent no-op and object-store
+    * filesystems (S3A and friends — the norm at the scale this guard
+    * exists for) don't override it, so a setTimes-based refresh would
+    * quietly degrade liveness back to the age-only sweep this marker
+    * was built to replace. Re-creating the (empty) file bumps mtime on
+    * every FileSystem. Best-effort by design: a failed touch degrades
+    * to the age guard, never fails the build. */
   def touch(fs: FileSystem, dir: Path): Unit =
-    try {
-      val hb = heartbeatPath(dir)
-      if (fs.exists(hb)) fs.setTimes(hb, System.currentTimeMillis(), -1)
-      else fs.create(hb, true).close()
-    } catch { case _: Exception => () }
+    try fs.create(heartbeatPath(dir), true).close()
+    catch { case _: Exception => () }
 
   /** True when `dir` has a heartbeat younger than `cutoffMillis` —
     * i.e. some session is (or very recently was) actively building it. */

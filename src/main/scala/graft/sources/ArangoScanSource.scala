@@ -148,7 +148,10 @@ private class ArangoScan(
     // (futures are awaited positionally), preserving the
     // server-collation boundary order the range FILTERs require.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, offsets.size)))
+      math.max(1, math.min(8, offsets.size)),
+      (r: Runnable) => { // daemon: a wedged probe can't block JVM exit
+        val t = new Thread(r, "graft-arango-probe"); t.setDaemon(true); t
+      })
     val boundaries =
       try {
         offsets.map { off =>
@@ -160,7 +163,16 @@ private class ArangoScan(
               s"FOR d IN $collection SORT d._key LIMIT $off, 1 RETURN d._key")
               .headOption.map(mapper.readTree(_).asText)
           })
-        }.flatMap(_.get())
+        }.flatMap { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            // surface the transport's own message (plain shutdown would
+            // let every QUEUED probe still run — and retry-backoff —
+            // against a server we already know is failing)
+            pool.shutdownNow()
+            throw e.getCause
+          }
+        }
       } finally pool.shutdown()
     val dedupedBoundaries = boundaries.distinct
     val los = None +: dedupedBoundaries.map(Option(_))

@@ -280,6 +280,17 @@ object CdcStream {
     * quiet moment on a TTL'd query. A TTL'd query is a long-lived
     * service: manage its lifetime explicitly (StreamingQuery.stop or
     * the [[Supervisor]]).
+    *
+    * CHECKPOINT COMPATIBILITY (applies to every `ttl`-parameterized twin
+    * here — funnel/attribution/decay/transition included): turning a TTL
+    * on or off is a TimeMode + state-schema change that
+    * `transformWithState` REJECTS on restart from an existing
+    * checkpoint. Enabling TTL on a deployed query therefore means a
+    * FRESH checkpoint directory — and with it, discarding the operator
+    * state accumulated so far (for these twins that is a bounded replay
+    * cost: state rebuilds from the source's replay window, which the TTL
+    * must cover anyway — see the trade-off above). Plan the flip as a
+    * resync-style migration, not a config toggle.
     */
   def statefulLatestTws[K, T](
       ds: org.apache.spark.sql.Dataset[T],

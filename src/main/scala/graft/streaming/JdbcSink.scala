@@ -89,13 +89,34 @@ object JdbcSink {
       batchSize: Int = 10000,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     require(keys.nonEmpty, "upsert mode needs at least one key column")
-    val stage = s"${table}_stage"
+    val cols = changes.columns.toSeq
+    require(keys.forall(cols.contains),
+      s"key columns ${keys.filterNot(cols.contains).mkString(", ")} not in the stream")
+    require(cols.contains(verCol), s"version column $verCol not in the stream")
+    require(!keys.contains(verCol),
+      s"version column $verCol cannot also be a key — the MERGE's " +
+        "latest-wins condition compares it across versions of one key")
+    require(cols.exists(c => !keys.contains(c)),
+      "upsert mode needs at least one non-key column to SET — with every " +
+        "column a key the MERGE's UPDATE list would be empty (malformed SQL)")
+    // stage name is PER QUERY, not per target: two concurrent upsert
+    // queries on one target (blue/green overlap, two apps) sharing a
+    // fixed '<table>_stage' would clobber each other between the
+    // bulk-load and the MERGE, silently losing one side's updates; the
+    // stage is also dropped after each merge so readers of the store
+    // never see half a batch of transient rows.
+    val stage = s"${table}_stage_${java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())}"
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.ReplicaTable.latest(batch, keys, verCol)
+        // one evaluation of the micro-batch lineage per trigger: isEmpty
+        // alone would re-scan the source once for the check and once for
+        // the stage write
+        val persisted = batch.persist()
+        try if (!persisted.isEmpty) {
+          graft.operators.ReplicaTable.latest(persisted, keys, verCol)
             .write.format("jdbc")
             .option("url", url)
             .option("dbtable", stage)
@@ -104,7 +125,6 @@ object JdbcSink {
             .option("batchsize", batchSize)
             .mode("overwrite")
             .save()
-          val cols = batch.columns.toSeq
           def q(c: String) = "\"" + c + "\""
           // NULL-SAFE key match: plain `t.k = s.k` evaluates UNKNOWN for
           // NULL keys, so a NULL-keyed row would be WHEN NOT MATCHED on
@@ -144,9 +164,13 @@ object JdbcSink {
                   s"THEN UPDATE SET $sets " +
                   s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
                   s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})")
+              // the stage served its one MERGE — leaving it live would
+              // expose a batch of transient rows to every reader and
+              // strand one table per query lifetime
+              st.executeUpdate(s"DROP TABLE $stage")
             } finally st.close()
           } finally conn.close()
-        }
+        } finally persisted.unpersist()
         ()
       }
       .start()
