@@ -19,6 +19,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
 
+  /** Completeness witness inside a staging dir: created only after the
+    * staging write finished AND its row count was read back, i.e. the
+    * last step before the renames begin. Underscore-prefixed so parquet
+    * readers ignore it (the `_SUCCESS` convention); it travels with the
+    * rename into the live dir, where [[writeSnapshot]] removes it.
+    */
+  private val SwapReady = "_graft_swap_ready"
+
+  /** Repair a swap a CRASH interrupted between its two renames — the
+    * recovery the class doc promises. Disk states and their repairs:
+    *
+    *  - live missing, staging carries [[SwapReady]]: the crash hit after
+    *    `live -> .old` and before `.staging -> live`; staging is a
+    *    complete, counted snapshot — finish the swap forward.
+    *  - live missing, staging absent/incomplete, `.old` present: roll
+    *    the previous snapshot back (crash either mid-staging-write on a
+    *    table already staged out, or in an unmarked legacy swap).
+    *  - live present: nothing to do (a stray `.old` is reclaimed by the
+    *    next swap's own delete).
+    *
+    * MUST only run from a writer's context (the single replication
+    * micro-batch thread, or a caller holding the writeSnapshot
+    * serialization the class contract already requires) — a reader
+    * calling this concurrently with a live swap could race its renames.
+    */
+  def recoverInterruptedSwap(spark: SparkSession, dir: String): Unit = {
+    val staging = new Path(dir + ".staging")
+    val live = new Path(dir)
+    val old = new Path(dir + ".old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return
+    if (fs.exists(new Path(staging, SwapReady))) {
+      if (!fs.rename(staging, live))
+        throw new IllegalStateException(s"snapshot recovery: could not promote staging for $dir")
+      fs.delete(old, true)
+      fs.delete(new Path(live, SwapReady), false)
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new IllegalStateException(s"snapshot recovery: could not roll back $dir")
+    }
+  }
+
   /** Write `df` to `<dir>.staging`, then atomically swap it into `dir`.
     * Returns the row count written (the reference returns processed-doc
     * counts from its snapshot loader, store.py:61-91).
@@ -29,9 +71,12 @@ object SnapshotStore {
     val old = new Path(dir + ".old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    recoverInterruptedSwap(spark, dir) // a prior crash mid-swap heals here
+
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
+    fs.create(new Path(staging, SwapReady), true).close()
 
     fs.delete(old, true)
     val hadLive = fs.exists(live)
@@ -44,6 +89,7 @@ object SnapshotStore {
       throw new IllegalStateException(s"snapshot swap failed for $dir")
     }
     fs.delete(old, true)
+    fs.delete(new Path(live, SwapReady), false)
     n
   }
 
@@ -69,9 +115,12 @@ object SnapshotStore {
     val old = new Path(dir + ".old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    recoverInterruptedSwap(spark, dir) // a prior crash mid-swap heals here
+
     fs.delete(staging, true)
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
+    fs.create(new Path(staging, SwapReady), true).close()
 
     fs.delete(old, true)
     val hadLive = fs.exists(live)
@@ -82,6 +131,7 @@ object SnapshotStore {
       throw new IllegalStateException(s"snapshot swap failed for $dir")
     }
     fs.delete(old, true)
+    fs.delete(new Path(live, SwapReady), false)
     n
   }
 }

@@ -106,9 +106,18 @@ object CdcStream {
       queryName: Option[String] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
-    val changes = pipeline(wal, payloadSchema, collectionIds, initialTick, clock)
-      .observe("cdc", count(lit(1)).as("rows"),
-        min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+    // offset-range metrics attach to the RAW wal frame, BEFORE the
+    // envelope filter: op-filtered entries (txn markers 2200-2202,
+    // foreign collections) carry WAL offsets too, so observing after the
+    // filter makes every routinely-dropped run at a batch boundary look
+    // like a gap (batch N ends at a data offset, batch N+1 starts past
+    // the dropped markers) — E2 means "the SERVER skipped ticks", which
+    // only the pre-filter stream can witness. The processed-rows count
+    // (V3) stays post-pipeline: it counts rows that became table rows.
+    val observedWal = wal.observe("cdc_wal",
+      min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+    val changes = pipeline(observedWal, payloadSchema, collectionIds, initialTick, clock)
+      .observe("cdc", count(lit(1)).as("rows"))
     val writer = changes.writeStream
     queryName.foreach(writer.queryName)
     val query = writer
@@ -132,6 +141,15 @@ object CdcStream {
           batch.sparkSession.sparkContext.hadoopConfiguration)
         val marker = new Path(new Path(checkpointDir, "graft-sink-commits"),
           f"batch-$batchId%020d")
+        // a crash inside the compaction swap below leaves the table
+        // staged out as <tableDir>.old (no live dir); the re-delivered
+        // batch would be SKIPPED by its commit marker and a bare append
+        // would then start a fresh empty table while the history sits in
+        // .old until the next compaction deletes it — heal BEFORE the
+        // marker check so both the skip and the append see the restored
+        // table (foreachBatch serialization makes this race-free)
+        graft.operators.SnapshotStore.recoverInterruptedSwap(
+          batch.sparkSession, tableDir)
         if (!fs.exists(marker)) {
           // cache: the batch feeds two writes (+ an emptiness probe); without
           // it each job re-executes the source plan — recomputing the batch
@@ -705,8 +723,16 @@ object CdcStream {
         }
       }
     events
+      // the batch twin's own event universe (w23 filters to these
+      // three): without it any foreign type ("error", heartbeats…)
+      // would be stored and CREDITED as a touch — and evict real
+      // touches from the 20-entry cap; value is null-safe because only
+      // purchases carry one (a null on a touch row would kill the
+      // primitive-Double encoder)
+      .filter(col(typeCol).isin("view", "click", "purchase"))
       .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
-        col(idCol).cast("long"), col(typeCol), col(valueCol).cast("double"))
+        col(idCol).cast("long"), col(typeCol),
+        coalesce(col(valueCol).cast("double"), lit(0.0)))
       .as[(Long, Long, Long, String, Double)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(processor,
@@ -849,7 +875,13 @@ object CdcStream {
     * output of [[windowedCounts]] (append emits each window exactly once,
     * after the watermark closes it, in non-decreasing event-time order
     * per key — the property the ring relies on; a window at or before
-    * the ring head would be a re-delivery and is dropped).
+    * the ring head would be a re-delivery and is dropped), RENAMED to
+    * this function's input contract: it selects exactly the columns
+    * `event_type` (key), `minute` (window-close timestamp), `cnt`
+    * (count) — windowedCounts' `window_start`/<keyCols>/`n_events` need
+    * a `.select(col(key).as("event_type"), col("window_start")
+    * .as("minute"), col("n_events").as("cnt"))` between the two (see
+    * StreamingOpsSpec's wiring).
     *
     * State is O(1) per key (`window` longs) — no TTL needed for
     * boundedness; the flag itself is engine-exact, so a streaming

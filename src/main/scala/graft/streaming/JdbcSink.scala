@@ -76,6 +76,15 @@ object JdbcSink {
     * The target table is created from the stage schema on first batch
     * (`CREATE TABLE .. AS .. WITH NO DATA`). Identifiers are quoted, so
     * `_ver`-style column names survive the store's case folding.
+    *
+    * PRE-EXISTING TARGETS: quoting makes the MERGE exact-case, which is
+    * self-consistent when this sink created the table (stage-derived,
+    * Spark-quoted) but INVERTS for a table a user pre-created with
+    * UNQUOTED DDL on a case-folding store — `CREATE TABLE t(user_id ..)`
+    * stores `USER_ID` on Derby/Oracle/H2, and `t."user_id"` then fails
+    * column resolution on every batch. Pre-created targets must use
+    * quoted DDL with column spellings matching the stream's exactly (or
+    * let this sink create the table).
     */
   def startUpsert(
       changes: DataFrame,
@@ -104,9 +113,16 @@ object JdbcSink {
     // fixed '<table>_stage' would clobber each other between the
     // bulk-load and the MERGE, silently losing one side's updates; the
     // stage is also dropped after each merge so readers of the store
-    // never see half a batch of transient rows.
-    val stage = s"${table}_stage_${java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong())}"
+    // never see half a batch of transient rows. The per-query suffix is
+    // DERIVED FROM THE CHECKPOINT DIR (the query's identity), not
+    // random: a crash between bulk-load and DROP strands the stage, and
+    // a random-named restart would leak one table per unclean shutdown
+    // forever — the stable name makes the restarted query overwrite and
+    // then drop its own orphan.
+    val stage = s"${table}_stage_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -150,8 +166,16 @@ object JdbcSink {
               try {
                 probe.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
                 true
-              } catch { case _: java.sql.SQLException => false }
-              finally probe.close()
+              } catch {
+                // only UNDEFINED-TABLE states mean "absent" (Derby
+                // 42X05/42Y07, H2/MySQL 42S02, PostgreSQL 42P01): a
+                // transient connection blip or revoked SELECT must
+                // surface as ITSELF, not trigger a spurious CREATE TABLE
+                // whose 'already exists' error masks the real cause
+                case e: java.sql.SQLException
+                    if Set("42X05", "42Y07", "42S02", "42P01")
+                      .contains(e.getSQLState) => false
+              } finally probe.close()
             }
             val st = conn.createStatement()
             try {

@@ -23,10 +23,16 @@ object Producer {
     wal.select(
       // try_element_at: ANSI mode (the engine default) makes element_at
       // THROW on a missing key — one foreign-collection record would
-      // kill the producer; unknown cuids route to a null topic instead
+      // kill the producer; unknown cuids resolve to a null topic here
       try_element_at(mapping, col("cuid")).as("topic"),
       get_json_object(col("data"), "$._key").as("key"),
       to_json(struct(wal.columns.map(col): _*)).as("value"))
+      // ... and are then DROPPED: Spark's Kafka writer throws on a null
+      // topic, so leaving them in would wedge the producer on the same
+      // offset forever — the deterministic-poison failure try_element_at
+      // exists to avoid. Skipping foreign collections is the reference's
+      // own behavior (publisher.py only produces catalog collections).
+      .filter(col("topic").isNotNull)
   }
 
   /** S5 + P3, catalog-table form: when the collection catalog is itself a
@@ -39,6 +45,10 @@ object Producer {
         catalog("topic"),
         get_json_object(wal("data"), "$._key").as("key"),
         to_json(struct(wal.columns.map(wal(_)): _*)).as("value"))
+      // same contract as the literal-map form: foreign-collection rows
+      // (left-join miss -> null topic) are skipped, never sent to a
+      // writer that throws on null topics
+      .filter(col("topic").isNotNull)
 
   /** K1: Kafka producer sink. `flush()` per batch ≙ micro-batch commit.
     * Config-only in this environment (no broker); the message contract is

@@ -41,16 +41,29 @@ final class QueryMonitor(
     // metrics — count each micro-batch exactly once
     val firstSeen = lastBatch.getOrDefault(name, -1L) < p.batchId
     lastBatch.merge(name, p.batchId, (a: Long, b: Long) => math.max(a, b))
-    if (firstSeen && obs.containsKey("cdc")) {
-      val row = obs.get("cdc")
-      val rows = if (row.isNullAt(0)) 0L else row.getLong(0)
-      processed.merge(name, rows, (a: Long, b: Long) => a + b)
-      if (!row.isNullAt(1) && !row.isNullAt(2)) {
-        val minOff = row.getLong(1); val maxOff = row.getLong(2)
-        val prev = lastMaxOffset.getOrDefault(name, Long.MinValue)
-        if (prev != Long.MinValue && minOff > prev + 1)
-          onGap(name, prev, minOff) // "asked for X but got Y" — log and continue
-        lastMaxOffset.merge(name, maxOff, (a: Long, b: Long) => math.max(a, b))
+    if (firstSeen) {
+      if (obs.containsKey("cdc")) {
+        val row = obs.get("cdc")
+        val rows = if (row.isNullAt(0)) 0L else row.getLong(0)
+        processed.merge(name, rows, (a: Long, b: Long) => a + b)
+      }
+      // offset ranges come from the PRE-FILTER "cdc_wal" observation
+      // (filtered txn markers/foreign collections carry offsets too —
+      // post-filter ranges fake gaps at batch boundaries); the legacy
+      // 3-column "cdc" shape is honored for externally-attached observes
+      val offsets =
+        if (obs.containsKey("cdc_wal")) Some((obs.get("cdc_wal"), 0, 1))
+        else if (obs.containsKey("cdc") && obs.get("cdc").length >= 3)
+          Some((obs.get("cdc"), 1, 2))
+        else None
+      offsets.foreach { case (row, lo, hi) =>
+        if (!row.isNullAt(lo) && !row.isNullAt(hi)) {
+          val minOff = row.getLong(lo); val maxOff = row.getLong(hi)
+          val prev = lastMaxOffset.getOrDefault(name, Long.MinValue)
+          if (prev != Long.MinValue && minOff > prev + 1)
+            onGap(name, prev, minOff) // "asked for X but got Y" — log and continue
+          lastMaxOffset.merge(name, maxOff, (a: Long, b: Long) => math.max(a, b))
+        }
       }
     }
   }

@@ -72,7 +72,13 @@ final class SmtpAlerter(
         s"To: ${safeTo.mkString(", ")}",
         s"Subject: [graft] replication query failed: ${oneLine(queryName)}",
         "",
-        s"Streaming query '$queryName' terminated with an exception:",
+        // the body line flattens the name too: a CRLF inside the
+        // interpolation would leave send() emitting a multi-line "line"
+        // whose embedded bare "." could terminate DATA early and whose
+        // remainder would parse as SMTP commands — the exact injection
+        // oneLine exists to stop (the error text is safe: it goes
+        // through linesIterator + dot-stuffing below)
+        s"Streaming query '${oneLine(queryName)}' terminated with an exception:",
         "") ++ error.linesIterator
       body.foreach { l =>
         send(if (l.startsWith(".")) "." + l else l) // dot-stuffing

@@ -49,6 +49,13 @@ final class Supervisor(
     */
   def runBlocking(): Boolean = {
     while (true) {
+      // the rapid-failure window measures UPTIME (start -> failure), not
+      // failure-to-failure time: the latter silently counts the
+      // restartDelay sleep as health, so with delay >= minUptime a query
+      // that NEVER stays up a full minute still resets the window on
+      // every crash and flap-restarts forever — exactly what the class
+      // doc promises cannot happen
+      val startedAt = now()
       val query = start()
       try {
         query.awaitTermination()
@@ -58,10 +65,9 @@ final class Supervisor(
           totalFailuresV += 1
           lastErrorV = Some(e.getMessage)
           val t = now()
-          val failedAgain = lastFailedAt != Long.MinValue &&
-            (t - lastFailedAt) < minUptimeMillis
           lastFailedAt = t
-          rapidFailuresV = if (failedAgain) rapidFailuresV + 1 else 1
+          rapidFailuresV =
+            if ((t - startedAt) < minUptimeMillis) rapidFailuresV + 1 else 1
           if (rapidFailuresV >= maxRestarts) return false
           sleep(restartDelayMillis)
       }

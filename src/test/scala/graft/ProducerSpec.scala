@@ -21,8 +21,11 @@ class ProducerSpec extends SparkSpec {
     val out = Producer.prepareKafkaMessages(wal(), Map("c1" -> "orders", "c2" -> "users"))
       .orderBy(col("value"))
       .collect()
-    assert(out.map(_.getString(0)).toSeq === Seq("orders", "users", null))
-    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", null))
+    // the c9 (foreign-collection) record is DROPPED, not shipped with a
+    // null topic: Spark's Kafka writer throws on null topics, so one
+    // foreign record would wedge the producer on the same offset forever
+    assert(out.map(_.getString(0)).toSeq === Seq("orders", "users"))
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b"))
     // value round-trips the whole envelope (publisher.py:84 sends the entry)
     assert(out(0).getString(2).contains("\"offset\":11") &&
       out(0).getString(2).contains("\"cuid\":\"c1\""))
@@ -34,8 +37,9 @@ class ProducerSpec extends SparkSpec {
     val out = Producer.prepareKafkaMessagesWithCatalog(wal(), catalog)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+    // catalog-miss rows (c9) are dropped, same contract as the map form
     assert(out.orderBy(col("key")).collect().map(_.getString(0)).toSeq ===
-      Seq(null, "orders", "users"))
+      Seq("orders", "users"))
   }
 
   test("QueryMonitor counts processed rows and flags offset gaps") {
@@ -75,6 +79,48 @@ class ProducerSpec extends SparkSpec {
 
       assert(mon.processedCount("mon_test") === 3)
       assert(gaps === List((13L, 21L)))
+    } finally spark.streams.removeListener(mon)
+  }
+
+  test("filtered WAL entries at a batch boundary do not fake a gap (E2 is pre-filter)") {
+    import java.nio.file.Files
+    import graft.config.{ColumnSpec, TableConfig}
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.types._
+
+    var gaps = List.empty[(Long, Long)]
+    val mon = new QueryMonitor(onGap = (_, prev, next) => gaps ::= (prev, next))
+    spark.streams.addListener(mon)
+    try {
+      val walDir = Files.createTempDirectory("walgapf")
+      val tableDir = Files.createTempDirectory("tblgapf").resolve("t")
+      // batch 1 ends in two txn markers (types 2200/2201 — op-filtered,
+      // but they still occupy WAL offsets 13-14); batch 2 resumes at the
+      // NEXT offset 15. Post-filter observation would read max=12 then
+      // min=15 and alarm "13-14 lost"; the server skipped nothing.
+      Files.write(walDir.resolve("a.json"), java.util.Arrays.asList(
+        """{"offset":12,"tick":"12","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":1,\"v\":\"1\"}"}""",
+        """{"offset":13,"tick":"13","type":2200,"db":"d","cuid":"c1","tid":"t","data":"{}"}""",
+        """{"offset":14,"tick":"14","type":2201,"db":"d","cuid":"c1","tid":"t","data":"{}"}"""))
+      Files.write(walDir.resolve("b.json"), java.util.Arrays.asList(
+        """{"offset":15,"tick":"15","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":2,\"v\":\"2\"}"}"""))
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v"))))
+      val q = CdcStream.startReplication(
+        CdcStream.walFileSource(spark, walDir.toString, maxFilesPerTrigger = Some(1)),
+        config,
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+        tableDir.toString, Files.createTempDirectory("ckgapf").toString,
+        queryName = Some("gapf_test"))
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.processedCount("gapf_test") < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(mon.processedCount("gapf_test") === 2,
+        "V3 must still count only rows that became table rows")
+      assert(gaps === Nil,
+        s"op-filtered markers at the batch boundary faked a WAL gap: $gaps")
     } finally spark.streams.removeListener(mon)
   }
 }

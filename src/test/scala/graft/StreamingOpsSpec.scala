@@ -603,6 +603,11 @@ class StreamingOpsSpec extends SparkSpec
       ev(1, "2024-01-01T10:00:00.000Z", 1, "view"),
       ev(1, "2024-01-01T10:10:00.000Z", 2, "view"),
       ev(1, "2024-01-01T10:20:00.000Z", 3, "view"),
+      // foreign event types between touches and purchase must be
+      // IGNORED (batch w23 filters to view/click/purchase): an "error"
+      // must earn no credit, never evict a real touch from the 20-cap,
+      // and its null value must not kill the primitive-Double decode
+      """{"uid":1,"ts":"2024-01-01T10:25:00.000Z","eid":9,"etype":"error","value":null}""",
       ev(1, "2024-01-01T10:30:00.000Z", 4, "click")) ++
       (0 until 25).map(i =>
         ev(2, f"2024-01-01T09:${i}%02d:00.000Z", 100 + i, "view")) :+
