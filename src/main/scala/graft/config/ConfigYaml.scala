@@ -103,7 +103,15 @@ object ConfigYaml {
     var inS = false; var inD = false; var i = 0
     while (i < l.length) {
       val c = l.charAt(i)
-      if (c == '\'' && !inD) inS = !inS
+      if (c == '\'' && !inD) {
+        // YAML: a single-quoted string only STARTS where a token starts
+        // (after whitespace/:/,/[) — an apostrophe INSIDE an unquoted
+        // scalar (`default: user's_team # owner`) is literal; toggling
+        // on it would swallow the trailing comment into the value
+        if (inS) inS = false
+        else if (i == 0 || { val p = l.charAt(i - 1)
+          p.isWhitespace || p == ':' || p == '[' || p == ',' }) inS = true
+      }
       else if (c == '"' && !inS) inD = !inD
       else if (c == '#' && !inS && !inD && (i == 0 || l.charAt(i - 1).isWhitespace))
         return l.substring(0, i)

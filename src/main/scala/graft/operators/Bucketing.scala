@@ -19,12 +19,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Writes `df` as a bucketed+sorted managed parquet table. */
+  /** Writes `df` as a bucketed+sorted managed parquet table. Clears an
+    * ORPHANED location first: the in-memory catalog forgets tables at
+    * JVM exit while their warehouse dirs survive, and saveAsTable's
+    * Overwrite only overwrites tables the CURRENT catalog knows — a
+    * re-run in a fresh session would otherwise die with
+    * LOCATION_ALREADY_EXISTS on its own previous output.
+    */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
-      key: String): Unit =
+      key: String): Unit = {
+    ReplicaTable.dropTableAndLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Joins two same-bucketed tables on their bucket key — plans as a
     * merge join over co-located buckets, no exchange on either side.

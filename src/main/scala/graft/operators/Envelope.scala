@@ -87,6 +87,20 @@ object Envelope {
       dataSchema: StructType,
       initialTick: Option[Long] = None,
       clock: Column = current_timestamp()): DataFrame = {
+    // the flattened output reserves these names (offset is load-bearing
+    // for the sink's keep-list and the gap metrics; _ver/_deleted are
+    // the versioning law): a payload field by the same name would emit
+    // a DUPLICATE column and every downstream col("offset") would die
+    // with AMBIGUOUS_REFERENCE mid-stream — reject the config loudly at
+    // build time instead (ConfigYaml filters _ver/_deleted already;
+    // offset slipped through)
+    val reserved = Set("offset", "_ver", "_deleted")
+    val clash = dataSchema.fieldNames.filter(f =>
+      reserved.contains(f.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
+      s"payload schema fields ${clash.mkString(", ")} collide with the " +
+        "envelope's reserved output columns (offset, _ver, _deleted) — " +
+        "rename them in the table config's source mapping")
     val alive = tickHighPass(tombstoneFilter(df, "data"), initialTick)
     alive
       .withColumn("_doc", from_json(col("data"), dataSchema))

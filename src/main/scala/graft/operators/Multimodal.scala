@@ -160,7 +160,11 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](1)
         if (!isWav(payload)) None
-        else {
+        else try {
+          // WAV-magic payloads with a corrupt fmt/data chunk make the
+          // parser throw (UnsupportedAudioFileException/IOException) —
+          // they take the same drop path as non-WAV payloads instead of
+          // deterministically failing the task on every retry
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val f = ais.getFormat
@@ -176,7 +180,7 @@ object Multimodal {
           ais.close()
           Some(Row(r.getLong(0), r.getString(2),
             f.getSampleRate.toInt, f.getChannels, nFrames, s))
-        }
+        } catch { case _: Exception => None }
       }
     }(enc)
   }
@@ -186,6 +190,16 @@ object Multimodal {
     * payloads go through the REAL JDK decoder; everything else takes the
     * deterministic stub with a null pixel sum.
     */
+  /** Decode-or-None: ImageIO.read returns NULL (no exception) when no
+    * registered reader can decode a stream whose magic bytes passed, and
+    * THROWS on mid-stream corruption — either way one bad blob in a
+    * 100 TB corpus must degrade to the stub/drop path, not fail the task
+    * (and, deterministically, the whole job).
+    */
+  private def tryDecodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "payload", "format").mapPartitions { rows =>
@@ -195,9 +209,10 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
-        if (isDecodableImage(payload)) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+        val decoded =
+          if (isDecodableImage(payload)) tryDecodeImage(payload) else None
+        if (decoded.isDefined) {
+          val img = decoded.get
           val (w, h) = (img.getWidth, img.getHeight)
           var s = 0L
           var y = 0
@@ -278,10 +293,10 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](1)
+        // corrupt PNG-magic payloads drop (tryDecodeImage), same as
+        // non-PNG — never a task-killing NPE/IIOException
         if (!isPng(payload)) None
-        else {
-          val src = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+        else tryDecodeImage(payload).map { src =>
           val (w, h) = (src.getWidth, src.getHeight)
           val thumb = new java.awt.image.BufferedImage(
             tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -309,8 +324,8 @@ object Multimodal {
             }
             yy += 1
           }
-          Some(Row(r.getLong(0), w.toLong, h.toLong,
-            back.getWidth.toLong, back.getHeight.toLong, s))
+          Row(r.getLong(0), w.toLong, h.toLong,
+            back.getWidth.toLong, back.getHeight.toLong, s)
         }
       }
     }(enc)

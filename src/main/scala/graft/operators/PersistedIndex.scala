@@ -177,9 +177,14 @@ object PersistedIndex {
         }
         fs.create(new Path(loc(table), Marker), true).close()
       } else {
-        // best-effort liveness signal for the cross-session orphan sweep
-        try fs.setTimes(loc(table), System.currentTimeMillis(), -1)
-        catch { case _: Exception => () }
+        // best-effort liveness signal for the cross-session orphan sweep:
+        // refresh the HEARTBEAT (overwrite-create — works on every
+        // FileSystem), never fs.setTimes on the dir, whose Hadoop base
+        // impl is a silent no-op that object stores don't override — a
+        // setTimes-only refresh left a >30-min actively-REUSED index
+        // sweepable by a concurrent session on S3A-like stores, exactly
+        // the deletion the scaladoc promises cannot happen
+        LivenessMarker.touch(fs, loc(table))
       }
     }
     spark.table(table)

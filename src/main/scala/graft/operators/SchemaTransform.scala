@@ -37,7 +37,11 @@ object SchemaTransform {
 
   /** Build (castExpr, errorExprs) for one column over the source frame. */
   private def columnExprs(df: DataFrame, spec: graft.config.ColumnSpec): (Column, Seq[Column]) = {
-    val hasField = df.columns.contains(spec.sourceField)
+    // presence matches CASE-INSENSITIVELY, like Spark's own default
+    // resolver: an exact-case contains() would declare a present column
+    // ('Amount' vs ref 'amount') missing and dead-letter EVERY row for
+    // required/key columns — even though col(ref) resolves fine
+    val hasField = df.columns.exists(_.equalsIgnoreCase(spec.sourceField))
     val src: Column = if (hasField) col(spec.sourceField) else lit(null)
     val casted = CastRegistry.chain(spec.types)(src)
 

@@ -61,11 +61,14 @@ object SnapshotStore {
     }
   }
 
-  /** Write `df` to `<dir>.staging`, then atomically swap it into `dir`.
-    * Returns the row count written (the reference returns processed-doc
-    * counts from its snapshot loader, store.py:61-91).
+  /** The staged-swap protocol, shared by both write shapes — the
+    * crash-window invariants (heal, staged write, counted readback,
+    * ready witness, two renames with rollback, cleanup) live HERE and
+    * only here; `write` supplies the one varying step (how the frame
+    * lands in the staging path).
     */
-  def writeSnapshot(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  private def stagedSwap(
+      spark: SparkSession, dir: String)(write: String => Unit): Long = {
     val staging = new Path(dir + ".staging")
     val live = new Path(dir)
     val old = new Path(dir + ".old")
@@ -74,7 +77,7 @@ object SnapshotStore {
     recoverInterruptedSwap(spark, dir) // a prior crash mid-swap heals here
 
     fs.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
+    write(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
     fs.create(new Path(staging, SwapReady), true).close()
 
@@ -93,6 +96,13 @@ object SnapshotStore {
     n
   }
 
+  /** Write `df` to `<dir>.staging`, then atomically swap it into `dir`.
+    * Returns the row count written (the reference returns processed-doc
+    * counts from its snapshot loader, store.py:61-91).
+    */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, dir: String): Long =
+    stagedSwap(spark, dir)(p => df.write.mode("overwrite").parquet(p))
+
   /** Load a snapshot dir and (re)register its read view. */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
@@ -109,29 +119,7 @@ object SnapshotStore {
       spark: SparkSession,
       df: DataFrame,
       dir: String,
-      partCols: Seq[String]): Long = {
-    val staging = new Path(dir + ".staging")
-    val live = new Path(dir)
-    val old = new Path(dir + ".old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    recoverInterruptedSwap(spark, dir) // a prior crash mid-swap heals here
-
-    fs.delete(staging, true)
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    fs.create(new Path(staging, SwapReady), true).close()
-
-    fs.delete(old, true)
-    val hadLive = fs.exists(live)
-    if (hadLive && !fs.rename(live, old))
-      throw new IllegalStateException(s"snapshot swap: could not stage out $dir")
-    if (!fs.rename(staging, live)) {
-      if (hadLive) fs.rename(old, live)
-      throw new IllegalStateException(s"snapshot swap failed for $dir")
-    }
-    fs.delete(old, true)
-    fs.delete(new Path(live, SwapReady), false)
-    n
-  }
+      partCols: Seq[String]): Long =
+    stagedSwap(spark, dir)(p =>
+      df.write.mode("overwrite").partitionBy(partCols: _*).parquet(p))
 }

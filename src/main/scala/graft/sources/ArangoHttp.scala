@@ -237,10 +237,14 @@ object ArangoHttp {
       val last =
         if (header.isPresent) header.get.toLong
         else if (lines.isEmpty) 0L
-        else lines.map { l => // header-less server: derive from payload
-          val n = mapper.readTree(l).get("tick")
-          if (n.isTextual) n.asText.toLong else n.asLong
-        }.max
+        else lines.flatMap { l => // header-less server: derive from payload
+          // a line WITHOUT a tick (server status/marker noise) cannot
+          // advance the cursor and must not NPE the whole tail — one
+          // such line would otherwise poison-livelock the pump (crash,
+          // restart from the same high-water mark, crash again)
+          Option(mapper.readTree(l).get("tick"))
+            .map(n => if (n.isTextual) n.asText.toLong else n.asLong)
+        }.maxOption.getOrElse(0L)
       (lines, last)
     }
   }
@@ -437,9 +441,12 @@ final case class ArangoHttpCollectionSource(
         // sitting at head behind an inclusive bound looks exactly like
         // this; a genuinely stuck server is retried on the next pump
         // cycle by the Supervisor's cadence, never by a hot loop here).
-        val ticked = lines.map { l =>
-          val n = mapper.readTree(l).get("tick")
-          (if (n.isTextual) n.asText.toLong else n.asLong, l)
+        val ticked = lines.flatMap { l =>
+          // tick-less lines (server status/marker noise) are dropped —
+          // they cannot be spooled into tick-named chunks, and an NPE
+          // here would poison-livelock the pump on the same line forever
+          Option(mapper.readTree(l).get("tick"))
+            .map(n => (if (n.isTextual) n.asText.toLong else n.asLong, l))
         }.filter(_._1 > from).sortBy(_._1)
         if (ticked.isEmpty) draining = false
         else

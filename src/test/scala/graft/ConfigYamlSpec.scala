@@ -150,4 +150,16 @@ class ConfigYamlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unterminated quote"))
   }
+
+  test("an apostrophe inside an unquoted scalar does not swallow the comment") {
+    // YAML: a single-quoted string only STARTS at a token boundary; the
+    // apostrophe in user's_team is literal — treating it as a quote
+    // opener made the trailing comment part of the value (silent config
+    // corruption)
+    val n = ConfigYaml.parse("default: user's_team # owner group\n")
+    assert(n.get("default") === Some("user's_team"))
+    // genuinely quoted values still protect their hash
+    val q = ConfigYaml.parse("v: 'a # not a comment' # real comment\n")
+    assert(q.get("v") === Some("a # not a comment"))
+  }
 }

@@ -52,4 +52,19 @@ class EnvelopeSpec extends SparkSpec {
     val out = Envelope.opFilter(df, Seq("c1")).select("tick").as[String].collect()
     assert(out.sorted.toSeq == Seq("1", "2"))
   }
+
+  test("payload fields colliding with reserved envelope columns fail loudly") {
+    import org.apache.spark.sql.types._
+    val df = Seq((123L, "1", 2300, """{"offset":9}"""))
+      .toDF("offset", "tick", "type", "data")
+    // a payload field named 'offset' would emit a DUPLICATE output
+    // column and every downstream col("offset") would die with
+    // AMBIGUOUS_REFERENCE mid-stream — the config must be rejected at
+    // build time instead
+    val e = intercept[IllegalArgumentException] {
+      Envelope.preProcess(df,
+        StructType(Seq(StructField("offset", LongType))))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

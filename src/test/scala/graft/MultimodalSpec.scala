@@ -105,6 +105,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(5) === 5L * 2 * -12, "PCM sample sum")
   }
 
+  test("corrupt magic-valid payloads degrade, never kill the task") {
+    import spark.implicits._
+    // PNG magic + garbage: ImageIO.read returns null or throws — the
+    // row must take the stub path (null px_sum), not NPE the job; one
+    // bad blob in a 100 TB corpus must never abort the query
+    val fakePng = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ Array.fill[Byte](24)(0x41))
+    val feat = Multimodal.decodeFeatures(
+      Seq((1L, fakePng, "image/png")).toDF("media_id", "payload", "format"))
+      .collect().head
+    assert(feat.isNullAt(6), "corrupt PNG must fall back to the stub path")
+    // thumbnails: the corrupt payload is dropped like a non-PNG
+    assert(Multimodal.thumbnailFeatures(
+      Seq((1L, fakePng)).toDF("media_id", "payload"), 2, 2).count() === 0)
+    // WAV magic + corrupt fmt chunk: parser throws — dropped, not fatal
+    val fakeWav = ("RIFF####WAVE".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](16)(0x41))
+    assert(Multimodal.isWav(fakeWav), "fixture must pass the magic check")
+    assert(Multimodal.audioFeatures(
+      Seq((2L, fakeWav, "audio/wav")).toDF("media_id", "payload", "format"))
+      .count() === 0)
+  }
+
   test("resizeStub emits target dims and a smaller-or-equal payload") {
     val out = Multimodal.resizeStub(media(), targetW = 8, targetH = 8).collect()
     assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))

@@ -83,4 +83,16 @@ class SchemaTransformSpec extends SparkSpec {
     val out = SchemaTransform(df, config).valid
     assert(out.columns.toSeq == Seq("Id", "Name", "Attr1", "Attr2"))
   }
+
+  test("source-field presence matches case-insensitively, like Spark's resolver") {
+    // '_Key' vs ref '_key': exact-case contains() would declare the
+    // primary key MISSING and dead-letter every row, even though
+    // col(\"_key\") resolves fine under the default resolver
+    val df = Seq(("1", "n", "2", "3")).toDF("_Key", "Name", "ATTR1", "attr2")
+    val t = SchemaTransform(df, config)
+    assert(t.errors.isEmpty,
+      s"case-respelled columns dead-lettered: ${t.errors.collect().toSeq}")
+    val r = t.valid.collect().head
+    assert(r.getLong(0) === 1L && r.getString(1) === "n")
+  }
 }
