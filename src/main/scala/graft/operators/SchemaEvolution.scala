@@ -63,23 +63,56 @@ object SchemaEvolution {
 
   /** The widest of two column types under the safe ladder; types equal
     * up to (nested) nullability pass through in nullable form (any
-    * type, including nested), numeric pairs widen, anything else is a
-    * REAL conflict and fails loudly — silently stringifying a
-    * conflicted column would corrupt every reader.
+    * type, including nested), numeric pairs widen — RECURSIVELY through
+    * same-shape nested types (`struct<x:int>` vs `struct<x:double>`,
+    * `array<int>` vs `array<double>`, map keys/values) — anything else
+    * is a REAL conflict and fails loudly with the nested field path;
+    * silently stringifying a conflicted column would corrupt every
+    * reader.
+    *
+    * Struct recursion requires the SAME field names in the SAME order
+    * (case-insensitive): Spark's struct cast maps fields POSITIONALLY,
+    * so widening across a reorder or a nested add/drop would silently
+    * move values between fields — those migrations fail loudly and need
+    * an explicit per-generation projection before the union (the
+    * top-level by-name machinery of [[unionEvolved]] does not descend
+    * into structs by design: a positional cast is the only shape the
+    * engine executes without rebuilding the column).
     */
   def widen(a: DataType, b: DataType): DataType =
     if (relaxNullability(a) == relaxNullability(b)) relaxNullability(a)
-    else if (integralLadder.contains(a) && integralLadder.contains(b)) {
-      if (integralLadder.indexOf(a) >= integralLadder.indexOf(b)) a else b
-    } else if (fractionalLadder.contains(a) && fractionalLadder.contains(b)) {
-      if (fractionalLadder.indexOf(a) >= fractionalLadder.indexOf(b)) a else b
-    } else if (numeric(a) && numeric(b)) {
-      DoubleType // mixed integral/fractional: the standard (documented) trade
-    } else {
-      throw new IllegalArgumentException(
-        s"schema evolution cannot reconcile column types $a and $b — " +
-          "only numeric widening and exact matches are safe; a genuine " +
-          "type conflict needs an explicit transform, not a silent guess")
+    else (a, b) match {
+      case (sa: StructType, sb: StructType)
+          if sa.length == sb.length &&
+            sa.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq ==
+              sb.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq =>
+        StructType(sa.fields.zip(sb.fields).map { case (fa, fb) =>
+          val t =
+            try widen(fa.dataType, fb.dataType)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"in struct field '${fa.name}': ${e.getMessage}")
+            }
+          StructField(fa.name, t, nullable = true)
+        })
+      case (aa: ArrayType, ab: ArrayType) =>
+        ArrayType(widen(aa.elementType, ab.elementType), containsNull = true)
+      case (ma: MapType, mb: MapType) =>
+        MapType(widen(ma.keyType, mb.keyType),
+          widen(ma.valueType, mb.valueType), valueContainsNull = true)
+      case _ if integralLadder.contains(a) && integralLadder.contains(b) =>
+        if (integralLadder.indexOf(a) >= integralLadder.indexOf(b)) a else b
+      case _ if fractionalLadder.contains(a) && fractionalLadder.contains(b) =>
+        if (fractionalLadder.indexOf(a) >= fractionalLadder.indexOf(b)) a else b
+      case _ if numeric(a) && numeric(b) =>
+        DoubleType // mixed integral/fractional: the standard (documented) trade
+      case _ =>
+        throw new IllegalArgumentException(
+          s"schema evolution cannot reconcile column types $a and $b — " +
+            "only numeric widening (top-level or through same-shape " +
+            "struct/array/map) and exact matches are safe; a struct " +
+            "field add/drop/reorder or a genuine type conflict needs an " +
+            "explicit transform, not a silent guess")
     }
 
   /** Union `gens` under the unified (widest, by-name) schema. Column

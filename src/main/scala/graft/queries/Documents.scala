@@ -1325,20 +1325,7 @@ object Documents {
   def d20IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = D16KgramWidth
     val isShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
-    // one-time build per (corpus, params): index the BASE corpus, then
-    // append the shard's k-grams — the only tokenization the incremental
-    // path ever runs is over these two disjoint slices, once
-    val idx = graft.operators.PersistedIndex.ensure(
-      spark, "graft_kgram_inc", dir,
-      sources = Seq(s"$dir/documents.parquet"),
-      params = s"k=$k mod=$D20ShardMod") { table =>
-      kgramRows(spark, docs(spark, dir).filter(!isShard), k)
-        .write.format("parquet").bucketBy(8, "h").sortBy("h")
-        .saveAsTable(table)
-      kgramRows(spark, docs(spark, dir).filter(isShard), k)
-        .write.format("parquet").mode("append").bucketBy(8, "h").sortBy("h")
-        .saveAsTable(table)
-    }
+    val idx = incKgramIndex(spark, dir)
     val base = idx.filter(!isShard)
     val oldDup = dupHashes(base)
     val allDup = dupHashes(idx)
@@ -1360,6 +1347,55 @@ object Documents {
         .join(affected, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("pos")), k)
     kept.unionByName(recomputed).orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The shared base+shard k-gram index (one-time build per corpus:
+    * index the BASE corpus, then append the shard's k-grams — the only
+    * tokenization the incremental path ever runs is over these two
+    * disjoint slices, once). Content is the WHOLE corpus's k-grams; the
+    * base/shard distinction is a doc_id predicate over it, so a scale
+    * probe can re-slice the same table under a different shard size
+    * without rebuilding.
+    */
+  private def incKgramIndex(spark: SparkSession, dir: String): DataFrame = {
+    val k = D16KgramWidth
+    val isShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
+    graft.operators.PersistedIndex.ensure(
+      spark, "graft_kgram_inc", dir,
+      sources = Seq(s"$dir/documents.parquet"),
+      params = s"k=$k mod=$D20ShardMod") { table =>
+      kgramRows(spark, docs(spark, dir).filter(!isShard), k)
+        .write.format("parquet").bucketBy(8, "h").sortBy("h")
+        .saveAsTable(table)
+      kgramRows(spark, docs(spark, dir).filter(isShard), k)
+        .write.format("parquet").mode("append").bucketBy(8, "h").sortBy("h")
+        .saveAsTable(table)
+    }
+  }
+
+  /** d20's DELTA branch alone — the work an incremental run actually
+    * pays per arriving shard (dup-status delta + affected-doc span
+    * recompute), parameterized by the shard predicate so ScalingSpec can
+    * hold the SHARD SIZE FIXED while the corpus grows 10x and assert the
+    * widest exchange tracks the shard, not the corpus (the catalog
+    * query's own widest exchange is the kept-spans re-derivation, a
+    * fixture stand-in for reading the previous run's output table —
+    * corpus-linear by construction and gated as such).
+    */
+  private[graft] def d20DeltaProbe(
+      spark: SparkSession, dir: String, shardMod: Long): DataFrame = {
+    val k = D16KgramWidth
+    val isShard = pmod(col("doc_id"), lit(shardMod)) === 0
+    val idx = incKgramIndex(spark, dir)
+    val base = idx.filter(!isShard)
+    val newlyDup = dupHashes(idx).join(dupHashes(base), Seq("h"), "left_anti")
+    val affected = base.join(newlyDup, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
+      .distinct()
+    mergeSpans(idx.join(dupHashes(idx), Seq("h"), "left_semi")
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("pos")), k)
   }
 
   /** d20's oracle IS d16's: incremental maintenance must reproduce the
@@ -1412,17 +1448,29 @@ object Documents {
 
   /** Raw candidate pairs TOUCHING the shard: expansion runs only in
     * buckets that received a shard doc, then keeps pairs with a shard
-    * member.
+    * member. Parameterized by the shard predicate (default: the catalog
+    * shard) so ScalingSpec's fixed-shard probe can re-slice the same
+    * persisted signature table.
     */
-  private def incDeltaPairs(sig: DataFrame): DataFrame = {
-    val shardBuckets = sig.filter(d20IsShard)
+  private def incDeltaPairs(
+      sig: DataFrame, shardMod: Long = D20ShardMod.toLong): DataFrame = {
+    val isShard = pmod(col("doc_id"), lit(shardMod)) === 0
+    val shardBuckets = sig.filter(isShard)
       .select(col("band"), col("sig")).distinct()
     graft.operators.BlockedSelfJoin.pairs(
         sig.join(shardBuckets, Seq("band", "sig"), "left_semi"),
         Seq("band", "sig"), "doc_id", chunkSize = 256)
-      .filter(pmod(col("a.doc_id"), lit(D20ShardMod)) === 0 ||
-        pmod(col("b.doc_id"), lit(D20ShardMod)) === 0)
+      .filter(pmod(col("a.doc_id"), lit(shardMod)) === 0 ||
+        pmod(col("b.doc_id"), lit(shardMod)) === 0)
   }
+
+  /** d21's DELTA branch alone (shard-touched-bucket expansion + minhash
+    * scoring — the shared incremental input of d21/d26/d28), with the
+    * shard predicate parameterized for the fixed-shard scale gate.
+    */
+  private[graft] def d21DeltaProbe(
+      spark: SparkSession, dir: String, shardMod: Long): DataFrame =
+    scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir), shardMod))
 
   /** The SCORED shard delta, persisted once per session/corpus — the
     * expensive shared intermediate both incremental consumers need
@@ -1978,6 +2026,46 @@ object Documents {
   /** Deletion gate for d28: every 13th doc is tombstoned. */
   private def d28IsTomb(c: Column): Column = pmod(c, lit(13L)) === 0
 
+  /** The RECOMPUTE branch of deletion-aware cluster maintenance: find
+    * the components intersecting the tombstone set, re-run CC on their
+    * surviving pairs. Shared verbatim by [[d28DeletionClusters]] and
+    * ScalingSpec's fixed-tombstone probe (which feeds MATERIALIZED
+    * labels/pairs — production's previous-run tables — and holds the
+    * tombstone COUNT fixed while the corpus grows, asserting the
+    * affected subgraph's exchange volume tracks the tombstones, not the
+    * corpus).
+    */
+  private[graft] def deletionRecompute(
+      spark: SparkSession, labels: DataFrame, allPairs: DataFrame,
+      tombMod: Long, ccTag: String): DataFrame = {
+    def isTomb(c: Column): Column = pmod(c, lit(tombMod)) === 0
+    val affected = labels.filter(isTomb(col("doc_id")))
+      .select(col("cluster_id")).distinct()
+    // surviving pairs of affected components: a pair's two ends share a
+    // component, so the src-side semi-join selects the whole subgraph
+    val affDocs = labels.join(broadcast(affected), Seq("cluster_id"))
+      .filter(!isTomb(col("doc_id")))
+      .select(col("doc_id").as("src"))
+    val subPairs = allPairs
+      .filter(!isTomb(col("src")) && !isTomb(col("dst")))
+      .join(affDocs, Seq("src"), "left_semi")
+    val subNodes = subPairs.select(col("src").as("id"))
+      .unionByName(subPairs.select(col("dst").as("id"))).distinct()
+    graft.operators.ConnectedComponents.run(
+        subNodes, subPairs,
+        store = graft.operators.ConnectedComponents.freshRounds(spark, ccTag))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+  }
+
+  /** The full retained pair set (base ∪ delta, scored) as symmetric-free
+    * src/dst edges — d28's re-read input, and what a production pipeline
+    * materializes as its pair table between runs.
+    */
+  private[graft] def incAllPairs(spark: SparkSession, dir: String): DataFrame =
+    scoreMinhashPairsUnordered(incBasePairs(incSigTable(spark, dir)))
+      .unionByName(incDeltaScored(spark, dir))
+      .select(col("da").as("src"), col("db").as("dst"))
+
   /** d28: deletion-aware cluster maintenance — the OTHER direction of
     * incremental clustering. d26 exploits that connectivity is monotone
     * under ADDED edges; deletions break that (removing a doc can split
@@ -1994,10 +2082,7 @@ object Documents {
     * is the oracle.
     */
   def d28DeletionClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sig = incSigTable(spark, dir)
-    val allPairs = scoreMinhashPairsUnordered(incBasePairs(sig))
-      .unionByName(incDeltaScored(spark, dir))
-      .select(col("da").as("src"), col("db").as("dst"))
+    val allPairs = incAllPairs(spark, dir)
     // one materialization: the labels feed three branches (affected
     // set, untouched pass-through, affected membership) — without the
     // barrier each reference re-plans the whole d26 subtree
@@ -2007,21 +2092,7 @@ object Documents {
     val affected = labels.filter(d28IsTomb(col("doc_id")))
       .select(col("cluster_id")).distinct()
     val untouched = labels.join(broadcast(affected), Seq("cluster_id"), "left_anti")
-    // surviving pairs of affected components: a pair's two ends share a
-    // component, so the src-side semi-join selects the whole subgraph
-    val affDocs = labels.join(broadcast(affected), Seq("cluster_id"))
-      .filter(!d28IsTomb(col("doc_id")))
-      .select(col("doc_id").as("src"))
-    val subPairs = allPairs
-      .filter(!d28IsTomb(col("src")) && !d28IsTomb(col("dst")))
-      .join(affDocs, Seq("src"), "left_semi")
-    val subNodes = subPairs.select(col("src").as("id"))
-      .unionByName(subPairs.select(col("dst").as("id"))).distinct()
-    val recomputed = graft.operators.ConnectedComponents.run(
-        subNodes, subPairs,
-        store = graft.operators.ConnectedComponents
-          .freshRounds(spark, "cc_d28"))
-      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    val recomputed = deletionRecompute(spark, labels, allPairs, 13L, "cc_d28")
     untouched.unionByName(recomputed)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -137,7 +137,16 @@ object ArangoHttp {
           // sleep U(0, base * 2^(attempt-1)) so a fleet of executors
           // retrying the same blip doesn't re-stampede in lockstep
           val ceil = cfg.retryBackoffMs.toLong << (attempt - 1)
-          Thread.sleep((ceil * math.random()).toLong.max(1L))
+          try Thread.sleep((ceil * math.random()).toLong.max(1L))
+          catch { case _: InterruptedException =>
+            // a task kill landing in the backoff must abort the retry
+            // loop NOW with interrupt status RESTORED (Spark's task
+            // reaper polls the flag) — not escape as a bare
+            // InterruptedException with the flag cleared
+            Thread.currentThread().interrupt()
+            sys.error(s"arango $method $path interrupted during retry " +
+              s"backoff after $attempt attempts (last: $lastFailure)")
+          }
         }
       }
       sys.error(s"arango $method $path failed after $maxAttempts attempts " +

@@ -166,13 +166,19 @@ private class ArangoScan(
         }.flatMap { f =>
           try f.get()
           catch { case e: java.util.concurrent.ExecutionException =>
-            // surface the transport's own message (plain shutdown would
-            // let every QUEUED probe still run — and retry-backoff —
-            // against a server we already know is failing)
-            pool.shutdownNow()
-            throw e.getCause
+            // re-wrap so the PLANNING-site stack survives (a bare
+            // `throw e.getCause` keeps only the probe thread's trace)
+            throw new RuntimeException(
+              s"arango boundary probe failed: ${e.getCause}", e.getCause)
           }
         }
+      } catch { case t: Throwable =>
+        // EVERY failure path — ExecutionException, an interrupt landing
+        // in f.get(), cancellation — must halt the queued probes NOW:
+        // plain shutdown() lets them keep running (and retry-backing-
+        // off) against a server we already know is failing
+        pool.shutdownNow()
+        throw t
       } finally pool.shutdown()
     val dedupedBoundaries = boundaries.distinct
     val los = None +: dedupedBoundaries.map(Option(_))

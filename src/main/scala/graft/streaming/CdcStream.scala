@@ -437,6 +437,13 @@ object CdcStream {
     * horizon (bounded), timers are per (key, timestamp) and deduplicated
     * by the store; everything runs on the same RocksDB-backed
     * transformWithState operator as [[statefulLatestTws]].
+    *
+    * `TTLConfig.NONE` is deliberate (r9 TTL audit): the EVENT-TIME TIMER
+    * is this state's eviction path — every session leaves state when the
+    * watermark passes end+gap, so nothing outlives the watermark horizon
+    * and idle keys hold zero state. A processing-time TTL here would be
+    * actively wrong: it could evict an OPEN session that a late-but-
+    * in-watermark event is still allowed to extend.
     */
   def sessionizeTws(
       events: DataFrame,
@@ -838,6 +845,18 @@ object CdcStream {
     * monotone per day and the LAST emission equals the batch daily
     * sketch — asserted in StreamingOpsSpec against
     * [[graft.queries.Events.sketchRegisterRows]]-derived batch state.
+    *
+    * `TTLConfig.NONE` is deliberate (r9 TTL audit): per-key state is
+    * CONSTANT-bounded (<= 256 registers) and the key domain is DAYS —
+    * total state grows ~KB per wall-clock day (~0.5 MB/year), not with
+    * event volume or user cardinality. Old days must stay resident
+    * because there is no watermark on this leg: a late event for any
+    * past day still folds into that day's sketch. At multi-year
+    * horizons the archival seam is a checkpoint migration that prunes
+    * closed days (their final row is already in the stored changelog),
+    * not a TTL — evicting a day mid-stream would silently reset its
+    * registers on the next late event and emit a SHRUNKEN estimate,
+    * breaking the monotonicity contract above.
     */
   def sketchStream(events: DataFrame): org.apache.spark.sql.Dataset[DaySketch] = {
     import org.apache.spark.sql.Encoders
@@ -883,8 +902,12 @@ object CdcStream {
     * .as("minute"), col("n_events").as("cnt"))` between the two (see
     * StreamingOpsSpec's wiring).
     *
-    * State is O(1) per key (`window` longs) — no TTL needed for
-    * boundedness; the flag itself is engine-exact, so a streaming
+    * State is O(1) per key (`window` longs) and the key domain —
+    * `event_type` — is a small enumeration, so total state is
+    * <= |event types| x `window` longs; `TTLConfig.NONE` is deliberate
+    * (r9 TTL audit): evicting an idle type's ring would make its next
+    * window's z-test run against an empty baseline and mute a real
+    * anomaly. The flag itself is engine-exact, so a streaming
     * deployment and the batch backfill agree bit-for-bit on which
     * minutes are anomalous. The window length and z² threshold default
     * to the SHARED constants ([[graft.queries.Events.AnomalyWindow]] /

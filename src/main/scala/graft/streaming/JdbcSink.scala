@@ -119,9 +119,16 @@ object JdbcSink {
     // a random-named restart would leak one table per unclean shutdown
     // forever — the stable name makes the restarted query overwrite and
     // then drop its own orphan.
+    // canonicalize the checkpoint spelling before hashing: a restart
+    // that writes the same location differently (trailing slash,
+    // duplicate separators, `.` segments) must derive the SAME stage
+    // identity, or the prior incarnation's crash-stranded stage table
+    // is never overwritten-and-dropped
+    val canonicalCkpt =
+      new org.apache.hadoop.fs.Path(checkpointDir).toUri.normalize().toString
     val stage = s"${table}_stage_" + java.security.MessageDigest
       .getInstance("MD5")
-      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(canonicalCkpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"$b%02x").mkString
     changes.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -162,4 +162,18 @@ class ConfigYamlSpec extends SparkSpec {
     val q = ConfigYaml.parse("v: 'a # not a comment' # real comment\n")
     assert(q.get("v") === Some("a # not a comment"))
   }
+
+  test("quotes opening after '{' and '-' still protect their hash") {
+    // ADVICE r9: the token-start set omitted '{', so a flow-mapping
+    // value like {'a #b': 1} had its quote read as a literal apostrophe
+    // and the ` #b': 1}` tail stripped as a comment — silent corruption.
+    // Flow mappings are kept as raw scalars by this parser; the
+    // observable contract is the value surviving comment-stripping
+    // intact.
+    val m = ConfigYaml.parse("v: {'a #b': 1} # trailing comment\n")
+    assert(m.get("v") === Some("{'a #b': 1}"))
+    // compact list items: '-' directly before the quote
+    val l = ConfigYaml.parse("vals: [-'x #y', c] # comment\n")
+    assert(l.get("vals") === Some(Vector("-'x #y'", "c")))
+  }
 }

@@ -77,6 +77,64 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(u.orderBy("id").collect().map(_.getStruct(1).getInt(0)).toSeq === Seq(10, 20))
   }
 
+  test("numeric widening descends through same-shape struct/array/map") {
+    // the r18 family's missing migration (VERDICT r9 #4): upstream
+    // widens a NESTED leaf — struct<x:int> becomes struct<x:double>,
+    // array<int> becomes array<double>. Same-shape nesting widens
+    // recursively; shape changes stay loud (tested below).
+    assert(SchemaEvolution.widen(
+        StructType(Seq(StructField("x", IntegerType))),
+        StructType(Seq(StructField("x", DoubleType))))
+      === StructType(Seq(StructField("x", DoubleType))))
+    assert(SchemaEvolution.widen(ArrayType(IntegerType), ArrayType(DoubleType))
+      === ArrayType(DoubleType, containsNull = true))
+    assert(SchemaEvolution.widen(
+        MapType(IntegerType, FloatType), MapType(LongType, DoubleType))
+      === MapType(LongType, DoubleType, valueContainsNull = true))
+    // deep nesting: the ladder reaches a leaf two levels down
+    def deep(leaf: DataType) = StructType(Seq(StructField("arr",
+      ArrayType(StructType(Seq(StructField("v", leaf)))))))
+    val wide = SchemaEvolution.widen(deep(IntegerType), deep(DoubleType))
+    assert(wide.asInstanceOf[StructType]("arr").dataType
+      .asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]("v").dataType === DoubleType)
+    // struct field names match case-insensitively, like top level
+    assert(SchemaEvolution.widen(
+        StructType(Seq(StructField("X", IntegerType))),
+        StructType(Seq(StructField("x", LongType))))
+      .asInstanceOf[StructType].head.dataType === LongType)
+
+    // end to end: the widened struct column casts up positionally and
+    // unions — gen-1 ints surface as exact .0 doubles
+    val g1 = Seq(1L).toDF("id")
+      .selectExpr("id", "named_struct('amount', cast(10 as int)) as meta")
+    val g2 = Seq(2L).toDF("id")
+      .selectExpr("id", "named_struct('amount', cast(2.5 as double)) as meta")
+    val u = SchemaEvolution.unionEvolved(Seq(g1, g2))
+    assert(u.schema("meta").dataType
+      .asInstanceOf[StructType]("amount").dataType === DoubleType)
+    assert(u.orderBy("id").collect()
+      .map(_.getStruct(1).getDouble(0)).toSeq === Seq(10.0, 2.5))
+  }
+
+  test("nested shape changes and leaf conflicts fail loudly with the field path") {
+    // field add/drop inside a struct: a positional cast would move
+    // values between fields — must throw, never guess
+    val e1 = intercept[IllegalArgumentException](SchemaEvolution.widen(
+      StructType(Seq(StructField("x", IntegerType), StructField("y", IntegerType))),
+      StructType(Seq(StructField("x", IntegerType)))))
+    assert(e1.getMessage.contains("cannot reconcile"))
+    // reorder: same fields, different positions — same hazard
+    intercept[IllegalArgumentException](SchemaEvolution.widen(
+      StructType(Seq(StructField("x", IntegerType), StructField("y", LongType))),
+      StructType(Seq(StructField("y", LongType), StructField("x", IntegerType)))))
+    // a genuine leaf conflict names the nested field it died in
+    val e3 = intercept[IllegalArgumentException](SchemaEvolution.widen(
+      StructType(Seq(StructField("x", StringType))),
+      StructType(Seq(StructField("x", LongType)))))
+    assert(e3.getMessage.contains("in struct field 'x'"))
+  }
+
   test("column names match case-insensitively, first-seen spelling wins") {
     // a generation that respelled Amount -> amount is the same column
     // evolving (Spark's default resolver is case-insensitive); exact-case
