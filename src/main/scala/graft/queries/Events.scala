@@ -1497,7 +1497,195 @@ object Events {
       |    AS share_ppm
       |FROM g ORDER BY recovery_band""".stripMargin
 
+  /** Unique-per-invocation suffix for w29's memory sinks (a bench run
+    * executes the profile three times in one JVM; a fixed sink name
+    * would collide with the prior pass's temp view).
+    */
+  private val w29RunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** w29: STREAMING-STATE PROFILE — runs the four per-user
+    * transformWithState twins ([[graft.streaming.CdcStream.funnelStream]] /
+    * `attributionStream` / `decayAttributionStream` / `transitionStream`)
+    * over the events fixture as REAL streaming queries (RocksDB state
+    * store, one `Trigger.AvailableNow` batch), then reads the state that
+    * is actually resident in each checkpoint back out through Spark's
+    * state-store DATA SOURCE (`format("statestore")`, exact — not the
+    * RocksDB `estimate-num-keys` metric) and reports, per twin, the live
+    * state-key count next to the emitted-row count. This is the
+    * observability readout the TTL work needs: the same numbers an
+    * operator would watch to size `ttl` on a real deployment (state keys
+    * ≈ users the store must hold; with a TTL the curve flattens —
+    * eviction proofs live in StreamingOpsSpec, which manipulates
+    * processing time and so can't be an oracle query).
+    *
+    * Every column is deterministically derivable from the fixture by
+    * SQL, which is what makes a STREAMING-lifecycle profile
+    * oracle-checkable: state keys = the distinct users whose twin holds
+    * live state by each twin's own documented state rule (any event /
+    * touch events / open-segment touches / any event), emitted rows =
+    * each twin's documented emission rule (the batch-twin semantics).
+    * The whole fixture lands in ONE micro-batch (file source, no rate
+    * limit), so the per-batch sort inside each processor makes arrival
+    * order immaterial — bit-exact against the batch rules.
+    *
+    * Scale shape: four sequential streaming queries, each ONE
+    * key-hashed exchange into the stateful operator (the same shape the
+    * production CDC pipeline runs continuously); the state-source read
+    * is a parallel scan of the checkpoint (one task per store
+    * partition), and the profile itself is a 4-row local frame — the
+    * driver never touches row-level data.
+    */
+  def w29StateProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // the streaming file source reads DIRECTORIES (the fixture is a
+    // single parquet file): spool the ts-normalized table once — the
+    // stand-in for the CDC transport's chunk directory — and stream it
+    val spool = java.nio.file.Files.createTempDirectory("graft_w29_src")
+    Tables.load(spark, dir, "events").write
+      .mode("overwrite").parquet(spool.toString)
+    val srcSchema = spark.read.parquet(spool.toString).schema
+    def stream: DataFrame =
+      spark.readStream.schema(srcSchema).parquet(spool.toString)
+    val gapUs = 4L * 3600 * 1000000 // w17/w19's shared session bound
+    val twins: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("funnel", "funnel", s => graft.streaming.CdcStream
+        .funnelStream(s, "user_id", "ts", "event_id", "event_type").toDF()),
+      ("last_touch", "lastKey", s => graft.streaming.CdcStream
+        .attributionStream(s, "user_id", "ts", "event_id", "event_type", gapUs).toDF()),
+      ("decay_attribution", "open", s => graft.streaming.CdcStream
+        .decayAttributionStream(s, "user_id", "ts", "event_id", "event_type", "value").toDF()),
+      ("transition", "last", s => graft.streaming.CdcStream
+        .transitionStream(s, "user_id", "ts", "event_id", "event_type", gapUs).toDF()))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val profile =
+      try twins.map { case (twin, stateVar, build) =>
+        val ckptDir = java.nio.file.Files.createTempDirectory(s"graft_w29_$twin")
+        val sink = s"graft_w29_${twin}_${w29RunSeq.incrementAndGet()}"
+        try {
+          val q = build(stream).writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckptDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val emitted = spark.table(sink).count()
+          // exact resident state: one row per live state KEY (the list
+          // twin's elements flatten to rows; distinct keys is the
+          // store-sizing number either way)
+          val stateKeys = spark.read.format("statestore")
+            .option("path", ckptDir.toString)
+            .option("stateVarName", stateVar)
+            .load()
+            .select(col("key")).distinct().count()
+          (twin, stateKeys, emitted)
+        } finally {
+          spark.catalog.dropTempView(sink)
+          // reclaim the throwaway checkpoint (a bench session runs the
+          // profile repeatedly; leaking RocksDB checkpoints adds up)
+          java.nio.file.Files.walk(ckptDir).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } finally {
+        prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        java.nio.file.Files.walk(spool).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    import spark.implicits._
+    // 4 driver-held rows: sort in memory, not with a range exchange
+    profile.sortBy(_._1).toDF("twin", "state_keys", "emitted_rows")
+  }
+
+  /** w29's oracle derives both columns per twin from the fixture alone:
+    * state keys by each twin's state rule (funnel/transition update on
+    * EVERY event; last-touch only on view/click; decay holds the open
+    * segment — touches after the user's last purchase in (us, event_id)
+    * order); emitted rows by each twin's batch-rule emission count
+    * (funnel: one row per reached stage 2 plus two per stage 3;
+    * last-touch: every purchase emits exactly once — credit or 'none';
+    * decay: per purchase, its segment's touch count capped at the
+    * 20-touch zero-weight horizon, nothing when the segment is empty;
+    * transition: one row per consecutive same-user pair under the 4h
+    * gap bound).
+    */
+  val w29Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |f1 AS (
+      |  SELECT user_id, event_type, us,
+      |    MIN(CASE WHEN event_type = 'view' THEN us END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM ev),
+      |f2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |    OVER (PARTITION BY user_id) AS t2
+      |  FROM f1),
+      |f3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |    OVER (PARTITION BY user_id) AS t3
+      |  FROM f2),
+      |fun AS (SELECT user_id, MAX(t2) AS t2, MAX(t3) AS t3
+      |        FROM f3 GROUP BY user_id),
+      |tr AS (
+      |  SELECT us, LEAD(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS nus
+      |  FROM ev),
+      |de AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS rn,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+      |  FROM ev WHERE event_type IN ('view', 'click', 'purchase')),
+      |dstate AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type <> 'purchase' THEN rn END) AS lt,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN rn END) AS lp
+      |  FROM de GROUP BY user_id),
+      |dtouch AS (SELECT user_id, seg, COUNT(*) AS ntouch FROM de
+      |           WHERE event_type <> 'purchase' GROUP BY user_id, seg),
+      |dem AS (
+      |  SELECT COALESCE(SUM(LEAST(t.ntouch, 20)), 0) AS n
+      |  FROM de p JOIN dtouch t
+      |    ON p.user_id = t.user_id AND p.seg = t.seg
+      |  WHERE p.event_type = 'purchase')
+      |SELECT twin, state_keys, emitted_rows FROM (
+      |  SELECT 'funnel' AS twin,
+      |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
+      |      AS state_keys,
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |       + CASE WHEN t3 IS NOT NULL THEN 2 ELSE 0 END), 0) AS BIGINT)
+      |     FROM fun) AS emitted_rows
+      |  UNION ALL
+      |  SELECT 'last_touch',
+      |    (SELECT CAST(COUNT(DISTINCT CASE
+      |       WHEN event_type IN ('view', 'click') THEN user_id END) AS BIGINT)
+      |     FROM ev),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+      |     WHERE event_type = 'purchase')
+      |  UNION ALL
+      |  SELECT 'decay_attribution',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM dstate
+      |     WHERE lt IS NOT NULL AND (lp IS NULL OR lt > lp)),
+      |    (SELECT CAST(n AS BIGINT) FROM dem)
+      |  UNION ALL
+      |  SELECT 'transition',
+      |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr
+      |     WHERE nus IS NOT NULL AND nus - us < 14400000000)
+      |) ORDER BY twin""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w29_state_profile" -> (w29StateProfile _),
     "w28_error_recovery" -> (w28ErrorRecovery _),
     "w27_association_rules" -> (w27AssociationRules _),
     "w26_sequence_patterns" -> (w26SequencePatterns _),
@@ -1528,6 +1716,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w29_state_profile" -> w29Sql,
     "w28_error_recovery" -> w28Sql,
     "w27_association_rules" -> w27Sql,
     "w26_sequence_patterns" -> w26Sql,

@@ -412,6 +412,10 @@ class PlanAuditSpec extends SparkSpec {
       // w28: one user-keyed exchange (the following-frame min), the
       // 5-row band rollup + its share window, and the output sort
       "w28_error_recovery" -> 3,
+      // w29: the four streaming twins run at CALL time (each one
+      // key-hashed exchange inside its own streaming query — not part
+      // of this plan); the returned profile is a 4-row driver frame
+      "w29_state_profile" -> 0,
       // w27: the session_window exchange folds behind the checkpoint;
       // in-plan: the 1-row total agg, the |types| rate agg, the
       // |types|^2 pair agg, its pair-keyed finalization, and the output

@@ -949,4 +949,62 @@ class StreamingOpsSpec extends SparkSpec
       === Set((1L, "click", 1000000L, 2000000L)),
       "decay credit within the ttl horizon diverged from the no-ttl rule")
   }
+
+  test("w29 state profile matches the batch twins' own readouts") {
+    // the profile's two columns per twin, re-derived INDEPENDENTLY from
+    // the fixture with batch DataFrames (the oracle gate checks the same
+    // numbers against DuckDB; this pins them against the in-repo batch
+    // twins so a twin/profile divergence is caught without the oracle)
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val prof = graft.queries.Events.w29StateProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.Tables.load(spark, dir, "events")
+    val users = ev.select("user_id").distinct().count()
+
+    // funnel: state = every user; one emission per stage-2 reach, two
+    // more per stage-3 — w13's own steps_reached is the readout
+    val w13 = graft.queries.Events.w13Funnel(spark, dir)
+    val s2 = w13.filter(col("steps_reached") >= 2).count()
+    val s3 = w13.filter(col("steps_reached") === 3).count()
+    assert(prof("funnel") === ((users, s2 + 2 * s3)),
+      "funnel profile diverges from w13's stage counts")
+
+    // last_touch: state only on view/click; every purchase emits once
+    val touchUsers = ev.filter(col("event_type").isin("view", "click"))
+      .select("user_id").distinct().count()
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(prof("last_touch") === ((touchUsers, purchases)),
+      "last-touch profile diverges from the fixture's touch/purchase counts")
+
+    // transition: state = every user; emissions = w17's matrix total
+    val transitions = graft.queries.Events.w17TransitionMatrix(spark, dir)
+      .agg(sum("n_transitions")).head.getLong(0)
+    assert(prof("transition") === ((users, transitions)),
+      "transition profile diverges from w17's matrix total")
+
+    // decay: open-segment rule — touches after the user's last purchase
+    // hold state; each purchase emits its segment's touches capped at 20
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val de = ev.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("seg", count(when(col("event_type") === "purchase", 1))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+    val openUsers = de.groupBy("user_id").agg(
+        max(when(col("event_type") =!= "purchase", col("rn"))).as("lt"),
+        max(when(col("event_type") === "purchase", col("rn"))).as("lp"))
+      .filter(col("lt").isNotNull && (col("lp").isNull || col("lt") > col("lp")))
+      .count()
+    val dtouch = de.filter(col("event_type") =!= "purchase")
+      .groupBy("user_id", "seg").agg(count(lit(1)).as("ntouch"))
+    val credits = de.filter(col("event_type") === "purchase")
+      .join(dtouch, Seq("user_id", "seg"))
+      .agg(coalesce(sum(least(col("ntouch"), lit(20L))), lit(0L)))
+      .head.getLong(0)
+    assert(prof("decay_attribution") === ((openUsers, credits)),
+      "decay profile diverges from the open-segment batch rule")
+  }
 }
