@@ -105,15 +105,18 @@ object ConfigYaml {
       val c = l.charAt(i)
       if (c == '\'' && !inD) {
         // YAML: a single-quoted string only STARTS where a token starts
-        // (after whitespace/:/,/[/{/-) — an apostrophe INSIDE an
-        // unquoted scalar (`default: user's_team # owner`) is literal;
-        // toggling on it would swallow the trailing comment into the
-        // value. '{' covers flow-mapping keys (`{'a #b': 1}`), '-'
-        // covers compact list items (`-'x #y'`).
+        // (after whitespace/:/,/[/{, or a '-' that is ITSELF at a token
+        // start — a list dash) — an apostrophe INSIDE an unquoted
+        // scalar (`default: user's_team # owner`, `team: ops-'til # x`)
+        // is literal; toggling on it would swallow the trailing comment
+        // into the value. '{' covers flow-mapping keys (`{'a #b': 1}`).
+        def tokenStart(j: Int): Boolean = j == 0 || {
+          val p = l.charAt(j - 1)
+          p.isWhitespace || p == ':' || p == '[' || p == ',' || p == '{'
+        }
         if (inS) inS = false
-        else if (i == 0 || { val p = l.charAt(i - 1)
-          p.isWhitespace || p == ':' || p == '[' || p == ',' ||
-            p == '{' || p == '-' }) inS = true
+        else if (tokenStart(i) ||
+          (l.charAt(i - 1) == '-' && tokenStart(i - 1))) inS = true
       }
       else if (c == '"' && !inS) inD = !inD
       else if (c == '#' && !inS && !inD && (i == 0 || l.charAt(i - 1).isWhitespace))

@@ -79,6 +79,16 @@ object SchemaEvolution {
     * into structs by design: a positional cast is the only shape the
     * engine executes without rebuilding the column).
     */
+  /** [[widen]] one nesting level down, prefixing any conflict message
+    * with where in the nested type it died — a 100-generation union's
+    * error must name the field to fix, not just the two leaf types.
+    */
+  private def widenAt(where: String, a: DataType, b: DataType): DataType =
+    try widen(a, b)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"$where: ${e.getMessage}")
+    }
+
   def widen(a: DataType, b: DataType): DataType =
     if (relaxNullability(a) == relaxNullability(b)) relaxNullability(a)
     else (a, b) match {
@@ -87,19 +97,17 @@ object SchemaEvolution {
             sa.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq ==
               sb.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq =>
         StructType(sa.fields.zip(sb.fields).map { case (fa, fb) =>
-          val t =
-            try widen(fa.dataType, fb.dataType)
-            catch { case e: IllegalArgumentException =>
-              throw new IllegalArgumentException(
-                s"in struct field '${fa.name}': ${e.getMessage}")
-            }
-          StructField(fa.name, t, nullable = true)
+          StructField(fa.name,
+            widenAt(s"in struct field '${fa.name}'", fa.dataType, fb.dataType),
+            nullable = true)
         })
       case (aa: ArrayType, ab: ArrayType) =>
-        ArrayType(widen(aa.elementType, ab.elementType), containsNull = true)
+        ArrayType(widenAt("in array element", aa.elementType, ab.elementType),
+          containsNull = true)
       case (ma: MapType, mb: MapType) =>
-        MapType(widen(ma.keyType, mb.keyType),
-          widen(ma.valueType, mb.valueType), valueContainsNull = true)
+        MapType(widenAt("in map key", ma.keyType, mb.keyType),
+          widenAt("in map value", ma.valueType, mb.valueType),
+          valueContainsNull = true)
       case _ if integralLadder.contains(a) && integralLadder.contains(b) =>
         if (integralLadder.indexOf(a) >= integralLadder.indexOf(b)) a else b
       case _ if fractionalLadder.contains(a) && fractionalLadder.contains(b) =>

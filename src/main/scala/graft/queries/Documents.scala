@@ -2023,8 +2023,6 @@ object Documents {
       |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
       |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
 
-  /** Deletion gate for d28: every 13th doc is tombstoned. */
-  private def d28IsTomb(c: Column): Column = pmod(c, lit(13L)) === 0
 
   /** The RECOMPUTE branch of deletion-aware cluster maintenance: find
     * the components intersecting the tombstone set, re-run CC on their
@@ -2035,12 +2033,20 @@ object Documents {
     * affected subgraph's exchange volume tracks the tombstones, not the
     * corpus).
     */
+  /** The clusters intersecting the tombstone set — the single source of
+    * the "affected" notion d28's pass-through and recompute branches
+    * share (a tiny broadcast frame).
+    */
+  private[graft] def tombAffectedClusters(
+      labels: DataFrame, tombMod: Long): DataFrame =
+    labels.filter(pmod(col("doc_id"), lit(tombMod)) === 0)
+      .select(col("cluster_id")).distinct()
+
   private[graft] def deletionRecompute(
       spark: SparkSession, labels: DataFrame, allPairs: DataFrame,
       tombMod: Long, ccTag: String): DataFrame = {
     def isTomb(c: Column): Column = pmod(c, lit(tombMod)) === 0
-    val affected = labels.filter(isTomb(col("doc_id")))
-      .select(col("cluster_id")).distinct()
+    val affected = tombAffectedClusters(labels, tombMod)
     // surviving pairs of affected components: a pair's two ends share a
     // component, so the src-side semi-join selects the whole subgraph
     val affDocs = labels.join(broadcast(affected), Seq("cluster_id"))
@@ -2089,8 +2095,7 @@ object Documents {
     val labels = d26IncrementalClusters(spark, dir)
       .select(col("cluster_id"), col("doc_id"))
       .localCheckpoint(false)
-    val affected = labels.filter(d28IsTomb(col("doc_id")))
-      .select(col("cluster_id")).distinct()
+    val affected = tombAffectedClusters(labels, 13L)
     val untouched = labels.join(broadcast(affected), Seq("cluster_id"), "left_anti")
     val recomputed = deletionRecompute(spark, labels, allPairs, 13L, "cc_d28")
     untouched.unionByName(recomputed)

@@ -178,6 +178,11 @@ private class ArangoScan(
         // plain shutdown() lets them keep running (and retry-backing-
         // off) against a server we already know is failing
         pool.shutdownNow()
+        // f.get() delivers a kill as InterruptedException with the flag
+        // CLEARED — restore it so flag-polling callers (Spark's task
+        // reaper) still see the pending interrupt
+        if (t.isInstanceOf[InterruptedException])
+          Thread.currentThread().interrupt()
         throw t
       } finally pool.shutdown()
     val dedupedBoundaries = boundaries.distinct

@@ -126,10 +126,17 @@ object JdbcSink {
     // is never overwritten-and-dropped
     val canonicalCkpt =
       new org.apache.hadoop.fs.Path(checkpointDir).toUri.normalize().toString
-    val stage = s"${table}_stage_" + java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(canonicalCkpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map(b => f"$b%02x").mkString
+    def stageFor(ckptSpelling: String) = s"${table}_stage_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(ckptSpelling.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+    val stage = stageFor(canonicalCkpt)
+    // upgrade seam: versions that hashed the RAW spelling derived a
+    // different suffix for non-canonical configs, so a stage table
+    // crash-stranded by the OLD binary would never be reclaimed by the
+    // new name — sweep the legacy name once per query incarnation
+    val legacyStage = Option(stageFor(checkpointDir)).filter(_ != stage)
+    val legacySwept = new java.util.concurrent.atomic.AtomicBoolean(false)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -186,6 +193,15 @@ object JdbcSink {
             }
             val st = conn.createStatement()
             try {
+              if (legacySwept.compareAndSet(false, true))
+                legacyStage.foreach { ls =>
+                  try st.executeUpdate(s"DROP TABLE $ls")
+                  catch {
+                    case e: java.sql.SQLException
+                        if Set("42X05", "42Y07", "42S02", "42P01")
+                          .contains(e.getSQLState) => // nothing stranded
+                  }
+                }
               if (!exists)
                 st.executeUpdate(
                   s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")

@@ -175,5 +175,10 @@ class ConfigYamlSpec extends SparkSpec {
     // compact list items: '-' directly before the quote
     val l = ConfigYaml.parse("vals: [-'x #y', c] # comment\n")
     assert(l.get("vals") === Some(Vector("-'x #y'", "c")))
+    // ...but a '-' MID-SCALAR is not a token start: the apostrophe in
+    // `ops-'til` is literal, and the trailing comment must still strip
+    // (the review-caught regression of the first '-' rule)
+    val s = ConfigYaml.parse("team: ops-'til-close # after hours\n")
+    assert(s.get("team") === Some("ops-'til-close"))
   }
 }

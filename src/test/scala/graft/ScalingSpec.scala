@@ -200,7 +200,9 @@ class ScalingSpec extends SparkSpec {
     // d28's production inputs are the previous run's OUTPUT tables —
     // materialize them per SF so the probe measures only the deletion
     // recompute, not the upstream label build
-    val probeDir = java.nio.file.Files.createTempDirectory("graft_incprobe").toString
+    val probeRoot = java.nio.file.Files.createTempDirectory("graft_incprobe")
+    val probeDir = probeRoot.toString
+    try {
     sfs.zipWithIndex.foreach { case (d, i) =>
       graft.queries.Documents.d26IncrementalClusters(spark, d)
         .select("cluster_id", "doc_id").write.parquet(s"$probeDir/labels$i")
@@ -238,5 +240,11 @@ class ScalingSpec extends SparkSpec {
     }
     val failures = fullFailures ++ deltaFailures
     assert(failures.isEmpty, failures.mkString("\n"))
+    } finally { // the materialized probe tables include the sf0.1 pair set
+      val s = java.nio.file.Files.walk(probeRoot)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 }

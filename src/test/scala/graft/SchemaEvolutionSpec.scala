@@ -133,6 +133,16 @@ class SchemaEvolutionSpec extends SparkSpec {
       StructType(Seq(StructField("x", StringType))),
       StructType(Seq(StructField("x", LongType)))))
     assert(e3.getMessage.contains("in struct field 'x'"))
+    // ...and conflicts under arrays/maps carry their level too (review
+    // catch: only the struct case wrapped the message at first)
+    val e4 = intercept[IllegalArgumentException](SchemaEvolution.widen(
+      ArrayType(StringType), ArrayType(LongType)))
+    assert(e4.getMessage.contains("in array element"))
+    val e5 = intercept[IllegalArgumentException](SchemaEvolution.widen(
+      StructType(Seq(StructField("m", MapType(StringType, IntegerType)))),
+      StructType(Seq(StructField("m", MapType(LongType, IntegerType))))))
+    assert(e5.getMessage.contains("in struct field 'm'") &&
+      e5.getMessage.contains("in map key"))
   }
 
   test("column names match case-insensitively, first-seen spelling wins") {
