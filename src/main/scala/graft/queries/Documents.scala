@@ -193,7 +193,25 @@ object Documents {
     // the string: narrower shuffle rows and cheaper equality; xxhash64
     // is internal-only (never surfaced), collision odds over |distinct
     // shingles| are ~n^2/2^65.
-    val base = shingled(spark, dir)
+    shinglePairCounts(spark, dir, shingled(spark, dir), tag = "d5")
+      .select(col("da"), col("db"),
+        (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** The scored shingle-intersection frame `(da, db, na, nb, inter)` —
+    * the ONE pipeline (shingle sizes → hashed explode → capped
+    * candidate pairs → intersection agg) that d5 thresholds, d45
+    * sweeps, and d42 rebuilds over its excerpt-augmented corpus.
+    * Parameterized by the shingled input and the persisted-index tag so
+    * the sharing is structural: d45 deliberately reuses d5's persisted
+    * signature build (same tag ⇒ same table), d42 names its own.
+    */
+  private def shinglePairCounts(
+      spark: SparkSession, dir: String, shingledDf: DataFrame,
+      tag: String): DataFrame = {
+    val base = shingledDf
       .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
     val sh = base
       // explode_outer, deliberately: plain explode triggers
@@ -204,14 +222,10 @@ object Documents {
       .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
     candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
-        tag = "d5", dir = dir, maxBucket = Some(D5MaxShingleDf))
+        tag = tag, dir = dir, maxBucket = Some(D5MaxShingleDf))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .select(col("da"), col("db"),
-        (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("da"), col("db"))
   }
 
   /** Shingles seen in more docs than this are dropped from d5's candidate
@@ -1113,6 +1127,26 @@ object Documents {
     * size. Counts are exact ints, so the final ratio is one IEEE
     * division and bit-matches the oracle.
     */
+  /** Instances inside duplicated runs (length >= 2) of a SORTED `g3`
+    * gram array, via one linear fold: state (prev, run length, closed
+    * dup count). The ONE definition of "duplicated-3-gram instances" —
+    * d19 reports the fraction, d24's rule 4 thresholds it, and the two
+    * are the same statistic by construction.
+    */
+  private def dupRunInstances: Column =
+    aggregate(col("g3"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("d")),
+      (acc, x) => {
+        val same = x <=> acc.getField("p")
+        val closed = acc.getField("d") +
+          when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L))
+        struct(x.as("p"),
+          when(same, acc.getField("r") + 1).otherwise(lit(1L)).as("r"),
+          when(same, acc.getField("d")).otherwise(closed).as("d"))
+      },
+      acc => acc.getField("d") +
+        when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L)))
+
   def d19DupNgramFraction(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .filter(size(T.tokens(col("text"))) >= 3)
@@ -1120,21 +1154,7 @@ object Documents {
       .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), array_sort(T.kgrams(col("toks"), 3)).as("g3"))
       .select(col("doc_id"), size(col("g3")).cast("long").as("n_grams"),
-        // instances inside runs of length >= 2, via one linear fold over
-        // the sorted grams: state (prev, run length, closed dup count)
-        aggregate(col("g3"),
-          struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("d")),
-          (acc, x) => {
-            val same = x <=> acc.getField("p")
-            val closed = acc.getField("d") +
-              when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L))
-            struct(x.as("p"),
-              when(same, acc.getField("r") + 1).otherwise(lit(1L)).as("r"),
-              when(same, acc.getField("d")).otherwise(closed).as("d"))
-          },
-          acc => acc.getField("d") +
-            when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L)))
-          .as("dup_grams"))
+        dupRunInstances.as("dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("dup_grams"),
         (col("dup_grams") / col("n_grams").cast("double")).as("dup_frac"))
       .orderBy(col("doc_id"))
@@ -1789,18 +1809,7 @@ object Documents {
     * fraction.
     */
   def d24QualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val fold = aggregate(col("g3"),
-      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("d")),
-      (acc, x) => {
-        val same = x <=> acc.getField("p")
-        val closed = acc.getField("d") +
-          when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L))
-        struct(x.as("p"),
-          when(same, acc.getField("r") + 1).otherwise(lit(1L)).as("r"),
-          when(same, acc.getField("d")).otherwise(closed).as("d"))
-      },
-      acc => acc.getField("d") +
-        when(acc.getField("r") >= 2, acc.getField("r")).otherwise(lit(0L)))
+    val fold = dupRunInstances // d19's own statistic, by construction
     val fails = Seq(
       col("n_tokens") < 40,
       col("mean_tok_len") < 3.0 || col("mean_tok_len") > 4.75,
@@ -1831,7 +1840,8 @@ object Documents {
   }
 
   val d24Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """WITH toks AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+      |             FROM documents),
       |f AS (SELECT doc_id, len(w) AS n,
       |  list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) / CAST(len(w) AS DOUBLE) AS mlen,
       |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) / CAST(len(w) AS DOUBLE) AS stop,
@@ -2341,11 +2351,12 @@ object Documents {
         |  WHERE len(sy) >= 2 GROUP BY 1, 2),
         |m$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |r${k + 1} AS (
-        |  SELECT word, replace(replace(s$k, ' ' || m.lhs || ' ' || m.rhs || ' ',
-        |                                ' ' || m.lhs || m.rhs || ' '),
+        |  SELECT word, CASE WHEN m.lhs IS NULL THEN s$k
+        |    ELSE replace(replace(s$k, ' ' || m.lhs || ' ' || m.rhs || ' ',
+        |                          ' ' || m.lhs || m.rhs || ' '),
         |                 ' ' || m.lhs || ' ' || m.rhs || ' ',
-        |                 ' ' || m.lhs || m.rhs || ' ') AS s${k + 1}, n
-        |  FROM r$k, m$k m)""".stripMargin
+        |                 ' ' || m.lhs || m.rhs || ' ') END AS s${k + 1}, n
+        |  FROM r$k LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       |v AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1),
@@ -2963,7 +2974,8 @@ object Documents {
 
   val d37Sql: String =
     """WITH n AS (SELECT COUNT(*) AS n_total FROM documents),
-      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |     FROM documents),
       |da AS (
       |  SELECT LEAST(doc_id * 4 // n_total, 3) AS q, COUNT(*) AS nd,
       |    SUM(len(toks)) AS ntok
@@ -3300,16 +3312,8 @@ object Documents {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         expr("array_join(slice(toks, 1, greatest(3, size(toks) div 3)), ' ')")
           .as("text"))
-    val base = shingledOf(spark, d.unionByName(excerpts))
-      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
-    val sh = base
-      .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
-    candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
-        tag = "d42", dir = dir, maxBucket = Some(D5MaxShingleDf))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    shinglePairCounts(spark, dir,
+        shingledOf(spark, d.unionByName(excerpts)), tag = "d42")
       .select(explode(array(
         struct(col("da").as("contained"), col("db").as("container"),
           col("na").as("n_contained"), col("nb").as("n_container"),
@@ -3529,16 +3533,7 @@ object Documents {
     */
   def d45ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val thresholds = Seq(500000L, 700000L, 800000L, 900000L)
-    val base = shingled(spark, dir)
-      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
-    val sh = base
-      .select(col("doc_id"), col("n"), explode_outer(col("shs")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("k"))
-    val pairs = candidatePairs(spark, sh, Seq("k"), "doc_id", chunkSize = 1024,
-        tag = "d5", dir = dir, maxBucket = Some(D5MaxShingleDf))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val pairs = shinglePairCounts(spark, dir, shingled(spark, dir), tag = "d5")
       .select(col("da"), col("db"),
         expr("inter * 1000000L DIV (na + nb - inter)").as("jac_ppm"))
       // each pair lands only in the thresholds it clears — the explode

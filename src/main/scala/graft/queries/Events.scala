@@ -68,12 +68,13 @@ object Events {
 
   val w3Sql: String =
     """WITH s AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |i AS (SELECT user_id, ts, value,
-      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) island
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) island
       |      FROM s)
       |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -377,9 +378,21 @@ object Events {
   private val CmDepth = 4
   private val CmWidth = 256L
 
-  private def cmHash(j: Int): org.apache.spark.sql.Column =
+  /** `user_id`'s bucket in salted lane `j` — the ONE hash definition
+    * both CMS queries (w11's top-k report, w18's fixed-candidate
+    * variant) derive from; only the salt prefix distinguishes their
+    * sketches ("cm" vs "cms:"), so the geometry/arithmetic can never
+    * drift between them.
+    */
+  private def cmBucket(saltPrefix: String, j: Int): org.apache.spark.sql.Column =
     pmod(graft.functions.HashFunctions.md5NumberBigEndian(
-      concat(lit(s"cm$j:"), col("user_id").cast("string"))), lit(CmWidth))
+      concat(lit(s"$saltPrefix$j:"), col("user_id").cast("string"))), lit(CmWidth))
+
+  /** All [[CmDepth]] (lane, bucket) pairs of `user_id` as a posexplode. */
+  private def cmLanes(saltPrefix: String): org.apache.spark.sql.Column =
+    posexplode(array((0 until CmDepth).map(cmBucket(saltPrefix, _)): _*))
+
+  private def cmHash(j: Int): org.apache.spark.sql.Column = cmBucket("cm", j)
 
   /** w11: heavy hitters via a count-min sketch — the frequency twin of
     * w7's distinct sketch. The sketch is depth x width = 1024 counters:
@@ -398,7 +411,7 @@ object Events {
     */
   def w11HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events").select(col("user_id"))
-    val lanes = posexplode(array((0 until CmDepth).map(cmHash): _*))
+    val lanes = cmLanes("cm")
     val sketch = ev.select(lanes).toDF("j", "c")
       .groupBy(col("j"), col("c")).agg(count(lit(1)).as("cnt"))
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
@@ -454,7 +467,11 @@ object Events {
     * the per-user rollup rides the same partitioning. At 100 TB this is
     * one shuffle of (user, type, ts) triples, nothing else.
     */
-  def w13Funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared funnel computation (per-user earliest strictly-
+    * increasing stage times) w13 reports and w25 bands — one
+    * definition so the chaining rule can never drift between them.
+    */
+  private def funnelTimes(spark: SparkSession, dir: String): DataFrame = {
     val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     val us = unix_micros(col("ts"))
     Tables.load(spark, dir, "events")
@@ -470,6 +487,10 @@ object Events {
       .groupBy(col("user_id"))
       .agg(max(col("t1_us")).as("t1_us"), max(col("t2_us")).as("t2_us"),
         max(col("t3_us")).as("t3_us"))
+  }
+
+  def w13Funnel(spark: SparkSession, dir: String): DataFrame = {
+    funnelTimes(spark, dir)
       .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
         when(col("t3_us").isNotNull, 3L)
           .when(col("t2_us").isNotNull, 2L)
@@ -714,13 +735,17 @@ object Events {
       |FROM t WHERE to_type IS NOT NULL AND gap_us < 14400000000
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** w18: Count-Min sketch heavy hitters — the third sketch in the
-    * family (w7 counts distincts, w12 does order statistics, this does
-    * FREQUENCIES in bounded memory): a 4-row × 256-counter CMS built in
-    * one hash agg whose state is 1024 cells REGARDLESS of key
-    * cardinality (the point vs exact top-k's full key space — at 100 TB
-    * the exact agg's state is the user table, the sketch's is a page),
-    * then the exact top-10 users read their estimates back out of the
+  /** w18: Count-Min sketch heavy hitters, FIXED-CANDIDATE readout —
+    * w11's CMS (the shared [[cmBucket]]/[[cmLanes]] machinery under
+    * this query's own salt) pointed the other way: w11 RANKS BY the
+    * sketch estimate (what a deployment without exact counts would
+    * serve); here the exact top-10 is the candidate set and the sketch
+    * is interrogated about it — the calibration view. The 4-row ×
+    * 256-counter CMS builds in one hash agg whose state is 1024 cells
+    * REGARDLESS of key cardinality (the point vs exact top-k's full
+    * key space — at 100 TB the exact agg's state is the user table,
+    * the sketch's is a page), then the exact top-10 users read their
+    * estimates back out of the
     * sketch (est = min over the 4 rows) and the report carries the
     * measured OVERESTIMATE per key — which is provably ≥ 0, a built-in
     * correctness invariant (CMS never underestimates), and exactly the
@@ -728,24 +753,16 @@ object Events {
     * sketch at a given width. md5-derived row hashes, all integer.
     */
   def w18CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{HashFunctions => H}
-    val rows = 4
-    val width = 256L
     val ev = Tables.load(spark, dir, "events").select(col("user_id"))
-    def bucket(i: Int, c: Column): Column =
-      pmod(H.md5NumberBigEndian(concat(lit(s"cms:$i:"), c.cast("string"))), lit(width))
-    val cells = ev
-      .select(explode(array((0 until rows).map(i =>
-        struct(lit(i).as("r"), bucket(i, col("user_id")).as("b"))): _*)).as("c"))
-      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
-      .agg(count(lit(1)).as("cell_cnt"))
+    val lanes = cmLanes("cms:") // w11's machinery, this query's salt
+    val cells = ev.select(lanes).toDF("j", "c")
+      .groupBy(col("j"), col("c")).agg(count(lit(1)).as("cell_cnt"))
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
     exact
-      .select(col("user_id"), col("exact_cnt"),
-        explode(array((0 until rows).map(i =>
-          struct(lit(i).as("r"), bucket(i, col("user_id")).as("b"))): _*)).as("c"))
-      .join(broadcast(cells), col("c.r") === col("r") && col("c.b") === col("b"))
+      .select(col("user_id"), col("exact_cnt"), lanes)
+      .toDF("user_id", "exact_cnt", "j", "c")
+      .join(broadcast(cells), Seq("j", "c"))
       .groupBy(col("user_id"), col("exact_cnt"))
       .agg(min(col("cell_cnt")).as("cms_est"))
       .select(col("user_id"), col("exact_cnt"), col("cms_est"),
@@ -1253,21 +1270,7 @@ object Events {
     * share window runs on the <= |stages x bands| = 12-row frame.
     */
   def w25TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
-    val wu = Window.partitionBy(col("user_id"))
-    val us = unix_micros(col("ts"))
-    val funnel = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), us.as("us"))
-      .withColumn("t1_us",
-        min(when(col("event_type") === "view", col("us"))).over(wu))
-      .withColumn("t2_us",
-        min(when(col("event_type") === "click" && col("us") > col("t1_us"),
-          col("us"))).over(wu))
-      .withColumn("t3_us",
-        min(when(col("event_type") === "purchase" && col("us") > col("t2_us"),
-          col("us"))).over(wu))
-      .groupBy(col("user_id"))
-      .agg(max(col("t1_us")).as("t1_us"), max(col("t2_us")).as("t2_us"),
-        max(col("t3_us")).as("t3_us"))
+    val funnel = funnelTimes(spark, dir) // w13's own stage times
     val stages = funnel.select(explode(array(
         struct(lit("1_view_to_click").as("stage"),
           (col("t2_us") - col("t1_us")).as("dur_us")),
@@ -1414,12 +1417,12 @@ object Events {
 
   val w27Sql: String =
     """WITH s AS (
-      |  SELECT user_id, ts, event_type,
+      |  SELECT user_id, ts, event_id, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |i AS (SELECT user_id, event_type,
-      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS UNBOUNDED PRECEDING) island
       |      FROM s),
       |t AS (SELECT DISTINCT user_id, island, event_type AS ty FROM i),

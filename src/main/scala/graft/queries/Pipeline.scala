@@ -651,7 +651,8 @@ object Pipeline {
       "CAST(doc_id AS VARCHAR) || ':mix:' || lang")
     val key = graft.queries.Documents.signedBeMd5Sql(
       "'ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+      |             FROM documents),
       |f AS (SELECT doc_id, len(w) AS n,
       |  list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) / CAST(len(w) AS DOUBLE) AS mlen,
       |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) / CAST(len(w) AS DOUBLE) AS stop,
@@ -930,8 +931,9 @@ object Pipeline {
     val stop = T.stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH per AS (
       |  SELECT lang, source, n_chars,
-      |    len(string_split(text, ' ')) AS n_tok,
-      |    len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS n_stop
+      |    len(string_split(COALESCE(text, ''), ' ')) AS n_tok,
+      |    len(list_filter(string_split(COALESCE(text, ''), ' '),
+      |                    w -> w IN ($stop))) AS n_stop
       |  FROM documents),
       |f AS (SELECT lang, source, n_chars, n_tok,
       |        CASE WHEN n_tok < 40 THEN 1 ELSE 0 END AS short_flag,

@@ -133,14 +133,21 @@ object Vectors {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val v2Sql: String = {
+  /** Shared oracle prefix for the plane-LSH pair (v2's ANN, v5's
+    * near-dup): the clone-augmented corpus, the [[lshBucket]]-matching
+    * 12-plane signature (`(i - 1)` bit indexing, ±1 weights from the
+    * plane hash), and per-vector norms — ONE definition so the
+    * signature arithmetic can never drift between the two oracles or
+    * from the Spark-side [[lshBucket]].
+    */
+  private lazy val lshSigSql: String = {
     val planeSigSql = (0 until NumPlanes).map { p =>
       val h = H.md5NumberLowerLocal(s"plane:$p")
       s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
          |  i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)), (acc, x) -> acc + x) > 0
          |  THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""".stripMargin
     }.mkString(" + ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |e AS (
       |  SELECT vec_id, v FROM base
       |  UNION ALL
@@ -149,7 +156,11 @@ object Vectors {
       |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
       |  FROM base),
       |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
-      |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b),
+      |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b)""".stripMargin
+  }
+
+  val v2Sql: String = {
+    s"""WITH $lshSigSql,
       |scored AS (
       |  SELECT q.vec_id qid, c.vec_id cid,
       |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cosine
@@ -214,22 +225,7 @@ object Vectors {
   }
 
   val v5Sql: String = {
-    val planeSigSql = (0 until NumPlanes).map { p =>
-      val h = H.md5NumberLowerLocal(s"plane:$p")
-      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-         |  i -> v[i] * ((((CAST($h AS BIGINT)) >> (i - 1)) & 1) * 2 - 1)), (acc, x) -> acc + x) > 0
-         |  THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      |e AS (
-      |  SELECT vec_id, v FROM base
-      |  UNION ALL
-      |  SELECT vec_id + 1000000,
-      |    list_transform(generate_series(1, 64),
-      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
-      |  FROM base),
-      |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
-      |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b)
+    s"""WITH $lshSigSql
       |SELECT a.vec_id va, b.vec_id vb,
       |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
