@@ -72,12 +72,17 @@ object Bench {
     }
     val neverRan = (failed -- best.keySet).toSeq.sorted
     val results = ordered.flatMap { case (name, _) => best.get(name).map(name -> _) }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Locale.ROOT, explicitly: the default-locale f-interpolator renders
+    // 1,234 on comma-decimal locales — an invalid-JSON bench line the
+    // driver's parse would zero out
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fs = neverRan.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only a bounded TAIL of stdout; at 111 queries
     // the JSON line outgrows it and the driver's parse comes back null

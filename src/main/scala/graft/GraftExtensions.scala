@@ -37,13 +37,29 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** A 2-arg builder that fails ANALYSIS (not IndexOutOfBounds from
+    * inside the registry) on wrong arity.
+    */
+  private def binary(name: String)(
+      mk: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      mk(args(0), args(1))
+    }
+
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("arg_max_row",
       info("arg_max_row", "_FUNC_(ordering, payload) - payload of the row with max ordering"),
-      (args: Seq[Expression]) => ArgMaxRow(args(0), args(1))),
+      binary("arg_max_row")(ArgMaxRow(_, _))),
     ("vec_dot_fold",
       info("vec_dot_fold", "_FUNC_(a, b) - sequential-left-fold dot product of two arrays"),
-      (args: Seq[Expression]) => VecDotFold(args(0), args(1))))
+      binary("vec_dot_fold")(VecDotFold(_, _))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -35,6 +35,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a PRIOR run's dump for this query must not survive the
+        // failure — the oracle compare would read it and report a
+        // stale PASS for a query that no longer runs
+        val dump = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = dump.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dump)) fs.delete(dump, true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

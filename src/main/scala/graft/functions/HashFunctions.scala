@@ -18,13 +18,19 @@ object HashFunctions {
   /** Signed 64-bit integer from bytes 8..15 (little-endian) of md5(c) —
     * bit-compatible with DuckDB's `CAST(md5_number_lower(x) AS BIGINT)`.
     * Pure expression: md5 + substring shuffles + conv, all codegen'd.
+    *
+    * This is the REFERENCE form, spec-pinned against the driver-side
+    * twin ([[md5NumberLowerLocal]]) and the DuckDB semantics; queries on
+    * hot paths use [[md5NumberBigEndian]] (one md5 subtree) or fold the
+    * hash at plan time via the local twin. NOTE the byte-swap references
+    * the md5 subtree once per byte — codegen's subexpression
+    * elimination collapses that, but an interpreted lambda context
+    * would re-evaluate it, so don't embed THIS form in higher-order
+    * functions.
     */
   def md5NumberLower(c: Column): Column = {
-    // hex chars 17..32 are bytes 8..15; parse big-endian once, then
-    // byte-swap with long ops. One md5 evaluation total — the naive
-    // "concat 8 substrings of md5(x)" form evaluates md5 EIGHT times
-    // when the expression lands inside a higher-order-function lambda
-    // (interpreted eval has no common-subexpression elimination).
+    // hex chars 17..32 are bytes 8..15; parse big-endian, then
+    // byte-swap with long ops
     val be = conv(substring(md5(c), 17, 16), 16, -10).cast("long")
     (0 until 8)
       .map(i => shiftleft(shiftrightunsigned(be, 56 - 8 * i).bitwiseAND(lit(0xffL)), 8 * i))

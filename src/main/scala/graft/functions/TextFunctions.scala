@@ -43,17 +43,26 @@ object TextFunctions {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** `size(words)` as a NULL-on-empty divisor: the ratio helpers below
+    * must yield NULL for an empty token array, not throw — Spark 4 runs
+    * ANSI mode by default, where a plain divide-by-zero KILLS the query
+    * (split()-fed callers never pass empty arrays, but [[tokensRegex]]
+    * legitimately returns one for whitespace-only text).
+    */
+  private def denom(words: Column): Column =
+    nullif(size(words).cast("double"), lit(0d))
+
   /** Fraction of tokens that are stopwords (quality-scoring feature). */
   def stopwordRatio(words: Column): Column =
-    size(filter(words, w => w.isin(stopwords: _*))) / size(words).cast("double")
+    size(filter(words, w => w.isin(stopwords: _*))) / denom(words)
 
   /** Lexical diversity: distinct tokens / tokens. */
   def lexicalDiversity(words: Column): Column =
-    size(array_distinct(words)) / size(words).cast("double")
+    size(array_distinct(words)) / denom(words)
 
   /** Mean token length. */
   def meanTokenLength(words: Column): Column =
-    aggregate(words, lit(0L), (acc, w) => acc + length(w)) / size(words).cast("double")
+    aggregate(words, lit(0L), (acc, w) => acc + length(w)) / denom(words)
 
   /** Language-ID heuristic: stopword-marker scoring (n-gram heuristics
     * degenerate on the shared-vocabulary fixture, so this is the

@@ -7,10 +7,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native dot product of two numeric arrays as a SEQUENTIAL left fold in
-  * double — bit-identical to `aggregate(zip_with(a,b,*), 0d, +)` and to
-  * DuckDB's `list_reduce`, but whole-stage-codegen'd: the generated code
-  * is one tight loop over the two ArrayData buffers instead of an
-  * interpreted lambda per element allocating intermediate arrays.
+  * double, whole-stage-codegen'd: the generated code is one tight loop
+  * over the two ArrayData buffers instead of an interpreted lambda per
+  * element allocating intermediate arrays.
+  *
+  * Precision contract: each element is widened to DOUBLE BEFORE the
+  * multiply. For `array<double>` inputs (every in-repo call site — the
+  * queries cast embeddings up front) this is bit-identical to
+  * `aggregate(zip_with(a,b,*), 0d, +)` and to DuckDB's `list_reduce`
+  * over a DOUBLE[] list. For `array<float>` inputs it is deliberately
+  * NOT the lambda form (which would round each product to float first):
+  * the widened fold is the numerically better one, but an oracle built
+  * from the float-lambda formulation will differ in the low bits — cast
+  * to double on both sides, as the queries do.
   *
   * This is the engine's hot scalar for similarity search (SURVEY §2.11):
   * brute-force cosine is O(Q x N x D) dot products, so at 100 TB the

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -14,10 +15,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * hashing every shingle once per lane. Reproducible externally as
   * `(HUGEINT(u) * a + b) % 2^64` on the unsigned view (DuckDB oracle).
   */
-case class WrapMulAdd(child: Expression, a: Long, b: Long) extends UnaryExpression {
+case class WrapMulAdd(child: Expression, a: Long, b: Long)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "wrap_mul_add"
+
+  // fail at ANALYSIS on a non-long child: without this, interpreted eval
+  // (incl. ConstantFolding) ClassCastExceptions while codegen silently
+  // promotes — the same plan crashing or succeeding by eval path
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName wraps on the 64-bit ring and takes a BIGINT child, " +
+        s"got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(x: Any): Any =
     x.asInstanceOf[Long] * a + b // Java long arithmetic wraps

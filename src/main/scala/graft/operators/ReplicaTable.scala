@@ -109,7 +109,8 @@ object ReplicaTable {
   def createTable(
       spark: org.apache.spark.sql.SparkSession,
       config: graft.config.TableConfig,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      tieBreak: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.types._
     require(config.primaryKeys.nonEmpty,
       s"table ${config.name} has no primary key to bucket by")
@@ -130,11 +131,14 @@ object ReplicaTable {
     // current() — the table IS a ReplacingMergeTree to its readers
     // (graft.plans.ReplicaFinalRule; reference readme.md:89-91)
     import graft.plans.ReplicaFinalRule._
+    val tieBreakProp =
+      if (tieBreak.isEmpty) ""
+      else s",'$TieBreakProp'='${tieBreak.mkString(",")}'"
     spark.sql(
       s"ALTER TABLE `${config.name}` SET TBLPROPERTIES (" +
         s"'$KeysProp'='${config.primaryKeys.mkString(",")}'," +
         s"'$VerProp'='${config.versionColumn}'," +
-        s"'$DeletedProp'='${config.deletedColumn}')")
+        s"'$DeletedProp'='${config.deletedColumn}'$tieBreakProp)")
   }
 
   /** Append a (schema-transformed) batch into the bucketed replica table.
@@ -145,11 +149,23 @@ object ReplicaTable {
     * with the call.
     */
   def appendBatch(df: DataFrame, config: graft.config.TableConfig,
-      numBuckets: Int): Unit =
-    df.write.mode("append").format("parquet")
+      numBuckets: Int): Unit = {
+    // loud write-path guard: a NULL soft-delete flag would silently
+    // vanish its key from every read (the = 0 filter evaluates UNKNOWN)
+    // — reject it at append time, per row, codegen-cheap. ClickHouse
+    // parity too: the reference's _deleted is a non-nullable UInt8.
+    val d = config.deletedColumn
+    val guarded = df.withColumn(d,
+      when(col(d).isNull, raise_error(lit(
+        s"replica ${config.name}: NULL $d in append batch — the " +
+          "soft-delete flag must be 0 or 1 (a NULL row would be " +
+          "invisible to every versioned read)")).cast("int"))
+        .otherwise(col(d)))
+    guarded.write.mode("append").format("parquet")
       .bucketBy(numBuckets, config.primaryKeys.head, config.primaryKeys.tail: _*)
       .sortBy(config.primaryKeys.head, config.primaryKeys.tail: _*)
       .saveAsTable(config.name)
+  }
 
   /** Register `current` as a temp view so `spark.sql` users transparently
     * get ReplacingMergeTree-FINAL semantics (SURVEY §4 custom-work item 1).

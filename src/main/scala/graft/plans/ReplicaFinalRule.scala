@@ -51,6 +51,12 @@ object ReplicaFinalRule {
   val VerProp = "graft.replica.ver"
   /** Soft-delete column name (default `_deleted`). */
   val DeletedProp = "graft.replica.deleted"
+  /** Optional comma-separated tie-break column list: appended to the
+    * version in the argmax ordering so reads stay DETERMINISTIC when
+    * distinct payloads share (key, ver) — the same knob
+    * [[graft.operators.ReplicaTable.latest]] exposes as `tieBreak`.
+    */
+  val TieBreakProp = "graft.replica.tiebreak"
 
   /** Marks relations this rule already rewrote (the copy placed under the
     * injected aggregate), so re-analysis of a plan that embeds a rewritten
@@ -82,19 +88,26 @@ case class ReplicaFinalRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val keys = props(KeysProp).split(",").map(n => attr(n.trim)).toSeq
     val ver = attr(props.getOrElse(VerProp, "_ver"))
     val deleted = attr(props.getOrElse(DeletedProp, "_deleted"))
+    val tieBreaks = props.get(TieBreakProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(attr)
 
     // the scan copy that lives under the injected aggregate; tagged so a
     // later pass over the same (sub)plan leaves it alone
     val inner = rel.copy()
     inner.setTagValue(SkipTag, ())
 
-    // arg_max_row(struct(ver), struct(*)) grouped by the primary key —
-    // identical to ReplicaTable.latest, built with resolved expressions
+    // arg_max_row(struct(ver, tieBreaks...), struct(*)) grouped by the
+    // primary key — identical to ReplicaTable.latest, built with resolved
+    // expressions. The GROUPING KEYS pass through the aggregate as their
+    // ORIGINAL attributes (not struct unwraps): a key predicate above the
+    // rewrite then references only grouping attributes, so the optimizer
+    // pushes it through the Aggregate into the scan — the point lookup
+    // `WHERE pk = x` prunes files instead of aggregating the table.
     val payload = CreateStruct(out)
-    val ordering = CreateStruct(Seq(ver))
+    val ordering = CreateStruct(ver +: tieBreaks)
     val rowAlias = Alias(
       ArgMaxRow(ordering, payload).toAggregateExpression(), "_row")()
-    val agg = Aggregate(keys, Seq(rowAlias), inner)
+    val agg = Aggregate(keys, keys :+ rowAlias, inner)
 
     // unwrap the winner struct; field i is out(i) by CreateStruct order
     val rowRef = rowAlias.toAttribute
@@ -102,8 +115,12 @@ case class ReplicaFinalRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val deletedIdx = out.indexWhere(_.exprId == deleted.exprId)
     val keep = Filter(
       EqualTo(field(deletedIdx), Cast(Literal(0), deleted.dataType)), agg)
+    val keyIds = keys.map(_.exprId).toSet
     Project(out.zipWithIndex.map { case (a, i) =>
-      Alias(field(i), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      // key columns ride through as themselves; payload columns unwrap
+      // from the winner struct under their original ids
+      if (keyIds.contains(a.exprId)) a
+      else Alias(field(i), a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }, keep)
   }
 }

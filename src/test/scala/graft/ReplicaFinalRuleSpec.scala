@@ -74,6 +74,60 @@ class ReplicaFinalRuleSpec extends SparkSpec {
     }
   }
 
+  test("a primary-key point predicate pushes through the merge into the scan") {
+    withReplica {
+      // the grouping keys pass through the injected aggregate as their
+      // original attributes, so `WHERE pk = x` must land in the parquet
+      // scan's PushedFilters (file/row-group pruning) instead of
+      // filtering AFTER a whole-table aggregate — the difference between
+      // a point lookup and a full merge at 100 TB
+      val df = spark.sql(s"SELECT Id, Name FROM ${cfg.name} WHERE Id = 1")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: [IsNotNull(Id), EqualTo(Id,1)]") ||
+        physical.contains("PushedFilters: [EqualTo(Id,1)"),
+        s"key predicate did not reach the scan:\n$physical")
+      assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((1L, "a-v2")))
+    }
+  }
+
+  test("ties on (key, ver) break deterministically via the tiebreak property") {
+    val tcfg = TableConfig("rfr_tie", Seq(
+      ColumnSpec("Id", Seq("int"), primaryKey = true),
+      ColumnSpec("Name", Seq("str"))))
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${tcfg.name}")
+      ReplicaTable.createTable(spark, tcfg, numBuckets = 4,
+        tieBreak = Seq("Name"))
+      // two DISTINCT payloads share (Id=1, _ver=1): without a tiebreak
+      // the winner is arrival-order-dependent; with tieBreak=Name the
+      // max (ver, Name) tuple — "z-dup" — must win on every run
+      ReplicaTable.appendBatch(
+        Seq((1L, "z-dup", 1L, 0), (1L, "a-dup", 1L, 0))
+          .toDF("Id", "Name", "_ver", "_deleted"), tcfg, numBuckets = 4)
+      val got = (1 to 3).map(_ =>
+        spark.sql(s"SELECT Name FROM ${tcfg.name}").head().getString(0))
+      assert(got.forall(_ == "z-dup"),
+        s"tie-broken read must be deterministic, got $got")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${tcfg.name}")
+  }
+
+  test("a NULL soft-delete flag is rejected loudly at append time") {
+    withReplica {
+      val bad = Seq((9L, "x", 5L)).toDF("Id", "Name", "_ver")
+        .withColumn("_deleted",
+          org.apache.spark.sql.functions.lit(null).cast("int"))
+      val e = intercept[Exception] {
+        ReplicaTable.appendBatch(bad, cfg, numBuckets = 4)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("NULL _deleted")),
+        s"append of a NULL soft-delete flag must name the hazard: $e")
+    }
+  }
+
   test("the append path still writes raw versioned rows (storage untouched by the rewrite)") {
     withReplica {
       val location = spark.sql(s"DESCRIBE TABLE EXTENDED ${cfg.name}")
