@@ -110,8 +110,12 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(labels.filter(col("comp") === 0L).count() === 64L)
       val gens = Seq("cc_cad_0", "cc_cad_1").filter(spark.catalog.tableExists)
       assert(gens.nonEmpty, "sealed final-round generation table must exist")
-      // every mid-burst persist was released at seal time
-      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      // every mid-burst persist was released at seal time. <=, not ===:
+      // earlier suites' lazy localCheckpoints linger in
+      // getPersistentRDDs until the ContextCleaner reclaims them, which
+      // can happen DURING this test — pre-existing entries disappearing
+      // is fine, this test's own persists surviving the seal is not
+      assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
         "cadenced rounds leaked persisted RDDs past seal")
     } finally Seq("cc_cad_0", "cc_cad_1")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
