@@ -37,10 +37,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a PRIOR run's dump for this query must not survive the
         // failure — the oracle compare would read it and report a
-        // stale PASS for a query that no longer runs
-        val dump = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-        val fs = dump.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(dump)) fs.delete(dump, true)
+        // stale PASS for a query that no longer runs. The cleanup is
+        // itself guarded: an FS error here must not abort the loop and
+        // zero every REMAINING query's dump
+        try {
+          val dump = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          val fs = dump.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(dump)) fs.delete(dump, true)
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-dump cleanup failed: $c")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -33,6 +33,13 @@ object ReplicaTable {
   /** Collapse `df` to one row per key: the row with the maximal
     * (version, tieBreak...) tuple. Equivalent to ClickHouse `FINAL` on a
     * `ReplacingMergeTree(ver)`.
+    *
+    * CONSISTENCY CONTRACT: for a table created with
+    * [[createTable]]`(..., tieBreak = ...)`, the transparent read path
+    * (the recommended one — plain SQL over the table name) resolves the
+    * tie-break list from TBLPROPERTIES; a caller reaching for THIS
+    * explicit API on the same data must pass the SAME list, or tied
+    * (key, ver) rows can resolve differently between the two paths.
     */
   def latest(df: DataFrame, keys: Seq[String], ver: String, tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
@@ -131,6 +138,20 @@ object ReplicaTable {
     // current() — the table IS a ReplacingMergeTree to its readers
     // (graft.plans.ReplicaFinalRule; reference readme.md:89-91)
     import graft.plans.ReplicaFinalRule._
+    // validate tie-break names HERE, at DDL time: a typo written into
+    // TBLPROPERTIES would otherwise brick every later read of the table
+    // (the rule's attr() lookup throws at analysis) — and quote-unsafe
+    // characters would corrupt the generated ALTER statement
+    val declared = (config.structType.fieldNames.toSeq ++
+      Seq(config.versionColumn, config.deletedColumn))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val badTb = tieBreak.filterNot(t =>
+      declared.contains(t.toLowerCase(java.util.Locale.ROOT)))
+    require(badTb.isEmpty,
+      s"table ${config.name}: tieBreak columns ${badTb.mkString(", ")} " +
+        "not in the table schema")
+    require(tieBreak.forall(t => !t.contains("'") && !t.contains(",")),
+      s"table ${config.name}: tieBreak column names must not contain ' or ,")
     val tieBreakProp =
       if (tieBreak.isEmpty) ""
       else s",'$TieBreakProp'='${tieBreak.mkString(",")}'"

@@ -96,31 +96,45 @@ case class ReplicaFinalRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val inner = rel.copy()
     inner.setTagValue(SkipTag, ())
 
-    // arg_max_row(struct(ver, tieBreaks...), struct(*)) grouped by the
-    // primary key — identical to ReplicaTable.latest, built with resolved
-    // expressions. The GROUPING KEYS pass through the aggregate as their
-    // ORIGINAL attributes (not struct unwraps): a key predicate above the
-    // rewrite then references only grouping attributes, so the optimizer
-    // pushes it through the Aggregate into the scan — the point lookup
-    // `WHERE pk = x` prunes files instead of aggregating the table.
-    val payload = CreateStruct(out)
+    // arg_max_row(struct(ver, tieBreaks...), struct(non-key cols))
+    // grouped by the primary key — ReplicaTable.latest's semantics,
+    // built with resolved expressions. Two deliberate shapes:
+    //  - The GROUPING KEYS pass through the aggregate as their ORIGINAL
+    //    attributes (not struct unwraps): a key predicate above the
+    //    rewrite then references only grouping attributes, so the
+    //    optimizer pushes it through the Aggregate into the scan — the
+    //    point lookup `WHERE pk = x` prunes files instead of
+    //    aggregating the table.
+    //  - The payload struct carries ONLY the non-key columns: the
+    //    grouping key already travels with every buffer row, and nested
+    //    pruning can't reach inside a TypedImperativeAggregate's
+    //    payload — duplicating wide/string keys there would be pure
+    //    buffer/spill overhead in the engine's hottest operator.
+    val keyIds = keys.map(_.exprId).toSet
+    val payloadCols = out.filterNot(a => keyIds.contains(a.exprId))
+    val payload = CreateStruct(payloadCols)
     val ordering = CreateStruct(ver +: tieBreaks)
     val rowAlias = Alias(
       ArgMaxRow(ordering, payload).toAggregateExpression(), "_row")()
     val agg = Aggregate(keys, keys :+ rowAlias, inner)
 
-    // unwrap the winner struct; field i is out(i) by CreateStruct order
+    // unwrap the winner struct; field i is payloadCols(i) by
+    // CreateStruct order
     val rowRef = rowAlias.toAttribute
-    def field(i: Int): Expression = GetStructField(rowRef, i, Some(out(i).name))
-    val deletedIdx = out.indexWhere(_.exprId == deleted.exprId)
+    def field(a: Attribute): Expression = {
+      val i = payloadCols.indexWhere(_.exprId == a.exprId)
+      GetStructField(rowRef, i, Some(a.name))
+    }
+    // a soft-delete flag doubling as a primary key is degenerate but
+    // legal to the property format — it rides the grouping output then
     val keep = Filter(
-      EqualTo(field(deletedIdx), Cast(Literal(0), deleted.dataType)), agg)
-    val keyIds = keys.map(_.exprId).toSet
-    Project(out.zipWithIndex.map { case (a, i) =>
+      EqualTo(if (keyIds.contains(deleted.exprId)) deleted else field(deleted),
+        Cast(Literal(0), deleted.dataType)), agg)
+    Project(out.map { a =>
       // key columns ride through as themselves; payload columns unwrap
       // from the winner struct under their original ids
       if (keyIds.contains(a.exprId)) a
-      else Alias(field(i), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      else Alias(field(a), a.name)(exprId = a.exprId, qualifier = a.qualifier)
     }, keep)
   }
 }
