@@ -105,18 +105,27 @@ object ConfigYaml {
       val c = l.charAt(i)
       if (c == '\'' && !inD) {
         // YAML: a single-quoted string only STARTS where a token starts
-        // (after whitespace/:/,/[/{, or a '-' that is ITSELF at a token
-        // start — a list dash) — an apostrophe INSIDE an unquoted
+        // (after whitespace/:/,/[/{) — an apostrophe INSIDE an unquoted
         // scalar (`default: user's_team # owner`, `team: ops-'til # x`)
         // is literal; toggling on it would swallow the trailing comment
         // into the value. '{' covers flow-mapping keys (`{'a #b': 1}`).
+        // A '-' immediately before the quote counts ONLY in flow-sequence
+        // context (previous non-space char '[' or ','): a block list dash
+        // is followed by a space in standard YAML, and the broader
+        // "dash at any token start" rule opened quote state for plain
+        // scalars like `note: rock -'n roll # genre`, swallowing the
+        // trailing comment into the value.
         def tokenStart(j: Int): Boolean = j == 0 || {
           val p = l.charAt(j - 1)
           p.isWhitespace || p == ':' || p == '[' || p == ',' || p == '{'
         }
+        def flowDash(j: Int): Boolean = j > 0 && l.charAt(j - 1) == '-' && {
+          var k = j - 2
+          while (k >= 0 && l.charAt(k) == ' ') k -= 1
+          k >= 0 && (l.charAt(k) == '[' || l.charAt(k) == ',')
+        }
         if (inS) inS = false
-        else if (tokenStart(i) ||
-          (l.charAt(i - 1) == '-' && tokenStart(i - 1))) inS = true
+        else if (tokenStart(i) || flowDash(i)) inS = true
       }
       else if (c == '"' && !inS) inD = !inD
       else if (c == '#' && !inS && !inD && (i == 0 || l.charAt(i - 1).isWhitespace))

@@ -1508,12 +1508,18 @@ object Events {
     * is actually resident in each checkpoint back out through Spark's
     * state-store DATA SOURCE (`format("statestore")`, exact — not the
     * RocksDB `estimate-num-keys` metric) and reports, per twin, the live
-    * state-key count next to the emitted-row count. This is the
+    * state-key count next to the emitted-row count and the EVICTED-row
+    * count read from the query's own `StreamingQueryProgress`
+    * state-operator metrics (TTL expiries + expired timers, via
+    * [[graft.streaming.QueryMonitor.stateEvictions]]). This is the
     * observability readout the TTL work needs: the same numbers an
     * operator would watch to size `ttl` on a real deployment (state keys
-    * ≈ users the store must hold; with a TTL the curve flattens —
-    * eviction proofs live in StreamingOpsSpec, which manipulates
-    * processing time and so can't be an oracle query).
+    * ≈ users the store must hold; with a TTL the resident curve flattens
+    * and `evicted_rows` goes positive). Here the twins run TTL-less, so
+    * `evicted_rows` is deterministically 0 — which is what makes the
+    * column ORACLE-CHECKABLE; the proof that the identical readout
+    * counts real evictions lives in StreamingOpsSpec, which manipulates
+    * processing time past a TTL and so can't be an oracle query.
     *
     * Every column is deterministically derivable from the fixture by
     * SQL, which is what makes a STREAMING-lifecycle profile
@@ -1534,19 +1540,27 @@ object Events {
     */
   def w29StateProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    w29Cache.computeIfAbsent(dir, d => runW29Profile(spark, d))
-      .toDF("twin", "state_keys", "emitted_rows")
+    w29Cache.computeIfAbsent(w29CacheKey(dir), _ => runW29Profile(spark, dir))
+      .toDF("twin", "state_keys", "emitted_rows", "evicted_rows")
   }
 
-  /** Per-fixture-dir memo of the profile's 4 rows: the lifecycle run is
+  /** Per-fixture memo of the profile's 4 rows: the lifecycle run is
     * a ONE-TIME cost per corpus (like v11's training trace or d29's
     * merge table — bench pass 1 pays it, later passes read the memo),
     * and the catalog-wide plan sweeps in the test suite construct every
     * query several times — without the memo each sweep would re-run
     * four streaming queries just to look at a 4-row LocalTableScan.
+    * The key carries the events fixture's (length, mtime) fingerprint,
+    * not the dir alone: a fixture regenerated in-place mid-JVM must
+    * re-run the lifecycle, never serve the prior corpus's numbers.
     */
   private val w29Cache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, Long, Long)]]()
+    String, Seq[(String, Long, Long, Long)]]()
+
+  private def w29CacheKey(dir: String): String = {
+    val f = new java.io.File(dir, "events.parquet")
+    s"$dir|${f.length()}|${f.lastModified()}"
+  }
 
   /** Delete a throwaway directory tree ([[java.nio.file.Files.walk]]
     * streams hold an OS directory handle until closed).
@@ -1559,7 +1573,7 @@ object Events {
   }
 
   private def runW29Profile(
-      spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+      spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.Trigger
     // the streaming file source reads DIRECTORIES (the fixture is a
     // single parquet file): spool the ts-normalized table once — the
@@ -1589,16 +1603,28 @@ object Events {
           val ckptDir = java.nio.file.Files.createTempDirectory(s"graft_w29_$twin")
           try {
             // count emissions where they land (a distributed count per
-            // micro-batch) — the profile never holds row-level data
-            val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+            // micro-batch) — the profile never holds row-level data.
+            // Keyed by batchId with last-write-wins, NOT a running
+            // accumulator: a failed-and-retried micro-batch re-enters
+            // foreachBatch with the same batchId, and an addAndGet would
+            // double-count the delivery
+            val emitted =
+              new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Long]()
             val q = build(stream).writeStream
-              .foreachBatch { (batch: DataFrame, _: Long) =>
-                emitted.addAndGet(batch.count()); ()
+              .foreachBatch { (batch: DataFrame, batchId: Long) =>
+                emitted.put(batchId, batch.count()); ()
               }
               .option("checkpointLocation", ckptDir.toString)
               .trigger(Trigger.AvailableNow())
               .start()
             q.awaitTermination()
+            // evictions from the query's OWN progress metrics — the same
+            // numbers a deployment dashboards. Zero here by construction
+            // (profile twins run TTL-less and timer-less); the readout
+            // is the point: StreamingOpsSpec drives the identical helper
+            // past a real TTL expiry and asserts it counts
+            val evicted =
+              graft.streaming.QueryMonitor.stateEvictions(q.recentProgress.toSeq)
             // exact resident state: one row per live state KEY (the list
             // twin's elements flatten to rows; distinct keys is the
             // store-sizing number either way)
@@ -1607,7 +1633,12 @@ object Events {
               .option("stateVarName", stateVar)
               .load()
               .select(col("key")).distinct().count()
-            (twin, stateKeys, emitted.get())
+            val emittedTotal = {
+              var t = 0L
+              emitted.values().forEach(v => t += v)
+              t
+            }
+            (twin, stateKeys, emittedTotal, evicted)
           } finally {
             // reclaim the throwaway checkpoint (leaking one RocksDB
             // checkpoint per twin per corpus adds up)
@@ -1624,7 +1655,10 @@ object Events {
     } finally w29DeleteTree(spool)
   }
 
-  /** w29's oracle derives both columns per twin from the fixture alone:
+  /** w29's oracle derives every column per twin from the fixture alone
+    * (`evicted_rows` is the constant 0 — the profile twins configure no
+    * TTL and register no timers, so Spark's eviction metrics must read
+    * zero; a nonzero value would mean state was silently dropped):
     * state keys by each twin's state rule (funnel/transition update on
     * EVERY event; last-touch only on view/click; decay holds the open
     * segment — touches after the user's last purchase in (us, event_id)
@@ -1679,30 +1713,34 @@ object Events {
       |  FROM de p JOIN dtouch t
       |    ON p.user_id = t.user_id AND p.seg = t.seg
       |  WHERE p.event_type = 'purchase')
-      |SELECT twin, state_keys, emitted_rows FROM (
+      |SELECT twin, state_keys, emitted_rows, evicted_rows FROM (
       |  SELECT 'funnel' AS twin,
       |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
       |      AS state_keys,
       |    (SELECT CAST(COALESCE(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
       |       + CASE WHEN t3 IS NOT NULL THEN 2 ELSE 0 END), 0) AS BIGINT)
-      |     FROM fun) AS emitted_rows
+      |     FROM fun) AS emitted_rows,
+      |    CAST(0 AS BIGINT) AS evicted_rows
       |  UNION ALL
       |  SELECT 'last_touch',
       |    (SELECT CAST(COUNT(DISTINCT CASE
       |       WHEN event_type IN ('view', 'click') THEN user_id END) AS BIGINT)
       |     FROM ev),
       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
-      |     WHERE event_type = 'purchase')
+      |     WHERE event_type = 'purchase'),
+      |    CAST(0 AS BIGINT)
       |  UNION ALL
       |  SELECT 'decay_attribution',
       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM dstate
       |     WHERE lt IS NOT NULL AND (lp IS NULL OR lt > lp)),
-      |    (SELECT CAST(n AS BIGINT) FROM dem)
+      |    (SELECT CAST(n AS BIGINT) FROM dem),
+      |    CAST(0 AS BIGINT)
       |  UNION ALL
       |  SELECT 'transition',
       |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev),
       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr
-      |     WHERE nus IS NOT NULL AND nus - us < 14400000000)
+      |     WHERE nus IS NOT NULL AND nus - us < 14400000000),
+      |    CAST(0 AS BIGINT)
       |) ORDER BY twin""".stripMargin
 
   val defs: Map[String, Q] = Map(

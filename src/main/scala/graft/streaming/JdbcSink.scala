@@ -193,15 +193,29 @@ object JdbcSink {
             }
             val st = conn.createStatement()
             try {
-              if (legacySwept.compareAndSet(false, true))
-                legacyStage.foreach { ls =>
-                  try st.executeUpdate(s"DROP TABLE $ls")
+              // the sweep is best-effort cleanup: only mark it done AFTER
+              // the DROP (or a definitive "nothing stranded") completes,
+              // and never let it fail the micro-batch — an unexpected
+              // SQLState (dialects beyond the four-state whitelist return
+              // their own codes, some drivers null SQLState) would
+              // otherwise crash-loop the query on a statement whose whole
+              // purpose is reclaiming a leftover
+              if (!legacySwept.get()) legacyStage match {
+                case None => legacySwept.set(true)
+                case Some(ls) =>
+                  try { st.executeUpdate(s"DROP TABLE $ls"); legacySwept.set(true) }
                   catch {
                     case e: java.sql.SQLException
                         if Set("42X05", "42Y07", "42S02", "42P01")
-                          .contains(e.getSQLState) => // nothing stranded
+                          .contains(e.getSQLState) =>
+                      legacySwept.set(true) // nothing stranded
+                    case e: java.sql.SQLException =>
+                      System.err.println(
+                        s"[jdbc-sink] legacy stage sweep of $ls failed " +
+                          s"(SQLState ${e.getSQLState}): ${e.getMessage} — " +
+                          "will retry next batch")
                   }
-                }
+              }
               if (!exists)
                 st.executeUpdate(
                   s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")

@@ -245,6 +245,11 @@ class ScalingSpec extends SparkSpec {
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally s.close()
+      // deletionRecompute's durable CC rounds register generation tables
+      // under the probe tags — drop them like ConnectedComponentsSpec
+      // does for cc_cad_*, or they leak into later suites' catalogs
+      for (i <- sfs.indices; g <- 0 to 1)
+        spark.sql(s"DROP TABLE IF EXISTS cc_probe${i}_$g")
     }
   }
 }

@@ -862,6 +862,17 @@ class StreamingOpsSpec extends SparkSpec
         pollSink(qs(1), "atttl_out", 3) // attribution: u1 "none" + u77
         pollSink(qs(2), "trttl_out", 2) // transition: u77 edge only
         pollSink(qs(3), "dcttl_out", 2) // decay: u77 credit only
+        // the eviction READOUT (w29's evicted_rows column) counts these
+        // real expiries: each twin processed user 1's expired state in
+        // batch b, so the progress metrics must record at least one
+        // TTL removal per query — this is the positive control for the
+        // profile's deterministic zero
+        qs.zip(Seq("funnel", "attribution", "transition", "decay"))
+          .foreach { case (q, n) =>
+            assert(graft.streaming.QueryMonitor.stateEvictions(
+              q.recentProgress.toSeq) >= 1L,
+              s"$n twin recorded no TTL eviction in its progress metrics")
+          }
       } finally qs.foreach(_.stop())
     }
     val mUs = 60L * 1000000
@@ -957,7 +968,12 @@ class StreamingOpsSpec extends SparkSpec
     // twins so a twin/profile divergence is caught without the oracle)
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
-    val prof = graft.queries.Events.w29StateProfile(spark, dir).collect()
+    val profRows = graft.queries.Events.w29StateProfile(spark, dir).collect()
+    // TTL-less, timer-less twins: any nonzero eviction count would mean
+    // state silently vanished mid-profile
+    profRows.foreach(r => assert(r.getLong(3) === 0L,
+      s"${r.getString(0)} twin reported evictions without a TTL"))
+    val prof = profRows
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val ev = graft.Tables.load(spark, dir, "events")
     val users = ev.select("user_id").distinct().count()
