@@ -1961,16 +1961,20 @@ object Documents {
     * ideal incremental input because it preserves exactly the base
     * graph's connectivity in depth 1 — and a new shard contributes only
     * its delta pairs (d21's bucket-scoped expansion off the shared
-    * persisted signature table). Star ∪ delta re-converges in O(log
-    * affected-component-size) rounds instead of O(log² n) over the full
-    * pair graph, and equality with the full rebuild is the oracle: the
+    * persisted signature table). Only components TOUCHED by a delta
+    * endpoint enter the re-convergence ([[d26Reconverge]]); untouched
+    * components' labels pass through verbatim, so star ∪ delta
+    * re-converges in O(log affected-component-size) rounds over
+    * affected-sized frames instead of O(log² n) over the full pair
+    * graph, and equality with the full rebuild is the oracle: the
     * same recursive-CTE clustering over ALL of d6's pairs.
     *
     * Scale shape: at 100 TB + daily shard the dominant costs are
     * shard-sized (shingle/hash the shard, expand only shard-touched
-    * buckets); the star table re-reads bucketed, and unaffected
-    * components pass through the first star round unchanged (their
-    * depth-1 stars are already the fixpoint).
+    * buckets); the star table re-reads bucketed via broadcast
+    * semi/anti-joins (scans, not exchanges), and the CC fixpoint
+    * shuffles only affected components' rows — ScalingSpec's d26_delta
+    * probe pins that volume flat under a 10× corpus.
     *
     * LIMIT — additions only: connectivity is monotone under new edges,
     * which is what makes the star a sufficient summary. Doc DELETION can
@@ -1980,14 +1984,19 @@ object Documents {
     * retained pair tables (d21's persisted base/delta pairs) — still
     * affected-components-sized; [[d28DeletionClusters]] IS that query.
     */
-  def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sig = incSigTable(spark, dir)
-    val baseStar = graft.operators.PersistedIndex.ensure(
+  /** The persisted base-corpus star table (node → component root, one
+    * row per non-isolated base node) — d26's previous-run summary,
+    * built once per session/corpus like the signature table it derives
+    * from.
+    */
+  private def incBaseStar(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PersistedIndex.ensure(
       spark, "graft_ccstar_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"mod=$D20ShardMod") { table =>
-      val basePairs = scoreMinhashPairsUnordered(incBasePairs(sig))
-        .select(col("da").as("src"), col("db").as("dst"))
+      val basePairs =
+        scoreMinhashPairsUnordered(incBasePairs(incSigTable(spark, dir)))
+          .select(col("da").as("src"), col("db").as("dst"))
       val baseNodes = basePairs.select(col("src").as("id"))
         .unionByName(basePairs.select(col("dst").as("id"))).distinct()
       graft.operators.ConnectedComponents.run(
@@ -1997,18 +2006,76 @@ object Documents {
         .write.format("parquet").bucketBy(8, "id").sortBy("id")
         .saveAsTable(table)
     }
+
+  /** Base components TOUCHED by the shard's delta pairs — shard-sized
+    * (≤ one component per delta endpoint), hence broadcastable at any
+    * corpus scale; the single source of d26's affected notion, exactly
+    * as [[tombAffectedClusters]] is for d28's.
+    */
+  private def starTouchedComps(
+      baseStar: DataFrame, deltaNodes: DataFrame): DataFrame =
+    baseStar.join(deltaNodes, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+
+  /** The AFFECTED re-convergence of incremental clustering — the work a
+    * production run actually pays per arriving shard, factored so the
+    * catalog query and ScalingSpec's fixed-shard volume probe share it
+    * verbatim: restrict the persisted star to components touched by a
+    * delta endpoint (new edges can only change connectivity there —
+    * monotonicity), add the shard's nodes, and re-run CC over touched
+    * star edges ∪ delta pairs. Everything here is affected-component-
+    * sized: the star restriction is a broadcast semi-join (scan, no
+    * corpus exchange), and the CC fixpoint shuffles only touched
+    * components' rows — ScalingSpec pins its widest exchange FLAT under
+    * a 10× corpus at fixed shard size.
+    */
+  private[graft] def d26Reconverge(
+      spark: SparkSession, baseStar: DataFrame, delta: DataFrame,
+      ccTag: String): DataFrame = {
+    val deltaNodes = delta.select(col("src").as("id"))
+      .unionByName(delta.select(col("dst").as("id"))).distinct()
+    val affectedStar = baseStar.join(
+      broadcast(starTouchedComps(baseStar, deltaNodes)), Seq("comp"), "left_semi")
+    val starEdges = affectedStar.filter(col("id") =!= col("comp"))
+      .select(col("id").as("src"), col("comp").as("dst"))
+    val nodes = affectedStar.select(col("id"))
+      .unionByName(deltaNodes).distinct()
+    graft.operators.ConnectedComponents.run(
+      nodes, starEdges.unionByName(delta),
+      store = graft.operators.ConnectedComponents.freshRounds(spark, ccTag))
+  }
+
+  /** d26's delta branch alone for ScalingSpec's fixed-shard gate: the
+    * shard's scored delta pairs off the shared persisted signature
+    * table (d21's probe input) fed to the affected re-convergence
+    * against the persisted base star. `ccTag` is caller-scoped so the
+    * probe's CC generation tables never collide across SFs.
+    */
+  private[graft] def d26DeltaProbe(
+      spark: SparkSession, dir: String, shardMod: Long,
+      ccTag: String): DataFrame =
+    d26Reconverge(spark, incBaseStar(spark, dir),
+      scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir), shardMod))
+        .select(col("da").as("src"), col("db").as("dst")),
+      ccTag)
+
+  def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val baseStar = incBaseStar(spark, dir)
     val delta = incDeltaScored(spark, dir)
       .select(col("da").as("src"), col("db").as("dst"))
-    val starEdges = baseStar.filter(col("id") =!= col("comp"))
-      .select(col("id").as("src"), col("comp").as("dst"))
-    val nodes = baseStar.select(col("id"))
-      .unionByName(delta.select(col("src").as("id")))
+    val deltaNodes = delta.select(col("src").as("id"))
       .unionByName(delta.select(col("dst").as("id"))).distinct()
-    graft.operators.ConnectedComponents.run(
-        nodes, starEdges.unionByName(delta),
-        store = graft.operators.ConnectedComponents
-          .freshRounds(spark, "cc_d26"))
+    // components no delta endpoint touches keep their previous-run
+    // labels verbatim (their depth-1 stars are already the fixpoint —
+    // connectivity is monotone under added edges), so they never enter
+    // the CC rounds at all: the fixpoint cost is affected-sized, not
+    // corpus-sized
+    val untouched = baseStar.join(
+        broadcast(starTouchedComps(baseStar, deltaNodes)), Seq("comp"), "left_anti")
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    val reconverged = d26Reconverge(spark, baseStar, delta, "cc_d26")
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    untouched.unionByName(reconverged)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("cluster_id"), col("doc_id"))

@@ -215,6 +215,9 @@ class ScalingSpec extends SparkSpec {
       ("d21_delta", (d, i) => graft.queries.Documents
         .d21DeltaProbe(spark, d, shardMods(d))
         .write.format("noop").mode("overwrite").save(), 15L, 29L),
+      ("d26_delta", (d, i) => graft.queries.Documents
+        .d26DeltaProbe(spark, d, shardMods(d), s"cc_d26p$i")
+        .write.format("noop").mode("overwrite").save(), 15L, 29L),
       ("d28_delta", (d, i) => graft.queries.Documents.deletionRecompute(spark,
           spark.read.parquet(s"$probeDir/labels$i"),
           spark.read.parquet(s"$probeDir/pairs$i"),
@@ -248,8 +251,8 @@ class ScalingSpec extends SparkSpec {
       // deletionRecompute's durable CC rounds register generation tables
       // under the probe tags — drop them like ConnectedComponentsSpec
       // does for cc_cad_*, or they leak into later suites' catalogs
-      for (i <- sfs.indices; g <- 0 to 1)
-        spark.sql(s"DROP TABLE IF EXISTS cc_probe${i}_$g")
+      for (i <- sfs.indices; g <- 0 to 1; t <- Seq("cc_probe", "cc_d26p"))
+        spark.sql(s"DROP TABLE IF EXISTS $t${i}_$g")
     }
   }
 }
