@@ -141,6 +141,109 @@ class JdbcSinkSpec extends SparkSpec {
       "upsert mode and append+collapse mode disagree on the current view")
   }
 
+  test("upsert crash matrix: every stranded protocol state x follow-up reads exactly-once") {
+    // The stage/MERGE protocol (JdbcSink.startUpsert, steps: stage
+    // OVERWRITE -> CREATE target if absent -> MERGE -> DROP stage) has
+    // four distinguishable DB states a process death can strand.
+    // Mirroring SnapshotStoreSpec's swap matrix: reconstruct each state
+    // EXACTLY (the stage is written by the same df.write.jdbc overwrite
+    // the sink uses; the stage name is the sink's own checkpoint-derived
+    // identity, re-derived here as a contract pin), then run the
+    // follow-ups the real system produces — RESTART (same checkpoint:
+    // the crashed batch's offsets were never committed, so it
+    // redelivers through the full protocol) and, for steady-state
+    // points, a fresh-checkpoint FULL REDELIVERY — and assert the one
+    // protocol property: the target reads exactly latest-wins of the
+    // delivered log (never doubled, never half a batch), and the
+    // restarted incarnation reclaims its own stranded stage.
+    import java.sql.DriverManager
+    def stageNameFor(table: String, ckpt: Path): String = {
+      val canonical = new org.apache.hadoop.fs.Path(ckpt.toString)
+        .toUri.normalize().toString
+      table + "_stage_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+    }
+    def withStmt[A](url: String)(f: java.sql.Statement => A): A = {
+      val conn = DriverManager.getConnection(url, "app", "app")
+      try { val st = conn.createStatement(); try f(st) finally st.close() }
+      finally conn.close()
+    }
+    def strandStage(url: String, stage: String, rows: Seq[(Long, String, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("k", "v", "_ver").write.format("jdbc")
+        .option("url", url).option("dbtable", stage)
+        .option("user", "app").option("password", "app")
+        .mode("overwrite").save()
+    }
+    def tableExists(url: String, table: String): Boolean =
+      try {
+        withStmt(url)(_.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close())
+        true
+      } catch {
+        case e: java.sql.SQLException if e.getSQLState == "42X05" => false
+      }
+    def rows(url: String) = readBack(url, "t_cm")
+      .select("k", "v", "_ver").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L))
+    val b2 = Seq((1L, "a2", 2L), (3L, "c", 1L))
+    val afterB1 = b1.sorted
+    val afterB2 = Seq((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L)).sorted
+    var dbIdx = 0
+
+    // FIRST-BATCH states: the crash happened before any batch ever
+    // committed, so restart and redelivery coincide (nothing in the
+    // checkpoint) — one follow-up each
+    for (point <- Seq("post-stage-write-first", "post-create-first")) {
+      dbIdx += 1
+      val url = s"jdbc:derby:memory:graft_cm$dbIdx;create=true"
+      val srcDir = tmp("jdbc_cm_src"); val ckpt = tmp("jdbc_cm_ck")
+      val stage = stageNameFor("t_cm", ckpt)
+      strandStage(url, stage, b1)
+      if (point == "post-create-first")
+        withStmt(url)(_.executeUpdate(
+          s"CREATE TABLE t_cm AS SELECT * FROM $stage WITH NO DATA"))
+      writeBatch(srcDir, "b1.json", b1)
+      runUpsert(srcDir, url, "t_cm", ckpt)
+      assert(rows(url) === afterB1, s"[$point/restart] target not exactly-once")
+      assert(!tableExists(url, stage),
+        s"[$point/restart] restarted incarnation left its stage stranded")
+    }
+
+    // STEADY-STATE points: batch 0 (b1) committed cleanly, the crash
+    // strands a state mid-batch-1 (b2) — x {restart, full redelivery}
+    for (point <- Seq("post-stage-write", "post-merge");
+         followup <- Seq("restart", "redelivery")) {
+      dbIdx += 1
+      val url = s"jdbc:derby:memory:graft_cm$dbIdx;create=true"
+      val srcDir = tmp("jdbc_cm_src"); val ckpt = tmp("jdbc_cm_ck")
+      writeBatch(srcDir, "b1.json", b1)
+      runUpsert(srcDir, url, "t_cm", ckpt) // clean batch 0
+      val stage = stageNameFor("t_cm", ckpt)
+      strandStage(url, stage, b2)
+      if (point == "post-merge") withStmt(url) { st =>
+        // the state a COMPLETED merge of b2 leaves (without the drop)
+        st.executeUpdate("""UPDATE t_cm SET "v" = 'a2', "_ver" = 2 WHERE "k" = 1""")
+        st.executeUpdate("""INSERT INTO t_cm VALUES (3, 'c', 1)""")
+      }
+      writeBatch(srcDir, "b2.json", b2)
+      followup match {
+        case "restart" =>
+          runUpsert(srcDir, url, "t_cm", ckpt) // b2's offsets uncommitted
+          assert(!tableExists(url, stage),
+            s"[$point/restart] restarted incarnation left its stage stranded")
+        case "redelivery" =>
+          // checkpoint loss: a fresh query identity reprocesses the
+          // whole source against the already-advanced target
+          runUpsert(srcDir, url, "t_cm", tmp("jdbc_cm_ck2"))
+      }
+      assert(rows(url) === afterB2,
+        s"[$point/$followup] target not exactly-once: ${rows(url)}")
+    }
+  }
+
   test("upsert mode: NULL keys are merge-idempotent, not re-inserted per redelivery") {
     // plain `t.k = s.k` is UNKNOWN for NULL = NULL, so a NULL-keyed row
     // would be WHEN NOT MATCHED on EVERY redelivery and the raw table

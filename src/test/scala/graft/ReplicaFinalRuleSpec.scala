@@ -112,6 +112,59 @@ class ReplicaFinalRuleSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${tcfg.name}")
   }
 
+  test("transparent and explicit reads agree bit-identically on tied (key, _ver) rows") {
+    // the CONSISTENCY CONTRACT in ReplicaTable.latest's scaladoc,
+    // executed instead of documented: for the same stored rows and the
+    // same tie-break list, plain SQL over the raw table name (the
+    // transparent-FINAL rewrite) and the explicit ReplicaTable API must
+    // return identical rows. Two regimes: WITHOUT tiebreak columns,
+    // ties may only come from exact replays (the documented requirement
+    // for tiebreak-less tables — identical payloads make the winner
+    // irrelevant); WITH a tiebreak, DISTINCT payloads on a tied
+    // (key, _ver) must resolve to the max (ver, tieBreak...) tuple on
+    // both paths.
+    val cases = Seq(
+      ("rfr_agree0", Seq.empty[String], Seq(
+        (1L, "a-v1", 1L, 0), (1L, "a-v1", 1L, 0), // exact-replay tie
+        (1L, "a-v2", 2L, 0),
+        (2L, "b-v1", 1L, 0), (2L, "b-v1", 1L, 0),
+        (3L, "t-v1", 1L, 0), (3L, "t-v2", 2L, 1)), // tombstoned key
+        Seq((1L, "a-v2"), (2L, "b-v1"))),
+      ("rfr_agree1", Seq("Name"), Seq(
+        (1L, "z-dup", 1L, 0), (1L, "a-dup", 1L, 0), // distinct payloads
+        (2L, "m-dup", 3L, 0), (2L, "q-dup", 3L, 0), // tied at _ver
+        (3L, "x-v1", 1L, 0), (3L, "x-v2", 2L, 1)),
+        Seq((1L, "z-dup"), (2L, "q-dup"))))
+    for ((name, tb, rows, want) <- cases) {
+      val tcfg = TableConfig(name, Seq(
+        ColumnSpec("Id", Seq("int"), primaryKey = true),
+        ColumnSpec("Name", Seq("str"))))
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        ReplicaTable.createTable(spark, tcfg, numBuckets = 4, tieBreak = tb)
+        ReplicaTable.appendBatch(
+          rows.toDF("Id", "Name", "_ver", "_deleted"), tcfg, numBuckets = 4)
+        val transparent = spark.sql(
+            s"SELECT Id, Name, _ver, _deleted FROM $name ORDER BY Id")
+          .collect().map(_.toSeq).toSeq
+        // the explicit path reads the RAW storage (going through the
+        // table name would re-enter the rewrite) and must pass the SAME
+        // tie-break list the DDL declared
+        val location = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+          .collect().find(_.getString(0) == "Location").get.getString(1)
+        val raw = spark.read.parquet(location.stripPrefix("file:"))
+        val explicit = ReplicaTable
+          .current(raw, Seq("Id"), "_ver", "_deleted", tb)
+          .select("Id", "Name", "_ver", "_deleted").orderBy("Id")
+          .collect().map(_.toSeq).toSeq
+        assert(transparent === explicit,
+          s"$name: transparent vs explicit reads diverged (tieBreak=$tb)")
+        assert(transparent.map(r => (r(0), r(1))) === want,
+          s"$name: tie resolution picked the wrong winner (tieBreak=$tb)")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("a NULL soft-delete flag is rejected loudly at append time") {
     withReplica {
       val bad = Seq((9L, "x", 5L)).toDF("Id", "Name", "_ver")
