@@ -568,7 +568,8 @@ object Documents {
     // (more, wider tables; far fewer false candidates to verify).
     def blockOf(b: Int) =
       shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL))
-    val tripleKeys = (0 until 6).combinations(3).toSeq.map { t =>
+    val triples = (0 until 6).combinations(3).toSeq
+    val tripleKeys = triples.map { t =>
       t.zipWithIndex.map { case (b, i) => shiftleft(blockOf(b), (2 - i) * 8) }
         .reduce(_ bitwiseOR _)
     }
@@ -576,14 +577,25 @@ object Documents {
         posexplode(array(tripleKeys: _*)))
       .select(col("doc_id"), col("simhash"),
         col("pos").as("band"), col("col").as("bkey"))
+    // the same pair matches in EVERY triple its sketches agree on (an
+    // exact duplicate in all 20) — keep only the copy from the FIRST
+    // agreeing triple, decided IN-PROJECTION from the two sketches' XOR:
+    // bkey is the raw block bits (not a hash), so bkey equality in band
+    // t is exactly (xor & mask_t) == 0. This replaces the former
+    // distinct() — a full exchange + hash dedup over the emitted pair
+    // volume (d7's own widest exchange) — with a codegen'd filter.
+    val xorBits = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val masks = triples.map(t => t.map(b => 0xffL << (b * 8)).reduce(_ | _))
+    val firstAgree = masks.zipWithIndex.drop(1).foldLeft(
+        when(xorBits.bitwiseAND(lit(masks.head)) === 0, lit(0))) {
+      case (acc, (m, i)) => acc.when(xorBits.bitwiseAND(lit(m)) === 0, lit(i))
+    }
     candidatePairs(spark, banded, Seq("band", "bkey"), "doc_id",
         chunkSize = 1024, tag = "d7", dir = dir)
+      .filter(col("a.band") === firstAgree)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        bit_count(xorBits).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      // the same pair matches in every band it agrees on — dedupe once,
-      // after the hamming filter has cut the candidate volume
-      .distinct()
       .orderBy(col("da"), col("db"))
   }
 

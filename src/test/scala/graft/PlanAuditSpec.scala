@@ -261,7 +261,10 @@ class PlanAuditSpec extends SparkSpec {
       "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
-      "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 2,
+      // d7: band-dedup is an in-projection filter on the sketches' XOR
+      // (r11) — only the output sort shuffles beyond the persisted
+      // signature read
+      "d5_ngram_jaccard" -> 2, "d6_minhash_lsh" -> 2, "d7_simhash" -> 1,
       // d46: d16's spans off the persisted k-gram index (its in-plan
       // exchanges) + the per-doc fold, the docs join, and the
       // |sources|-row rollup/sort

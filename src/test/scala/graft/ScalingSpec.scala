@@ -67,9 +67,10 @@ class ScalingSpec extends SparkSpec {
     *    is a constant and growth is linear in #distinct shingles. The
     *    cap is what makes 100 TB safe; the budget (6) bounds how far the
     *    transition can drift.
-    *  - d7's widest exchange IS its own result (the distinct + sort over
-    *    emitted pairs — verified row-for-row: volume == output count at
-    *    both SFs): the fixture's near-dup clusters grow with SF, and a
+    *  - d7's widest exchange IS its own result (since r11 just the sort
+    *    over emitted pairs — the band dedup became an in-projection
+    *    filter; volume == output count at both SFs held before and
+    *    after): the fixture's near-dup clusters grow with SF, and a
     *    PAIR-reporting contract over growing clusters is inherently
     *    quadratic in cluster size (cluster-linear reporting is d12's
     *    job). The budget (12) tracks the fixture's own output growth
