@@ -1105,7 +1105,74 @@ object Replication {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** r19: NESTED type widening mid-stream — the migration the r18
+    * top-level case leaves unproven, exercising the recursive struct
+    * ladder in [[graft.operators.SchemaEvolution.widen]] end to end on
+    * the catalog. Generation 1 (event_id < cut) stores a `meta`
+    * struct whose `units` field is BIGINT (truncated — the planted
+    * arithmetic that makes the widening observable); generation 2
+    * stores the SAME struct shape with `units` widened to DOUBLE. The
+    * unified read widens `struct<units:bigint,tag:string>` vs
+    * `struct<units:double,tag:string>` to the wide form RECURSIVELY
+    * (same field names, same order — the positional-hazard directions
+    * that must fail loudly stay spec-pinned in SchemaEvolutionSpec),
+    * then the ordinary latest-wins collapse runs and the output
+    * projects the nested fields flat for the oracle compare.
+    *
+    * Scale: r18's shape exactly — disjoint generation scans, pure
+    * projection unification (the struct cast is positional, no column
+    * rebuild), broadcast cutover scalar, one log-keyed exchange for
+    * the collapse.
+    */
+  def r19NestedWidening(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val cut = events.agg(expr("max(event_id) DIV 2").as("cut"))
+    val g1 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") < col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        struct(
+          col("value").cast("long").as("units"), // old nested: integer units
+          upper(col("event_type")).as("tag")).as("meta"),
+        lit(1L).as("schema_ver"))
+    val g2 = events.crossJoin(broadcast(cut))
+      .filter(col("event_id") >= col("cut"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        struct(
+          col("value").as("units"), // nested field widened to double
+          upper(col("event_type")).as("tag")).as("meta"),
+        lit(2L).as("schema_ver"))
+    val unified = graft.operators.SchemaEvolution.unionEvolved(Seq(g1, g2))
+      .withColumn("_deleted", (col("event_type") === "error").cast("int"))
+    ReplicaTable.current(unified, keys = Seq("user_id"), ver = "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("meta.units").as("units"), col("meta.tag").as("tag"),
+        col("schema_ver"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The oracle hand-performs the nested widen flat (trunc → BIGINT →
+    * DOUBLE, r18's truncate-toward-zero) — DuckDB never needs the
+    * struct, because the query's own output projects the fields flat.
+    */
+  val r19Sql: String =
+    """WITH cut AS (SELECT max(event_id) // 2 AS cut FROM events),
+      |u AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE) AS units,
+      |    upper(event_type) AS tag, CAST(1 AS BIGINT) AS schema_ver
+      |  FROM events, cut WHERE event_id < cut
+      |  UNION ALL
+      |  SELECT user_id, event_id, event_type, value AS units,
+      |    upper(event_type), CAST(2 AS BIGINT)
+      |  FROM events, cut WHERE event_id >= cut)
+      |SELECT user_id, event_id AS last_event_id, units, tag, schema_ver
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM u)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "r19_nested_widening" -> (r19NestedWidening _),
     "r18_schema_narrowing" -> (r18SchemaNarrowing _),
     "r17_batch_freshness" -> (r17BatchFreshness _),
     "r16_tombstone_gc" -> (r16TombstoneGc _),
@@ -1126,6 +1193,7 @@ object Replication {
     "r4_idempotent_merge" -> (r4IdempotentMerge _))
 
   val oracles: Map[String, String] = Map(
+    "r19_nested_widening" -> r19Sql,
     "r18_schema_narrowing" -> r18Sql,
     "r17_batch_freshness" -> r17Sql,
     "r16_tombstone_gc" -> r16Sql,

@@ -83,6 +83,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - r18: r11's cutover-scalar broadcasts, unchanged (the widen/
       //    drop unification itself is pure projection, shuffle-free)
       "r18_schema_narrowing",
+      //  - r19: r18's cutover-scalar broadcasts, unchanged (the nested
+      //    struct widen is a positional cast — pure projection)
+      "r19_nested_widening",
       //  - v22: the deliberate broadcast-Q x scan-N over the int8 codes
       //    (v1's shape on 4x narrower rows) plus the one-row packed
       //    stats broadcast (v7's scalar shape) and the exact-truth side
@@ -351,6 +354,8 @@ class PlanAuditSpec extends SparkSpec {
       // no exchange; the four are the two cutover scalar aggs + the
       // latest-wins collapse + the final sort
       "r18_schema_narrowing" -> 4,
+      // r19: r18's shape — the nested widen adds no exchange
+      "r19_nested_widening" -> 4,
       // r11: one tiny scalar agg per generation branch (the cutover
       // tick), the ArgMaxRow collapse, and the output sort
       "r11_schema_evolution" -> 4,

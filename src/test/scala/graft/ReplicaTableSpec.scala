@@ -152,6 +152,41 @@ class ReplicaTableSpec extends SparkSpec {
       "unified view lost a generation's semantics")
   }
 
+  test("r19: a nested struct field widens across generations without moving values") {
+    import org.apache.spark.sql.functions._
+    // r18's planted log, driven through the NESTED ladder: gen-1 stores
+    // meta.units as BIGINT (truncated), gen-2 as DOUBLE — the unified
+    // read must surface gen-1 units as exact .0 doubles and gen-2 as
+    // exact fractions, with the sibling tag field untouched (a
+    // positional-cast bug would swap or corrupt it).
+    val dir = java.nio.file.Files.createTempDirectory("events_fixture").toString
+    Seq(
+      (1L, 1L, "click", 61.75),  // gen-1, superseded
+      (3L, 1L, "view", 12.25),   // gen-1 latest u1: units 12.0
+      (2L, 2L, "view", 99.5),    // gen-1 latest u2: units 99.0
+      (8L, 3L, "view", 61.75),   // gen-2 latest u3: units 61.75 exact
+      (4L, 3L, "click", 1.0),    // gen-1, superseded by gen-2
+      (9L, 4L, "error", 0.0),    // gen-2 tombstone -> user 4 dropped
+      (10L, 5L, "signup", 50.0)  // gen-2 only user
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      .withColumn("props", lit("""{"k": 1}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Replication.r19NestedWidening(spark, dir)
+    // the nested field must have widened to double in the flat output
+    assert(out.schema("units").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 12.0, "VIEW", 1L),    // gen-1: truncated, surfaces as .0
+      (2L, 2L, 99.0, "VIEW", 1L),
+      (3L, 8L, 61.75, "VIEW", 2L),   // gen-2 wins: exact fraction
+      (5L, 10L, 50.0, "SIGNUP", 2L)),
+      "nested widening moved or corrupted a struct field")
+  }
+
   test("r12/checksumAudit: healthy replicas match everywhere; corruption pinpoints its bucket") {
     import org.apache.spark.sql.functions._
     // healthy: the two independent materialization paths agree bucket-wise
