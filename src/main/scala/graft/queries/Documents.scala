@@ -2043,11 +2043,12 @@ object Documents {
     */
   private[graft] def d26Reconverge(
       spark: SparkSession, baseStar: DataFrame, delta: DataFrame,
-      ccTag: String): DataFrame = {
+      ccTag: String, affected: Option[DataFrame] = None): DataFrame = {
     val deltaNodes = delta.select(col("src").as("id"))
       .unionByName(delta.select(col("dst").as("id"))).distinct()
     val affectedStar = baseStar.join(
-      broadcast(starTouchedComps(baseStar, deltaNodes)), Seq("comp"), "left_semi")
+      broadcast(affected.getOrElse(starTouchedComps(baseStar, deltaNodes))),
+      Seq("comp"), "left_semi")
     val starEdges = affectedStar.filter(col("id") =!= col("comp"))
       .select(col("id").as("src"), col("comp").as("dst"))
     val nodes = affectedStar.select(col("id"))
@@ -2081,11 +2082,15 @@ object Documents {
     // labels verbatim (their depth-1 stars are already the fixpoint —
     // connectivity is monotone under added edges), so they never enter
     // the CC rounds at all: the fixpoint cost is affected-sized, not
-    // corpus-sized
-    val untouched = baseStar.join(
-        broadcast(starTouchedComps(baseStar, deltaNodes)), Seq("comp"), "left_anti")
+    // corpus-sized. The shard-sized touched set materializes ONCE
+    // (localCheckpoint) and feeds both the pass-through anti-join and
+    // the re-convergence semi-join — without the barrier each branch
+    // re-derives it (scan + distinct + broadcast, twice)
+    val affected = starTouchedComps(baseStar, deltaNodes).localCheckpoint(false)
+    val untouched = baseStar.join(broadcast(affected), Seq("comp"), "left_anti")
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
-    val reconverged = d26Reconverge(spark, baseStar, delta, "cc_d26")
+    val reconverged =
+      d26Reconverge(spark, baseStar, delta, "cc_d26", Some(affected))
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
     untouched.unionByName(reconverged)
       .withColumn("cluster_size",

@@ -483,15 +483,13 @@ class PlanAuditSpec extends SparkSpec {
       // feeding the surviving-pair restriction + the affected-subgraph
       // CC off its durable final table + cluster-size window + sort
       "d28_deletion_clusters" -> 10,
-      // d26: since r11 the fixpoint is affected-only, so the final plan
-      // assembles MORE (tiny) pieces: untouched star pass-through +
-      // reconverged label join off the durable final round table, the
-      // delta-node distincts feeding both, + cluster-size window +
-      // output sort. Four more exchanges than the r10 shape but every
-      // added one is shard/affected-sized — the corpus-sized cost that
+      // d26: since r11 the fixpoint is affected-only — untouched star
+      // pass-through (broadcast anti-join on the checkpointed touched
+      // set) ∪ reconverged labels off the durable final round table +
+      // cluster-size window + output sort; the corpus-sized cost that
       // moved is the CALL-TIME CC rounds (never in this plan), which
       // now shuffle only touched components (d26_delta volume golden)
-      "d26_incremental_clusters" -> 7,
+      "d26_incremental_clusters" -> 3,
       // d16/d18 read the persisted bucketed k-gram index (the default
       // since r5): detection keeps only the span-merge window + output
       // sort; clipping adds the span-list agg + corpus join
