@@ -2043,9 +2043,14 @@ object Documents {
     */
   private[graft] def d26Reconverge(
       spark: SparkSession, baseStar: DataFrame, delta: DataFrame,
-      ccTag: String, affected: Option[DataFrame] = None): DataFrame = {
-    val deltaNodes = delta.select(col("src").as("id"))
-      .unionByName(delta.select(col("dst").as("id"))).distinct()
+      ccTag: String, affected: Option[DataFrame] = None,
+      deltaNodesPre: Option[DataFrame] = None): DataFrame = {
+    // the catalog query passes both precomputed pieces so the delta
+    // scan + distinct and the touched-set derivation run once, not per
+    // branch; the standalone probe derives them itself
+    val deltaNodes = deltaNodesPre.getOrElse(
+      delta.select(col("src").as("id"))
+        .unionByName(delta.select(col("dst").as("id"))).distinct())
     val affectedStar = baseStar.join(
       broadcast(affected.getOrElse(starTouchedComps(baseStar, deltaNodes))),
       Seq("comp"), "left_semi")
@@ -2090,7 +2095,8 @@ object Documents {
     val untouched = baseStar.join(broadcast(affected), Seq("comp"), "left_anti")
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
     val reconverged =
-      d26Reconverge(spark, baseStar, delta, "cc_d26", Some(affected))
+      d26Reconverge(spark, baseStar, delta, "cc_d26", Some(affected),
+        Some(deltaNodes))
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
     untouched.unionByName(reconverged)
       .withColumn("cluster_size",

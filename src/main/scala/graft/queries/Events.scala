@@ -1540,7 +1540,7 @@ object Events {
     */
   def w29StateProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    w29Cache.computeIfAbsent(w29CacheKey(dir), _ => runW29Profile(spark, dir))
+    w29Cache.computeIfAbsent(w29CacheKey(spark, dir), _ => runW29Profile(spark, dir))
       .toDF("twin", "state_keys", "emitted_rows", "evicted_rows")
   }
 
@@ -1550,17 +1550,21 @@ object Events {
     * and the catalog-wide plan sweeps in the test suite construct every
     * query several times — without the memo each sweep would re-run
     * four streaming queries just to look at a 4-row LocalTableScan.
-    * The key carries the events fixture's (length, mtime) fingerprint,
-    * not the dir alone: a fixture regenerated in-place mid-JVM must
-    * re-run the lifecycle, never serve the prior corpus's numbers.
+    * The key carries the events fixture's recursive (path, length,
+    * mtime) fingerprint — [[graft.operators.PersistedIndex
+    * .sourceFingerprint]], the repo's canonical fixture identity, which
+    * descends into directory-shaped parquet (a flat File.length on a
+    * directory reads the inode size and misses in-place part-file
+    * rewrites) — not the dir alone: a fixture regenerated in-place
+    * mid-JVM must re-run the lifecycle, never serve the prior corpus's
+    * numbers.
     */
   private val w29Cache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, Long, Long, Long)]]()
 
-  private def w29CacheKey(dir: String): String = {
-    val f = new java.io.File(dir, "events.parquet")
-    s"$dir|${f.length()}|${f.lastModified()}"
-  }
+  private def w29CacheKey(spark: SparkSession, dir: String): String =
+    s"$dir|" + graft.operators.PersistedIndex.sourceFingerprint(
+      spark, Seq(s"$dir/events.parquet"))
 
   /** Delete a throwaway directory tree ([[java.nio.file.Files.walk]]
     * streams hold an OS directory handle until closed).

@@ -180,5 +180,14 @@ class ConfigYamlSpec extends SparkSpec {
     // (the review-caught regression of the first '-' rule)
     val s = ConfigYaml.parse("team: ops-'til-close # after hours\n")
     assert(s.get("team") === Some("ops-'til-close"))
+    // ADVICE r10: a dash at a plain-scalar token start (space before it)
+    // is STILL not a quote opener — only flow-sequence context ('[' or
+    // ',' before the dash) counts; the prior rule opened quote state
+    // here and swallowed the comment into the value
+    val g = ConfigYaml.parse("note: rock -'n roll # genre\n")
+    assert(g.get("note") === Some("rock -'n roll"))
+    // spaced flow items keep the protection ([ -'x #y'])
+    val sp = ConfigYaml.parse("vals: [ -'x #y', c] # comment\n")
+    assert(sp.get("vals") === Some(Vector("-'x #y'", "c")))
   }
 }

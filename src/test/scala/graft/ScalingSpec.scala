@@ -249,11 +249,14 @@ class ScalingSpec extends SparkSpec {
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally s.close()
-      // deletionRecompute's durable CC rounds register generation tables
-      // under the probe tags — drop them like ConnectedComponentsSpec
-      // does for cc_cad_*, or they leak into later suites' catalogs
-      for (i <- sfs.indices; g <- 0 to 1; t <- Seq("cc_probe", "cc_d26p"))
-        spark.sql(s"DROP TABLE IF EXISTS $t${i}_$g")
+      // deletionRecompute/d26DeltaProbe mint per-run round tables under
+      // the probe tags via freshTableRounds, which inserts a nanoTime
+      // hex segment (cc_probe0_<hex>_0) — a fixed-name DROP matches
+      // nothing, so enumerate the catalog and drop by tag prefix
+      val probeTags = sfs.indices.flatMap(i => Seq(s"cc_probe$i", s"cc_d26p$i"))
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => probeTags.exists(t => n.startsWith(t + "_")))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     }
   }
 }

@@ -869,8 +869,15 @@ class StreamingOpsSpec extends SparkSpec
         // profile's deterministic zero
         qs.zip(Seq("funnel", "attribution", "transition", "decay"))
           .foreach { case (q, n) =>
-            assert(graft.streaming.QueryMonitor.stateEvictions(
-              q.recentProgress.toSeq) >= 1L,
+            // memory-sink rows land during addBatch but the batch's
+            // progress entry is appended in finishTrigger — poll past
+            // that gap instead of racing it
+            def evictions() = graft.streaming.QueryMonitor
+              .stateEvictions(q.recentProgress.toSeq)
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (evictions() < 1L && System.nanoTime() < deadline)
+              Thread.sleep(200)
+            assert(evictions() >= 1L,
               s"$n twin recorded no TTL eviction in its progress metrics")
           }
       } finally qs.foreach(_.stop())
