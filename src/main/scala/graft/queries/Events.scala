@@ -55,8 +55,12 @@ object Events {
       |GROUP BY ws ORDER BY window_start""".stripMargin
 
   /** Session windows: 4-hour inactivity gap per user. Spark's
-    * `session_window` merges events whose gap is strictly less than the
-    * gap duration; the oracle's gaps-and-islands breaks at `>=`.
+    * `session_window` merges events whose gap is AT MOST the gap
+    * duration — boundary-INCLUSIVE, measured directly (StreamingOpsSpec
+    * drives an exact-gap pair into one merged session; this scaladoc
+    * previously claimed "strictly less", which only looked right
+    * because micro-timestamp fixtures never produce exact-boundary
+    * gaps). The oracle's gaps-and-islands breaks at `>` to match.
     */
   def w3Session(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -70,7 +74,7 @@ object Events {
     """WITH s AS (
       |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |         OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END brk
+      |         OR ts - lag(ts) OVER w > INTERVAL '4 hours' THEN 1 ELSE 0 END brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |i AS (SELECT user_id, ts, value,
       |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1419,7 +1423,7 @@ object Events {
     """WITH s AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |         OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END brk
+      |         OR ts - lag(ts) OVER w > INTERVAL '4 hours' THEN 1 ELSE 0 END brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |i AS (SELECT user_id, event_type,
       |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id

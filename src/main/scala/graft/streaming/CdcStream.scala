@@ -36,6 +36,23 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcStream {
 
+  /** Shared ttl plumbing for every transformWithState twin: the
+    * TTLConfig and the TimeMode MUST move in lockstep (state TTL is
+    * defined against processing time, and toggling it changes the
+    * checkpoint's state schema — the CHECKPOINT COMPATIBILITY contract
+    * on [[statefulLatestTws]]), so all five twins derive both from this
+    * one place instead of five copy-pasted pairs that could drift.
+    */
+  private def ttlConfig(ttl: Option[java.time.Duration])
+      : org.apache.spark.sql.streaming.TTLConfig =
+    ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+      .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def ttlTimeMode(ttl: Option[java.time.Duration])
+      : org.apache.spark.sql.streaming.TimeMode =
+    if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    else org.apache.spark.sql.streaming.TimeMode.None()
+
   /** File-based WAL source: a directory of JSON change-log files with the
     * envelope shape `{offset, tick, type, cuid, db, tid, data}` (data is a
     * JSON string). This is the test/fixture transport; [[kafkaSource]] is
@@ -66,8 +83,15 @@ object CdcStream {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest") // broker.py:18 auto_offset_reset
       .load()
-      .select(from_json(col("value").cast("string"), Envelope.walSchema).as("w"), col("offset"))
-      .select(col("w.*"), col("offset"))
+      .select(from_json(col("value").cast("string"), Envelope.walSchema).as("w"))
+      // the pipeline's `offset` is the global WAL sequence E2's gap
+      // detection watches ("the SERVER skipped ticks", publisher.py:
+      // 140-141) — on this transport that is the envelope's own tick.
+      // Kafka's record offset is PER PARTITION: on a multi-partition
+      // topic it is not a global sequence (batch boundaries would fake
+      // gaps, and a real tick skip never creates a Kafka-offset gap at
+      // all), so it must not masquerade as one.
+      .select(col("w.*"), col("w.tick").cast("long").as("offset"))
 
   /** The envelope half of the pipeline over a (streaming or batch) frame:
     * F1 op/collection filter, then F2/F3 + P2 via Envelope.preProcess.
@@ -106,6 +130,16 @@ object CdcStream {
       queryName: Option[String] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
+    // two live writers on one tableDir would silently break the
+    // compaction guard below: activeWriters keeps ONE entry per dir, so
+    // a second start would shadow the first and compact() could swap
+    // the table while the shadowed query is still appending — an append
+    // racing the swap is moved aside and deleted while its checkpoint
+    // offsets stay committed. Fail fast instead.
+    require(Option(activeWriters.get(tableDir)).forall(q => !q.isActive),
+      s"a replication query is already appending to $tableDir — stop it " +
+        "before starting another (two writers on one table dir would " +
+        "bypass the compaction guard and can lose appends)")
     // offset-range metrics attach to the RAW wal frame, BEFORE the
     // envelope filter: op-filtered entries (txn markers 2200-2202,
     // foreign collections) carry WAL offsets too, so observing after the
@@ -161,7 +195,18 @@ object CdcStream {
                 .filter(batch.columns.contains))
             t.valid.write.mode("append").parquet(tableDir)
             val errs = t.errors
-            if (!errs.isEmpty) errs.write.mode("append").parquet(tableDir + ".deadletter")
+            // the deadletter log has no keys/_ver for a read view to
+            // collapse, so a bare append would DOUBLE its rows on every
+            // crash inside this marker window; one partition per batch
+            // with dynamic overwrite makes redelivery rewrite its own
+            // partition instead (exactly-once reject storage). The
+            // snapshot path (Sync.snapshot) writes batch_id = -1 under
+            // the same layout.
+            if (!errs.isEmpty) errs.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(tableDir + ".deadletter")
           } finally batch.unpersist()
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
@@ -321,7 +366,7 @@ object CdcStream {
       @transient private var cur: ValueState[T] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         cur = getHandle.getValueState[T]("current", et,
-          ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+          ttlConfig(ttl))
       override def handleInputRows(k: K, rows: Iterator[T],
           timers: TimerValues): Iterator[T] = {
         val incoming = rows.maxBy(ver)
@@ -333,7 +378,7 @@ object CdcStream {
     }
     // state TTL is defined against processing time, so the time mode
     // must follow the ttl choice — TTL with TimeMode.None is rejected
-    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = ttlTimeMode(ttl)
     ds.groupByKey(key)
       .transformWithState(processor, timeMode, OutputMode.Update())
   }
@@ -463,7 +508,13 @@ object CdcStream {
         var ss = open.get().toList // (start, end, n)
         rows.foreach { case (_, t) =>
           val ts = t.getTime
-          // merge the event and every session it touches into one
+          // merge the event and every session it touches into one.
+          // INCLUSIVE bounds, matching the session_window builtin this
+          // twin mirrors: events exactly gapMs apart MERGE (measured —
+          // StreamingOpsSpec's gap-boundary test drives both operators
+          // over an exact-gap pair and pins one merged session from
+          // each; docs claiming strict semantics are wrong about the
+          // builtin).
           val (touch, rest) = ss.partition(s => ts >= s._1 - gapMs && ts <= s._2 + gapMs)
           val merged = ((ts, ts, 1L) :: touch).reduce((a, b) =>
             (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
@@ -540,7 +591,7 @@ object CdcStream {
         @transient private var funnel: ValueState[(Long, Long, Long)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
           funnel = getHandle.getValueState("funnel", stEnc,
-            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+            ttlConfig(ttl))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[StageLatency] = {
@@ -571,7 +622,7 @@ object CdcStream {
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(processor,
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        ttlTimeMode(ttl),
         OutputMode.Append())(
         Encoders.product[StageLatency])
   }
@@ -618,7 +669,7 @@ object CdcStream {
         @transient private var lastKey: ValueState[Long] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
           lastKey = getHandle.getValueState("lastKey", Encoders.scalaLong,
-            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+            ttlConfig(ttl))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[TouchAttribution] = {
@@ -648,7 +699,7 @@ object CdcStream {
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(processor,
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        ttlTimeMode(ttl),
         OutputMode.Append())(
         Encoders.product[TouchAttribution])
   }
@@ -700,32 +751,44 @@ object CdcStream {
         @transient private var open: ListState[(Long, Long, String)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
           open = getHandle.getListState("open", touchEnc,
-            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+            ttlConfig(ttl))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String, Double)],
             tv: TimerValues): Iterator[DecayCredit] = {
           val out = Seq.newBuilder[DecayCredit]
+          // ONE state read and ONE write per (key, batch): the fold runs
+          // against a local buffer — per-row clear+put would pay ~2T
+          // RocksDB round trips for a T-touch batch and re-sort the list
+          // per row for nothing (the buffer stays sorted most-recent-
+          // first, exactly the read order a purchase needs)
+          var touches = open.get().toList.sortBy(t => (-t._1, -t._2))
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, id, tp, v) =>
             if (tp == "purchase") {
-              val touches = open.get().toList.sortBy(t => (-t._1, -t._2))
               val weighted = touches.zipWithIndex.map { case (t, i) =>
                 (t._3, 1000000L >> i) // i < 20 by the state cap
               }
               val sw = weighted.map(_._2).sum
-              if (sw > 0) {
+              // NaN is the null-value sentinel from the projection below:
+              // the batch rule (w23's `pval_e6 IS NOT NULL`) emits NO rows
+              // for a value-less purchase — emitting zero-credit rows here
+              // would skew every downstream n_touches/sum_weight_ppm
+              // rollup against the twin. The purchase still consumes its
+              // segment either way (it delimits segments in the batch
+              // rule regardless of its value).
+              if (sw > 0 && !v.isNaN) {
                 val pval = math.floor(v * 1e6).toLong
                 weighted.withFilter(_._2 > 0).foreach { case (tt, w) =>
                   out += DecayCredit(k, id, tt, w, pval * w / sw)
                 }
               }
-              open.clear()
+              touches = Nil
             } else {
-              val kept = (open.get().toList :+ ((us, id, tp)))
+              touches = (((us, id, tp)) :: touches)
                 .sortBy(t => (-t._1, -t._2)).take(MaxTouches)
-              open.clear()
-              if (kept.nonEmpty) open.put(kept.toArray)
             }
           }
+          open.clear()
+          if (touches.nonEmpty) open.put(touches.toArray)
           out.result().iterator
         }
       }
@@ -733,17 +796,19 @@ object CdcStream {
       // the batch twin's own event universe (w23 filters to these
       // three): without it any foreign type ("error", heartbeats…)
       // would be stored and CREDITED as a touch — and evict real
-      // touches from the 20-entry cap; value is null-safe because only
-      // purchases carry one (a null on a touch row would kill the
-      // primitive-Double encoder)
+      // touches from the 20-entry cap. NULL values coalesce to NaN, a
+      // SENTINEL the processor reads as "no credit" (only purchases
+      // carry a value; the primitive-Double encoder cannot hold null,
+      // and coalescing to 0.0 would emit zero-credit rows the batch
+      // rule's `pval_e6 IS NOT NULL` filter never produces)
       .filter(col(typeCol).isin("view", "click", "purchase"))
       .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
         col(idCol).cast("long"), col(typeCol),
-        coalesce(col(valueCol).cast("double"), lit(0.0)))
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Long, String, Double)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(processor,
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        ttlTimeMode(ttl),
         OutputMode.Append())(
         Encoders.product[DecayCredit])
   }
@@ -786,7 +851,7 @@ object CdcStream {
         @transient private var last: ValueState[(Long, Long, String)] = _
         override def init(om: OutputMode, tm: TimeMode): Unit =
           last = getHandle.getValueState("last", stEnc,
-            ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+            ttlConfig(ttl))
         override def handleInputRows(k: Long,
             rows: Iterator[(Long, Long, Long, String)],
             tv: TimerValues): Iterator[PathTransition] = {
@@ -807,7 +872,7 @@ object CdcStream {
       .as[(Long, Long, Long, String)](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(processor,
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        ttlTimeMode(ttl),
         OutputMode.Append())(
         Encoders.product[PathTransition])
   }

@@ -38,7 +38,18 @@ final class QueryMonitor(
     val name = Option(p.name).getOrElse(p.id.toString)
     val obs = p.observedMetrics
     // multiple jobs in one foreachBatch re-report the same batch's
-    // metrics — count each micro-batch exactly once
+    // metrics — count each micro-batch exactly once. A batchId BELOW
+    // the stored max means a NEW INCARNATION reused the name (a resync
+    // restarts from a fresh checkpoint, so batchIds restart at 0) —
+    // without the reset, metrics and gap alerts would silently stay
+    // dark until the new incarnation out-counted the old one's batches.
+    // The offset cursor resets with it: the new stream may legitimately
+    // replay from an earlier tick, and a stale high-water mark would
+    // mute real gaps for the whole rewound span.
+    if (p.batchId < lastBatch.getOrDefault(name, -1L)) {
+      lastBatch.remove(name)
+      lastMaxOffset.remove(name)
+    }
     val firstSeen = lastBatch.getOrDefault(name, -1L) < p.batchId
     lastBatch.merge(name, p.batchId, (a: Long, b: Long) => math.max(a, b))
     if (firstSeen) {

@@ -40,8 +40,14 @@ final class SmtpAlerter(
 
   /** Send the failure mail; throws on any protocol error. */
   def sendFailure(queryName: String, error: String): Unit = {
-    val socket = new Socket(host, port)
+    // connect with the SAME bound as reads: the Socket(host, port)
+    // constructor connects with NO timeout, so a blackholed mail host
+    // would block the listener bus thread for the OS default TCP
+    // timeout (minutes) despite timeoutMs — setSoTimeout only bounds
+    // reads after the connection exists
+    val socket = new Socket()
     try {
+      socket.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
       socket.setSoTimeout(timeoutMs)
       val in = new BufferedReader(new InputStreamReader(
         socket.getInputStream, StandardCharsets.US_ASCII))

@@ -29,7 +29,6 @@ final class Supervisor(
 
   @volatile private var totalFailuresV = 0
   @volatile private var rapidFailuresV = 0
-  @volatile private var lastFailedAt: Long = Long.MinValue
   @volatile private var lastErrorV: Option[String] = None
 
   /** Lifetime failure count (reference `number_of_restarts`). */
@@ -64,10 +63,8 @@ final class Supervisor(
         case e: org.apache.spark.sql.streaming.StreamingQueryException =>
           totalFailuresV += 1
           lastErrorV = Some(e.getMessage)
-          val t = now()
-          lastFailedAt = t
           rapidFailuresV =
-            if ((t - startedAt) < minUptimeMillis) rapidFailuresV + 1 else 1
+            if ((now() - startedAt) < minUptimeMillis) rapidFailuresV + 1 else 1
           if (rapidFailuresV >= maxRestarts) return false
           sleep(restartDelayMillis)
       }

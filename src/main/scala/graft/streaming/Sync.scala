@@ -78,8 +78,16 @@ object Sync {
       val n = SnapshotStore.writeSnapshot(spark, rows, tableDir)
       val rejects = t.errors
       val nRejects = rejects.count()
+      // same partitioned layout as the CDC sink's per-batch deadletter
+      // (batch_id = -1 marks the snapshot partition): a re-run snapshot
+      // OVERWRITES its own rejects instead of appending a duplicate set
+      // — consistent with the snapshot itself replacing the table
       if (nRejects > 0)
-        rejects.write.mode("append").parquet(tableDir + ".deadletter")
+        rejects.withColumn("batch_id", lit(-1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(tableDir + ".deadletter")
       (n, nRejects)
     } finally cached.unpersist()
   }

@@ -225,6 +225,21 @@ class CdcStreamSpec extends SparkSpec {
     assert(dead.count() === 1)
     assert(dead.select("error").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().head.contains("missing primary key"))
+
+    // the deadletter log has no keys/_ver for a read view to collapse,
+    // so its storage must be idempotent at the WRITE: a crash between
+    // the reject write and the sink commit marker re-delivers the batch,
+    // and the re-write must land in the SAME batch partition instead of
+    // appending a duplicate reject set. Re-run the exact sink write for
+    // the same batch id and assert the log did not grow.
+    val replay = dead.drop("batch_id")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+    replay.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tableDir.toString + ".deadletter")
+    assert(spark.read.parquet(tableDir.toString + ".deadletter").count() === 1,
+      "a re-delivered batch duplicated its deadletter rows")
   }
 
   test("replication end-to-end over the custom WAL streaming source") {

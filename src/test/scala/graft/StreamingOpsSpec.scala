@@ -134,6 +134,80 @@ class StreamingOpsSpec extends SparkSpec
     }
   }
 
+  test("gap-boundary events merge identically in the builtin and the timer twin") {
+    // MEASURED builtin semantics: session_window merges two events
+    // exactly gapMs apart into ONE session (boundary-INCLUSIVE — the
+    // long-standing doc comment claiming "strictly less" was wrong, and
+    // w3's oracle only agreed because micro-timestamp fixtures never
+    // produce exact-boundary gaps). sessionizeTws claims the builtin's
+    // semantics on raw timer state, so both must merge here; this test
+    // is the pin that keeps the two operators and the w3 oracle's break
+    // condition aligned at the boundary.
+    val gapMs = 10 * 60 * 1000L
+    def boundarySrc(tag: String): java.nio.file.Path = {
+      val src = tmp(s"$tag-src")
+      Files.write(src.resolve("e.json"), java.util.Arrays.asList(
+        """{"id":1,"ts":"2024-01-01T00:00:00.000Z","payload":"a"}""",
+        """{"id":1,"ts":"2024-01-01T00:10:00.000Z","payload":"b"}""", // == gap
+        """{"id":99,"ts":"2024-01-01T06:00:00.000Z","payload":"sentinel"}"""))
+      src
+    }
+    val b = spark.readStream.schema(eventSchema).json(boundarySrc("sb").toString)
+    val qb = CdcStream.sessionizeStream(b, "id", "ts",
+        gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sb_out")
+      .option("checkpointLocation", tmp("sb-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    qb.awaitTermination()
+    val builtin = spark.table("sb_out").collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(3)).toSeq.sorted
+    assert(builtin === Seq(2L),
+      s"builtin session_window split gap-boundary events: $builtin")
+    withRocksDb {
+      val t = spark.readStream.schema(eventSchema).json(boundarySrc("tb").toString)
+      val qt = CdcStream.sessionizeTws(t, "id", "ts", gapMs, watermark = "1 minute")
+        .writeStream.format("memory").queryName("tb_out")
+        .option("checkpointLocation", tmp("tb-ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      qt.awaitTermination()
+    }
+    val twin = spark.table("tb_out").collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(3)).toSeq.sorted
+    assert(twin === Seq(2L),
+      s"sessionizeTws split gap-boundary events the builtin merges: $twin")
+  }
+
+  test("decayAttributionStream: a value-less purchase consumes its segment, credits nothing") {
+    import scala.jdk.CollectionConverters._
+    // the batch w23 rule (`pval_e6 IS NOT NULL`) emits NO rows for a
+    // NULL-value purchase but the purchase still delimits segments; the
+    // stream's first cut coalesced NULL to 0.0 and emitted zero-credit
+    // rows that skewed every n_touches/sum_weight_ppm rollup
+    val src = tmp("dcnull-src"); val ck = tmp("dcnull-ck")
+    Files.write(src.resolve("a.json"), Seq(
+      twinEv(1, "2024-01-01T09:00:00.000Z", 1, "click"),
+      """{"uid":1,"ts":"2024-01-01T09:10:00.000Z","eid":2,"etype":"purchase","value":null}""",
+      twinEv(1, "2024-01-01T09:20:00.000Z", 3, "view"),
+      twinEv(1, "2024-01-01T09:30:00.000Z", 4, "purchase", 3.0)).asJava)
+    withRocksDb {
+      val stream = spark.readStream.schema(twinSchema).json(src.toString)
+      val q = CdcStream.decayAttributionStream(
+          stream, "uid", "ts", "eid", "etype", "value")
+        .writeStream.format("memory").queryName("dcnull_out")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val got = spark.table("dcnull_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // only the VALUED purchase emits, crediting only the post-null-
+    // purchase view — the click before the null purchase was consumed
+    // with its segment and must never resurface
+    assert(got === Seq((1L, 4L, "view", 1000000L, 3000000L)),
+      s"null-value purchase leaked credit rows or failed to consume its segment: $got")
+  }
+
   test("anomalyStream flags the same minutes as the batch w15 rule") {
     val src = tmp("an-src"); val ckpt = tmp("an-ck")
     // 13 active minutes for one key: 10 flat (cnt=2) to fill the ring,
