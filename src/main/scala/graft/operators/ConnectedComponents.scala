@@ -249,23 +249,14 @@ object ConnectedComponents {
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(warehouse)) return
-    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    fs.listStatus(warehouse).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(s"${family}_") && st.getModificationTime < cutoff) {
-        if (LivenessMarker.isMarkerName(n)) {
-          fs.delete(st.getPath, false) // a dead builder's stale heartbeat
-        } else if (!spark.catalog.tableExists(n)) {
-          // round tables are <prefix>_0/<prefix>_1 — the heartbeat
-          // guards the prefix, covering both alternating tables
-          val guarded = new org.apache.hadoop.fs.Path(
-            warehouse, n.replaceFirst("_[01]$", ""))
-          if (!LivenessMarker.isAlive(fs, guarded, cutoff))
-            fs.delete(st.getPath, true)
-        }
-      }
-    }
+    LivenessMarker.sweepStale(fs, warehouse,
+      cutoffMillis = System.currentTimeMillis() - 30L * 60 * 1000,
+      matches = _.startsWith(s"${family}_"),
+      inCatalog = spark.catalog.tableExists,
+      // round tables are <prefix>_0/<prefix>_1 — the heartbeat guards
+      // the prefix, covering both alternating tables
+      guardFor = p => new org.apache.hadoop.fs.Path(
+        warehouse, p.getName.replaceFirst("_[01]$", "")))
   }
 
   /** large-star: for each node u (over the symmetric adjacency), emit

@@ -66,9 +66,19 @@ object Envelope {
     * `int(utcnow.strftime('%Y%j') + str(offset))`) — monotone per partition
     * across resyncs. The formula is load-bearing for version ordering, so
     * it is reproduced exactly; the clock is injectable for determinism.
+    *
+    * The day is rendered in UTC EXPLICITLY (convert_timezone to an NTZ
+    * wall clock, then format the wall fields): `date_format` alone
+    * renders in the SESSION timezone, so a consumer whose session isn't
+    * pinned to UTC would — for the hours around each UTC midnight —
+    * synthesize versions that diverge from the reference's `utcnow`
+    * formula and pick different winners on replay. The operator must
+    * not depend on a conf set elsewhere.
     */
   def verExpr(offset: Column, clock: Column = current_timestamp()): Column =
-    concat(date_format(clock, "yyyyDDD"), offset.cast(StringType)).cast(LongType)
+    concat(
+      date_format(convert_timezone(lit("UTC"), clock), "yyyyDDD"),
+      offset.cast(StringType)).cast(LongType)
 
   /** P2: `_deleted = (type == REMOVE)` (loader.py:77). Stored as int 0/1 to
     * match the reference's UInt8 column.

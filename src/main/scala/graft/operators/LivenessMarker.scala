@@ -65,6 +65,39 @@ object LivenessMarker {
     try fs.delete(heartbeatPath(dir), false)
     catch { case _: Exception => () }
 
+  /** The ONE stale-orphan sweep rule both warehouse stores share
+    * ([[PersistedIndex.ensure]]'s sibling cleanup and
+    * [[ConnectedComponents]]'s round-table sweep previously held
+    * separate copies — a fix to the liveness rule applied to one would
+    * silently leave the other sweeping under the old rule): children of
+    * `parent` whose name `matches` and whose own mtime predates
+    * `cutoffMillis` are reclaimed — a heartbeat marker file deletes
+    * flat; a directory deletes recursively ONLY when the caller's
+    * catalog doesn't know it (`inCatalog`) AND the heartbeat guarding
+    * it (`guardFor` — the dir itself by default; the CC store guards a
+    * PREFIX covering both alternating round tables) is absent or
+    * equally stale. Age alone is never grounds: a concurrent session's
+    * genuinely long build keeps its marker fresh via [[whileAlive]]'s
+    * ticker and survives every sweep.
+    */
+  def sweepStale(
+      fs: FileSystem,
+      parent: Path,
+      cutoffMillis: Long,
+      matches: String => Boolean,
+      inCatalog: String => Boolean,
+      guardFor: Path => Path = identity): Unit = {
+    if (!fs.exists(parent)) return
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (matches(n) && st.getModificationTime < cutoffMillis) {
+        if (isMarkerName(n)) fs.delete(st.getPath, false)
+        else if (!inCatalog(n) && !isAlive(fs, guardFor(st.getPath), cutoffMillis))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Run `f` with a daemon ticker refreshing `dir`'s heartbeat every
     * [[TickSeconds]] (plus one immediate touch), so an arbitrarily long
     * build phase stays alive for concurrent sweeps. The ticker dies with

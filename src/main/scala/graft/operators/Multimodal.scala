@@ -54,15 +54,20 @@ object Multimodal {
     (w, ht, 3)
   }
 
+  // Every magic check is NULL-SAFE: the media schema's payload column is
+  // nullable, and a single NULL blob reaching payload.length would NPE
+  // the task deterministically on every retry — the job-killing failure
+  // the drop/stub paths exist to prevent. NULL simply isn't the format.
+
   /** PNG magic (the 8-byte signature's first four bytes suffice here). */
   def isPng(payload: Array[Byte]): Boolean =
-    payload.length >= 8 && payload(0) == 0x89.toByte &&
+    payload != null && payload.length >= 8 && payload(0) == 0x89.toByte &&
       payload(1) == 'P'.toByte && payload(2) == 'N'.toByte &&
       payload(3) == 'G'.toByte
 
   /** GIF87a/GIF89a magic. */
   def isGif(payload: Array[Byte]): Boolean =
-    payload.length >= 6 && payload(0) == 'G'.toByte &&
+    payload != null && payload.length >= 6 && payload(0) == 'G'.toByte &&
       payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
       payload(3) == '8'.toByte
 
@@ -70,7 +75,7 @@ object Multimodal {
     * two-byte prefix alone would false-positive on text).
     */
   def isBmp(payload: Array[Byte]): Boolean =
-    payload.length >= 6 && payload(0) == 'B'.toByte &&
+    payload != null && payload.length >= 6 && payload(0) == 'B'.toByte &&
       payload(1) == 'M'.toByte && {
         val sz = (payload(2) & 0xff) | ((payload(3) & 0xff) << 8) |
           ((payload(4) & 0xff) << 16) | ((payload(5) & 0xff) << 24)
@@ -112,7 +117,7 @@ object Multimodal {
 
   /** WAV/RIFF magic. */
   def isWav(payload: Array[Byte]): Boolean =
-    payload.length >= 12 && payload(0) == 'R'.toByte &&
+    payload != null && payload.length >= 12 && payload(0) == 'R'.toByte &&
       payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
       payload(3) == 'F'.toByte && payload(8) == 'W'.toByte &&
       payload(9) == 'A'.toByte && payload(10) == 'V'.toByte &&
@@ -168,18 +173,30 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val f = ais.getFormat
-          val nFrames = ais.getFrameLength
-          val bytes = ais.readAllBytes()
-          var s = 0L
-          var i = 0
-          while (i + 1 < bytes.length) {
-            // signed 16-bit little-endian PCM
-            s += ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort
-            i += 2
+          // the sample loop below assumes signed 16-bit LITTLE-ENDIAN
+          // PCM — other legal WAVs (8-bit, 32-bit float, big-endian)
+          // parse fine through AudioSystem and would stream GARBAGE
+          // through the hardcoded 2-byte fuse, emitting a silently
+          // wrong sample_sum; they take the drop path instead (a real
+          // pipeline transcodes or dead-letters them)
+          val decodable =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+          if (!decodable) { ais.close(); None }
+          else {
+            val nFrames = ais.getFrameLength
+            val bytes = ais.readAllBytes()
+            var s = 0L
+            var i = 0
+            while (i + 1 < bytes.length) {
+              // signed 16-bit little-endian PCM
+              s += ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort
+              i += 2
+            }
+            ais.close()
+            Some(Row(r.getLong(0), r.getString(2),
+              f.getSampleRate.toInt, f.getChannels, nFrames, s))
           }
-          ais.close()
-          Some(Row(r.getLong(0), r.getString(2),
-            f.getSampleRate.toInt, f.getChannels, nFrames, s))
         } catch { case _: Exception => None }
       }
     }(enc)
@@ -205,10 +222,14 @@ object Multimodal {
     media.select("media_id", "payload", "format").mapPartitions { rows =>
       // per-partition codec init: no temp-file cache for in-memory blobs
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
+      rows.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
+        // NULL payloads drop like every other codec seam here — the
+        // stub path needs bytes too (fakeDecode hashes them)
+        if (payload == null) None
+        else Some {
         val decoded =
           if (isDecodableImage(payload)) tryDecodeImage(payload) else None
         if (decoded.isDefined) {
@@ -230,6 +251,7 @@ object Multimodal {
         } else {
           val (w, h, c) = fakeDecode(payload)
           Row(id, fmt, payload.length.toLong, w, h, c, null)
+        }
         }
       }
     }(enc)
@@ -347,8 +369,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "payload", "format").mapPartitions { rows =>
       // real resize would init the codec here, once per partition
-      rows.map { r =>
+      rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) None else Some {
         val (w, h, _) = fakeDecode(payload)
         // proportional sample: every ceil(w*h / (targetW*targetH))-th byte
         val ratio = math.max(1, (w.toLong * h / (targetW.toLong * targetH)).toInt)
@@ -356,6 +379,7 @@ object Multimodal {
           case i if i % ratio == 0 => payload(i)
         }.toArray
         Row(r.getLong(0), r.getString(2), targetW, targetH, resized)
+        }
       }
     }(enc)
   }

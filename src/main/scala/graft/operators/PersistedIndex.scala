@@ -151,23 +151,13 @@ object PersistedIndex {
           val mine = new Path(parent, s"$table*")
           fs.globStatus(mine).foreach(st => fs.delete(st.getPath, true))
           // orphan sibling locations from DEAD sessions: absent from this
-          // catalog, untouched for >30 min, AND without a live heartbeat.
-          // Age alone is not liveness — a concurrent session's genuinely
-          // long build keeps its [[LivenessMarker]] fresh via the ticker,
-          // so it survives here even when its dir mtime (= creation time
-          // until files land) has aged past the cutoff. Stale heartbeat
-          // files themselves are reclaimed under the same cutoff.
-          val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-          fs.globStatus(new Path(parent, pattern))
-            .filter(st => st.getModificationTime < cutoff)
-            .foreach { st =>
-              val n = st.getPath.getName
-              if (LivenessMarker.isMarkerName(n))
-                fs.delete(st.getPath, false)
-              else if (!catalog.tableExists(TableIdentifier(n)) &&
-                  !LivenessMarker.isAlive(fs, st.getPath, cutoff))
-                fs.delete(st.getPath, true)
-            }
+          // catalog, untouched for >30 min, AND without a live heartbeat
+          // — the one sweep rule, shared with the CC round-table store
+          // via [[LivenessMarker.sweepStale]]
+          LivenessMarker.sweepStale(fs, parent,
+            cutoffMillis = System.currentTimeMillis() - 30L * 60 * 1000,
+            matches = _.startsWith(s"${base}_${dirTag(dir)}_"),
+            inCatalog = n => catalog.tableExists(TableIdentifier(n)))
         }
         // heartbeat for the build's whole duration (ticker refreshes
         // every 5 min), so a multi-hour build at scale is never swept

@@ -150,8 +150,17 @@ object ReplicaTable {
     require(badTb.isEmpty,
       s"table ${config.name}: tieBreak columns ${badTb.mkString(", ")} " +
         "not in the table schema")
-    require(tieBreak.forall(t => !t.contains("'") && !t.contains(",")),
-      s"table ${config.name}: tieBreak column names must not contain ' or ,")
+    // EVERY name spliced into the single-quoted properties needs the
+    // quote/comma guard, not just tieBreak: a primary key named "a,b"
+    // (ConfigYaml happily parses quoted keys) would split into two attrs
+    // at read time and brick every scan at analysis, and a ' corrupts
+    // the ALTER statement itself
+    val spliced = (config.primaryKeys :+ config.versionColumn :+
+      config.deletedColumn) ++ tieBreak
+    require(spliced.forall(t => !t.contains("'") && !t.contains(",")),
+      s"table ${config.name}: column names written to table properties " +
+        s"(keys, version, deleted, tieBreak) must not contain ' or , — got " +
+        spliced.filter(t => t.contains("'") || t.contains(",")).mkString(", "))
     val tieBreakProp =
       if (tieBreak.isEmpty) ""
       else s",'$TieBreakProp'='${tieBreak.mkString(",")}'"
@@ -214,6 +223,18 @@ object ReplicaTable {
     * for integer/string types — float columns don't belong in a
     * cross-engine checksum (formatting differs); key + version identify
     * a row's content under the CDC contract anyway.
+    *
+    * The per-row encoding is INJECTIVE, which an audit digest must be:
+    * a bare `concat_ws` SKIPS NULLs (so (1, NULL, '5') and (1, '5',
+    * NULL) hash identically) and a raw '|' inside a value shifts every
+    * later column (('a','b') collides with ('a|b', NULL)) — exactly the
+    * divergences the audit exists to catch reporting is_match=1.
+    * Each value escapes '~' to '~~' and '|' to '~|', and NULL encodes
+    * as '~0' — unreachable after escaping (a real '~' is always
+    * followed by '~' or '|'), so the unescaped '|' only ever separates
+    * columns and every distinct row tuple gets a distinct string
+    * (pt-table-checksum's ISNULL-bitmap idea, as pure string algebra
+    * every SQL engine can replay).
     */
   def checksumAudit(
       source: DataFrame,
@@ -221,11 +242,18 @@ object ReplicaTable {
       keyCol: String,
       cols: Seq[String],
       nBuckets: Int): DataFrame = {
+    def digestCol(name: String): Column = {
+      val escaped = call_function("replace",
+        call_function("replace", col(name).cast("string"),
+          lit("~"), lit("~~")),
+        lit("|"), lit("~|"))
+      coalesce(escaped, lit("~0"))
+    }
     def side(df: DataFrame, pfx: String): DataFrame =
       df.select(
           pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
           graft.functions.HashFunctions.md5NumberBigEndian(
-            concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("h"))
+            concat_ws("|", cols.map(digestCol): _*)).as("h"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(s"n_rows_$pfx"),
           expr("bit_xor(h)").as(s"checksum_$pfx"))

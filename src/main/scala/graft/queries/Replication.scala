@@ -680,8 +680,13 @@ object Replication {
     * proven theorem) and derives both sides' grids from it.
     */
   val r12Sql: String = {
+    // the audit's injective row encoding (see ReplicaTable.checksumAudit):
+    // '~'->'~~', '|'->'~|' per value, NULL -> '~0', then '|'-joined —
+    // identical bytes to the engine's digest on every engine
+    def enc(v: String) =
+      s"coalesce(replace(replace(CAST($v AS VARCHAR), '~', '~~'), '|', '~|'), '~0')"
     val h = graft.queries.Documents.signedBeMd5Sql(
-      "CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) || '|' || event_type")
+      s"${enc("user_id")} || '|' || ${enc("event_id")} || '|' || ${enc("event_type")}")
     s"""WITH cur AS (
       |  SELECT user_id, event_id, event_type FROM (
       |    SELECT user_id, event_id, event_type,

@@ -435,43 +435,54 @@ final case class ArangoHttpCollectionSource(
   def pump(maxPerChunk: Int = ArangoHttp.DefaultChunkSize): Option[(Long, Long)] = {
     require(maxPerChunk > 0, s"maxPerChunk must be positive, got $maxPerChunk")
     var overall: Option[(Long, Long)] = None
+    // the DRAIN CURSOR is distinct from the spooled range: a server may
+    // legally replay a window of already-spooled ticks, and the cursor
+    // must advance past that window by the server's own last-included
+    // tick even when nothing in the response is new enough to spool
+    var cursor = spoolTick()
     var draining = true
     while (draining) {
-      val from = overall.map(_._2).getOrElse(spoolTick())
-      val (lines, _) = client.tail(from, maxPerChunk)
+      val (lines, last) = client.tail(cursor, maxPerChunk)
       if (lines.isEmpty) draining = false
       else {
-        // `from` is an EXCLUSIVE lower bound, but a server may legally
+        // `cursor` is an EXCLUSIVE lower bound, but a server may legally
         // re-include the boundary entry (inclusive-bound looseness) or
         // replay already-spooled ticks — those are durable already and
-        // are DROPPED here, never re-spooled. If NOTHING in a non-empty
-        // response advances past `from`, continuing would spin forever
-        // re-writing the same chunk: treat it as end-of-drain (a server
-        // sitting at head behind an inclusive bound looks exactly like
-        // this; a genuinely stuck server is retried on the next pump
-        // cycle by the Supervisor's cadence, never by a hot loop here).
+        // are DROPPED here, never re-spooled.
         val ticked = lines.flatMap { l =>
           // tick-less lines (server status/marker noise) are dropped —
           // they cannot be spooled into tick-named chunks, and an NPE
           // here would poison-livelock the pump on the same line forever
           Option(mapper.readTree(l).get("tick"))
             .map(n => (if (n.isTextual) n.asText.toLong else n.asLong, l))
-        }.filter(_._1 > from).sortBy(_._1)
-        if (ticked.isEmpty) draining = false
-        else
-        // a compliant server returns at most maxPerChunk entries; the
-        // grouped write bounds chunk-file size even against one that
-        // over-serves, so no chunk ever exceeds the configured bound
-        ticked.grouped(maxPerChunk).foreach { group =>
-          val (lo, hi) = (group.head._1, group.last._1)
-          val dir = Paths.get(spoolDir)
-          Files.createDirectories(dir)
-          val tmp = dir.resolve(s".wal-$lo-$hi.json.tmp")
-          Files.write(tmp,
-            group.map(_._2).mkString("\n").getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, dir.resolve(s"wal-$lo-$hi.json"),
-            StandardCopyOption.ATOMIC_MOVE)
-          overall = Some((overall.map(_._1).getOrElse(lo), hi))
+        }.filter(_._1 > cursor).sortBy(_._1)
+        if (ticked.isEmpty) {
+          // nothing spoolable — but if the server's last-included tick
+          // advanced, the response was a pure REPLAY window: move the
+          // cursor past it and keep draining (a replay window wider
+          // than one chunk would otherwise recompute the same `from`
+          // every cycle and stall the pump PERMANENTLY — retrying with
+          // an unchanged cursor cannot make progress). Only a response
+          // that advances neither the data nor the server cursor ends
+          // the drain (a server sitting at head behind an inclusive
+          // bound looks exactly like this).
+          if (last > cursor) cursor = last else draining = false
+        } else {
+          // a compliant server returns at most maxPerChunk entries; the
+          // grouped write bounds chunk-file size even against one that
+          // over-serves, so no chunk ever exceeds the configured bound
+          ticked.grouped(maxPerChunk).foreach { group =>
+            val (lo, hi) = (group.head._1, group.last._1)
+            val dir = Paths.get(spoolDir)
+            Files.createDirectories(dir)
+            val tmp = dir.resolve(s".wal-$lo-$hi.json.tmp")
+            Files.write(tmp,
+              group.map(_._2).mkString("\n").getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, dir.resolve(s"wal-$lo-$hi.json"),
+              StandardCopyOption.ATOMIC_MOVE)
+            overall = Some((overall.map(_._1).getOrElse(lo), hi))
+          }
+          cursor = math.max(cursor, ticked.last._1)
         }
       }
     }

@@ -273,31 +273,50 @@ private class WalChunkReader(file: String, conf: SerializableHadoopConf)
   private val in = path.getFileSystem(conf.value).open(path)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
+  private var skipped = 0L
 
   override def next(): Boolean = {
     while (lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
-        val n = mapper.readTree(line)
-        def str(f: String): UTF8String =
-          if (n.hasNonNull(f)) UTF8String.fromString(
-            if (n.get(f).isTextual) n.get(f).asText else n.get(f).toString)
-          else null
-        val tick =
-          if (!n.hasNonNull("tick")) null
-          else if (n.get("tick").isTextual) java.lang.Long.valueOf(n.get("tick").asText.toLong)
-          else java.lang.Long.valueOf(n.get("tick").asLong)
-        current = InternalRow(
-          tick,
-          if (n.hasNonNull("type")) n.get("type").asInt else null,
-          str("db"), str("cuid"), str("tid"), str("data"),
-          if (n.hasNonNull("offset")) n.get("offset").asLong else null)
-        return true
+        // a torn/corrupt line must not fail the task: every retry would
+        // hit the same bytes and the streaming query would crash-loop at
+        // the same checkpoint offset FOREVER — the poison-line livelock
+        // the HTTP tail and the pump are already hardened against. The
+        // pump's atomic-rename contract means chunks are never half-
+        // written, so an unparseable line is external corruption: skip
+        // it (counted, reported once per chunk on close) and keep the
+        // stream alive.
+        try {
+          val n = mapper.readTree(line)
+          def str(f: String): UTF8String =
+            if (n.hasNonNull(f)) UTF8String.fromString(
+              if (n.get(f).isTextual) n.get(f).asText else n.get(f).toString)
+            else null
+          val tick =
+            if (!n.hasNonNull("tick")) null
+            else if (n.get("tick").isTextual) java.lang.Long.valueOf(n.get("tick").asText.toLong)
+            else java.lang.Long.valueOf(n.get("tick").asLong)
+          current = InternalRow(
+            tick,
+            if (n.hasNonNull("type")) n.get("type").asInt else null,
+            str("db"), str("cuid"), str("tid"), str("data"),
+            if (n.hasNonNull("offset")) n.get("offset").asLong else null)
+          return true
+        } catch {
+          case _: com.fasterxml.jackson.core.JacksonException |
+               _: NumberFormatException => skipped += 1
+        }
       }
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    if (skipped > 0)
+      System.err.println(
+        s"[wal-source] $file: skipped $skipped unparseable line(s)")
+    in.close()
+  }
 }

@@ -43,6 +43,23 @@ class EnvelopeSpec extends SparkSpec {
     assert(out.getLong(out.fieldIndex("_ver")) == 2025365123L)
   }
 
+  test("_ver renders the UTC day regardless of the session timezone") {
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try {
+      // 01:00 UTC on Jan 2 == 20:00 Jan 1 in New York: the reference's
+      // utcnow formula says day 002; a session-timezone date_format
+      // would say 001 and pick different replay winners for the same
+      // (key, offset) on any non-UTC deployment
+      val df = Seq((7L, "1", 2300, """{"_key":"k","name":"n"}"""))
+        .toDF("offset", "tick", "type", "data")
+      val out = Envelope.preProcess(df, dataSchema,
+        clock = lit("2024-01-02T01:00:00Z").cast("timestamp")).collect()(0)
+      assert(out.getLong(out.fieldIndex("_ver")) == 20240027L)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("op filter keeps upsert/remove on synced collections only (F1)") {
     val df = Seq(
       ("1", 2300, "c1"), ("2", 2302, "c1"), // kept

@@ -213,6 +213,23 @@ class ReplicaTableSpec extends SparkSpec {
     val b2 = audit.find(_.getLong(0) == 2L).get
     assert(b2.getLong(1) === b2.getLong(2))
     assert(b2.getLong(3) !== b2.getLong(4))
+
+    // INJECTIVITY of the row digest (the review-caught audit blind
+    // spot): a NULL-skipping or delimiter-naive encoding hashes
+    // (id, 5, NULL) and (id, NULL, '5') identically — a value SHIFTING
+    // one column over — and ('a|b', 'c') identically to ('a', 'b|c');
+    // both corruptions must flag their bucket
+    val src2 = Seq((1L, Some(5L), Option.empty[String]),
+        (2L, Some(7L), Some("a|b")))
+      .toDF("user_id", "event_id", "event_type")
+    val rep2 = Seq((1L, Option.empty[Long], Some("5")), // shifted
+        (2L, Some(7L), Some("a~b"))) // delimiter/escape probe
+      .toDF("user_id", "event_id", "event_type")
+    val audit2 = ReplicaTable.checksumAudit(src2, rep2, "user_id",
+      Seq("user_id", "event_id", "event_type"), nBuckets = 16).collect()
+    assert(audit2.forall(_.getLong(5) === 0L),
+      "the digest failed to distinguish NULL-shifted or delimiter-" +
+        s"colliding rows: ${audit2.mkString(", ")}")
   }
 
   test("r10: windowed compaction equals one-shot; tombstones retained, no resurrection") {
