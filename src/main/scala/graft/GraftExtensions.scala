@@ -19,6 +19,8 @@ import org.apache.spark.sql.graftshim.FunctionShim
   *    [[graft.functions.ArgMaxRow]];
   *  - `vec_dot_fold(a, b)`: codegen'd sequential-fold dot product for
   *    similarity search — see [[graft.functions.VecDotFold]];
+  *  - `md5_long(bin)`: the near-dup family's base hash (md5 bytes 8..15,
+  *    big-endian, signed) — see [[graft.functions.Md5Long]];
   *  - [[graft.plans.ReplicaFinalRule]]: rewrites catalog scans of
   *    registered replica tables into their latest-version-wins read view
   *    (transparent ReplacingMergeTree-FINAL semantics).
@@ -53,13 +55,30 @@ object GraftExtensions {
       mk(args(0), args(1))
     }
 
+  /** A 1-arg builder with the same fail-at-analysis arity contract. */
+  private def unary(name: String)(
+      mk: Expression => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "1",
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      mk(args(0))
+    }
+
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("arg_max_row",
       info("arg_max_row", "_FUNC_(ordering, payload) - payload of the row with max ordering"),
       binary("arg_max_row")(ArgMaxRow(_, _))),
     ("vec_dot_fold",
       info("vec_dot_fold", "_FUNC_(a, b) - sequential-left-fold dot product of two arrays"),
-      binary("vec_dot_fold")(VecDotFold(_, _))))
+      binary("vec_dot_fold")(VecDotFold(_, _))),
+    ("md5_long",
+      info("md5_long", "_FUNC_(bin) - bytes 8..15 of md5(bin), big-endian, as a signed BIGINT"),
+      unary("md5_long")(graft.functions.Md5Long(_))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

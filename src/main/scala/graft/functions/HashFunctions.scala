@@ -46,16 +46,16 @@ object HashFunctions {
     (0 until 8).foldLeft(0L)((acc, i) => acc | ((d(8 + i) & 0xffL) << (8 * i)))
   }
 
-  /** Signed 64-bit integer from bytes 8..15 of md5(c) read BIG-endian:
-    * one conv over the hex substring, no byte swap. Preferred for hash
-    * families evaluated 16x per row (MinHash lanes) — the generated code
-    * is ~5x smaller than the little-endian form, which matters for both
-    * Janino compile time and the codegen'd hot loop. DuckDB replays it
-    * as CAST('0x' || substring(md5(x),17,16) AS UBIGINT) two's-complement
+  /** Signed 64-bit integer from bytes 8..15 of md5(c) read BIG-endian —
+    * the native [[Md5Long]] expression (digest bytes folded in place, no
+    * hex round-trip; value-identical to the composed
+    * `conv(substring(md5(c),17,16),16,-10)` form, FunctionsSpec-pinned).
+    * Preferred for hash families evaluated once per shingle/frame/gram
+    * (the near-dup family's base hash). DuckDB replays it as
+    * CAST('0x' || substring(md5(x),17,16) AS UBIGINT) two's-complement
     * mapped to BIGINT.
     */
-  def md5NumberBigEndian(c: Column): Column =
-    conv(substring(md5(c), 17, 16), 16, -10).cast("long")
+  def md5NumberBigEndian(c: Column): Column = Md5Long(c)
 
   /** Driver-side twin of [[md5NumberBigEndian]]. */
   def md5NumberBigEndianLocal(s: String): Long = {

@@ -124,6 +124,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Md5Long matches an independent BigInteger md5 derivation on random bytes") {
+    import spark.implicits._
+    // independent reference: full digest as an unsigned BigInteger, the
+    // low 8 bytes extracted arithmetically (no byte-indexing shortcut
+    // shared with the production fold)
+    def ref(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      new java.math.BigInteger(1, d)
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+    }
+    val gen = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    val inputs = (1L to 40L).map(seed => sample(gen, seed).toArray)
+    val got = inputs.toDF("b")
+      .select(graft.functions.Md5Long(col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === inputs.map(ref))
+  }
+
   test("property: schema transform never drops and never invents rows") {
     import spark.implicits._
     val config = TableConfig("T", Seq(
