@@ -103,9 +103,19 @@ object PersistedIndex {
     */
   private val Marker = "_GRAFT_COMPLETE"
 
-  /** Per-name build locks: two threads of one session racing `ensure`
-    * for the same index must not both run `build` (the loser's
+  /** Per-(base, dir) build locks: two threads of one session racing
+    * `ensure` for the same index must not both run `build` (the loser's
     * pre-build glob delete would remove the winner's in-flight write).
+    * The lock is deliberately WIDER than the fingerprint-scoped table
+    * name: the pre-build cleanup sweeps ALL same-(base, dir) sibling
+    * tables (stale fingerprints), so two different-fingerprint ensures
+    * racing under per-name locks could drop each other's in-flight
+    * build mid-`saveAsTable`. Serializing per (base, dir) makes
+    * supersession well-defined: the later ensure waits, then sweeps the
+    * earlier COMPLETE table (the design contract — one active
+    * fingerprint per base+dir; an earlier-fingerprint DataFrame held
+    * across a supersession reads a dropped table, which is the caller's
+    * sequencing error, not a build race).
     */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -127,7 +137,7 @@ object PersistedIndex {
       sources: Seq[String],
       params: String)(build: String => Unit): DataFrame = {
     val table = scopedName(spark, base, dir, sources, params)
-    locks.computeIfAbsent(table, _ => new Object).synchronized {
+    locks.computeIfAbsent(s"${base}_${dirTag(dir)}", _ => new Object).synchronized {
       val catalog = spark.sessionState.catalog
       val parent = new Path(catalog.defaultTablePath(TableIdentifier(table))).getParent
       val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators.PersistedIndex
+import org.apache.hadoop.fs.Path
+
+/** The build-once contract of [[PersistedIndex.ensure]] under contention —
+  * the scenario a shared engine session actually hits: several catalog
+  * queries (d16+d18, d20/d21/d26 all share index tables) constructed on
+  * different threads race `ensure` for the SAME index. The per-name lock
+  * must admit exactly ONE `build` (the loser's pre-build cleanup would
+  * otherwise delete the winner's in-flight write out from under it), and
+  * every racer must read back the same complete table.
+  *
+  * Also pinned here: the completion-marker protocol (a marker-less table
+  * is a partial build — rebuilt, never trusted) and fingerprint
+  * supersession (changed params drop the stale sibling's table AND
+  * storage).
+  */
+class PersistedIndexConcurrencySpec extends SparkSpec {
+
+  private def warehouse: Path =
+    new Path(spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
+  private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val dir = "/root/testdata/sf0.001/region.parquet"
+
+  test("8 threads racing ensure admit exactly one build; all read the result") {
+    val base = "graft_pic_race"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            start.await()
+            PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=race") { t =>
+              builds.incrementAndGet()
+              // a deliberately slow build widens the race window: every
+              // other thread must WAIT on the lock, not start a second
+              // build or sweep this one's partial write
+              Thread.sleep(200)
+              spark.range(5).write.format("parquet").saveAsTable(t)
+            }.count()
+          }
+        })
+      }
+      start.countDown()
+      val counts = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(counts.forall(_ === 5L),
+        s"racers saw inconsistent tables: ${counts.mkString(",")}")
+      assert(builds.get() === 1,
+        s"${builds.get()} builds ran for one (name, fingerprint) — the " +
+          "per-name lock admitted a concurrent rebuild")
+    } finally {
+      pool.shutdownNow()
+      PersistedIndex.dropAll(spark, base)
+    }
+  }
+
+  test("a marker-less table is a partial build: rebuilt, never trusted") {
+    val base = "graft_pic_marker"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def ensure() = PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=1") { t =>
+      builds.incrementAndGet()
+      spark.range(4).write.format("parquet").saveAsTable(t)
+    }
+    try {
+      assert(ensure().count() === 4 && builds.get() === 1)
+      // same session, same fingerprint: reuse, no second build
+      assert(ensure().count() === 4 && builds.get() === 1)
+      // simulate a crash between saveAsTable and the marker stamp: the
+      // table EXISTS but its completion marker does not
+      val table = spark.sessionState.catalog
+        .listTables("default", s"${base}_*").head.table
+      val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      fs.delete(new Path(loc, "_GRAFT_COMPLETE"), false)
+      assert(ensure().count() === 4)
+      assert(builds.get() === 2,
+        "a marker-less (partial) table was trusted instead of rebuilt")
+    } finally PersistedIndex.dropAll(spark, base)
+  }
+
+  test("different-fingerprint ensures serialize: builds never overlap, later wins") {
+    val base = "graft_pic_mixed"
+    // per-build [start, end) windows — the serialization contract is
+    // that they never overlap (under per-NAME locks the second ensure's
+    // stale-sibling sweep would run DURING the first's build and drop
+    // its in-flight saveAsTable)
+    val windows = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def race(params: String, rows: Int) =
+      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        override def call(): Option[Long] = {
+          start.await()
+          try Some(PersistedIndex.ensure(spark, base, dir, Seq(dir), params) { t =>
+            val t0 = System.nanoTime()
+            Thread.sleep(150)
+            spark.range(rows).write.format("parquet").saveAsTable(t)
+            windows.put(params, (t0, System.nanoTime()))
+          }.count())
+          // the LOSER of the mixed-fingerprint race may legitimately see
+          // its just-built table superseded (dropped) before it reads —
+          // the documented one-active-fingerprint contract, surfacing as
+          // an analysis error (catalog lookup) or a file-read failure
+          // (location deleted); what must never happen is a
+          // corrupted/partial build, which the non-overlap assert below
+          // rules out
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      })
+    try {
+      val a = race("p=a", 3); val b = race("p=b", 7)
+      start.countDown()
+      val got = Seq(a, b).map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val Seq((s1, e1), (s2, e2)) =
+        Seq("p=a", "p=b").map(windows.get(_)): @unchecked
+      assert(e1 <= s2 || e2 <= s1,
+        "two different-fingerprint builds of one (base, dir) ran concurrently")
+      // whichever fingerprint built LAST owns the surviving table; its
+      // racer read the full row count
+      val lastRows = if (e1 > e2) 3L else 7L
+      val survivors = got.flatten
+      assert(survivors.contains(lastRows),
+        s"the last build's reader saw $survivors, expected $lastRows")
+      assert(survivors.forall(c => c === 3L || c === 7L),
+        s"a racer read a partial table: $survivors")
+    } finally {
+      pool.shutdownNow()
+      PersistedIndex.dropAll(spark, base)
+    }
+  }
+
+  test("a changed fingerprint supersedes the stale sibling's table and storage") {
+    val base = "graft_pic_super"
+    try {
+      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=old") { t =>
+        spark.range(2).write.format("parquet").saveAsTable(t)
+      }
+      val oldTable = spark.sessionState.catalog
+        .listTables("default", s"${base}_*").head.table
+      val oldLoc = new Path(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(oldTable)).location)
+      val got = PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=new") { t =>
+        spark.range(7).write.format("parquet").saveAsTable(t)
+      }
+      assert(got.count() === 7)
+      assert(!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(oldTable)),
+        "the stale-fingerprint sibling survived in the catalog")
+      assert(!fs.exists(oldLoc), "the stale sibling's storage survived")
+    } finally PersistedIndex.dropAll(spark, base)
+  }
+}
