@@ -710,7 +710,12 @@ object Pipeline {
     * exchange — the final (qid, doc) score agg — plus the top-5 window.
     * The naive form re-pays three corpus aggregations per query.
     */
-  def p13Bm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25-scored candidate frame (qid < 3): (qid, doc_id, n_terms,
+    * score) off the persisted inverted index — p13's scoring pipeline,
+    * factored so the fusion query ([[p27RankFusion]]) ranks the
+    * IDENTICAL lexical scores p13 reports.
+    */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.operators.PersistedIndex.ensure(
       spark, "graft_bm25_idx", dir,
       sources = Seq(s"$dir/documents.parquet"), params = "tf+dl") { table =>
@@ -741,8 +746,6 @@ object Pipeline {
     val tfNorm = col("tf").cast("double") * lit(2.2) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc_id"))
     idx.join(broadcast(q), Seq("term"))
       .filter(col("qid") =!= col("doc_id"))
       .join(broadcast(qdf), Seq("term"))
@@ -752,14 +755,23 @@ object Pipeline {
         sum((idf * tfNorm).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("score"),
         count(lit(1)).as("n_terms"))
+  }
+
+  def p13Bm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(spark, dir)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }
 
-  val p13Sql: String =
-    """WITH tok AS (
+  /** The shared BM25 CTE chain (through the scored `sc` frame) — one
+    * definition so p13's oracle and p27's lexical leg can never drift.
+    */
+  private val bm25CtesSql: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -782,11 +794,121 @@ object Pipeline {
       |  JOIN q ON t.term = q.term AND t.doc_id <> q.qid
       |  JOIN df ON df.term = t.term
       |  JOIN dl ON dl.doc_id = t.doc_id, st
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val p13Sql: String =
+    s"""WITH $bm25CtesSql,
       |r AS (SELECT qid, doc_id, n_terms, score,
       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
       |      FROM sc)
       |SELECT qid, rank, doc_id, n_terms, score FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** RRF constants: the standard k=60 (Cormack, Clarke, Büttcher 2009 —
+    * reciprocal rank fusion outperforms learned fusion with this single
+    * constant) over depth-20 per-ranker lists, fused top-10.
+    */
+  private val RrfK = 60
+  private val RrfDepth = 20
+  private val RrfTopN = 10
+
+  /** p27: HYBRID RETRIEVAL via reciprocal rank fusion — the rank
+    * aggregation step a curation/hard-negative-mining pipeline runs to
+    * combine a lexical ranker with a vector ranker. Each leg retrieves
+    * its own depth-[[RrfDepth]] list per query (qid < 3, the p13 query
+    * set): lexical = p13's EXACT BM25 scores off the persisted inverted
+    * index ([[bm25Scored]], shared code); vector = v1's cosine
+    * discipline over the embeddings table (double-widened sequential
+    * fold, broadcast query side). Fusion: rrf = Σ_lists 1/(k + rank),
+    * k=[[RrfK]], a candidate absent from one list contributing nothing —
+    * the standard RRF form, score-scale-free by construction (only RANKS
+    * cross lists, which is why the two legs' incomparable score spaces
+    * need no normalization).
+    *
+    * Determinism across engines: each leg's rank is an integer from a
+    * (score DESC, id) row_number — ties broken identically; the fused
+    * score is built from those integers alone (two IEEE divisions and
+    * one addition in fixed order), so it is bit-identical by
+    * construction and safe to hash-compare, unlike the raw scores a
+    * fusion over normalized scores would mix.
+    *
+    * Scale shape: each leg pays its own sublinear retrieval (bucketed
+    * inverted index; broadcast-Q x scan-N cosine, at scale an IVF
+    * probe — v6's path), and the fusion itself runs over Q x depth
+    * rows — vanishing frames at any corpus size. The full-outer join on
+    * (qid, cid) is the union-of-lists semantics, never corpus-keyed.
+    */
+  def p27RankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDotFold
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(spark, dir)
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id").as("cid"), col("lex_rank"))
+    val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cosine = VecDotFold.dot(col("qv"), col("cv")) /
+      (sqrt(VecDotFold.dot(col("qv"), col("qv"))) *
+        sqrt(VecDotFold.dot(col("cv"), col("cv"))))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    val vec = broadcast(queries)
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine.as("cosine"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= RrfDepth)
+      .select(col("qid"), col("cid"), col("vec_rank"))
+    // absent-from-list -> zero contribution (1/(k+NULL) is NULL, coalesced)
+    def contrib(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(lit(1.0) / (lit(RrfK.toDouble) + r.cast("double")), lit(0.0))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+    lex.join(vec, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf", contrib(col("lex_rank")) + contrib(col("vec_rank")))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= RrfTopN)
+      .select(col("qid"), col("rank"), col("cid"),
+        col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val p27Sql: String =
+    s"""WITH $bm25CtesSql,
+      |lexr AS (
+      |  SELECT qid, cid, lex_rank FROM (
+      |    SELECT qid, doc_id AS cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+      |        AS lex_rank
+      |    FROM sc)
+      |  WHERE lex_rank <= $RrfDepth),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(${graft.queries.Vectors.dotSql("v", "v")}) nrm FROM e),
+      |vsc AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    ${graft.queries.Vectors.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cosine
+      |  FROM n q JOIN n c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+      |vecr AS (
+      |  SELECT qid, cid, vec_rank FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+      |        AS vec_rank
+      |    FROM vsc)
+      |  WHERE vec_rank <= $RrfDepth),
+      |f AS (
+      |  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.cid, v.cid) AS cid,
+      |    l.lex_rank, v.vec_rank,
+      |    COALESCE(1.0 / (CAST($RrfK AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), 0.0)
+      |      + COALESCE(1.0 / (CAST($RrfK AS DOUBLE) + CAST(v.vec_rank AS DOUBLE)), 0.0)
+      |      AS rrf
+      |  FROM lexr l FULL JOIN vecr v ON l.qid = v.qid AND l.cid = v.cid),
+      |r AS (SELECT qid, cid, lex_rank, vec_rank, rrf,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank
+      |      FROM f)
+      |SELECT qid, rank, cid, lex_rank, vec_rank, rrf FROM r WHERE rank <= $RrfTopN
       |ORDER BY qid, rank""".stripMargin
 
   /** p15: deterministic mid-epoch RESUME — the crash-recovery read a
@@ -1532,6 +1654,7 @@ object Pipeline {
       |GROUP BY sh.shard ORDER BY shard""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "p27_rank_fusion" -> (p27RankFusion _),
     "p26_rendezvous_shards" -> (p26RendezvousShards _),
     "p25_overlap_audit" -> (p25OverlapAudit _),
     "p24_slot_apportionment" -> (p24SlotApportionment _),
@@ -1557,6 +1680,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p27_rank_fusion" -> p27Sql,
     "p26_rendezvous_shards" -> p26Sql,
     "p25_overlap_audit" -> p25Sql,
     "p24_slot_apportionment" -> p24Sql,

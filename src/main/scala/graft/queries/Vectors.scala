@@ -41,8 +41,10 @@ object Vectors {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Oracle twin of [[dot]]: products via 1-based index, left fold. */
-  private def dotSql(a: String, b: String): String =
+  /** Oracle twin of [[dot]]: products via 1-based index, left fold.
+    * `private[graft]` so Pipeline's p27 fusion oracle reuses the exact
+    * same expression for its vector leg. */
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
        |    i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
 

@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - p13: the one-row corpus stats (N, total length) broadcast
       //    next to every scored candidate (p4/v7's scalar shape)
       "p13_bm25_retrieve",
+      //  - p27: the lexical leg carries p13's one-row stats scalar and
+      //    the vector leg v1's deliberate broadcast-Q x scan-N cosine
+      "p27_rank_fusion",
       //  - v19: v8's deliberate shapes — the centroid cross join for
       //    assignment and the exact ground-truth side
       "v19_nprobe_sweep",
@@ -527,6 +530,11 @@ class PlanAuditSpec extends SparkSpec {
       // exchange), leaving the query-term distinct + the (qid, doc)
       // score agg + top-5 window's qid exchange
       "p13_bm25_retrieve" -> 3,
+      // p27: the lexical (qid, doc) score agg + each leg's per-qid
+      // rank window + the fused window's qid exchange + output sort —
+      // every post-retrieval frame is Q x depth rows (tiny by
+      // construction), so these exchanges are control-plane, not data
+      "p27_rank_fusion" -> 5,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,

@@ -1192,6 +1192,59 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p27: RRF fusion is exactly its ranks' arithmetic, consistent with p13, rank-dominant") {
+    try {
+      val rows = Pipeline.p27RankFusion(spark, sf).collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getDouble(5))
+      }
+      assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+      def contrib(r: Option[Long]): Double =
+        r.map(v => 1.0 / (60.0 + v.toDouble)).getOrElse(0.0)
+      rows.foreach { case (qid, _, cid, lr, vr, rrf) =>
+        assert(cid !== qid, s"q$qid retrieved itself")
+        // the fused score IS the emitted ranks' arithmetic — bit-exact
+        assert(rrf === contrib(lr) + contrib(vr), s"q$qid c$cid rrf off")
+        assert(lr.nonEmpty || vr.nonEmpty,
+          s"q$qid c$cid in the fusion without membership in either list")
+      }
+      rows.groupBy(_._1).foreach { case (qid, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq === (1L to sorted.size), s"q$qid ranks not contiguous")
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3), s"q$qid fusion order violated")
+          case _ =>
+        }
+        // rank dominance: better-or-equal in BOTH lists (absent = worst)
+        // implies a better fused position — RRF monotonicity, observable
+        val inf = Long.MaxValue
+        for (a <- sorted; b <- sorted
+             if a._4.getOrElse(inf) <= b._4.getOrElse(inf) &&
+               a._5.getOrElse(inf) <= b._5.getOrElse(inf) &&
+               (a._4.getOrElse(inf) < b._4.getOrElse(inf) ||
+                 a._5.getOrElse(inf) < b._5.getOrElse(inf)))
+          assert(a._2 < b._2, s"q$qid: c${a._3} dominates c${b._3} but ranks after it")
+      }
+      // leg consistency: a fused row's lexical rank <= 5 must name the
+      // SAME doc p13 puts at that rank (shared scoring code, same
+      // tie-break — a drift here means the legs diverged)
+      val p13 = Pipeline.p13Bm25Retrieve(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      rows.foreach { case (qid, _, cid, lr, _, _) =>
+        lr.filter(_ <= 5).foreach { r =>
+          assert(p13((qid, r)) === cid,
+            s"q$qid lex rank $r: fusion says c$cid, p13 says c${p13((qid, r))}")
+        }
+      }
+    } finally {
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_idx")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_stats")
+    }
+  }
+
   test("v19: the nprobe curve is monotone and anchored to v8's measured points") {
     val rows = graft.queries.Vectors.v19NprobeSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
