@@ -2640,7 +2640,144 @@ object Vectors {
       |WHERE w.rank <= 3
       |ORDER BY w.qid, w.rank""".stripMargin
 
+  /** MMR constants: λ=0.7 relevance weight (Carbonell-Goldstein 1998's
+    * diversification trade-off), depth-20 candidate pool, 5 selections.
+    */
+  private val MmrLambda = 0.7
+  private val MmrDepth = 20
+  private val MmrK = 5
+
+  /** v28: DIVERSIFIED retrieval via maximal marginal relevance — the
+    * anti-redundancy selection a curation pipeline runs after ANN
+    * retrieval (near-duplicate neighbors waste a context window /
+    * training batch; MMR picks each next item by
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading relevance against
+    * similarity to what's already selected). Greedy and inherently
+    * sequential in k — but k is THE SMALL constant (5 here), so the
+    * loop unrolls into k dataframe stages over Q × depth frames while
+    * the corpus-sized work (the retrieval pool) stays one v1-discipline
+    * pass. Step 1's "max over the empty selected set" is defined 0 on
+    * both engines (the score is then λ·rel uniformly).
+    *
+    * Determinism: rel and pairwise sim are the v1 cosine (double-
+    * widened sequential fold — bit-identical to DuckDB's list_reduce);
+    * the MMR score is one fixed expression tree over them
+    * (λ·rel − (1−λ)·MAX(sim), MAX is order-free); ties break by cid.
+    *
+    * Scale shape: the pool is per-query top-[[MmrDepth]] (at corpus
+    * scale from an IVF probe — v6's path); pairwise sims are
+    * depth² × Q rows; each greedy step is a broadcast-sized join +
+    * argmax window. The pool+sims barrier materializes once
+    * (localCheckpoint) so the k unrolled stages never replan the
+    * corpus-sized retrieval subtree.
+    */
+  def v28MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rel = (dot(col("qv"), col("cv")) /
+      (norm(col("qv")) * norm(col("cv")))).as("rel")
+    val wq = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val pool = broadcast(queries)
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("cv"), rel)
+      .withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= MmrDepth)
+      .drop("prank")
+      .localCheckpoint(false)
+    val sims = pool.as("a")
+      .join(pool.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("ca"), col("b.cid").as("cb"),
+        (dot(col("a.cv"), col("b.cv")) /
+          (norm(col("a.cv")) * norm(col("b.cv")))).as("sim"))
+      .localCheckpoint(false)
+    val cands = pool.drop("cv")
+    // each pick is a <= Q-row frame referenced THREE times by the next
+    // step (anti-join, max-sim probe, union) — without the barrier the
+    // plan doubles per unrolled step (measured: 202 exchanges for k=5;
+    // 2^k copies of the window subtrees), with it the unroll stays
+    // linear. The d28/p9 materialize-once discipline, at selection size.
+    def pick(scored: DataFrame, step: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("cid"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("qid"), col("cid"), col("rel"), col("mmr"),
+          lit(step.toLong).as("step"))
+        .localCheckpoint(false)
+    }
+    val first = pick(cands.withColumn("mmr", lit(MmrLambda) * col("rel")), 1)
+    val selected = (2 to MmrK).foldLeft(first) { (sel, step) =>
+      val remaining = cands.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val maxSim = sims
+        .join(broadcast(sel.select(col("qid"), col("cid").as("cb"))),
+          Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca").as("cid"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = remaining.join(maxSim, Seq("qid", "cid"))
+        .withColumn("mmr",
+          lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("maxsim"))
+      sel.unionByName(pick(scored, step))
+    }
+    selected.select(col("qid"), col("step"), col("cid"), col("rel"), col("mmr"))
+      .orderBy(col("qid"), col("step"))
+  }
+
+  val v28Sql: String = {
+    // the unrolled greedy: selN = argmax of the step-N score over the
+    // pool minus earlier picks; msN = each remaining candidate's max
+    // sim to the picks so far — the exact mirror of the Spark unroll
+    val steps = (2 to MmrK).map { n =>
+      val prev = (1 until n).map(i => s"SELECT qid, cid FROM sel$i").mkString(" UNION ALL ")
+      s"""ms$n AS (
+        |  SELECT s.qid, s.ca AS cid, MAX(s.sim) AS maxsim
+        |  FROM sims s JOIN ($prev) p ON s.qid = p.qid AND s.cb = p.cid
+        |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+        |                    WHERE x.qid = s.qid AND x.cid = s.ca)
+        |  GROUP BY s.qid, s.ca),
+        |sel$n AS (
+        |  SELECT qid, cid, rel, mmr, CAST($n AS BIGINT) AS step FROM (
+        |    SELECT c.qid, c.cid, c.rel,
+        |      $MmrLambda * c.rel - ${1 - MmrLambda} * m.maxsim AS mmr,
+        |      ROW_NUMBER() OVER (PARTITION BY c.qid
+        |        ORDER BY $MmrLambda * c.rel - ${1 - MmrLambda} * m.maxsim DESC,
+        |          c.cid) AS r
+        |    FROM pool c JOIN ms$n m ON c.qid = m.qid AND c.cid = m.cid)
+        |  WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM e),
+      |pool AS (
+      |  SELECT qid, cid, cv, rel FROM (
+      |    SELECT q.vec_id qid, c.vec_id cid, c.v cv,
+      |      ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) rel,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id)
+      |        AS prank
+      |    FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |  WHERE prank <= $MmrDepth),
+      |pn AS (SELECT qid, cid, cv, rel, sqrt(${dotSql("cv", "cv")}) nrm FROM pool),
+      |sims AS (
+      |  SELECT a.qid, a.cid ca, b.cid cb,
+      |    ${dotSql("a.cv", "b.cv")} / (a.nrm * b.nrm) sim
+      |  FROM pn a JOIN pn b ON a.qid = b.qid AND a.cid <> b.cid),
+      |sel1 AS (
+      |  SELECT qid, cid, rel, mmr, CAST(1 AS BIGINT) AS step FROM (
+      |    SELECT qid, cid, rel, $MmrLambda * rel AS mmr,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY $MmrLambda * rel DESC, cid) AS r
+      |    FROM pool)
+      |  WHERE r = 1),
+      |$steps
+      |SELECT qid, step, cid, rel, mmr FROM ($union)
+      |ORDER BY qid, step""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v28_mmr_diversify" -> (v28MmrDiversify _),
     "v27_pq_distortion" -> (v27PqDistortion _),
     "p23_semantic_decontaminate" -> (p23SemanticDecontaminate _),
     "v26_hard_negatives" -> (v26HardNegatives _),
@@ -2671,6 +2808,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v28_mmr_diversify" -> v28Sql,
     "v27_pq_distortion" -> v27Sql,
     "p23_semantic_decontaminate" -> p23Sql,
     "v26_hard_negatives" -> v26Sql,

@@ -64,6 +64,10 @@ class PlanAuditSpec extends SparkSpec {
       //  - p27: the lexical leg carries p13's one-row stats scalar and
       //    the vector leg v1's deliberate broadcast-Q x scan-N cosine
       "p27_rank_fusion",
+      //  - v28: the retrieval pool is v1's deliberate broadcast-Q x
+      //    scan-N (inside the pool's materialize-once barrier; listed
+      //    for the design record even when the truncated plan hides it)
+      "v28_mmr_diversify",
       //  - v19: v8's deliberate shapes — the centroid cross join for
       //    assignment and the exact ground-truth side
       "v19_nprobe_sweep",
@@ -535,6 +539,11 @@ class PlanAuditSpec extends SparkSpec {
       // every post-retrieval frame is Q x depth rows (tiny by
       // construction), so these exchanges are control-plane, not data
       "p27_rank_fusion" -> 5,
+      // v28: the corpus-sized retrieval + per-step argmax windows all
+      // live inside materialize-once barriers over Q x depth frames
+      // (202 exchanges of exponential plan growth before the barrier —
+      // see the query's scaladoc); the final read pays the output sort
+      "v28_mmr_diversify" -> 1,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,

@@ -1245,6 +1245,49 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("v28: MMR selection matches a driver-side greedy replay exactly") {
+    // independent replay in plain Scala doubles: the sequential
+    // left-fold dot is bit-identical to VecDotFold by construction, so
+    // the ENTIRE greedy trace (pool, pairwise sims, per-step argmax,
+    // tie-breaks) must reproduce value-exact, not approximately
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val expected = (0L until 10L).flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(qid, c)))
+        .sortBy { case (c, rel) => (-rel, c) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+      val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+      for (step <- 1 to 5) {
+        val scored = remaining.toSeq.map { case (c, rel) =>
+          val maxSim =
+            if (sel.isEmpty) 0.0 else sel.map(s => cos(c, s._3)).max
+          (c, rel, 0.7 * rel - (1 - 0.7) * maxSim)
+        }
+        val (c, rel, mmr) = scored.minBy { case (c, _, m) => (-m, c) }
+        sel += ((qid, step.toLong, c, rel, mmr))
+        remaining.remove(c)
+      }
+      sel
+    }
+    val got = graft.queries.Vectors.v28MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expected, "MMR trace diverged from the greedy replay")
+    // NOTE deliberately NO step-score monotonicity assert: with negative
+    // cosines (near-orthogonal fixture vectors) the diversity term
+    // −(1−λ)·maxsim is positive, so a later step can legitimately
+    // outscore an earlier one — the replay equality above is the
+    // invariant, a monotonicity "invariant" would be fixture luck
+  }
+
   test("v19: the nprobe curve is monotone and anchored to v8's measured points") {
     val rows = graft.queries.Vectors.v19NprobeSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
