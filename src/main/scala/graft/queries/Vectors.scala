@@ -2776,7 +2776,99 @@ object Vectors {
       |ORDER BY qid, step""".stripMargin
   }
 
+  /** v29: CLUSTER-QUALITY EVAL — the simplified (centroid-based)
+    * silhouette (Hruschka et al. 2004) over the labeled embeddings:
+    * per vector, a = squared L2 to its OWN label's centroid, b = min
+    * squared L2 to any OTHER label's centroid, s = (b − a)/max(a, b) ∈
+    * [−1, 1]; reported per label as mean/min/max. This is the metric a
+    * curation pipeline watches to decide whether its labels/clusters
+    * are worth stratifying on (s ≈ 0: labels don't separate — the
+    * truth on this random fixture, and the query proves it rather than
+    * assuming it).
+    *
+    * The full silhouette is O(N²) pairwise; the centroid variant is
+    * the scale form — O(N·L) against L broadcast centroids, one scan.
+    *
+    * Determinism discipline (v4/v10's): centroids are nano-fixed-point
+    * integer means (identical both engines by construction); per-pair
+    * squared distance is the SEQUENTIAL fold both engines share
+    * (Spark aggregate(zip_with) ≡ DuckDB list_reduce(list_transform) —
+    * v10's proven pairing), floored to e9 integers; the ratio is ONE
+    * double division of those integers floored to e6; per-label means
+    * are integer DIV. No cross-row double sum anywhere. The
+    * higher-order-function fold is interpreted, not codegen'd — fine
+    * at N·L evaluations (the q31 Morton lesson applied: at real scale
+    * swap in a VecDotFold-style native expression, same contract).
+    */
+  def v29Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = labelMeans(base).groupBy(col("label").as("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col("cell"),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, e) => acc + e)
+    val dists = base
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cell"),
+        floor(d2 * lit(1e9)).cast("long").as("d2e9"))
+    val ab = dists.groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("cell") === col("label"), col("d2e9"))).as("a2"),
+        min(when(col("cell") =!= col("label"), col("d2e9"))).as("b2"))
+    // one double division of exact integers, floored to e6; a vector
+    // sitting exactly on both centroids (max = 0) contributes NULL,
+    // never a divide-by-zero kill (ANSI)
+    val s = floor((col("b2") - col("a2")).cast("double") /
+      nullif(greatest(col("a2"), col("b2")), lit(0L)).cast("double") * lit(1e6))
+      .cast("long")
+    ab.select(col("label"), s.as("s_e6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("SUM(s_e6) DIV COUNT(s_e6)").as("mean_s_e6"),
+        min(col("s_e6")).as("min_s_e6"),
+        max(col("s_e6")).as("max_s_e6"))
+      .orderBy(col("label"))
+  }
+
+  val v29Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |d AS (
+      |  SELECT b.vec_id, b.label, c.cell,
+      |    CAST(floor(${l2("b.v", "c.cvec")} * 1e9) AS BIGINT) AS d2e9
+      |  FROM base b, cent c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    MIN(CASE WHEN cell = label THEN d2e9 END) AS a2,
+      |    MIN(CASE WHEN cell <> label THEN d2e9 END) AS b2
+      |  FROM d GROUP BY vec_id, label),
+      |s AS (
+      |  SELECT label,
+      |    CAST(floor(CAST(b2 - a2 AS DOUBLE)
+      |      / CAST(nullif(greatest(a2, b2), 0) AS DOUBLE) * 1e6) AS BIGINT) AS s_e6
+      |  FROM ab)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  CAST(SUM(s_e6) // COUNT(s_e6) AS BIGINT) AS mean_s_e6,
+      |  MIN(s_e6) AS min_s_e6, MAX(s_e6) AS max_s_e6
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v29_silhouette" -> (v29Silhouette _),
     "v28_mmr_diversify" -> (v28MmrDiversify _),
     "v27_pq_distortion" -> (v27PqDistortion _),
     "p23_semantic_decontaminate" -> (p23SemanticDecontaminate _),
@@ -2808,6 +2900,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v29_silhouette" -> v29Sql,
     "v28_mmr_diversify" -> v28Sql,
     "v27_pq_distortion" -> v27Sql,
     "p23_semantic_decontaminate" -> p23Sql,

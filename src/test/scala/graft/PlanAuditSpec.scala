@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec {
       //    scan-N (inside the pool's materialize-once barrier; listed
       //    for the design record even when the truncated plan hides it)
       "v28_mmr_diversify",
+      //  - v29: the 10-row centroid frame broadcast against the scan
+      //    (v6's coarse-quantizer shape)
+      "v29_silhouette",
       //  - v19: v8's deliberate shapes — the centroid cross join for
       //    assignment and the exact ground-truth side
       "v19_nprobe_sweep",
@@ -544,6 +547,10 @@ class PlanAuditSpec extends SparkSpec {
       // (202 exchanges of exponential plan growth before the barrier —
       // see the query's scaladoc); the final read pays the output sort
       "v28_mmr_diversify" -> 1,
+      // v29: the input repartition + the fixed-point centroid agg's
+      // (label, dim) exchange + the per-vector a/b agg + the per-label
+      // stats agg + output sort; the L-row centroid frame broadcasts
+      "v29_silhouette" -> 5,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,

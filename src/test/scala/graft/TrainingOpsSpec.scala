@@ -1288,6 +1288,41 @@ class TrainingOpsSpec extends SparkSpec {
     // invariant, a monotonicity "invariant" would be fixture luck
   }
 
+  test("v29: silhouette matches a driver-side fixed-point replay; s bounded in [-1, 1]") {
+    val rows = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    // centroids: the exact nano-fixed-point integer means
+    val cents = rows.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> (0 until 64).map { d =>
+        val s = vs.map(v => math.floor(v._3(d) * 1e9).toLong).sum
+        (s / vs.size).toDouble / 1e9 // Long / Long = Scala DIV-truncation
+      }.toArray
+    }
+    def d2e9(v: Array[Double], c: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = v(i) - c(i); s += d * d; i += 1 }
+      math.floor(s * 1e9).toLong
+    }
+    val expected = rows.map { case (_, lbl, v) =>
+      val a2 = d2e9(v, cents(lbl))
+      val b2 = cents.filter(_._1 != lbl).map(c => d2e9(v, c._2)).min
+      (lbl, math.floor((b2 - a2).toDouble / math.max(a2, b2).toDouble * 1e6).toLong)
+    }.groupBy(_._1).map { case (lbl, ss) =>
+      val vals = ss.map(_._2)
+      (lbl.toLong, vals.length.toLong, vals.sum / vals.length, vals.min, vals.max)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Vectors.v29Silhouette(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected, "silhouette diverged from the fixed-point replay")
+    // the mathematical bound: s in [-1, 1] exactly (e6 fixed point)
+    got.foreach { case (lbl, _, mean, mn, mx) =>
+      assert(mn >= -1000000L && mx <= 1000000L && mean >= mn && mean <= mx,
+        s"label $lbl silhouette out of bounds: mean=$mean min=$mn max=$mx")
+    }
+  }
+
   test("v19: the nprobe curve is monotone and anchored to v8's measured points") {
     val rows = graft.queries.Vectors.v19NprobeSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
