@@ -133,6 +133,42 @@ class PersistedIndexConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("real catalog queries racing a shared index (d16 ∥ d18) match their sequential runs") {
+    // d16 (substring spans) and d18 (clip spans) share the persisted
+    // k-gram index — the exact sibling-query contention a shared engine
+    // session produces. Sequential runs first (reference results), then
+    // a fresh index raced from two threads: both must reproduce the
+    // sequential rows and the index must build once.
+    val dirSf = "/root/testdata/sf0.001"
+    def run(name: String) = graft.SparkEntry.queries(name)(spark, dirSf)
+      .collect().map(_.toSeq).toSeq
+    try {
+      val seq16 = run("d16_substring_spans")
+      val seq18 = run("d18_clip_spans")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_idx")
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val t16 = pool.submit(new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+          override def call() = { start.await(); run("d16_substring_spans") }
+        })
+        val t18 = pool.submit(new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+          override def call() = { start.await(); run("d18_clip_spans") }
+        })
+        start.countDown()
+        assert(t16.get(180, java.util.concurrent.TimeUnit.SECONDS) === seq16,
+          "d16 under contention diverged from its sequential run")
+        assert(t18.get(180, java.util.concurrent.TimeUnit.SECONDS) === seq18,
+          "d18 under contention diverged from its sequential run")
+      } finally pool.shutdownNow()
+      // exactly one live fingerprint of the shared index after the race
+      val tables = spark.sessionState.catalog
+        .listTables("default", "graft_kgram_idx_*")
+      assert(tables.size === 1,
+        s"expected one shared k-gram index, found ${tables.map(_.table)}")
+    } finally graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_idx")
+  }
+
   test("a changed fingerprint supersedes the stale sibling's table and storage") {
     val base = "graft_pic_super"
     try {
