@@ -687,17 +687,19 @@ object Pipeline {
       |FROM s ORDER BY epoch, shard, pos""".stripMargin
   }
 
-  /** p13: BM25 ranked retrieval (Robertson-Spärck Jones probabilistic
-    * weighting, the Okapi BM25 form) — the retrieval step a RAG or
-    * data-curation pipeline runs against the corpus: each query doc's
-    * terms score candidate documents and the top-5 per query return.
-    * p4's rational-idf discipline extends to the full BM25 weight: the
-    * idf is the exact rational (N - df + 0.5)/(df + 0.5) + 1 (Lucene's
-    * +1 form, so weights stay positive) WITHOUT the ln around it —
-    * libm logs differ across engines in the last ULP while one IEEE
-    * division tree is bit-identical, and the ranking is unchanged
-    * (monotone). Per-term scores stay double (identical expression
-    * trees both engines); the per-document SUM goes through
+  /** The BM25-scored candidate frame (qid < 3): (qid, doc_id, n_terms,
+    * score) — Okapi BM25 (Robertson-Spärck Jones probabilistic
+    * weighting), the scoring pipeline shared by p13's ranked retrieval
+    * and the fusion query's lexical leg ([[p27RankFusion]]), factored
+    * so both rank IDENTICAL scores.
+    *
+    * Determinism: p4's rational-idf discipline extends to the full BM25
+    * weight — the idf is the exact rational (N - df + 0.5)/(df + 0.5)
+    * + 1 (Lucene's +1 form, so weights stay positive) WITHOUT the ln
+    * around it: libm logs differ across engines in the last ULP while
+    * one IEEE division tree is bit-identical, and the ranking is
+    * unchanged (monotone). Per-term scores stay double (identical
+    * expression trees both engines); the per-document SUM goes through
     * DECIMAL(18,6) so Spark's partial-agg order vs DuckDB's cannot
     * produce last-ULP mismatches (the Relational.scala convention).
     *
@@ -707,13 +709,9 @@ object Pipeline {
     * bucketed by term, plus its one-row corpus stats. Query-time work is
     * then bucket-layout aggregations (df needs no exchange), broadcasts
     * of the tiny query-term frames, and exactly one corpus-keyed
-    * exchange — the final (qid, doc) score agg — plus the top-5 window.
-    * The naive form re-pays three corpus aggregations per query.
-    */
-  /** The BM25-scored candidate frame (qid < 3): (qid, doc_id, n_terms,
-    * score) off the persisted inverted index — p13's scoring pipeline,
-    * factored so the fusion query ([[p27RankFusion]]) ranks the
-    * IDENTICAL lexical scores p13 reports.
+    * exchange — the final (qid, doc) score agg — plus the consumer's
+    * top-k window. The naive form re-pays three corpus aggregations per
+    * query.
     */
   private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.operators.PersistedIndex.ensure(
@@ -757,6 +755,10 @@ object Pipeline {
         count(lit(1)).as("n_terms"))
   }
 
+  /** p13: BM25 ranked retrieval — each query doc's terms score candidate
+    * documents ([[bm25Scored]], where the determinism and scale contracts
+    * live) and the top-5 per query return.
+    */
   def p13Bm25Retrieve(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -839,29 +841,17 @@ object Pipeline {
     * (qid, cid) is the union-of-lists semantics, never corpus-keyed.
     */
   def p27RankFusion(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VecDotFold
     val wl = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
     val lex = bm25Scored(spark, dir)
       .withColumn("lex_rank", row_number().over(wl).cast("long"))
       .filter(col("lex_rank") <= RrfDepth)
       .select(col("qid"), col("doc_id").as("cid"), col("lex_rank"))
-    val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val queries = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val cosine = VecDotFold.dot(col("qv"), col("cv")) /
-      (sqrt(VecDotFold.dot(col("qv"), col("qv"))) *
-        sqrt(VecDotFold.dot(col("cv"), col("cv"))))
-    val wv = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("cid"))
-    val vec = broadcast(queries)
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")),
-        col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine.as("cosine"))
-      .withColumn("vec_rank", row_number().over(wv).cast("long"))
-      .filter(col("vec_rank") <= RrfDepth)
-      .select(col("qid"), col("cid"), col("vec_rank"))
+    // the vector leg IS v28's retrieval pool (one shared definition of
+    // the cosine fold + tie-break), restricted to p13's query set
+    val vec = graft.queries.Vectors
+      .cosinePool(spark, dir, qMax = 3, depth = RrfDepth)
+      .select(col("qid"), col("cid"), col("vrank").cast("long").as("vec_rank"))
     // absent-from-list -> zero contribution (1/(k+NULL) is NULL, coalesced)
     def contrib(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       coalesce(lit(1.0) / (lit(RrfK.toDouble) + r.cast("double")), lit(0.0))

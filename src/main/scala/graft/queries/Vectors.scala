@@ -2671,21 +2671,32 @@ object Vectors {
     * (localCheckpoint) so the k unrolled stages never replan the
     * corpus-sized retrieval subtree.
     */
-  def v28MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+  /** The depth-bounded cosine retrieval pool — v1's broadcast-Q × scan-N
+    * discipline (double-widened sequential-fold cosine, (rel DESC, cid)
+    * tie-break), shared by v28's MMR pool and p27's vector leg so the
+    * two can never drift on fold order or tie-breaks: (qid, cid, cv,
+    * rel, vrank ≤ depth) for queries vec_id < qMax.
+    */
+  private[graft] def cosinePool(
+      spark: SparkSession, dir: String, qMax: Int, depth: Int): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val queries = e.filter(col("vec_id") < 10)
+    val queries = e.filter(col("vec_id") < qMax)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val rel = (dot(col("qv"), col("cv")) /
       (norm(col("qv")) * norm(col("cv")))).as("rel")
     val wq = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
-    val pool = broadcast(queries)
+    broadcast(queries)
       .join(e.select(col("vec_id").as("cid"), col("v").as("cv")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("cv"), rel)
-      .withColumn("prank", row_number().over(wq))
-      .filter(col("prank") <= MmrDepth)
-      .drop("prank")
+      .withColumn("vrank", row_number().over(wq))
+      .filter(col("vrank") <= depth)
+  }
+
+  def v28MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val pool = cosinePool(spark, dir, qMax = 10, depth = MmrDepth)
+      .drop("vrank")
       .localCheckpoint(false)
     val sims = pool.as("a")
       .join(pool.as("b"),

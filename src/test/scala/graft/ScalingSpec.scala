@@ -166,11 +166,14 @@ class ScalingSpec extends SparkSpec {
       val counts = sfs.map(d => spark.read.parquet(s"$d/$t.parquet").count())
       t -> counts(1).toDouble / counts(0)
     }.toMap
-    // warm pass: one-time persisted builds (p27's BM25 index) out of
-    // the measured runs — the steady-state discipline of the
-    // incremental-family gate below
-    for (d <- sfs; (name, _, _, _, _) <- retrievalGoldens)
-      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+    // warm pass: ONLY p27 has one-time persisted state (the BM25 index)
+    // to keep out of the measured runs — the steady-state discipline of
+    // the incremental-family gate below; v28/v29 build nothing durable,
+    // so warming them would just run the suite's heaviest queries twice
+    for (d <- sfs)
+      SparkEntry.queries("p27_rank_fusion")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+    try {
     val failures = retrievalGoldens.flatMap { case (name, table, g001, g01, slopeBudget) =>
       val corpusRatio = ratios(table)
       val fn = SparkEntry.queries(name)
@@ -188,6 +191,11 @@ class ScalingSpec extends SparkSpec {
       checks.collect { case (false, msg) => msg }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+    } finally {
+      // repo convention: suites reclaim the persisted tables they build
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_idx")
+      graft.operators.PersistedIndex.dropAll(spark, "graft_bm25_stats")
+    }
   }
 
   /** Round-10 extension (VERDICT r9 #2): the incremental family's 100 TB
