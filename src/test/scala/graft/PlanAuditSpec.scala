@@ -489,10 +489,13 @@ class PlanAuditSpec extends SparkSpec {
       // d27: the HOF-spread repartition + one pair hash agg (top-20 is
       // TakeOrdered)
       "d27_bpe_step" -> 2,
-      // d28: the checkpointed d26 labels + the base-pair re-derivation
-      // feeding the surviving-pair restriction + the affected-subgraph
-      // CC off its durable final table + cluster-size window + sort
-      "d28_deletion_clusters" -> 10,
+      // d28: since r11's continuation the pre-deletion labels are a
+      // PERSISTED bucketed read (the previous-run artifact, built once)
+      // — the plan keeps the base-pair re-derivation feeding the
+      // surviving-pair restriction + the affected-subgraph CC off its
+      // durable final table + cluster-size window + sort (was 10 with
+      // the inline d26 re-derivation)
+      "d28_deletion_clusters" -> 5,
       // d26: since r11 the fixpoint is affected-only — untouched star
       // pass-through (broadcast anti-join on the checkpointed touched
       // set) ∪ reconverged labels off the durable final round table +

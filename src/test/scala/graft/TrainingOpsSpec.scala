@@ -1513,7 +1513,8 @@ class TrainingOpsSpec extends SparkSpec {
       assert(incD.contains((3L, 3L, 2L)) && incD.contains((3L, 4L, 2L)),
         "untouched cluster was disturbed")
     } finally {
-      Seq("graft_sig_inc", "graft_delta_inc", "graft_ccstar_inc", "graft_sig_d6")
+      Seq("graft_sig_inc", "graft_delta_inc", "graft_ccstar_inc",
+          "graft_labels_inc", "graft_sig_d6")
         .foreach(graft.operators.PersistedIndex.dropAll(spark, _))
     }
   }
