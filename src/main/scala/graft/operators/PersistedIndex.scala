@@ -36,8 +36,10 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * make concurrent same-corpus sessions fully independent (each pays its
   * own build; none can clobber another).
   *
-  * What a build cleans up: stale same-session siblings (older
-  * fingerprints) in the catalog AND their storage; the target location
+  * What a build cleans up: stale same-session siblings in the catalog
+  * AND their storage — EXCEPT the newest prior COMPLETE generation,
+  * retained readable for in-flight consumers (see [[ensure]]'s
+  * supersession-retention contract); the target location
   * itself if a crashed earlier build of this session left a partial
   * write; and orphan sibling locations left by DEAD sessions — identified
   * by age (untouched for >30 min and absent from this session's catalog)
@@ -107,18 +109,17 @@ object PersistedIndex {
     * `ensure` for the same index must not both run `build` (the loser's
     * pre-build glob delete would remove the winner's in-flight write).
     * The lock is deliberately WIDER than the fingerprint-scoped table
-    * name: the pre-build cleanup sweeps ALL same-(base, dir) sibling
-    * tables (stale fingerprints), so two different-fingerprint ensures
-    * racing under per-name locks could drop each other's in-flight
-    * build mid-`saveAsTable`. Serializing per (base, dir) makes
-    * supersession well-defined: the later ensure waits, then sweeps the
-    * earlier COMPLETE table (the design contract — one active
-    * fingerprint per base+dir; an earlier-fingerprint DataFrame held
-    * across a supersession reads a dropped table, which is the caller's
-    * sequencing error, not a build race).
+    * name: the pre-build cleanup sweeps same-(base, dir) sibling tables
+    * (stale fingerprints), so two different-fingerprint ensures racing
+    * under per-name locks could drop each other's in-flight build
+    * mid-`saveAsTable`. Serializing per (base, dir) makes supersession
+    * well-defined. The key is the structural pair (base, dirTag), not
+    * their string concatenation — a base name that itself ends in
+    * `_` + 6 hex chars cannot alias another (base, dir)'s lock
+    * (ADVICE r11).
     */
   private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
   /** Reuse the fingerprint-matched table if this session already built
     * it (and its completion marker is present); otherwise clean up
@@ -128,7 +129,21 @@ object PersistedIndex {
     * actively-read index never ages into another session's >30-min
     * orphan sweep (an idle session can still lose its index after 30
     * quiet minutes — the next ensure simply rebuilds it). Returns the
-    * table read back from the catalog.
+    * table read back from the catalog, RESOLVED INSIDE THE LOCK — no
+    * other ensure can sweep it between build and resolution.
+    *
+    * Supersession retention (ADVICE r11): a different-fingerprint
+    * ensure does NOT drop the newest prior COMPLETE sibling — it stays
+    * in the catalog as the readable previous generation, so a
+    * DataFrame a concurrent caller obtained just before the
+    * supersession still reads real files instead of dying with
+    * PATH_NOT_FOUND mid-plan. Only generations beyond the newest prior
+    * one (plus every marker-less partial) are swept, bounding a
+    * (base, dir) family at 2× one index's storage — the price of
+    * making the realistic race (ONE in-flight supersession) safe. A
+    * reader two supersessions stale can still lose its files; that
+    * truly is a caller sequencing error, and it takes two corpus/param
+    * changes mid-read to manufacture.
     */
   def ensure(
       spark: SparkSession,
@@ -137,7 +152,7 @@ object PersistedIndex {
       sources: Seq[String],
       params: String)(build: String => Unit): DataFrame = {
     val table = scopedName(spark, base, dir, sources, params)
-    locks.computeIfAbsent(s"${base}_${dirTag(dir)}", _ => new Object).synchronized {
+    locks.computeIfAbsent((base, dirTag(dir)), _ => new Object).synchronized {
       val catalog = spark.sessionState.catalog
       val parent = new Path(catalog.defaultTablePath(TableIdentifier(table))).getParent
       val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,12 +162,23 @@ object PersistedIndex {
         fs.exists(new Path(loc(table), Marker))
       if (!complete) {
         val pattern = s"${base}_${dirTag(dir)}_*"
-        // stale same-session siblings (older fingerprints) AND a
-        // marker-less partial build of the target itself: only THIS
-        // session registers tables in its in-memory catalog, so these
-        // are all ours — drop table and storage
-        catalog.listTables("default", pattern)
-          .foreach(t => ReplicaTable.dropTableAndLocation(spark, t.table))
+        // same-session siblings: only THIS session registers tables in
+        // its in-memory catalog, so these are all ours. A marker-less
+        // sibling (including a partial build of the target itself) is
+        // garbage — dropped. COMPLETE siblings are prior generations:
+        // the newest is RETAINED for in-flight readers (scaladoc
+        // above); older ones go.
+        val siblings = catalog.listTables("default", pattern)
+          .map(_.table).filterNot(_ == table)
+        if (catalog.tableExists(TableIdentifier(table)))
+          ReplicaTable.dropTableAndLocation(spark, table)
+        val (done, partials) = siblings.partition(t =>
+          fs.exists(new Path(loc(t), Marker)))
+        partials.foreach(ReplicaTable.dropTableAndLocation(spark, _))
+        done.sortBy(t => fs.getFileStatus(new Path(loc(t), Marker))
+            .getModificationTime)
+          .dropRight(1)
+          .foreach(ReplicaTable.dropTableAndLocation(spark, _))
         if (fs.exists(parent)) {
           // a partial write a crashed earlier build of THIS session left
           // at the target (the session tag makes the name ours alone)
@@ -186,8 +212,10 @@ object PersistedIndex {
         // the deletion the scaladoc promises cannot happen
         LivenessMarker.touch(fs, loc(table))
       }
+      // resolved INSIDE the lock: a racing different-fingerprint ensure
+      // cannot sweep the table between our build/reuse and this lookup
+      spark.table(table)
     }
-    spark.table(table)
   }
 
   /** Test hygiene: drop every table (and location) THIS SESSION built

@@ -3781,6 +3781,8 @@ object Documents {
     "d13_pii_scrub" -> (d13PiiScrub _),
     "d12_dup_clusters" -> (d12DupClusters _),
     "d9_langid_ngram" -> (d9LangIdNgram _),
+    // numbering note: there is no d10 and never was in any round — the
+    // id was skipped when the family grew; nothing is missing here
     "d11_winnowing" -> (d11Winnowing _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_token_stats" -> (d2TokenStats _),

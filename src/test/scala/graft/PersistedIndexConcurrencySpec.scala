@@ -13,8 +13,9 @@ import org.apache.hadoop.fs.Path
   *
   * Also pinned here: the completion-marker protocol (a marker-less table
   * is a partial build — rebuilt, never trusted) and fingerprint
-  * supersession (changed params drop the stale sibling's table AND
-  * storage).
+  * supersession retention (a changed fingerprint keeps the newest prior
+  * COMPLETE generation readable for in-flight consumers and reclaims
+  * anything older — ADVICE r11).
   */
 class PersistedIndexConcurrencySpec extends SparkSpec {
 
@@ -82,7 +83,7 @@ class PersistedIndexConcurrencySpec extends SparkSpec {
     } finally PersistedIndex.dropAll(spark, base)
   }
 
-  test("different-fingerprint ensures serialize: builds never overlap, later wins") {
+  test("different-fingerprint ensures serialize: builds never overlap, both read intact") {
     val base = "graft_pic_mixed"
     // per-build [start, end) windows — the serialization contract is
     // that they never overlap (under per-NAME locks the second ensure's
@@ -92,41 +93,37 @@ class PersistedIndexConcurrencySpec extends SparkSpec {
     val start = new java.util.concurrent.CountDownLatch(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     def race(params: String, rows: Int) =
-      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
-        override def call(): Option[Long] = {
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
           start.await()
-          try Some(PersistedIndex.ensure(spark, base, dir, Seq(dir), params) { t =>
+          PersistedIndex.ensure(spark, base, dir, Seq(dir), params) { t =>
             val t0 = System.nanoTime()
             Thread.sleep(150)
             spark.range(rows).write.format("parquet").saveAsTable(t)
             windows.put(params, (t0, System.nanoTime()))
-          }.count())
-          // the LOSER of the mixed-fingerprint race may legitimately see
-          // its just-built table superseded (dropped) before it reads —
-          // the documented one-active-fingerprint contract, surfacing as
-          // an analysis error (catalog lookup) or a file-read failure
-          // (location deleted); what must never happen is a
-          // corrupted/partial build, which the non-overlap assert below
-          // rules out
-          catch { case scala.util.control.NonFatal(_) => None }
+          }.count()
         }
       })
     try {
       val a = race("p=a", 3); val b = race("p=b", 7)
       start.countDown()
-      val got = Seq(a, b).map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // under the r12 retention contract the LOSER's just-built table
+      // survives as the previous generation, so BOTH racers read their
+      // own full row count — no swallowed supersession failure
+      // (ADVICE r11: the old contract forced this test to tolerate a
+      // silent PATH_NOT_FOUND on the loser)
+      val got = Seq(a.get(120, java.util.concurrent.TimeUnit.SECONDS),
+        b.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got === Seq(3L, 7L),
+        s"racers read $got, expected their own intact tables Seq(3, 7)")
       val Seq((s1, e1), (s2, e2)) =
         Seq("p=a", "p=b").map(windows.get(_)): @unchecked
       assert(e1 <= s2 || e2 <= s1,
         "two different-fingerprint builds of one (base, dir) ran concurrently")
-      // whichever fingerprint built LAST owns the surviving table; its
-      // racer read the full row count
-      val lastRows = if (e1 > e2) 3L else 7L
-      val survivors = got.flatten
-      assert(survivors.contains(lastRows),
-        s"the last build's reader saw $survivors, expected $lastRows")
-      assert(survivors.forall(c => c === 3L || c === 7L),
-        s"a racer read a partial table: $survivors")
+      // both generations live: the newer is the active table, the older
+      // the retained previous generation
+      assert(spark.sessionState.catalog
+        .listTables("default", s"${base}_*").size === 2)
     } finally {
       pool.shutdownNow()
       PersistedIndex.dropAll(spark, base)
@@ -169,24 +166,40 @@ class PersistedIndexConcurrencySpec extends SparkSpec {
     } finally graft.operators.PersistedIndex.dropAll(spark, "graft_kgram_idx")
   }
 
-  test("a changed fingerprint supersedes the stale sibling's table and storage") {
+  test("supersession retains one readable prior generation; grandparents are dropped") {
     val base = "graft_pic_super"
+    def tid(t: String) = org.apache.spark.sql.catalyst.TableIdentifier(t)
+    def tables() = spark.sessionState.catalog
+      .listTables("default", s"${base}_*").map(_.table)
     try {
-      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=old") { t =>
+      val gen1Df = PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g1") { t =>
         spark.range(2).write.format("parquet").saveAsTable(t)
       }
-      val oldTable = spark.sessionState.catalog
-        .listTables("default", s"${base}_*").head.table
-      val oldLoc = new Path(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(oldTable)).location)
-      val got = PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=new") { t =>
+      val gen1 = tables().head
+      val gen1Loc = new Path(spark.sessionState.catalog
+        .getTableMetadata(tid(gen1)).location)
+      val gen2Df = PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g2") { t =>
         spark.range(7).write.format("parquet").saveAsTable(t)
       }
-      assert(got.count() === 7)
-      assert(!spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(oldTable)),
-        "the stale-fingerprint sibling survived in the catalog")
-      assert(!fs.exists(oldLoc), "the stale sibling's storage survived")
+      // one supersession deep: BOTH generations readable (the in-flight
+      // reader protection ADVICE r11 asked for), newest is the active one
+      assert(gen2Df.count() === 7)
+      assert(gen1Df.count() === 2,
+        "a one-generation-stale DataFrame lost its files on supersession")
+      assert(tables().size === 2)
+      val gen2 = tables().filterNot(_ == gen1).head
+      val gen2Loc = new Path(spark.sessionState.catalog
+        .getTableMetadata(tid(gen2)).location)
+      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g3") { t =>
+        spark.range(11).write.format("parquet").saveAsTable(t)
+      }
+      // two supersessions deep: the grandparent's table AND storage are
+      // reclaimed; the family never exceeds 2 generations of storage
+      assert(!spark.sessionState.catalog.tableExists(tid(gen1)),
+        "the two-generations-stale sibling survived in the catalog")
+      assert(!fs.exists(gen1Loc), "the grandparent's storage survived")
+      assert(fs.exists(gen2Loc), "the previous generation was dropped early")
+      assert(tables().size === 2)
     } finally PersistedIndex.dropAll(spark, base)
   }
 }

@@ -140,25 +140,34 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
-  /** The round-11 retrieval additions' volume pins: each query's widest
-    * exchange must stay corpus-LINEAR, with everything after retrieval
-    * Q × depth-bounded — a superlinear move means a post-retrieval
-    * frame quietly became corpus-keyed. Measured shapes: p27's widest
-    * is its lexical (qid, doc) score agg (slope 0.94 vs the 10× corpus);
-    * v29's the per-(vector, label) distance agg (slope 0.78 vs the 4×
-    * embeddings); v28 measures FLAT at its Q × depth sims/pick frames —
-    * partly a fixture artifact (the single-partition embeddings scan
-    * satisfies the pool window's distribution trivially, so the Q × N
-    * rank exchange doesn't materialize here; at real scale that window
-    * shuffles Q × N, linear like v1's documented broadcast-Q × scan-N),
-    * so v28's pin guards the post-pool frames, not the pool itself.
-    * Indexes warm before measurement (p27's persisted BM25 build is
-    * one-time, not query-time work).
+  /** The round-11 retrieval additions' scaling gates: each query's
+    * widest exchange must stay corpus-LINEAR (p27, v29) or FLAT (v28 —
+    * everything after its pool is Q × depth-bounded) — a superlinear
+    * move means a post-retrieval frame quietly became corpus-keyed.
+    * Measured shapes at round 11: p27's widest is its lexical
+    * (qid, doc) score agg (11213 → 105668, slope 0.94 vs the 10×
+    * corpus); v29's the per-(vector, label) distance agg (640 → 2000,
+    * slope 0.78 vs the 4× embeddings); v28 measures FLAT at its
+    * Q × depth sims/pick frames (200 → 200) — partly a fixture
+    * artifact (the single-partition embeddings scan satisfies the pool
+    * window's distribution trivially, so the Q × N rank exchange
+    * doesn't materialize here; at real scale that window shuffles
+    * Q × N, linear like v1's documented broadcast-Q × scan-N), so
+    * v28's gate guards the post-pool frames, not the pool itself.
+    * Absolute volumes are LOGGED diagnostics, not asserted (ADVICE
+    * r11: absolute row pins break on Spark upgrades, partitioning
+    * changes, and fixture regeneration — failures unrelated to the
+    * scaling property this gate guards; the slope/flatness ratio is
+    * invariant to all three). Indexes warm before measurement (p27's
+    * persisted BM25 build is one-time, not query-time work).
     */
-  private val retrievalGoldens: Seq[(String, String, Long, Long, Double)] = Seq(
-    ("p27_rank_fusion", "documents", 11213L, 105668L, 2.0),
-    ("v28_mmr_diversify", "embeddings", 200L, 200L, 2.0),
-    ("v29_silhouette", "embeddings", 640L, 2000L, 2.0))
+  private val retrievalGoldens: Seq[(String, String, Boolean, Double)] = Seq(
+    // (query, table, flat?, slope budget): flat? compares v01 directly
+    // against v001 (corpus growth must NOT widen the exchange); linear
+    // gates compare against corpusRatio × v001
+    ("p27_rank_fusion", "documents", false, 2.0),
+    ("v28_mmr_diversify", "embeddings", true, 2.0),
+    ("v29_silhouette", "embeddings", false, 2.0))
 
   test("retrieval family: widest exchange stays corpus-linear; fused frames never corpus-keyed") {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -174,21 +183,19 @@ class ScalingSpec extends SparkSpec {
       SparkEntry.queries("p27_rank_fusion")(spark, d)
         .write.format("noop").mode("overwrite").save()
     try {
-    val failures = retrievalGoldens.flatMap { case (name, table, g001, g01, slopeBudget) =>
+    val failures = retrievalGoldens.flatMap { case (name, table, flat, slopeBudget) =>
       val corpusRatio = ratios(table)
       val fn = SparkEntry.queries(name)
       val Seq(v001, v01) =
         sfs.map(d => maxExchangeRows { fn(spark, d).write.format("noop").mode("overwrite").save() })
-      val checks = Seq(
-        (math.abs(v001 - g001) <= g001 / 4,
-          s"$name sf0.01 volume $v001 outside golden $g001 +-25%"),
-        (math.abs(v01 - g01) <= g01 / 4,
-          s"$name sf0.1 volume $v01 outside golden $g01 +-25%"),
-        (v01 <= slopeBudget * corpusRatio * v001,
-          s"$name grows superlinearly: $v001 -> $v01 at $table ratio " +
-            f"$corpusRatio%.1f (slope ${v01.toDouble / v001 / corpusRatio}%.2f " +
-            f"> budget $slopeBudget%.1f)"))
-      checks.collect { case (false, msg) => msg }
+      info(f"$name widest exchange: $v001 -> $v01 rows " +
+        f"($table ratio $corpusRatio%.1f, slope ${v01.toDouble / v001 / corpusRatio}%.2f)")
+      val allowedRatio = if (flat) slopeBudget else slopeBudget * corpusRatio
+      val kind = if (flat) "flat" else "corpus-linear"
+      if (v01 <= allowedRatio * v001) Nil
+      else Seq(s"$name breaks its $kind gate: $v001 -> $v01 at $table ratio " +
+        f"$corpusRatio%.1f (allowed <= ${allowedRatio * v001}%.0f; a " +
+        "corpus-keyed post-retrieval frame looks exactly like this)")
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     } finally {
