@@ -565,6 +565,101 @@ object Events {
       |    PARTITION BY cohort_day ORDER BY day_offset) AS retention
       |FROM r ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** w30: BITMAP RETENTION — w14's cohort × offset matrix re-derived
+    * from per-user activity BITMASKS, the roaring-bitmap/Theta-sketch
+    * representation every large-scale product-analytics store (Druid,
+    * Pinot, ClickHouse's groupBitmap) keeps user activity in. One
+    * 64-bit word per user encodes the whole horizon: bit d set = active
+    * on day d after the corpus' first day (the horizon cap is the
+    * analysis window, as in any "N-day retention" report — days past
+    * 63 fall outside the report by definition; a longer horizon is a
+    * word ARRAY with identical algebra, merged per-word).
+    *
+    * Why it exists next to w14: the grid formulation DISTINCTs the
+    * (user, day) frame — a corpus-wide shuffle whose width is the
+    * activity grid — then windows over users. Here the raw events
+    * collapse map-side into one BIGINT accumulator per user (bit_or is
+    * associative/commutative, so the partial agg does almost all the
+    * work before the only corpus-keyed exchange), and EVERYTHING after
+    * operates on a |users|-row frame: cohort day = trailing-zero count
+    * (bit_count((mask & -mask) - 1)), active-day count = popcount,
+    * set-bit expansion to the cohort × offset rollup. Same analysis,
+    * one corpus shuffle of |users| 64-bit words instead of a
+    * users × days grid — the TrainingOps spec pins w30 ≡ w14 on the
+    * shared (cohort, offset, n_users) triples.
+    *
+    * Output per (cohort_day, day_offset): surviving user count,
+    * retention vs day 0 in ppm, and the cohort's mean active-day
+    * popcount in ppm — integer DIV throughout, so both engines agree
+    * bitwise.
+    */
+  def w30BitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val epoch = days.agg(min(col("day")).as("epoch0"))
+    val masks = days.join(broadcast(epoch))
+      .select(col("user_id"), col("epoch0"),
+        datediff(col("day"), col("epoch0")).as("d"))
+      .filter(col("d").between(0, 63))
+      .groupBy(col("user_id"), col("epoch0"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), d))").as("mask"))
+    val wc = Window.partitionBy(col("cohort"))
+    val perUser = masks
+      .withColumn("cohort", expr("bit_count((mask & -mask) - 1)"))
+      .withColumn("active_days", expr("CAST(bit_count(mask) AS BIGINT)"))
+      .withColumn("cohort_size", count(lit(1)).over(wc))
+      .withColumn("cohort_active", sum(col("active_days")).over(wc))
+    perUser
+      .select(col("epoch0"), col("cohort"), col("cohort_size"),
+        col("cohort_active"),
+        explode(expr(
+          "filter(sequence(0, 63), d -> (shiftright(mask, d) & 1) = 1)")).as("d"))
+      .groupBy(date_add(col("epoch0"), col("cohort")).as("cohort_day"),
+        (col("d") - col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("cohort_size")).as("cs"),
+        min(col("cohort_active")).as("ca"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        expr("n_users * 1000000L DIV cs").as("retention_ppm"),
+        expr("ca * 1000000L DIV cs").as("mean_active_days_ppm"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val w30Sql: String =
+    """WITH e0 AS (SELECT MIN(CAST(ts AS DATE)) AS epoch0 FROM events),
+      |u AS (
+      |  SELECT user_id, epoch0,
+      |    bit_or(CAST(1 AS BIGINT) << d) AS mask
+      |  FROM (SELECT user_id, epoch0,
+      |          datediff('day', epoch0, CAST(ts AS DATE)) AS d
+      |        FROM events, e0)
+      |  WHERE d BETWEEN 0 AND 63
+      |  GROUP BY user_id, epoch0),
+      |s AS (
+      |  SELECT user_id, epoch0, mask,
+      |    bit_count((mask & -mask) - 1) AS cohort,
+      |    CAST(bit_count(mask) AS BIGINT) AS active_days
+      |  FROM u),
+      |c AS (
+      |  SELECT s.*,
+      |    COUNT(*) OVER (PARTITION BY cohort) AS cohort_size,
+      |    SUM(active_days) OVER (PARTITION BY cohort) AS cohort_active
+      |  FROM s),
+      |x AS (
+      |  SELECT c.*, g.d FROM c,
+      |    (SELECT unnest(generate_series(0, 63)) AS d) g
+      |  WHERE ((mask >> d) & 1) = 1),
+      |r AS (
+      |  SELECT epoch0 + cohort * INTERVAL 1 DAY AS cohort_day,
+      |    CAST(d - cohort AS BIGINT) AS day_offset,
+      |    COUNT(*) AS n_users,
+      |    MIN(cohort_size) AS cs, MIN(cohort_active) AS ca
+      |  FROM x GROUP BY 1, 2)
+      |SELECT CAST(cohort_day AS DATE) AS cohort_day, day_offset, n_users,
+      |  CAST(n_users * 1000000 // cs AS BIGINT) AS retention_ppm,
+      |  CAST(ca * 1000000 // cs AS BIGINT) AS mean_active_days_ppm
+      |FROM r ORDER BY cohort_day, day_offset""".stripMargin
+
   /** w15: trailing z-score anomaly detection over the per-minute event
     * rate, flagged in EXACT integer arithmetic. For each (event_type,
     * active-minute) the trailing window is the previous 10 ACTIVE
@@ -1752,6 +1847,7 @@ object Events {
       |) ORDER BY twin""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "w30_bitmap_retention" -> (w30BitmapRetention _),
     "w29_state_profile" -> (w29StateProfile _),
     "w28_error_recovery" -> (w28ErrorRecovery _),
     "w27_association_rules" -> (w27AssociationRules _),
@@ -1783,6 +1879,7 @@ object Events {
     "w7_distinct_sketch" -> (w7DistinctSketch _))
 
   val oracles: Map[String, String] = Map(
+    "w30_bitmap_retention" -> w30Sql,
     "w29_state_profile" -> w29Sql,
     "w28_error_recovery" -> w28Sql,
     "w27_association_rules" -> w27Sql,

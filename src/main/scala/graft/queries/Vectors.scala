@@ -2878,7 +2878,101 @@ object Vectors {
       |FROM s GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** v30: CENTROID-DISTANCE OUTLIER REPORT — embedding-space outlier
+    * pruning, the curation step that drops vectors far from their own
+    * cluster's centroid (OOD/low-quality candidates: mislabeled docs,
+    * encoder failures, boilerplate that embeds nowhere). SemDeDup keeps
+    * the centroid-CLOSEST member per duplicate group (v14); this is the
+    * complementary tail — per cluster, how many members sit beyond a
+    * distance cutoff, and which member is worst.
+    *
+    * The cutoff is the MEAN-MULTIPLE rule: flag d² > 2 × mean(d²) for
+    * the vector's own cluster. Deliberately mean-based, not z-score —
+    * the whole chain stays in exact integer arithmetic (fixed-point
+    * d²·1e9 from v29's distance discipline), so the flag reproduces
+    * bit-for-bit on any engine and needs no BIGINT-overflowing
+    * sum-of-squares-of-squares (d⁴ sums overflow 64 bits at corpus
+    * scale; mean-multiple never widens past Σd²).
+    *
+    * Scale shape vs v29: NO centroid cross join — each vector joins
+    * ONLY its own label's centroid (broadcast equi-join on label, |L|
+    * rows), so the scored frame is |vecs| rows, not |vecs| × |cells|.
+    * After the projection there is exactly ONE label-keyed exchange:
+    * the stats window, the worst-member rank window, and the final
+    * per-label rollup all share its hash partitioning (same key — no
+    * re-shuffle between them). At 100 TB the widest thing in flight is
+    * the corpus itself, once.
+    */
+  def v30CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = labelMeans(base).groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col("label"),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, e) => acc + e)
+    val dists = base.join(broadcast(centroids), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        floor(d2 * lit(1e9)).cast("long").as("d2e9"))
+    val wr = Window.partitionBy(col("label"))
+      .orderBy(col("d2e9").desc, col("vec_id"))
+    dists
+      .withColumn("mean_d2e9", expr(
+        "sum(d2e9) OVER (PARTITION BY label) DIV count(1) OVER (PARTITION BY label)"))
+      .withColumn("rn", row_number().over(wr))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("mean_d2e9")).as("mean_d2e9"),
+        sum(when(col("d2e9") > lit(2L) * col("mean_d2e9"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        min(when(col("rn") === 1, col("vec_id"))).as("worst_vec_id"),
+        min(when(col("rn") === 1, col("d2e9"))).as("worst_d2e9"))
+      .select(col("label"), col("n_vectors"), col("mean_d2e9"),
+        col("n_outliers"),
+        expr("n_outliers * 1000000L DIV n_vectors").as("outlier_ppm"),
+        col("worst_vec_id"), col("worst_d2e9"))
+      .orderBy(col("label"))
+  }
+
+  val v30Sql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cl AS (
+      |  SELECT label, i AS dim,
+      |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
+      |  FROM base, (SELECT unnest(generate_series(1, 64)) i)
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label, list(CAST(ce9 AS DOUBLE) / 1e9 ORDER BY dim) AS cvec
+      |  FROM cl GROUP BY label),
+      |d AS (
+      |  SELECT b.vec_id, b.label,
+      |    CAST(floor(${l2("b.v", "c.cvec")} * 1e9) AS BIGINT) AS d2e9
+      |  FROM base b JOIN cent c ON b.label = c.label),
+      |w AS (
+      |  SELECT label, vec_id, d2e9,
+      |    CAST(SUM(d2e9) OVER (PARTITION BY label)
+      |      // COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS mean_d2e9,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY d2e9 DESC, vec_id) AS rn
+      |  FROM d)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  MIN(mean_d2e9) AS mean_d2e9,
+      |  CAST(SUM(CASE WHEN d2e9 > 2 * mean_d2e9 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(SUM(CASE WHEN d2e9 > 2 * mean_d2e9 THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm,
+      |  MIN(CASE WHEN rn = 1 THEN vec_id END) AS worst_vec_id,
+      |  MIN(CASE WHEN rn = 1 THEN d2e9 END) AS worst_d2e9
+      |FROM w GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v30_centroid_outliers" -> (v30CentroidOutliers _),
     "v29_silhouette" -> (v29Silhouette _),
     "v28_mmr_diversify" -> (v28MmrDiversify _),
     "v27_pq_distortion" -> (v27PqDistortion _),
@@ -2911,6 +3005,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v30_centroid_outliers" -> v30Sql,
     "v29_silhouette" -> v29Sql,
     "v28_mmr_diversify" -> v28Sql,
     "v27_pq_distortion" -> v27Sql,

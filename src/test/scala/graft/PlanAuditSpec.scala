@@ -71,6 +71,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - v29: the 10-row centroid frame broadcast against the scan
       //    (v6's coarse-quantizer shape)
       "v29_silhouette",
+      //  - w30: the one-row corpus-epoch date broadcast next to every
+      //    event (d22/p13's scalar shape) to index the day bitmask
+      "w30_bitmap_retention",
       //  - v19: v8's deliberate shapes — the centroid cross join for
       //    assignment and the exact ground-truth side
       "v19_nprobe_sweep",
@@ -554,6 +557,12 @@ class PlanAuditSpec extends SparkSpec {
       // (label, dim) exchange + the per-vector a/b agg + the per-label
       // stats agg + output sort; the L-row centroid frame broadcasts
       "v29_silhouette" -> 5,
+      // v30: the centroid (label, dim) agg's two exchanges + ONE
+      // label-keyed exchange shared by the stats window, the worst-rank
+      // window, and the per-label rollup (same key — no re-shuffle) +
+      // output sort; the L-row centroid frame broadcast equi-joins, so
+      // unlike v29 the scored frame is |vecs|, never |vecs| x |cells|
+      "v30_centroid_outliers" -> 4,
       // w12: one grouped agg (exact + sketch percentiles fuse into the
       // same hash aggregate) + output sort
       "w12_quantile_sketch" -> 2,
@@ -561,6 +570,12 @@ class PlanAuditSpec extends SparkSpec {
       // rollup share it) + output sort — the naive funnel is a 3-way
       // self-join
       "w13_funnel" -> 2,
+      // w30: the 1-row epoch agg + the user-keyed bit_or mask agg (the
+      // ONLY corpus-wide exchange, |users| 64-bit words after map-side
+      // combine) + the cohort window + cohort x offset rollup + output
+      // sort, all on the <= |users| mask frame — vs w14, whose widest
+      // exchanges carry the users x days grid twice
+      "w30_bitmap_retention" -> 5,
       // w14: grid distinct + user window + cohort rollup + the tiny
       // cohort-denominator window + output sort; everything after the
       // distinct runs on at most users x days rows

@@ -1015,6 +1015,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === grid, "retention cells lose or invent user-days")
   }
 
+  test("w30: bitmap retention reproduces w14's grid-derived cohort matrix") {
+    // same analysis, two formulations: the per-user 64-bit day mask
+    // must yield exactly the (cohort, offset, n_users) triples the
+    // (user, day) grid yields — the fixture's 30-day span sits fully
+    // inside the 64-day horizon, so no truncation excuses a mismatch
+    val bitmap = Events.w30BitmapRetention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val gridForm = Events.w14Retention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(bitmap.map(t => (t._1, t._2, t._3)).toSeq === gridForm.toSeq,
+      "bitmask formulation diverged from the (user, day) grid formulation")
+    val byCohort = bitmap.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      // day 0 is the cohort itself: retention exactly 1e6 ppm
+      assert(rs.find(_._2 == 0L).exists(_._4 == 1000000L),
+        s"cohort $c day-0 retention_ppm != 1e6")
+      // offsets live inside the 64-day mask horizon
+      rs.foreach(r => assert(r._2 >= 0L && r._2 <= 63L,
+        s"cohort $c offset ${r._2} outside the mask horizon"))
+      // the popcount mean is a cohort-level constant, >= 1 active day
+      assert(rs.map(_._5).distinct.size === 1,
+        s"cohort $c mean_active_days_ppm varies across offsets")
+      assert(rs.head._5 >= 1000000L && rs.head._5 <= 64000000L,
+        s"cohort $c mean active days ${rs.head._5} ppm out of [1, 64] days")
+    }
+  }
+
   test("w11: count-min never underestimates; ranks are contiguous") {
     val rows = graft.queries.Events.w11HeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -1320,6 +1348,44 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach { case (lbl, _, mean, mn, mx) =>
       assert(mn >= -1000000L && mx <= 1000000L && mean >= mn && mean <= mx,
         s"label $lbl silhouette out of bounds: mean=$mean min=$mn max=$mx")
+    }
+  }
+
+  test("v30: outlier report matches a driver-side fixed-point replay") {
+    val rows = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = rows.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> (0 until 64).map { d =>
+        val s = vs.map(v => math.floor(v._3(d) * 1e9).toLong).sum
+        (s / vs.size).toDouble / 1e9
+      }.toArray
+    }
+    def d2e9(v: Array[Double], c: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val d = v(i) - c(i); s += d * d; i += 1 }
+      math.floor(s * 1e9).toLong
+    }
+    val expected = rows.map { case (id, lbl, v) => (lbl, id, d2e9(v, cents(lbl))) }
+      .groupBy(_._1).map { case (lbl, xs) =>
+        val n = xs.length.toLong
+        val mean = xs.map(_._3).sum / n // Long DIV, same truncation as SQL
+        val out = xs.count(_._3 > 2L * mean).toLong
+        val worst = xs.minBy(t => (-t._3, t._2)) // max d2, ties to low vec_id
+        (lbl, n, mean, out, out * 1000000L / n, worst._2, worst._3)
+      }.toSeq.sortBy(_._1)
+    val got = graft.queries.Vectors.v30CentroidOutliers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected, "outlier report diverged from the fixed-point replay")
+    // Markov bound, exact in the integer algebra: k members above
+    // 2x mean satisfy 2*mean*k < sum(d2) = n*true_mean, so the flagged
+    // share is a strict minority whenever the truncated mean is positive
+    got.foreach { case (lbl, n, mean, out, ppm, _, worstD2) =>
+      assert(out * 2 < n || mean == 0L,
+        s"label $lbl flags $out of $n — a mean-multiple cutoff cannot flag a majority")
+      assert(ppm == out * 1000000L / n, s"label $lbl ppm inconsistent")
+      assert(worstD2 >= 0L, s"label $lbl negative distance")
     }
   }
 
