@@ -3742,7 +3742,88 @@ object Documents {
       |FROM d2 LEFT JOIN pd USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** d47: QUALITY-RULE AGREEMENT MATRIX — the filter-ablation table a
+    * curation team reads before composing a gate: for every PAIR of
+    * quality rules, how many documents both pass, only one passes, and
+    * neither passes, plus the pass-set Jaccard. Highly-agreeing rules
+    * are redundant (drop one, save a pass); anti-correlated rules
+    * signal a population one of them mis-models — the overlap analyses
+    * dataset papers publish for their filter stacks (Gopher's rule
+    * ablations, Dolma/FineWeb filter audits). Four deliberately cheap,
+    * engine-exact rules: length >= 200 chars, ' the ' stopword
+    * presence, digit mass < 10%, terminal punctuation.
+    *
+    * Scale shape: the four flags are map-side projections; ONE global
+    * aggregate folds the whole corpus into 24 conditional counters
+    * (6 pairs × 4 cells) — partial agg reduces every partition to a
+    * single 24-counter row, so the only exchange carries one row per
+    * task; stack() then pivots the 1-row frame to the 6-pair output
+    * entirely post-shuffle. (With dozens of rules the same query runs
+    * as a 2^k-mask histogram — groupBy over the packed rule bitmask,
+    * <= 2^k keys, pair cells summed from the histogram; at k = 4 the
+    * flat conditional fold is the cheaper plan.) No join, no window,
+    * nothing keyed by the corpus.
+    */
+  def d47RuleAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val flags = docs(spark, dir).select(
+      (length(t) >= 200).as("r0"),
+      (instr(t, " the ") > 0).as("r1"),
+      ((length(t) - length(regexp_replace(t, "[0-9]", ""))) * 10 < length(t))
+        .as("r2"),
+      substring(rtrim(t), -1, 1).isin(".", "!", "?").as("r3"))
+    val ruleName = Map(0 -> "len_200", 1 -> "stopword_the",
+      2 -> "digit_lt_10pct", 3 -> "ends_punct")
+    val pairs = for (a <- 0 to 3; b <- a + 1 to 3) yield (a, b)
+    val cells = pairs.flatMap { case (a, b) =>
+      val (ra, rb) = (col(s"r$a"), col(s"r$b"))
+      Seq(
+        sum(when(ra && rb, 1L).otherwise(0L)).as(s"both_${a}_$b"),
+        sum(when(ra && !rb, 1L).otherwise(0L)).as(s"onlya_${a}_$b"),
+        sum(when(!ra && rb, 1L).otherwise(0L)).as(s"onlyb_${a}_$b"),
+        sum(when(!ra && !rb, 1L).otherwise(0L)).as(s"neither_${a}_$b"))
+    }
+    val stacked = pairs.map { case (a, b) =>
+      s"'${ruleName(a)}', '${ruleName(b)}', both_${a}_$b, onlya_${a}_$b, " +
+        s"onlyb_${a}_$b, neither_${a}_$b"
+    }.mkString(", ")
+    flags.agg(cells.head, cells.tail: _*)
+      .selectExpr(s"stack(${pairs.size}, $stacked) AS " +
+        "(rule_a, rule_b, n_both, n_only_a, n_only_b, n_neither)")
+      .withColumn("jaccard_ppm", expr(
+        "n_both * 1000000L DIV nullif(n_both + n_only_a + n_only_b, 0L)"))
+      .orderBy(col("rule_a"), col("rule_b"))
+  }
+
+  val d47Sql: String = {
+    val ruleName = Map(0 -> "len_200", 1 -> "stopword_the",
+      2 -> "digit_lt_10pct", 3 -> "ends_punct")
+    val pairs = for (a <- 0 to 3; b <- a + 1 to 3) yield (a, b)
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '${ruleName(a)}' AS rule_a, '${ruleName(b)}' AS rule_b,
+        |  CAST(SUM(CASE WHEN r$a AND r$b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN r$a AND NOT r$b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |  CAST(SUM(CASE WHEN NOT r$a AND r$b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+        |  CAST(SUM(CASE WHEN NOT r$a AND NOT r$b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+      |  SELECT
+      |    length(t) >= 200 AS r0,
+      |    position(' the ' IN t) > 0 AS r1,
+      |    (length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))) * 10
+      |      < length(t) AS r2,
+      |    substring(rtrim(t), -1, 1) IN ('.', '!', '?') AS r3
+      |  FROM (SELECT COALESCE(text, '') AS t FROM documents)),
+      |u AS ($arms)
+      |SELECT rule_a, rule_b, n_both, n_only_a, n_only_b, n_neither,
+      |  CAST(n_both * 1000000 // nullif(n_both + n_only_a + n_only_b, 0)
+      |    AS BIGINT) AS jaccard_ppm
+      |FROM u ORDER BY rule_a, rule_b""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d47_rule_agreement" -> (d47RuleAgreement _),
     "d46_memorization_risk" -> (d46MemorizationRisk _),
     "d45_threshold_sweep" -> (d45ThresholdSweep _),
     "d44_novelty_curve" -> (d44NoveltyCurve _),
@@ -3794,6 +3875,7 @@ object Documents {
     "d8_langid" -> (d8LangId _))
 
   val oracles: Map[String, String] = Map(
+    "d47_rule_agreement" -> d47Sql,
     "d46_memorization_risk" -> d46Sql,
     "d45_threshold_sweep" -> d45Sql,
     "d44_novelty_curve" -> d44Sql,

@@ -345,7 +345,80 @@ object MultimodalQ {
       |  CAST(3 AS BIGINT) AS thumb_h, CAST(s AS BIGINT) AS thumb_px_sum
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** m8: SHOT-BOUNDARY DETECTION — the scene segmentation every video
+    * curation pipeline runs before clip extraction: sample frames
+    * (m3's window/stride), reduce each frame to a brightness proxy
+    * (here the exact byte-code sum over the ASCII stand-in payload —
+    * the codec seam slots a real luma histogram in its place), then
+    * cut wherever the proxy moves more than 10% frame-over-frame and
+    * sessionize frames into scenes with a running cut count. Per
+    * media: frame count, scene count, the longest scene, and the mean
+    * scene length in ppm — the table a clip sampler budgets from.
+    *
+    * Scale shape: frames explode MAP-SIDE (no shuffle); ONE
+    * media-keyed exchange serves the lag window, the running-sum
+    * window (same spec), and BOTH rollups — (media, scene) then
+    * media are subset-key aggs riding the window's partitioning —
+    * plus the output sort. A media's frames co-locate by construction,
+    * exactly how a 100 TB video corpus shards by asset.
+    */
+  def m8SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text").as("payload"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_no"))
+    M.sampleFrames(m, frameSize = 16, stride = 8)
+      .withColumn("s", expr(
+        "aggregate(transform(sequence(1, 16), " +
+          "i -> ascii(substring(frame, i, 1))), 0L, (acc, x) -> acc + x)"))
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+      .withColumn("cut", when(col("prev").isNotNull &&
+        abs(col("s") - col("prev")) * 10 > col("prev"), 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(wOrd))
+      .groupBy(col("media_id"), col("scene_id"))
+      .agg(count(lit(1)).as("scene_len"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("scene_len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("scene_len")).as("longest_scene"))
+      .select(col("media_id"), col("n_frames"), col("n_scenes"),
+        col("longest_scene"),
+        expr("n_frames * 1000000L DIV n_scenes").as("mean_scene_len_ppm"))
+      .orderBy(col("media_id"))
+  }
+
+  val m8Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, i - 1 AS frame_no,
+      |    substring(text, (i - 1) * 8 + 1, 16) AS frame
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+      |    CASE WHEN length(text) >= 16
+      |         THEN (length(text) - 16) // 8 + 1 ELSE 0 END)) AS i)),
+      |l AS (
+      |  SELECT media_id, frame_no,
+      |    list_reduce(list_transform(generate_series(1, 16),
+      |      i -> ascii(substring(frame, i, 1))), (a, x) -> a + x) AS s
+      |  FROM f),
+      |c AS (
+      |  SELECT media_id, frame_no, s,
+      |    lag(s) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+      |  FROM l),
+      |sc AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN prev IS NOT NULL AND abs(s - prev) * 10 > prev
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY media_id
+      |      ORDER BY frame_no) AS scene_id
+      |  FROM c),
+      |g AS (SELECT media_id, scene_id, COUNT(*) AS scene_len
+      |      FROM sc GROUP BY 1, 2)
+      |SELECT media_id, CAST(SUM(scene_len) AS BIGINT) AS n_frames,
+      |  COUNT(*) AS n_scenes, CAST(MAX(scene_len) AS BIGINT) AS longest_scene,
+      |  CAST(SUM(scene_len) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS mean_scene_len_ppm
+      |FROM g GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "m8_scene_cuts" -> (m8SceneCuts _),
     "m7_thumbnail_audit" -> (m7ThumbnailAudit _),
     "m6_audio_features" -> (m6AudioFeatures _),
     "m5_storage_dedup" -> (m5StorageDedup _),
@@ -355,6 +428,7 @@ object MultimodalQ {
     "m3_frame_sample" -> (m3FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "m8_scene_cuts" -> m8Sql,
     "m7_thumbnail_audit" -> m7Sql,
     "m6_audio_features" -> m6Sql,
     "m5_storage_dedup" -> m5Sql,

@@ -153,6 +153,31 @@ class MultimodalSpec extends SparkSpec {
       "the re-decoded thumbnail sum diverges from the raster arithmetic")
   }
 
+  test("m8: scene cuts segment hand-built payloads exactly; short payloads drop") {
+    import spark.implicits._
+    // frameSize 16 / stride 8; byte sums: 16 a's = 1552, 8a+8z = 1752,
+    // 16 z's = 1952; the 10% rule cuts on both the 1552->1752 and
+    // 1752->1952 transitions (delta 200, x10 = 2000 > prev)
+    val dir = java.nio.file.Files.createTempDirectory("m8_fixture").toString
+    Seq(
+      (1L, "a" * 40), // 4 flat frames -> one scene
+      (2L, "a" * 16 + "z" * 16), // 3 frames, every transition cuts
+      (3L, "a" * 24 + "z" * 24), // 5 frames -> scenes of 2, 1, 2
+      (4L, "short")) // < one frame -> absent from the report
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.MultimodalQ.m8SceneCuts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 1L, 4L, 4000000L),
+      (2L, 3L, 3L, 1L, 1000000L),
+      (3L, 5L, 3L, 2L, 1666666L)),
+      "scene segmentation diverges from the hand-computed cut structure")
+  }
+
   test("sampleFrames: boundaries, count, and content") {
     import spark.implicits._
     val one = Seq((1L, "abcdefghij")).toDF("media_id", "payload")

@@ -285,6 +285,10 @@ class PlanAuditSpec extends SparkSpec {
       // exchanges) + the per-doc fold, the docs join, and the
       // |sources|-row rollup/sort
       "d46_memorization_risk" -> 3,
+      // d47: ONE global conditional-sum agg (24 counters, partial agg
+      // reduces every partition to a single row before the exchange);
+      // the 6-pair stack and sort ride the 1-row frame
+      "d47_rule_agreement" -> 1,
       // d45: d5's persisted pair expansion (2) + the threshold rollup's
       // (threshold, doc) distinct grid + the 4-row output sort
       "d45_threshold_sweep" -> 4,
@@ -448,6 +452,10 @@ class PlanAuditSpec extends SparkSpec {
       // m7: pure per-row codec work in one mapPartitions pass — the
       // only exchange is the output sort
       "m7_thumbnail_audit" -> 1,
+      // m8: frames explode map-side; ONE media-keyed exchange serves
+      // the lag window, the running-cut window, and both subset-key
+      // rollups + the output sort
+      "m8_scene_cuts" -> 2,
       // v27: v9's coder (centroid fold aggs + the vec_id repartition
       // spreading the interpreted argmin lambdas) + the 4-row subspace
       // agg + output sort

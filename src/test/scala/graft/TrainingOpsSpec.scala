@@ -2930,6 +2930,52 @@ class TrainingOpsSpec extends SparkSpec {
       "every departed doc must land on the new shard")
   }
 
+  test("d47: the agreement matrix replays over hand-built flag combinations") {
+    // one doc per interesting flag pattern; the Scala replay applies
+    // the SAME four rules, so a rule-semantics drift in either place
+    // (engine vs intent) breaks the equality
+    val texts = Seq[(Long, String)](
+      (1L, "x" * 300 + " the end."), // long, stopword, no digits, punct
+      (2L, "x" * 300), // long only
+      (3L, "only the word."), // stopword + punct, short
+      (4L, "1234567890" * 30), // long, all digits
+      (5L, "short 123456."), // digits > 10%, punct, short
+      (6L, "ok."), // punct only (plus low digits)
+      (7L, "x" * 199 + " the 99999999999999999999999999999999999999999."),
+      (8L, ""))
+    val dir = corpusDir(texts)
+    def flags(t: String): Array[Boolean] = {
+      val digits = t.count(c => c >= '0' && c <= '9')
+      val rt = t.reverse.dropWhile(_ == ' ').reverse
+      Array(t.length >= 200, t.contains(" the "),
+        digits * 10 < t.length,
+        rt.nonEmpty && ".!?".contains(rt.last))
+    }
+    val names = Map(0 -> "len_200", 1 -> "stopword_the",
+      2 -> "digit_lt_10pct", 3 -> "ends_punct")
+    val fs = texts.map(t => flags(t._2))
+    val expected = (for (a <- 0 to 3; b <- a + 1 to 3) yield {
+      val both = fs.count(f => f(a) && f(b)).toLong
+      val oa = fs.count(f => f(a) && !f(b)).toLong
+      val ob = fs.count(f => !f(a) && f(b)).toLong
+      val nn = fs.count(f => !f(a) && !f(b)).toLong
+      val j = if (both + oa + ob == 0) null
+        else java.lang.Long.valueOf(both * 1000000L / (both + oa + ob))
+      (names(a), names(b), both, oa, ob, nn, j)
+    }).sortBy(t => (t._1, t._2))
+    val got = Documents.d47RuleAgreement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))))
+    assert(got.toSeq === expected,
+      "agreement matrix diverges from the rule replay")
+    // cells partition the corpus: every pair row accounts for all docs
+    got.foreach { case (a, b, both, oa, ob, nn, _) =>
+      assert(both + oa + ob + nn === texts.size.toLong,
+        s"pair ($a, $b) loses documents")
+    }
+  }
+
   test("d46: memorization risk equals an accounting replay over d16's spans") {
     val spans = Documents.d16SubstringSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3)))
