@@ -21,6 +21,8 @@ import org.apache.spark.sql.graftshim.FunctionShim
   *    similarity search — see [[graft.functions.VecDotFold]];
   *  - `md5_long(bin)`: the near-dup family's base hash (md5 bytes 8..15,
   *    big-endian, signed) — see [[graft.functions.Md5Long]];
+  *  - `byte_sum(bin)`: unsigned-byte-value sum, the multimodal frame
+  *    "brightness" reduction — see [[graft.functions.ByteSum]];
   *  - [[graft.plans.ReplicaFinalRule]]: rewrites catalog scans of
   *    registered replica tables into their latest-version-wins read view
   *    (transparent ReplacingMergeTree-FINAL semantics).
@@ -78,7 +80,10 @@ object GraftExtensions {
       binary("vec_dot_fold")(VecDotFold(_, _))),
     ("md5_long",
       info("md5_long", "_FUNC_(bin) - bytes 8..15 of md5(bin), big-endian, as a signed BIGINT"),
-      unary("md5_long")(graft.functions.Md5Long(_))))
+      unary("md5_long")(graft.functions.Md5Long(_))),
+    ("byte_sum",
+      info("byte_sum", "_FUNC_(bin) - sum of the unsigned byte values, as a BIGINT"),
+      unary("byte_sum")(graft.functions.ByteSum(_))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

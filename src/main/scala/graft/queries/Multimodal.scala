@@ -368,9 +368,10 @@ object MultimodalQ {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("frame_no"))
     M.sampleFrames(m, frameSize = 16, stride = 8)
-      .withColumn("s", expr(
-        "aggregate(transform(sequence(1, 16), " +
-          "i -> ascii(substring(frame, i, 1))), 0L, (acc, x) -> acc + x)"))
+      // one codegen'd byte loop per frame; == the oracle's per-char
+      // ascii fold because the fixture payload is pure ASCII (the
+      // m2/m3 coupling)
+      .withColumn("s", graft.functions.ByteSum(col("frame")))
       .withColumn("prev", lag(col("s"), 1).over(wOrd))
       .withColumn("cut", when(col("prev").isNotNull &&
         abs(col("s") - col("prev")) * 10 > col("prev"), 1L).otherwise(0L))

