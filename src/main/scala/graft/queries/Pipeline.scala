@@ -60,9 +60,12 @@ object Pipeline {
     val nChunks = lit(1) +
       ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
     docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= 1)
+      // tokenize ONCE: the former filter-then-reproject split the same
+      // O(len) split into two expression trees with no reuse (r12
+      // review); NULL text yields NULL size and filters out identically
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), nChunks - 1)).as("k"))
       .select(col("doc_id"), (col("k") + 1).cast("long").as("chunk_id"),
@@ -125,9 +128,9 @@ object Pipeline {
     */
   def p3Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= DecontamN)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DecontamN) // one tokenize (r12 review)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), T.shingles(col("toks"), DecontamN).as("shs"))
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("k"))
@@ -399,9 +402,9 @@ object Pipeline {
     */
   def p9BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= DecontamN)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DecontamN) // one tokenize (r12 review)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), T.shingles(col("toks"), DecontamN).as("shs"))
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("hex"))
@@ -1516,9 +1519,9 @@ object Pipeline {
     val nChunks = lit(1) +
       ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
     val per = Tables.load(spark, dir, "documents")
-      .filter(size(T.tokens(col("text"))) >= 1)
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1) // one tokenize (r12 review)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), len.cast("long").as("n_tokens"),
         explode(sequence(lit(0), nChunks - 1)).as("k"))
       .select(col("doc_id"), col("n_tokens"),
@@ -1606,7 +1609,12 @@ object Pipeline {
       .agg(sum(col("c")).as("n_after"),
         sum(when(col("a8") =!= col("a9"), col("c")).otherwise(0L))
           .as("n_arrived"))
-    before.join(after, Seq("shard"), "full_outer")
+    // enumerate the shard spine 0..8 explicitly (as the oracle does):
+    // a shard that received zero docs under BOTH assignments must still
+    // report its all-zero row — deriving rows from the data alone would
+    // silently drop it on a small-enough corpus (r12 review finding)
+    spark.range(9).select(col("id").as("shard"))
+      .join(before.join(after, Seq("shard"), "full_outer"), Seq("shard"), "left")
       .select(col("shard"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),

@@ -48,8 +48,49 @@ object Vectors {
     s"""list_reduce(list_transform(generate_series(1, 64),
        |    i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
 
+  /** Oracle twins of the squared-L2 folds (dotSql's drift-proof
+    * single-definition discipline): the full 64-dim distance and the
+    * PqSubDim-dim subspace distance. Previously restated locally by
+    * nine oracle builders — a one-character fix to the fold had to be
+    * applied nine times.
+    */
+  private[graft] def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+
+  private def subL2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+
+  /** The planted-near-duplicate convention of the neardup/LSH family
+    * (d1's planted-signal discipline for vectors): every vector gains a
+    * clone at `vec_id + 1000000` with its FIRST component scaled by
+    * 1.05, perturbed in DOUBLE so the oracle replays it bitwise. ONE
+    * definition — v2/v5/v14/v15 previously each restated the offset
+    * and factor, so editing the perturbation in one spot silently broke
+    * only that query's planted-signal contract. Keeps only (vec_id, v):
+    * clones carry no label by design (they are corpus additions, not
+    * labeled members).
+    */
+  private def cloneAugmented(base: DataFrame): DataFrame = {
+    val slim = base.select(col("vec_id"), col("v"))
+    slim.unionByName(slim.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v")))
+  }
+
+  /** Oracle twin of [[cloneAugmented]]: the planted-clone UNION body
+    * over a CTE named `src` — callers alias it into their own CTE.
+    */
+  private def cloneUnionSql(src: String): String =
+    s"""SELECT vec_id, v FROM $src
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+      |  FROM $src""".stripMargin
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the K
     * nearest neighbors. The tiny query side is broadcast so the candidate
@@ -58,11 +99,16 @@ object Vectors {
     */
   def v1CosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // norms are PER-SIDE columns computed before the join (as every
+    // oracle's `n` CTE does): one fold per vector, not three folds per
+    // Q x N pair — same doubles, a third of the scoring FLOPs
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val cos = (dot(col("qe"), col("ce")) /
-      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+      (col("qn") * col("cn"))).as("cosine")
     val scored = broadcast(queries).join(cands, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cos)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -117,14 +163,14 @@ object Vectors {
   def v2LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
-    val e = base.unionByName(clone).withColumn("bucket", lshBucket(col("v")))
+    val e = cloneAugmented(base).withColumn("bucket", lshBucket(col("v")))
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("bucket"))
-    val cands = e.select(col("vec_id").as("cid"), col("v").as("ce"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("bucket"),
+        norm(col("v")).as("qn"))
+    val cands = e.select(col("vec_id").as("cid"), col("v").as("ce"),
+      col("bucket"), norm(col("v")).as("cn"))
     val cos = (dot(col("qe"), col("ce")) /
-      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+      (col("qn") * col("cn"))).as("cosine")
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     broadcast(queries).join(cands, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
@@ -151,12 +197,7 @@ object Vectors {
     }.mkString(" + ")
     s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |e AS (
-      |  SELECT vec_id, v FROM base
-      |  UNION ALL
-      |  SELECT vec_id + 1000000,
-      |    list_transform(generate_series(1, 64),
-      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
-      |  FROM base),
+      |  ${cloneUnionSql("base")}),
       |b AS (SELECT vec_id, v, $planeSigSql AS bucket FROM e),
       |n AS (SELECT vec_id, v, bucket, sqrt(${dotSql("v", "v")}) nrm FROM b)""".stripMargin
   }
@@ -213,12 +254,11 @@ object Vectors {
     // bit-identical.
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
-    val all = base.unionByName(clone)
-      .select(col("vec_id"), col("v"), lshBucket(col("v")).as("bucket"))
+    val all = cloneAugmented(base)
+      .select(col("vec_id"), col("v"), lshBucket(col("v")).as("bucket"),
+        norm(col("v")).as("nrm"))
     val cos = (dot(col("a.v"), col("b.v")) /
-      (norm(col("a.v")) * norm(col("b.v")))).as("cosine")
+      (col("a.nrm") * col("b.nrm"))).as("cosine")
     all.as("a").join(all.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos)
@@ -278,11 +318,13 @@ object Vectors {
     val assigned = ivfRanked(base, labelMeans(base), maxRank = 1)
       .select(col("vec_id"), col("v"), col("cell"))
     val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"),
+        norm(col("v")).as("qn"))
     val cands = assigned
-      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"),
+        norm(col("v")).as("cn"))
     val cos = (dot(col("qe"), col("ce")) /
-      (norm(col("qe")) * norm(col("ce")))).as("cosine")
+      (col("qn") * col("cn"))).as("cosine")
     val wr = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
@@ -351,13 +393,23 @@ object Vectors {
     * twice (Spark plans are trees, and AQE misses sibling exchange
     * reuse) — one materialization, read twice.
     */
+  /** (label, dim, ce9) fixed-point centroids packed to one DOUBLE[]
+    * row per cell — the ONE definition of the e9 unpack + dim sort
+    * (previously restated by ivfRanked/v29/v30 independently; a change
+    * to the fixed-point scale or sort key lives here and nowhere
+    * else). `cellCol` names the output key (`cell` for assignment
+    * flows, `label` for own-centroid joins).
+    */
+  private def centroidVecs(centLong: DataFrame, cellCol: String = "cell"): DataFrame =
+    centLong.groupBy(col("label").as(cellCol))
+      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
+      .select(col(cellCol),
+        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+
   private def ivfRanked(
       base: DataFrame, centLong: DataFrame, maxRank: Int,
       keep: Seq[String] = Nil): DataFrame = {
-    val centroids = centLong.groupBy(col("label").as("cell"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
-      .select(col("cell"),
-        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val centroids = centroidVecs(centLong)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(dot(col("v"), col("cvec")).desc, col("cell"))
     base.crossJoin(broadcast(centroids))
@@ -379,13 +431,15 @@ object Vectors {
     // additionally probes); materialized once, read by both sides
     val ranked = ivfRanked(base, labelMeans(base), maxRank = 2)
     val cands = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"),
+        norm(col("v")).as("cn"))
     val queries = ranked.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"), col("crank"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"),
+        col("crank"), norm(col("v")).as("qn"))
     val scored = broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("crank"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val withRanks = scored
       .withColumn("r2", row_number().over(wq))
@@ -468,23 +522,37 @@ object Vectors {
     * quantize to 0 by an explicit guard in BOTH engines rather than
     * relying on engine-specific NaN ordering inside the clamp.
     */
+  /** Per-dim (min, max) of the corpus packed into ONE broadcastable
+    * row — the scalar-quantization training frame the SQ8 pair
+    * (v7/v22) shares; previously each restated it verbatim, so a fix
+    * (e.g. the constant-dimension guard in [[u8Code]]) could land in
+    * one and silently miss the other.
+    */
+  private def sqStatsPacked(base: DataFrame): DataFrame = base
+    .select(posexplode(col("v")))
+    .groupBy((col("pos") + 1).as("dim"))
+    .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+    .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+    .select(
+      transform(col("s"), c => c.getField("mn")).as("mns"),
+      transform(col("s"), c => c.getField("mx")).as("mxs"))
+
+  /** The u8 clamp-floor code of `v[i]` against the packed (mns, mxs)
+    * row (constant dimensions code to 0) — ONE definition for both the
+    * u8 (v7) and centered-int8 (v22) variants.
+    */
+  private def u8Code(i: Column): Column =
+    when(element_at(col("mxs"), i) > element_at(col("mns"), i),
+      least(lit(255.0), greatest(lit(0.0),
+        floor(((element_at(col("v"), i) - element_at(col("mns"), i)) * lit(255.0)) /
+          (element_at(col("mxs"), i) - element_at(col("mns"), i))))))
+      .otherwise(lit(0.0))
+
   def v7Quantize(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val stats = base.select(posexplode(col("v")))
-      .groupBy((col("pos") + 1).as("dim"))
-      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
-    val packed = stats
-      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
-      .select(
-        transform(col("s"), c => c.getField("mn")).as("mns"),
-        transform(col("s"), c => c.getField("mx")).as("mxs"))
-    val qExpr = transform(sequence(lit(1), lit(64)), i =>
-      when(element_at(col("mxs"), i) > element_at(col("mns"), i),
-        least(lit(255.0), greatest(lit(0.0),
-          floor(((element_at(col("v"), i) - element_at(col("mns"), i)) * lit(255.0)) /
-            (element_at(col("mxs"), i) - element_at(col("mns"), i))))))
-        .otherwise(lit(0.0)))
+    val packed = sqStatsPacked(base)
+    val qExpr = transform(sequence(lit(1), lit(64)), i => u8Code(i))
     val errExpr = transform(sequence(lit(1), lit(64)), i =>
       abs(element_at(col("v"), i) -
         (element_at(col("qv"), i) / lit(255.0) *
@@ -620,17 +688,18 @@ object Vectors {
       .crossJoin(broadcast(pqBook(centLong)))
       .select(col("vec_id"), col("v"), pqRecon.as("recon"))
     val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        norm(col("v")).as("qn"))
     val cands = coded.select(col("vec_id").as("cid"), col("recon"),
-      col("v").as("cv"))
+      col("v").as("cv"), norm(col("recon")).as("rn"), norm(col("v")).as("cn"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("adc_cosine").desc, col("cid"))
     val ranked = broadcast(queries).join(cands, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("recon")) /
-          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+          (col("qn") * col("rn"))).as("adc_cosine"),
         (dot(col("qe"), col("cv")) /
-          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+          (col("qn") * col("cn"))).as("true_cosine"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
@@ -654,22 +723,22 @@ object Vectors {
       base: DataFrame, k: Int, candFilter: Column = lit(true)): DataFrame = {
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val qfull = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        norm(col("v")).as("qn"))
     broadcast(qfull)
       .join(base.filter(candFilter)
-          .select(col("vec_id").as("cid"), col("v").as("ce")),
+          .select(col("vec_id").as("cid"), col("v").as("ce"),
+            norm(col("v")).as("cn")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("er", row_number().over(wq))
       .filter(col("er") <= k)
       .select(col("qid"), col("cid"), lit(1L).as("hit"))
   }
 
   val v9Sql: String = {
-    val subDot16 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val subDot16 = subL2Sql _
     s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -825,9 +894,7 @@ object Vectors {
     labelMeans(assigned.select(col("cell").as("label"), col("v")))
 
   val v10Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
     s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -993,9 +1060,7 @@ object Vectors {
   }
 
   val v11Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
     val sb = Seq.newBuilder[String]
     // MATERIALIZED: DuckDB inlines single-reference CTEs, which nests 32
     // window passes into one expression tree; materializing keeps the
@@ -1047,12 +1112,8 @@ object Vectors {
   }
 
   val v12Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
-    val subL2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
+    val subL2 = subL2Sql _
     val K = KmeansIters
     val sb = Seq.newBuilder[String]
     sb += "base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
@@ -1128,18 +1189,20 @@ object Vectors {
       .crossJoin(broadcast(pqBook(cent)))
       .select(col("vec_id"), col("v"), col("cell"), pqRecon.as("recon"))
     val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"),
+        norm(col("v")).as("qn"))
     val cands = coded.select(col("vec_id").as("cid"), col("recon"),
-      col("v").as("cv"), col("cell"))
+      col("v").as("cv"), col("cell"),
+      norm(col("recon")).as("rn"), norm(col("v")).as("cn"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("adc_cosine").desc, col("cid"))
     broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("recon")) /
-          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+          (col("qn") * col("rn"))).as("adc_cosine"),
         (dot(col("qe"), col("cv")) /
-          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+          (col("qn") * col("cn"))).as("true_cosine"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3)
       .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
@@ -1150,9 +1213,7 @@ object Vectors {
   }
 
   val v13Sql: String = {
-    val subL2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val subL2 = subL2Sql _
     s"""WITH base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -1237,15 +1298,13 @@ object Vectors {
   def v14SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val clone = base.select((col("vec_id") + 1000000).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
-    val all = base.select(col("vec_id"), col("v")).unionByName(clone)
+    val all = cloneAugmented(base)
     // centroids learned from the ORIGINAL corpus only; everything
     // (clones included) is assigned by the same broadcast argmax
     val assigned = ivfRanked(all, labelMeans(base), maxRank = 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+      .select(col("vec_id"), col("v"), col("cell"), norm(col("v")).as("nrm"))
     val cos = (dot(col("a.v"), col("b.v")) /
-      (norm(col("a.v")) * norm(col("b.v")))).as("cosine")
+      (col("a.nrm") * col("b.nrm"))).as("cosine")
     val edges = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -1281,12 +1340,7 @@ object Vectors {
   val v14Sql: String =
     s"""WITH RECURSIVE base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |e AS MATERIALIZED (
-      |  SELECT vec_id, v FROM base
-      |  UNION ALL
-      |  SELECT vec_id + 1000000,
-      |    list_transform(generate_series(1, 64),
-      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
-      |  FROM base),
+      |  ${cloneUnionSql("base")}),
       |cl AS (
       |  SELECT label, i AS dim,
       |    CAST(SUM(CAST(floor(v[i] * 1e9) AS BIGINT)) // COUNT(*) AS BIGINT) AS ce9
@@ -1344,9 +1398,7 @@ object Vectors {
   def v15RandomProjection(spark: SparkSession, dir: String): DataFrame = {
     val b0 = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val clone = b0.select((col("vec_id") + 1000000).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v"))
-    val base = b0.unionByName(clone)
+    val base = cloneAugmented(b0)
     val pv = array((0 until JlDims).map { j =>
       val h = H.md5NumberLowerLocal(s"jl:$j")
       val weights = array((0 until 64).map(d =>
@@ -1383,12 +1435,7 @@ object Vectors {
     }.mkString(",\n  ")
     s"""WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |base AS (
-      |  SELECT vec_id, v FROM b0
-      |  UNION ALL
-      |  SELECT vec_id + 1000000,
-      |    list_transform(generate_series(1, 64),
-      |      i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
-      |  FROM b0),
+      |  ${cloneUnionSql("b0")}),
       |p AS (SELECT vec_id, v, [$proj] AS pv FROM base),
       |n AS (SELECT vec_id, pv, sqrt(${dot16("pv", "pv")}) pn FROM p),
       |scored AS (
@@ -1440,14 +1487,16 @@ object Vectors {
     val ranked = ivfRanked(base, labelMeans(base), maxRank = 2)
     val cands = ranked
       .filter(col("crank") === 1 && pmod(col("vec_id"), lit(3L)) === 0)
-      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"),
+        norm(col("v")).as("cn"))
     val queries = ranked.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"),
+        norm(col("v")).as("qn"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val approx = broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("r", row_number().over(wq))
     val exactFlt = exactTopK(base, 3, pmod(col("vec_id"), lit(3L)) === 0)
     approx.join(broadcast(exactFlt), Seq("qid", "cid"), "left")
@@ -1538,17 +1587,20 @@ object Vectors {
       .crossJoin(broadcast(pqBook(resLong)))
       .select(col("vec_id").as("cid"), col("cell"), col("cv"),
         zip_with(col("cvec"), pqRecon, (a, b) => a + b).as("recon"))
+      .withColumn("rn", norm(col("recon")))
+      .withColumn("cn", norm(col("cv")))
     val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"), col("cell"),
+        norm(col("v")).as("qn"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("adc_cosine").desc, col("cid"))
     broadcast(queries).join(coded, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("recon")) /
-          (norm(col("qe")) * norm(col("recon")))).as("adc_cosine"),
+          (col("qn") * col("rn"))).as("adc_cosine"),
         (dot(col("qe"), col("cv")) /
-          (norm(col("qe")) * norm(col("cv")))).as("true_cosine"))
+          (col("qn") * col("cn"))).as("true_cosine"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3)
       .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
@@ -1559,9 +1611,7 @@ object Vectors {
   }
 
   val v17Sql: String = {
-    val subL2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val subL2 = subL2Sql _
     s"""WITH base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -1670,15 +1720,17 @@ object Vectors {
         keys = Seq("vec_id"), ver = "_ver")
       .select(col("vec_id"), col("v"))
     val queries = cur.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qe"))
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        norm(col("v")).as("qn"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
-      .join(cur.select(col("vec_id").as("cid"), col("v").as("ce")),
+      .join(cur.select(col("vec_id").as("cid"), col("v").as("ce"),
+          norm(col("v")).as("cn")),
         col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qe"), col("ce")) /
-          (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+          (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), col("cosine"))
@@ -1734,14 +1786,15 @@ object Vectors {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val ranked = ivfRanked(base, labelMeans(base), maxRank = 4)
     val cands = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"))
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("cell"),
+        norm(col("v")).as("cn"))
     val queries = ranked.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"),
-        col("cell"), col("crank").as("qcrank"))
+        col("cell"), col("crank").as("qcrank"), norm(col("v")).as("qn"))
     val scored = broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("qcrank"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1856,25 +1909,25 @@ object Vectors {
         s"IF(element_at(v, i + $offset) > CAST(0 AS DOUBLE), " +
         s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
     val coded = base.select(col("vec_id"), col("v"),
-      signWord(0).as("w1"), signWord(32).as("w2"))
+      signWord(0).as("w1"), signWord(32).as("w2"), norm(col("v")).as("cn"))
     val queries = coded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"),
-        col("w1").as("qw1"), col("w2").as("qw2"))
+        col("w1").as("qw1"), col("w2").as("qw2"), col("cn").as("qn"))
     val hamming = (bit_count(expr("w1 ^ qw1")) + bit_count(expr("w2 ^ qw2")))
       .cast("long")
     val wh = Window.partitionBy(col("qid"))
       .orderBy(col("hamming"), col("cid"))
     val shortlist = broadcast(queries).crossJoin(coded)
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qe"), col("vec_id").as("cid"), col("v").as("ce"),
-        hamming.as("hamming"))
+      .select(col("qid"), col("qe"), col("qn"), col("vec_id").as("cid"),
+        col("v").as("ce"), col("cn"), hamming.as("hamming"))
       .withColumn("hr", row_number().over(wh))
       .filter(col("hr") <= 32)
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid"))
     shortlist
       .select(col("qid"), col("cid"), col("hamming"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cosine"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(wc).cast("long"))
       .filter(col("rank") <= 3)
       .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
@@ -1944,23 +1997,12 @@ object Vectors {
   def v22Int8Ann(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val stats = base.select(posexplode(col("v")))
-      .groupBy((col("pos") + 1).as("dim"))
-      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
-    val packed = stats
-      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
-      .select(
-        transform(col("s"), c => c.getField("mn")).as("mns"),
-        transform(col("s"), c => c.getField("mx")).as("mxs"))
+    val packed = sqStatsPacked(base)
       .localCheckpoint(false) // 1 row, read by BOTH coded sides
     // v7's u8 coding, centered to [-128, 127] for the dot (kept as
     // doubles: every value is a small exact integer, see scaladoc)
-    val codeExpr = transform(sequence(lit(1), lit(64)), i =>
-      when(element_at(col("mxs"), i) > element_at(col("mns"), i),
-        least(lit(255.0), greatest(lit(0.0),
-          floor(((element_at(col("v"), i) - element_at(col("mns"), i)) * lit(255.0)) /
-            (element_at(col("mxs"), i) - element_at(col("mns"), i))))))
-        .otherwise(lit(0.0)) - lit(128.0))
+    val codeExpr = transform(sequence(lit(1), lit(64)),
+      i => u8Code(i) - lit(128.0))
     val codedOk = base.crossJoin(broadcast(packed))
       .select(col("vec_id"), codeExpr.as("q8"))
     val queries = codedOk.filter(col("vec_id") < 10)
@@ -2172,9 +2214,7 @@ object Vectors {
   }
 
   val v23Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
     val K = KmeansIters
     val sb = Seq.newBuilder[String]
     sb += "base AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
@@ -2431,9 +2471,7 @@ object Vectors {
   }
 
   val v27Sql: String = {
-    val subErr =
-      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |      i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), (acc, x) -> acc + x)""".stripMargin
+    val subErr = subL2Sql("sub", "csub")
     s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -2503,9 +2541,10 @@ object Vectors {
     val train = base.filter(col("split") === "train")
       .select(col("vec_id").as("train_id"), col("v"))
       .unionByName(planted)
-    train.crossJoin(broadcast(evals))
+      .withColumn("tn", norm(col("v")))
+    train.crossJoin(broadcast(evals.withColumn("en", norm(col("ev")))))
       .select(col("train_id"), col("eval_id"),
-        (dot(col("v"), col("ev")) / (norm(col("v")) * norm(col("ev"))))
+        (dot(col("v"), col("ev")) / (col("tn") * col("en")))
           .as("cosine"))
       .filter(col("cosine") >= 0.95)
       .orderBy(col("train_id"), col("eval_id"))
@@ -2560,26 +2599,27 @@ object Vectors {
       keep = Seq("label"))
     val cands = ranked.filter(col("crank") === 1)
       .select(col("vec_id").as("cid"), col("label").as("neg_label"),
-        col("v").as("ce"), col("cell"))
+        col("v").as("ce"), col("cell"), norm(col("v")).as("cn"))
     val queries = ranked.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("v").as("qe"), col("cell"))
+        col("v").as("qe"), col("cell"), norm(col("v")).as("qn"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     val mined = broadcast(queries).join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("neg_label"))
       .select(col("qid"), col("qlabel"), col("cid"), col("neg_label"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .as("cosine"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 3)
     val qfull = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("label").as("ql"), col("v").as("qe"))
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("v").as("qe"),
+        norm(col("v")).as("qn"))
     val exact = broadcast(qfull)
       .join(base.select(col("vec_id").as("cid"), col("label").as("cl"),
-          col("v").as("ce")),
+          col("v").as("ce"), norm(col("v")).as("cn")),
         col("qid") =!= col("cid") && col("ql") =!= col("cl"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .as("cosine"))
       .withColumn("er", row_number().over(wq))
       .filter(col("er") <= 3)
@@ -2682,14 +2722,16 @@ object Vectors {
     val e = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val queries = e.filter(col("vec_id") < qMax)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        norm(col("v")).as("qn"))
     val rel = (dot(col("qv"), col("cv")) /
-      (norm(col("qv")) * norm(col("cv")))).as("rel")
+      (col("qn") * col("cn"))).as("rel")
     val wq = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
     broadcast(queries)
-      .join(e.select(col("vec_id").as("cid"), col("v").as("cv")),
+      .join(e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          norm(col("v")).as("cn")),
         col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("cv"), rel)
+      .select(col("qid"), col("cid"), col("cv"), col("cn"), rel)
       .withColumn("vrank", row_number().over(wq))
       .filter(col("vrank") <= depth)
   }
@@ -2703,9 +2745,9 @@ object Vectors {
         col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
       .select(col("a.qid").as("qid"), col("a.cid").as("ca"), col("b.cid").as("cb"),
         (dot(col("a.cv"), col("b.cv")) /
-          (norm(col("a.cv")) * norm(col("b.cv")))).as("sim"))
+          (col("a.cn") * col("b.cn"))).as("sim"))
       .localCheckpoint(false)
-    val cands = pool.drop("cv")
+    val cands = pool.drop("cv", "cn")
     // each pick is a <= Q-row frame referenced THREE times by the next
     // step (anti-join, max-sim probe, union) — without the barrier the
     // plan doubles per unrolled step (measured: 202 exchanges for k=5;
@@ -2814,10 +2856,7 @@ object Vectors {
   def v29Silhouette(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centroids = labelMeans(base).groupBy(col("label").as("cell"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
-      .select(col("cell"),
-        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val centroids = centroidVecs(labelMeans(base))
     val d2 = aggregate(
       zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, e) => acc + e)
@@ -2846,9 +2885,7 @@ object Vectors {
   }
 
   val v29Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
     s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,
@@ -2906,10 +2943,7 @@ object Vectors {
   def v30CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centroids = labelMeans(base).groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("ce9")))).as("cs"))
-      .select(col("label"),
-        transform(col("cs"), c => c.getField("ce9").cast("double") / 1e9).as("cvec"))
+    val centroids = centroidVecs(labelMeans(base), cellCol = "label")
     val d2 = aggregate(
       zip_with(col("v"), col("cvec"), (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, e) => acc + e)
@@ -2937,9 +2971,7 @@ object Vectors {
   }
 
   val v30Sql: String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_reduce(list_transform(generate_series(1, 64),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val l2 = l2Sql _
     s"""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |cl AS (
       |  SELECT label, i AS dim,

@@ -435,8 +435,9 @@ class PlanAuditSpec extends SparkSpec {
       "p25_overlap_audit" -> 3,
       // p26: both assignments are one projection (argmax folds, no
       // explode); the <=81-cell grid folds behind the checkpoint, and
-      // in-plan the two 9-row rollups meet in a tiny join + sort
-      "p26_rendezvous_shards" -> 3,
+      // in-plan the two 9-row rollups meet in tiny broadcast joins onto
+      // the enumerated shard spine + sort
+      "p26_rendezvous_shards" -> 2,
       // w28: one user-keyed exchange (the following-frame min), the
       // 5-row band rollup + its share window, and the output sort
       "w28_error_recovery" -> 3,

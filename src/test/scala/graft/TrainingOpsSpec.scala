@@ -2928,6 +2928,14 @@ class TrainingOpsSpec extends SparkSpec {
     }
     assert(out.last._4 === out.map(_._5).sum,
       "every departed doc must land on the new shard")
+    // empty shards still report (r12 review finding): a 1-doc corpus
+    // fills at most 2 of 9 shards; the rest must surface as all-zero
+    // spine rows exactly as the oracle's generate_series emits them
+    val tiny = Pipeline.p26RendezvousShards(spark, corpusDir(Seq((42L, "only doc"))))
+      .collect()
+    assert(tiny.map(_.getLong(0)).toSeq === (0L to 8L),
+      "empty shards dropped from the report")
+    assert(tiny.map(_.getLong(1)).sum === 1L && tiny.map(_.getLong(2)).sum === 1L)
   }
 
   test("d47: the agreement matrix replays over hand-built flag combinations") {
