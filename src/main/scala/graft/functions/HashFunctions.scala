@@ -57,6 +57,22 @@ object HashFunctions {
     */
   def md5NumberBigEndian(c: Column): Column = Md5Long(c)
 
+  /** The engine's ONE train/val/test split rule (80/10/10 by the first
+    * 8 md5 hex chars of the id, mod 100): p2 assigns with it, d40
+    * audits leakage across it, p23 decontaminates within it. A retune
+    * (ratios or hash prefix) lands here and nowhere else — a local
+    * copy drifting from the split in force would make the audits
+    * silently audit the wrong split (r12 review).
+    */
+  def splitOf(id: Column): Column = {
+    val bucket = org.apache.spark.sql.functions
+      .conv(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    org.apache.spark.sql.functions.when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+  }
+
   /** Driver-side twin of [[md5NumberBigEndian]]. */
   def md5NumberBigEndianLocal(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -86,8 +86,22 @@ object Documents {
     * has no exact dups, so union a shifted copy — dedup then provably
     * collapses 2 copies to the min-id keeper).
     */
+  /** Loud guard for the corpus-augmenting queries' +1M/+2M doc_id
+    * offsets: an id collision corrupts results IDENTICALLY in both
+    * engines — the oracle replays the same arithmetic, so the gate can
+    * never catch it — therefore fail at construction instead (d12's
+    * rule, r12 review: d1/p8/d30/d42 plant clones but never got the
+    * check). One parquet-stats min/max agg; no data scan.
+    */
+  private def requireIdHeadroom(d: DataFrame, bound: Long): Unit = {
+    val maxId = d.agg(max(col("doc_id"))).head()
+    require(maxId.isNullAt(0) || maxId.getLong(0) < bound,
+      s"planted-clone offsets assume doc_id < $bound; found ${maxId.get(0)}")
+  }
+
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    requireIdHeadroom(d, 1000000L)
     val copy = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     d.unionByName(copy)
       .groupBy(md5(col("text")).as("content_hash"))
@@ -272,11 +286,7 @@ object Documents {
     }
 
   val d5Sql: String =
-    s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
       |shc AS (SELECT doc_id, s FROM (
       |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)
@@ -420,10 +430,7 @@ object Documents {
     * shard only, candidates only from buckets the arrival touches.
     */
   def streamNeardup(incoming: DataFrame, corpusSigs: DataFrame): DataFrame = {
-    val matches = (0 until NumHashes)
-      .map(i => when(element_at(col("m"), i + 1) === element_at(col("cm"), i + 1), 1)
-        .otherwise(0))
-      .reduce(_ + _)
+    val matches = laneMatches(col("m"), col("cm"))
     streamingSignatures(incoming)
       .join(corpusSigs.select(col("band"), col("sig"),
           col("doc_id").as("dup_of"), col("m").as("cm")),
@@ -444,11 +451,20 @@ object Documents {
     * NOT remove a sort under a Union, so ordering a side that gets
     * re-ordered after the union is a wasted exchange).
     */
-  private[graft] def scoreMinhashPairsUnordered(pairs: DataFrame): DataFrame = {
-    val matches = (0 until NumHashes)
-      .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
+  /** Count of agreeing MinHash lanes between two signature columns —
+    * the ONE definition of the estimator's numerator (previously
+    * restated by the d6 scorer, the streaming gate, p8, d32 and d35;
+    * a change to lane semantics must land once, not five times —
+    * r12 review).
+    */
+  private[graft] def laneMatches(x: Column, y: Column): Column =
+    (0 until NumHashes)
+      .map(i => when(element_at(x, i + 1) === element_at(y, i + 1), 1)
         .otherwise(0))
       .reduce(_ + _)
+
+  private[graft] def scoreMinhashPairsUnordered(pairs: DataFrame): DataFrame = {
+    val matches = laneMatches(col("a.m"), col("b.m"))
     pairs
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
@@ -509,12 +525,23 @@ object Documents {
       |  FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id AND ma.i = mb.i
       |  GROUP BY da, db)""".stripMargin
 
-  private[graft] lazy val minhashCtesSql: String =
+  /** The oracle's word-3-shingle CTE over `src` (must expose doc_id,
+    * text): ONE definition for the nine consumers that each carried a
+    * private copy of the 100,000-row cross-join form (r12 review). The
+    * LATERAL bound is the document's own length, so the oracle neither
+    * materializes 100k index rows per doc nor silently drops shingles
+    * past token 100,002 — the cap nobody had documented as an
+    * invariant. Emits the CTE as `sh AS (...)`.
+    */
+  private[graft] def shinglesShSql(src: String): String =
     s"""sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM $src),
+      |       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  private[graft] lazy val minhashCtesSql: String =
+    s"""${shinglesShSql("documents")},
       |$minhashSigChainSql,
       |$minhashPairEstSql""".stripMargin
 
@@ -542,7 +569,16 @@ object Documents {
     val words = docs(spark, dir)
       // spread the hash/agg work off the (possibly single) scan split
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode_outer(array_distinct(T.tokens(col("text")))).as("w"))
+      // plain explode, NOT explode_outer: a NULL text yields a NULL
+      // token array, which the oracle's unnest drops (the doc simply
+      // never sketches) — explode_outer instead emitted a (doc_id,
+      // NULL) row whose NULL hash scored every bit -1, giving every
+      // NULL-text doc simhash 0 and phantom hamming-0 pairs the oracle
+      // never produces (r12 review). A non-NULL text always has >= 1
+      // token (split never returns an empty array), so explode drops
+      // nothing else
+      .select(col("doc_id"),
+        explode(array_distinct(T.tokens(col("text")))).as("w"))
       .select(col("doc_id"), H.md5NumberBigEndian(col("w")).as("h"))
     val scores = words.groupBy(col("doc_id")).agg(
       sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("score0"),
@@ -727,14 +763,16 @@ object Documents {
   def d38SourceLabelNoise(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
       .join(d9Pred(spark, dir), Seq("doc_id"), "left")
-      .select(col("source"), col("lang"),
-        coalesce(col("plang"), lit("unknown")).as("lang_pred"))
+      // "no prediction" is plang IS NULL, exactly as the oracle keys it
+      // — never a sentinel string, which a real corpus's literal
+      // 'unknown' language label would collide with (r12 review)
+      .select(col("source"), col("lang"), col("plang"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("lang_pred") === "unknown", 1L).otherwise(0L))
+        sum(when(col("plang").isNull, 1L).otherwise(0L))
           .as("n_unknown"),
-        sum(when(col("lang_pred") =!= col("lang") &&
-            col("lang_pred") =!= "unknown", 1L).otherwise(0L))
+        sum(when(col("plang").isNotNull && col("plang") =!= col("lang"),
+          1L).otherwise(0L))
           .as("n_mismatch"))
       .withColumn("mismatch_ppm",
         expr("n_mismatch * 1000000L DIV n_docs"))
@@ -822,13 +860,9 @@ object Documents {
     */
   def d12DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    // the +1M/+2M copy offsets require doc_id < 1e6 — a collision would
-    // corrupt clusters IDENTICALLY in both engines, so the oracle gate
-    // could never catch it; fail loudly instead (the query is already
+    // +1M/+2M copy offsets: see requireIdHeadroom (the query is already
     // eager through the CC fixpoint, so this action adds no new shape)
-    val maxId = d.agg(max(col("doc_id"))).head()
-    require(maxId.isNullAt(0) || maxId.getLong(0) < 1000000L,
-      s"corpus-tripling offsets assume doc_id < 1e6; found ${maxId.get(0)}")
+    requireIdHeadroom(d, 1000000L)
     val mangled = when(col("doc_id") % 2 === 0,
         concat(lit("  "), regexp_replace(col("text"), " ", "   ")))
       .otherwise(concat(col("text"), lit(" uniq "), col("doc_id")))
@@ -1019,13 +1053,13 @@ object Documents {
     */
   def d15Repetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= 2)
+      // tokenize once (p1's r12 pattern); bigrams via the shared
+      // T.kgrams — the inline sequence/concat_ws copy lacked kgrams'
+      // short-doc guard and would silently miss a kgrams fix
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("toks"))
-      .select(col("doc_id"), array_sort(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ",
-          element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("sg"))
+      .select(col("doc_id"), array_sort(T.kgrams(col("toks"), 2)).as("sg"))
       .select(col("doc_id"), size(col("sg")).cast("long").as("n_bigrams"),
         // longest equal run in the sorted array: state (prev, run, best)
         aggregate(col("sg"),
@@ -1737,6 +1771,7 @@ object Documents {
     * natural near-dups surface organically.
     */
   def p8FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    requireIdHeadroom(docs(spark, dir), 2000000L)
     val isBenchId = pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < 2000000
     // The corpus∪clones signature table rides the same persisted-index
     // discipline as d6/d21 (VERDICT r5 item 4): the interpreted HOF
@@ -1759,10 +1794,7 @@ object Documents {
     val bench = sigs.filter(isBenchId)
       .select(col("band"), col("sig"), col("doc_id").as("bench_id"),
         col("m").as("bm"))
-    val matches = (0 until NumHashes)
-      .map(i => when(element_at(col("m"), i + 1) === element_at(col("bm"), i + 1), 1)
-        .otherwise(0))
-      .reduce(_ + _)
+    val matches = laneMatches(col("m"), col("bm"))
     sigs.filter(!isBenchId)
       .join(broadcast(bench), Seq("band", "sig"))
       .select(col("doc_id"), col("bench_id"),
@@ -1780,11 +1812,7 @@ object Documents {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+      |${shinglesShSql("corpus")},
       |$minhashSigChainSql,
       |cand AS (
       |  SELECT DISTINCT t.doc_id, bq.doc_id bench_id
@@ -2513,6 +2541,7 @@ object Documents {
     * window runs on matched pairs only.
     */
   def d30ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
+    requireIdHeadroom(docs(spark, dir), 2000000L)
     val k = D16KgramWidth
     val grams = graft.operators.PersistedIndex.ensure(
       spark, "graft_kgram_d30", dir,
@@ -2781,11 +2810,7 @@ object Documents {
   }
 
   val d32Sql: String =
-    s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |$minhashSigChainSql,
       |bs2 AS (
       |  SELECT doc_id, CAST(i // 2 AS INT) band,
@@ -2934,11 +2959,7 @@ object Documents {
   }
 
   val d34Sql: String =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |f AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
       |b AS (SELECT CASE WHEN df = 1 THEN 0 WHEN df <= 4 THEN 1
       |             WHEN df <= 16 THEN 2 WHEN df <= 64 THEN 3 ELSE 4 END AS band,
@@ -2975,9 +2996,7 @@ object Documents {
     val pairs = candidatePairs(spark,
       bandSignatures(spark, docs(spark, dir)), Seq("band", "sig"), "doc_id",
       chunkSize = 256, tag = "d6", dir = dir)
-    val nMatch = (0 until NumHashes)
-      .map(i => when(element_at(col("a.m"), i + 1) === element_at(col("b.m"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    val nMatch = laneMatches(col("a.m"), col("b.m"))
     val per = pairs.select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
       nMatch.cast("long").as("nm")).distinct()
     val sets = shingled(spark, dir)
@@ -3165,11 +3184,7 @@ object Documents {
   }
 
   val d36Sql: String =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |ex AS (SELECT d.source, sh.s FROM sh JOIN documents d USING (doc_id)),
       |ss AS (SELECT DISTINCT source, s FROM ex),
       |ps AS (SELECT s, COUNT(*) AS nsrc, MIN(source) AS only_source
@@ -3280,11 +3295,7 @@ object Documents {
     * table), and everything after the expansion is candidate-sized.
     */
   def d40SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(id: Column): Column = {
-      val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    }
+    def splitOf(id: Column): Column = H.splitOf(id)
     val pairs = candidatePairs(spark,
       bandSignatures(spark, docs(spark, dir)), Seq("band", "sig"), "doc_id",
       chunkSize = 256, tag = "d6", dir = dir)
@@ -3417,6 +3428,7 @@ object Documents {
     */
   def d42Containment(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    requireIdHeadroom(d, 2000000L)
     val excerpts = d.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -3450,11 +3462,7 @@ object Documents {
       |    array_to_string(w[1:greatest(3, len(w) // 3)], ' ')
       |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
       |  WHERE doc_id % 10 = 0),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+      |${shinglesShSql("corpus")},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
       |shc AS (SELECT doc_id, s FROM (
       |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)
@@ -3609,11 +3617,7 @@ object Documents {
   }
 
   val d44Sql: String =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |f AS (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s),
       |nov AS (SELECT doc_id, COUNT(*) AS n_novel FROM f GROUP BY 1),
       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -3663,11 +3667,7 @@ object Documents {
   }
 
   val d45Sql: String =
-    s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |       (SELECT unnest(generate_series(1, 100000)) i)
-      |  WHERE i <= len(w) - 2),
+    s"""WITH ${shinglesShSql("documents")},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
       |shc AS (SELECT doc_id, s FROM (
       |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) df FROM sh)

@@ -96,11 +96,9 @@ object Pipeline {
     * hex chars of the doc id, mod 100: 0-79 train, 80-89 val, 90-99 test.
     */
   def p2SplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
     docs(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        graft.functions.HashFunctions.splitOf(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -230,12 +228,9 @@ object Pipeline {
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         T.lexicalDiversity(toks).as("q"))
       .filter(col("n_tokens") >= 40 && col("q") > 0.3)
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
     scored
       .select(col("doc_id"), col("n_tokens"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+        graft.functions.HashFunctions.splitOf(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

@@ -2523,11 +2523,7 @@ object Vectors {
     * brute-force form here is the measured-exact baseline.
     */
   def p23SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(id: Column): Column = {
-      val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    }
+    def splitOf(id: Column): Column = H.splitOf(id)
     val base = emb(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

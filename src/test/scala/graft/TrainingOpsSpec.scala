@@ -2938,6 +2938,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(tiny.map(_.getLong(1)).sum === 1L && tiny.map(_.getLong(2)).sum === 1L)
   }
 
+  test("d7: NULL-text documents never sketch — no phantom hamming-0 pairs") {
+    // before the r12 fix, explode_outer gave every NULL-text doc
+    // simhash 0, so any two NULL docs collided in all 20 triples and
+    // emitted a hamming-0 pair the oracle (whose unnest drops them)
+    // never produced
+    val dir = corpusDir(Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, null), (4L, null)))
+    val pairs = Documents.d7Simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)),
+      s"expected only the identical-text pair; got ${pairs.mkString(",")}")
+  }
+
+  test("corpus-augmenting queries refuse a corpus without id headroom") {
+    // an id collision with the planted-clone offsets corrupts results
+    // identically in both engines (oracle-unfalsifiable) — the guard
+    // must fail loudly at construction instead
+    val dir = corpusDir(Seq((2500000L, "far too big an id")))
+    intercept[IllegalArgumentException] {
+      Documents.d1ExactDedup(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Documents.d42Containment(spark, dir)
+    }
+  }
+
   test("d47: the agreement matrix replays over hand-built flag combinations") {
     // one doc per interesting flag pattern; the Scala replay applies
     // the SAME four rules, so a rule-semantics drift in either place
