@@ -205,6 +205,35 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
+  /** Round-12 representation gate: w30's 100 TB claim is that its ONLY
+    * corpus-keyed exchange carries one 64-bit word per user (bit_or's
+    * map-side partial agg collapses events before the shuffle), while
+    * the grid formulation (w14) shuffles the (user, day) activity grid
+    * — twice (distinct, then the per-user cohort window). The gate is
+    * COMPARATIVE, not absolute (ADVICE r11's brittleness lesson): both
+    * formulations run on the same fixture and the bitmap's widest
+    * exchange must stay strictly below the grid's, with the ratio
+    * logged. At sf0.1 the margin is ~users vs users × active-days.
+    */
+  test("bitmap retention's widest exchange stays below the grid formulation's") {
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val bitmap = maxExchangeRows {
+        SparkEntry.queries("w30_bitmap_retention")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val grid = maxExchangeRows {
+        SparkEntry.queries("w14_retention")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      info(f"$d: bitmap widest $bitmap rows vs grid widest $grid rows " +
+        f"(ratio ${bitmap.toDouble / grid}%.2f)")
+      assert(bitmap < grid,
+        s"$d: the bitmask formulation's widest exchange ($bitmap rows) is " +
+          s"not below the grid formulation's ($grid) — the one-word-per-user " +
+          "collapse stopped happening before the shuffle")
+    }
+  }
+
   /** Round-10 extension (VERDICT r9 #2): the incremental family's 100 TB
     * claim is "work scales with the DELTA, not the corpus" — previously
     * spec-proven for output EQUALITY (rebuild == incremental), here made
