@@ -17,8 +17,8 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsum(c: Column, scale: Int = 2): Column =
+    Relational.dsum(c, scale)
 
   /** Tumbling 1-hour windows per event type. */
   def w1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -284,12 +284,26 @@ object Events {
       |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
-  /** Per-fixture-dir cache of the date-partitioned events materialization:
+  /** Per-fixture cache of the date-partitioned events materialization:
     * the layout is the point of w9; rewriting it on every call would time
     * the WRITE, not the pruned read (bench runs each query 2-3x per JVM).
+    * Keyed by the fixture's recursive (path, length, mtime) FINGERPRINT
+    * (w29's discipline, [[graft.operators.PersistedIndex
+    * .sourceFingerprint]]), never the dir alone — a fixture regenerated
+    * in-place mid-JVM must be re-partitioned, not served stale (r12
+    * review). A superseded entry's temp copy is deleted on replacement,
+    * and every copy is registered for JVM-exit deletion, so repeated
+    * bench/test JVMs stop accumulating /tmp duplicates of events.
     */
   private val partitionedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   /** Date-partitioned events storage + pruned read (VERDICT r2 #8).
     * `ts` is DERIVED (nanos→micros conversion in [[graft.Tables.load]]),
@@ -300,15 +314,39 @@ object Events {
     * PartitionFilters (file-skipping, not row-skipping).
     */
   def w9PartitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val store = partitionedCache.computeIfAbsent(dir, { d =>
-      val out = java.nio.file.Files.createTempDirectory("events_by_day")
-        .resolve("events").toString
-      graft.operators.SnapshotStore.writePartitioned(
-        spark,
-        Tables.load(spark, d, "events").withColumn("event_date", to_date(col("ts"))),
-        out, Seq("event_date"))
-      out
-    })
+    val key = s"$dir|" + graft.operators.PersistedIndex.sourceFingerprint(
+      spark, Seq(s"$dir/events.parquet"))
+    // never mutate the map inside computeIfAbsent's mapping function
+    // (ConcurrentHashMap forbids it) — double-checked build under the
+    // map's own monitor instead
+    val store = Option(partitionedCache.get(key)).getOrElse {
+      partitionedCache.synchronized {
+        Option(partitionedCache.get(key)).getOrElse {
+          // a prior-generation copy for the SAME dir is stale by
+          // definition (the fingerprint changed) — reclaim it first
+          val it = partitionedCache.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey.startsWith(s"$dir|")) {
+              deleteRecursively(
+                java.nio.file.Paths.get(e.getValue).getParent)
+              it.remove()
+            }
+          }
+          val tmp = java.nio.file.Files.createTempDirectory("events_by_day")
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => deleteRecursively(tmp)))
+          val out = tmp.resolve("events").toString
+          graft.operators.SnapshotStore.writePartitioned(
+            spark,
+            Tables.load(spark, dir, "events")
+              .withColumn("event_date", to_date(col("ts"))),
+            out, Seq("event_date"))
+          partitionedCache.put(key, out)
+          out
+        }
+      }
+    }
     spark.read.parquet(store)
       .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
       .groupBy(col("event_date"), col("event_type"))
@@ -572,8 +610,13 @@ object Events {
     * 64-bit word per user encodes the whole horizon: bit d set = active
     * on day d after the corpus' first day (the horizon cap is the
     * analysis window, as in any "N-day retention" report — days past
-    * 63 fall outside the report by definition; a longer horizon is a
-    * word ARRAY with identical algebra, merged per-word).
+    * the horizon fall outside the report by definition; a longer
+    * horizon is a word ARRAY with identical algebra, merged per-word).
+    * The horizon is 63 days (bits 0..62), deliberately NOT 64: bit 63
+    * is the sign bit, where DuckDB's `1::BIGINT << 63` raises an
+    * overflow error and Spark's ANSI unary minus in the trailing-zero
+    * count throws on Long.MinValue (r12 review) — the word's top bit
+    * is simply not part of the encoding.
     *
     * Why it exists next to w14: the grid formulation DISTINCTs the
     * (user, day) frame — a corpus-wide shuffle whose width is the
@@ -600,7 +643,7 @@ object Events {
     val masks = days.join(broadcast(epoch))
       .select(col("user_id"), col("epoch0"),
         datediff(col("day"), col("epoch0")).as("d"))
-      .filter(col("d").between(0, 63))
+      .filter(col("d").between(0, 62))
       .groupBy(col("user_id"), col("epoch0"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), d))").as("mask"))
     val wc = Window.partitionBy(col("cohort"))
@@ -613,7 +656,7 @@ object Events {
       .select(col("epoch0"), col("cohort"), col("cohort_size"),
         col("cohort_active"),
         explode(expr(
-          "filter(sequence(0, 63), d -> (shiftright(mask, d) & 1) = 1)")).as("d"))
+          "filter(sequence(0, 62), d -> (shiftright(mask, d) & 1) = 1)")).as("d"))
       .groupBy(date_add(col("epoch0"), col("cohort")).as("cohort_day"),
         (col("d") - col("cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"),
@@ -633,7 +676,7 @@ object Events {
       |  FROM (SELECT user_id, epoch0,
       |          datediff('day', epoch0, CAST(ts AS DATE)) AS d
       |        FROM events, e0)
-      |  WHERE d BETWEEN 0 AND 63
+      |  WHERE d BETWEEN 0 AND 62
       |  GROUP BY user_id, epoch0),
       |s AS (
       |  SELECT user_id, epoch0, mask,
@@ -647,7 +690,7 @@ object Events {
       |  FROM s),
       |x AS (
       |  SELECT c.*, g.d FROM c,
-      |    (SELECT unnest(generate_series(0, 63)) AS d) g
+      |    (SELECT unnest(generate_series(0, 62)) AS d) g
       |  WHERE ((mask >> d) & 1) = 1),
       |r AS (
       |  SELECT epoch0 + cohort * INTERVAL 1 DAY AS cohort_day,
@@ -800,9 +843,13 @@ object Events {
     * arrayZip per user; the Spark-first form is one lead() window): for
     * every consecutive same-session pair of events in a user's (ts,
     * event_id) order, count (from_type → to_type) transitions and the
-    * distinct users making each. "Same session" is w3's gap rule (next
-    * event strictly less than 4 h later), evaluated in exact integer
-    * microseconds so both engines agree on every boundary.
+    * distinct users making each. The session rule here is STRICT (next
+    * event < 4 h later) — deliberately one tick tighter than
+    * w3/w27/w19's boundary-INCLUSIVE gap (<= 4 h): a transition at
+    * exactly 4 h is path-analysis noise, not a continuation, and each
+    * query's oracle replays its own rule; evaluated in exact integer
+    * microseconds so both engines agree on every boundary (the earlier
+    * claim that this "is w3's gap rule" was wrong — r12 review).
     *
     * Scale shape: ONE exchange on user_id feeds the lead() window; the
     * transition grid is |types|² rows, so the rollup (and its distinct-

@@ -30,7 +30,12 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dsum(c: Column, scale: Int = 2): Column =
+  /** The oracle-parity convention for floating aggregates — sum as
+    * DECIMAL(18, scale), cast back to double — shared with Events
+    * (one definition; a drifting private copy would silently change
+    * half the catalog's summation semantics — r12 review).
+    */
+  private[queries] def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** TPC-H Q1 shape: pricing summary on lineitem. */
@@ -780,18 +785,6 @@ object Relational {
     spark.sql(q29Sql)
   }
 
-  /** q30: ORDER-BACKLOG CURVE — the open-order inventory over time: per
-    * month, how many orders were opened (o_orderdate), how many were
-    * fully shipped (the month of the order's LAST l_shipdate), and the
-    * running backlog. The operational time series a replica dashboard
-    * plots; all integers, exact at every SF.
-    *
-    * Scale shape: one shuffle on l_orderkey folds lineitem to a
-    * per-order completion date (map-side partial max), then both event
-    * streams collapse to a |months| grid before the cumulative window —
-    * the window input is dozens of rows, so the unpartitioned running
-    * sum is free, not a global-sort bottleneck.
-    */
   /** q31: Z-ORDER LAYOUT QUALITY — the data-layout report behind
     * Delta/Iceberg `Z-ORDER BY`: interleave the low 16 bits of
     * (l_partkey, l_suppkey) into a space-filling-curve key, bucket rows
@@ -939,6 +932,18 @@ object Relational {
       |FROM pp, t WHERE revenue > 0.002 * total_revenue
       |ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  /** q30: ORDER-BACKLOG CURVE — the open-order inventory over time: per
+    * month, how many orders were opened (o_orderdate), how many were
+    * fully shipped (the month of the order's LAST l_shipdate), and the
+    * running backlog. The operational time series a replica dashboard
+    * plots; all integers, exact at every SF.
+    *
+    * Scale shape: one shuffle on l_orderkey folds lineitem to a
+    * per-order completion date (map-side partial max), then both event
+    * streams collapse to a |months| grid before the cumulative window —
+    * the window input is dozens of rows, so the unpartitioned running
+    * sum is free, not a global-sort bottleneck.
+    */
   def q30OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
     val done = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))

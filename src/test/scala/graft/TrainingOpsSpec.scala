@@ -1016,10 +1016,11 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("w30: bitmap retention reproduces w14's grid-derived cohort matrix") {
-    // same analysis, two formulations: the per-user 64-bit day mask
-    // must yield exactly the (cohort, offset, n_users) triples the
-    // (user, day) grid yields — the fixture's 30-day span sits fully
-    // inside the 64-day horizon, so no truncation excuses a mismatch
+    // same analysis, two formulations: the per-user day mask (bits
+    // 0..62 — the sign bit is not part of the encoding) must yield
+    // exactly the (cohort, offset, n_users) triples the (user, day)
+    // grid yields — the fixture's 30-day span sits fully inside the
+    // 63-day horizon, so no truncation excuses a mismatch
     val bitmap = Events.w30BitmapRetention(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
@@ -1033,13 +1034,13 @@ class TrainingOpsSpec extends SparkSpec {
       assert(rs.find(_._2 == 0L).exists(_._4 == 1000000L),
         s"cohort $c day-0 retention_ppm != 1e6")
       // offsets live inside the 64-day mask horizon
-      rs.foreach(r => assert(r._2 >= 0L && r._2 <= 63L,
+      rs.foreach(r => assert(r._2 >= 0L && r._2 <= 62L,
         s"cohort $c offset ${r._2} outside the mask horizon"))
       // the popcount mean is a cohort-level constant, >= 1 active day
       assert(rs.map(_._5).distinct.size === 1,
         s"cohort $c mean_active_days_ppm varies across offsets")
-      assert(rs.head._5 >= 1000000L && rs.head._5 <= 64000000L,
-        s"cohort $c mean active days ${rs.head._5} ppm out of [1, 64] days")
+      assert(rs.head._5 >= 1000000L && rs.head._5 <= 63000000L,
+        s"cohort $c mean active days ${rs.head._5} ppm out of [1, 63] days")
     }
   }
 
