@@ -143,7 +143,12 @@ object PersistedIndex {
     * making the realistic race (ONE in-flight supersession) safe. A
     * reader two supersessions stale can still lose its files; that
     * truly is a caller sequencing error, and it takes two corpus/param
-    * changes mid-read to manufacture.
+    * changes mid-read to manufacture. Cross-session bound: the
+    * retained generation's heartbeat refreshes on every ensure of its
+    * family, so it is sweep-safe while this session stays active; a
+    * session idle past the 30-minute orphan window can lose it to a
+    * concurrent session's sweep — the same bound the ACTIVE table
+    * already carries via its reuse-path touch.
     */
   def ensure(
       spark: SparkSession,
@@ -172,13 +177,30 @@ object PersistedIndex {
           .map(_.table).filterNot(_ == table)
         if (catalog.tableExists(TableIdentifier(table)))
           ReplicaTable.dropTableAndLocation(spark, table)
-        val (done, partials) = siblings.partition(t =>
-          fs.exists(new Path(loc(t), Marker)))
-        partials.foreach(ReplicaTable.dropTableAndLocation(spark, _))
-        done.sortBy(t => fs.getFileStatus(new Path(loc(t), Marker))
+        // one stat per sibling marker, exception-safe: a marker swept
+        // by a concurrent session between an exists() and a
+        // getFileStatus() must read as "partial" (drop + rebuild),
+        // never throw out of ensure (r12 session-diff review)
+        def markerMtime(t: String): Option[Long] =
+          try Some(fs.getFileStatus(new Path(loc(t), Marker))
             .getModificationTime)
-          .dropRight(1)
+          catch { case _: Exception => None }
+        val stamped = siblings.map(t => t -> markerMtime(t))
+        stamped.collect { case (t, None) => t }
           .foreach(ReplicaTable.dropTableAndLocation(spark, _))
+        val done = stamped.collect { case (t, Some(m)) => (t, m) }
+          .sortBy(_._2).map(_._1)
+        done.dropRight(1)
+          .foreach(ReplicaTable.dropTableAndLocation(spark, _))
+        // the RETAINED prior generation must stay provably alive for
+        // the cross-session orphan sweep: its marker mtime froze at its
+        // own build, so >30 idle minutes after the supersession another
+        // session could reclaim it under a still-reading DataFrame —
+        // refresh its heartbeat here (every ensure of the family while
+        // this session lives keeps it fresh; a session idle past the
+        // sweep window can still lose it, the same documented bound as
+        // the active table's reuse-path touch)
+        done.takeRight(1).foreach(t => LivenessMarker.touch(fs, loc(t)))
         if (fs.exists(parent)) {
           // a partial write a crashed earlier build of THIS session left
           // at the target (the session tag makes the name ours alone)

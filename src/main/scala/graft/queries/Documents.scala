@@ -91,17 +91,31 @@ object Documents {
     * engines — the oracle replays the same arithmetic, so the gate can
     * never catch it — therefore fail at construction instead (d12's
     * rule, r12 review: d1/p8/d30/d42 plant clones but never got the
-    * check). One parquet-stats min/max agg; no data scan.
+    * check). The max(doc_id) IS a one-column scan job (parquet
+    * row-group stats bound the IO but aggregate pushdown is off), so
+    * the verdict is MEMOIZED per (corpus fingerprint, bound): bench
+    * and plan-audit passes constructing a query several times pay the
+    * scan once per corpus state, and an in-place fixture regeneration
+    * changes the fingerprint and re-checks (w29's cache discipline).
     */
-  private def requireIdHeadroom(d: DataFrame, bound: Long): Unit = {
-    val maxId = d.agg(max(col("doc_id"))).head()
-    require(maxId.isNullAt(0) || maxId.getLong(0) < bound,
-      s"planted-clone offsets assume doc_id < $bound; found ${maxId.get(0)}")
+  private val idHeadroomOk =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Boolean]()
+
+  private def requireIdHeadroom(
+      spark: SparkSession, dir: String, d: DataFrame, bound: Long): Unit = {
+    val key = (s"$dir|" + graft.operators.PersistedIndex.sourceFingerprint(
+      spark, Seq(s"$dir/documents.parquet")), bound)
+    if (!idHeadroomOk.containsKey(key)) {
+      val maxId = d.agg(max(col("doc_id"))).head()
+      require(maxId.isNullAt(0) || maxId.getLong(0) < bound,
+        s"planted-clone offsets assume doc_id < $bound; found ${maxId.get(0)}")
+      idHeadroomOk.put(key, true)
+    }
   }
 
   def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    requireIdHeadroom(d, 1000000L)
+    requireIdHeadroom(spark, dir, d, 1000000L)
     val copy = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     d.unionByName(copy)
       .groupBy(md5(col("text")).as("content_hash"))
@@ -862,7 +876,7 @@ object Documents {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     // +1M/+2M copy offsets: see requireIdHeadroom (the query is already
     // eager through the CC fixpoint, so this action adds no new shape)
-    requireIdHeadroom(d, 1000000L)
+    requireIdHeadroom(spark, dir, d, 1000000L)
     val mangled = when(col("doc_id") % 2 === 0,
         concat(lit("  "), regexp_replace(col("text"), " ", "   ")))
       .otherwise(concat(col("text"), lit(" uniq "), col("doc_id")))
@@ -1771,7 +1785,7 @@ object Documents {
     * natural near-dups surface organically.
     */
   def p8FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    requireIdHeadroom(docs(spark, dir), 2000000L)
+    requireIdHeadroom(spark, dir, docs(spark, dir), 2000000L)
     val isBenchId = pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < 2000000
     // The corpus∪clones signature table rides the same persisted-index
     // discipline as d6/d21 (VERDICT r5 item 4): the interpreted HOF
@@ -2541,7 +2555,7 @@ object Documents {
     * window runs on matched pairs only.
     */
   def d30ContaminationAttribution(spark: SparkSession, dir: String): DataFrame = {
-    requireIdHeadroom(docs(spark, dir), 2000000L)
+    requireIdHeadroom(spark, dir, docs(spark, dir), 2000000L)
     val k = D16KgramWidth
     val grams = graft.operators.PersistedIndex.ensure(
       spark, "graft_kgram_d30", dir,
@@ -3428,7 +3442,7 @@ object Documents {
     */
   def d42Containment(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    requireIdHeadroom(d, 2000000L)
+    requireIdHeadroom(spark, dir, d, 2000000L)
     val excerpts = d.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select((col("doc_id") + 2000000L).as("doc_id"),

@@ -291,19 +291,28 @@ object Events {
     * (w29's discipline, [[graft.operators.PersistedIndex
     * .sourceFingerprint]]), never the dir alone — a fixture regenerated
     * in-place mid-JVM must be re-partitioned, not served stale (r12
-    * review). A superseded entry's temp copy is deleted on replacement,
-    * and every copy is registered for JVM-exit deletion, so repeated
-    * bench/test JVMs stop accumulating /tmp duplicates of events.
+    * review). A superseded entry leaves the cache immediately but its
+    * files stay readable until JVM exit (in-flight readers of the
+    * prior copy must never hit vanished files); every copy is
+    * registered for JVM-exit deletion, so repeated bench/test JVMs
+    * stop accumulating /tmp duplicates of events.
     */
   private val partitionedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-  }
+  /** THE recursive temp-tree delete for this file (w9's cache exits,
+    * w29's spool/checkpoints): exists-guarded for idempotent shutdown
+    * hooks, and the Files.walk stream is CLOSED — an unclosed walk
+    * holds an OS directory handle (the leak w29's original helper was
+    * written to avoid; r12 session-diff review merged the two copies).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
 
   /** Date-partitioned events storage + pruned read (VERDICT r2 #8).
     * `ts` is DERIVED (nanos→micros conversion in [[graft.Tables.load]]),
@@ -318,24 +327,20 @@ object Events {
       spark, Seq(s"$dir/events.parquet"))
     // never mutate the map inside computeIfAbsent's mapping function
     // (ConcurrentHashMap forbids it) — double-checked build under the
-    // map's own monitor instead
+    // map's own monitor instead. Superseded generations are DROPPED
+    // from the map but their files stay until JVM exit (the shutdown
+    // hook): a concurrent reader mid-scan of the prior copy must not
+    // die with a vanished-file error (the PersistedIndex retention
+    // discipline; r12 session-diff review) — the leak is bounded by
+    // in-JVM regenerations of one fixture, which is rare and tiny next
+    // to never reclaiming at all.
     val store = Option(partitionedCache.get(key)).getOrElse {
       partitionedCache.synchronized {
         Option(partitionedCache.get(key)).getOrElse {
-          // a prior-generation copy for the SAME dir is stale by
-          // definition (the fingerprint changed) — reclaim it first
-          val it = partitionedCache.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getKey.startsWith(s"$dir|")) {
-              deleteRecursively(
-                java.nio.file.Paths.get(e.getValue).getParent)
-              it.remove()
-            }
-          }
+          partitionedCache.keySet().removeIf(_.startsWith(s"$dir|"))
           val tmp = java.nio.file.Files.createTempDirectory("events_by_day")
           Runtime.getRuntime.addShutdownHook(
-            new Thread(() => deleteRecursively(tmp)))
+            new Thread(() => deleteTree(tmp)))
           val out = tmp.resolve("events").toString
           graft.operators.SnapshotStore.writePartitioned(
             spark,
@@ -1715,13 +1720,6 @@ object Events {
   /** Delete a throwaway directory tree ([[java.nio.file.Files.walk]]
     * streams hold an OS directory handle until closed).
     */
-  private def w29DeleteTree(root: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(root)
-    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally s.close()
-  }
-
   private def runW29Profile(
       spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.Trigger
@@ -1792,7 +1790,7 @@ object Events {
           } finally {
             // reclaim the throwaway checkpoint (leaking one RocksDB
             // checkpoint per twin per corpus adds up)
-            w29DeleteTree(ckptDir)
+            deleteTree(ckptDir)
           }
         } finally prev match {
           case Some(v) =>
@@ -1802,7 +1800,7 @@ object Events {
         }
       // 4 driver-held rows: sort in memory, not with a range exchange
       profile.sortBy(_._1)
-    } finally w29DeleteTree(spool)
+    } finally deleteTree(spool)
   }
 
   /** w29's oracle derives every column per twin from the fixture alone

@@ -734,12 +734,15 @@ object Replication {
       // frame is the fact table's key space instead of the fact table
       child.groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__cnt"))
         .join(pkeys, col("__k") === col("__pk"), "left")
+        // every sum coalesced: over an EMPTY child frame sum() is NULL
+        // where the oracle's COUNT/SUM-of-CASE forms give 0 (r12
+        // session-diff review caught the two orphan sums missing it)
         .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_child_rows"),
           count(col("__k")).as("n_child_keys"),
-          sum(when(col("__pk").isNull, col("__cnt")).otherwise(0L))
-            .as("n_orphan_rows"),
-          sum(when(col("__pk").isNull && col("__k").isNotNull, 1L)
-            .otherwise(0L)).as("n_orphan_keys"))
+          coalesce(sum(when(col("__pk").isNull, col("__cnt")).otherwise(0L)),
+            lit(0L)).as("n_orphan_rows"),
+          coalesce(sum(when(col("__pk").isNull && col("__k").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphan_keys"))
         .select(lit(childName).as("child_table"), lit(fk).as("fk"),
           lit(parentName).as("parent_table"),
           col("n_child_rows"), col("n_child_keys"),
