@@ -121,6 +121,22 @@ object PersistedIndex {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
+  /** The prior generation RETAINED at each family's last supersession
+    * (if any), remembered per (base, dirTag) so REUSE-path ensures can
+    * refresh its heartbeat too. Without this, only build-path ensures
+    * (the !complete branch) touched the retained table — once the
+    * active fingerprint was complete, every later ensure took the reuse
+    * branch and touched the active table alone, so 30 quiet minutes
+    * after a supersession a concurrent session's orphan sweep could
+    * reclaim the retained generation out from under an in-flight reader
+    * EVEN WHILE this session actively ensured the family — the exact
+    * cross-session race the retention scaladoc promises is bounded
+    * (ADVICE r12). Entries drop when the family supersedes with no
+    * prior COMPLETE generation or when the remembered table leaves the
+    * catalog. */
+  private val retainedPrior =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   /** Reuse the fingerprint-matched table if this session already built
     * it (and its completion marker is present); otherwise clean up
     * stale/orphan same-dir siblings, run `build` (which must
@@ -200,7 +216,11 @@ object PersistedIndex {
         // this session lives keeps it fresh; a session idle past the
         // sweep window can still lose it, the same documented bound as
         // the active table's reuse-path touch)
-        done.takeRight(1).foreach(t => LivenessMarker.touch(fs, loc(t)))
+        done.takeRight(1).foreach { t =>
+          LivenessMarker.touch(fs, loc(t))
+          retainedPrior.put((base, dirTag(dir)), t)
+        }
+        if (done.isEmpty) retainedPrior.remove((base, dirTag(dir)))
         if (fs.exists(parent)) {
           // a partial write a crashed earlier build of THIS session left
           // at the target (the session tag makes the name ours alone)
@@ -233,6 +253,16 @@ object PersistedIndex {
         // sweepable by a concurrent session on S3A-like stores, exactly
         // the deletion the scaladoc promises cannot happen
         LivenessMarker.touch(fs, loc(table))
+        // ...and the family's retained prior generation, if one exists:
+        // the retention contract's "refreshes on every ensure of its
+        // family" must include REUSE-path ensures, or the retained
+        // table ages into a concurrent session's sweep window while
+        // this session is demonstrably active (ADVICE r12)
+        Option(retainedPrior.get((base, dirTag(dir)))).foreach { t =>
+          if (catalog.tableExists(TableIdentifier(t)))
+            LivenessMarker.touch(fs, loc(t))
+          else retainedPrior.remove((base, dirTag(dir)))
+        }
       }
       // resolved INSIDE the lock: a racing different-fingerprint ensure
       // cannot sweep the table between our build/reuse and this lookup

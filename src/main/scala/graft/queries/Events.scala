@@ -300,6 +300,25 @@ object Events {
   private val partitionedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** ONE JVM-exit cleanup hook draining a concurrent list of tmp roots
+    * — w9 previously registered a fresh shutdown hook per cache
+    * generation, so an in-JVM fixture-regeneration loop accumulated an
+    * unbounded number of hook threads, each pinning its tmp path, and
+    * superseded generations' hooks were never removed (ADVICE r12).
+    * Registration stays lazy (first generation installs the hook) so
+    * JVMs that never run w9 never pay it. */
+  private val exitCleanupRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val exitCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitCleanupRoots.forEach(deleteTree(_))))
+
+  private def deleteOnExit(root: java.nio.file.Path): Unit = {
+    exitCleanupHook
+    exitCleanupRoots.add(root)
+  }
+
   /** THE recursive temp-tree delete for this file (w9's cache exits,
     * w29's spool/checkpoints): exists-guarded for idempotent shutdown
     * hooks, and the Files.walk stream is CLOSED — an unclosed walk
@@ -339,8 +358,7 @@ object Events {
         Option(partitionedCache.get(key)).getOrElse {
           partitionedCache.keySet().removeIf(_.startsWith(s"$dir|"))
           val tmp = java.nio.file.Files.createTempDirectory("events_by_day")
-          Runtime.getRuntime.addShutdownHook(
-            new Thread(() => deleteTree(tmp)))
+          deleteOnExit(tmp)
           val out = tmp.resolve("events").toString
           graft.operators.SnapshotStore.writePartitioned(
             spark,
@@ -1717,9 +1735,6 @@ object Events {
     s"$dir|" + graft.operators.PersistedIndex.sourceFingerprint(
       spark, Seq(s"$dir/events.parquet"))
 
-  /** Delete a throwaway directory tree ([[java.nio.file.Files.walk]]
-    * streams hold an OS directory handle until closed).
-    */
   private def runW29Profile(
       spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.Trigger

@@ -75,7 +75,33 @@ object Vectors {
     * clones carry no label by design (they are corpus additions, not
     * labeled members).
     */
-  private def cloneAugmented(base: DataFrame): DataFrame = {
+  /** Loud construction-time guard for [[cloneAugmented]]'s +1M vec_id
+    * offset — Documents' requireIdHeadroom rule (r12 review): an id
+    * collision corrupts results IDENTICALLY in both engines (the oracle
+    * replays the same arithmetic), so the correctness gate can never
+    * catch it. Memoized per (corpus fingerprint, bound) because the
+    * max(vec_id) check is a real scan job and the guarded queries are
+    * constructed several times per bench/plan-audit pass (ADVICE r12:
+    * the vector family never got the check its Documents twin gained).
+    */
+  private val idHeadroomOk =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Boolean]()
+
+  private def requireIdHeadroom(
+      spark: SparkSession, dir: String, d: DataFrame, bound: Long): Unit = {
+    val key = (s"$dir|" + graft.operators.PersistedIndex.sourceFingerprint(
+      spark, Seq(s"$dir/embeddings.parquet")), bound)
+    if (!idHeadroomOk.containsKey(key)) {
+      val maxId = d.agg(max(col("vec_id"))).head()
+      require(maxId.isNullAt(0) || maxId.getLong(0) < bound,
+        s"planted-clone offsets assume vec_id < $bound; found ${maxId.get(0)}")
+      idHeadroomOk.put(key, true)
+    }
+  }
+
+  private def cloneAugmented(
+      spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
+    requireIdHeadroom(spark, dir, base, 1000000L)
     val slim = base.select(col("vec_id"), col("v"))
     slim.unionByName(slim.select((col("vec_id") + 1000000).as("vec_id"),
       transform(col("v"), (x, i) => when(i === 0, x * 1.05).otherwise(x)).as("v")))
@@ -163,7 +189,7 @@ object Vectors {
   def v2LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val e = cloneAugmented(base).withColumn("bucket", lshBucket(col("v")))
+    val e = cloneAugmented(spark, dir, base).withColumn("bucket", lshBucket(col("v")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qe"), col("bucket"),
         norm(col("v")).as("qn"))
@@ -254,7 +280,7 @@ object Vectors {
     // bit-identical.
     val base = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val all = cloneAugmented(base)
+    val all = cloneAugmented(spark, dir, base)
       .select(col("vec_id"), col("v"), lshBucket(col("v")).as("bucket"),
         norm(col("v")).as("nrm"))
     val cos = (dot(col("a.v"), col("b.v")) /
@@ -1298,7 +1324,7 @@ object Vectors {
   def v14SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val all = cloneAugmented(base)
+    val all = cloneAugmented(spark, dir, base)
     // centroids learned from the ORIGINAL corpus only; everything
     // (clones included) is assigned by the same broadcast argmax
     val assigned = ivfRanked(all, labelMeans(base), maxRank = 1)
@@ -1398,7 +1424,7 @@ object Vectors {
   def v15RandomProjection(spark: SparkSession, dir: String): DataFrame = {
     val b0 = emb(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val base = cloneAugmented(b0)
+    val base = cloneAugmented(spark, dir, b0)
     val pv = array((0 until JlDims).map { j =>
       val h = H.md5NumberLowerLocal(s"jl:$j")
       val weights = array((0 until 64).map(d =>

@@ -202,4 +202,39 @@ class PersistedIndexConcurrencySpec extends SparkSpec {
       assert(tables().size === 2)
     } finally PersistedIndex.dropAll(spark, base)
   }
+
+  test("reuse-path ensure refreshes the retained prior generation's heartbeat") {
+    val base = "graft_pic_reusehb"
+    def tid(t: String) = org.apache.spark.sql.catalyst.TableIdentifier(t)
+    def locOf(t: String) =
+      new Path(spark.sessionState.catalog.getTableMetadata(tid(t)).location)
+    def tables() = spark.sessionState.catalog
+      .listTables("default", s"${base}_*").map(_.table)
+    try {
+      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g1") { t =>
+        spark.range(2).write.format("parquet").saveAsTable(t)
+      }
+      val gen1 = tables().head
+      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g2") { t =>
+        spark.range(7).write.format("parquet").saveAsTable(t)
+      }
+      val hb = graft.operators.LivenessMarker.heartbeatPath(locOf(gen1))
+      assert(fs.exists(hb),
+        "supersession did not stamp the retained generation's heartbeat")
+      // The retention contract says the retained generation stays
+      // sweep-safe "on every ensure of its family" — including REUSE
+      // ensures once the active fingerprint is complete. Before the
+      // ADVICE r12 fix only build-path ensures touched it, so 30 quiet
+      // minutes after a supersession a concurrent session's orphan
+      // sweep could reclaim it under an in-flight reader even while
+      // this session actively ensured the family. Deleting the
+      // heartbeat and re-ensuring proves the reuse path recreates it.
+      fs.delete(hb, false)
+      PersistedIndex.ensure(spark, base, dir, Seq(dir), "p=g2") { _ =>
+        fail("reuse-path ensure must not rebuild a complete index")
+      }
+      assert(fs.exists(hb),
+        "reuse-path ensure left the retained generation's heartbeat absent")
+    } finally PersistedIndex.dropAll(spark, base)
+  }
 }
