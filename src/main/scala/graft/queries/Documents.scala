@@ -1410,11 +1410,20 @@ object Documents {
     val oldDup = dupHashes(base)
     val allDup = dupHashes(idx)
     val newlyDup = allDup.join(oldDup, Seq("h"), "left_anti")
-    val affected = idx.filter(!isShard)
+    // affected is SHARD-ADJACENT-sized at ANY corpus size — a newly-dup
+    // hash has exactly one base occurrence (else it was already dup), so
+    // |affected| <= shard k-grams + shard docs. BROADCAST declares that
+    // invariant: Catalyst's scan-derived estimate for this
+    // distinct-over-anti-join chain grows with the TABLE, crossed the
+    // autoBroadcast threshold at the two-decade gate's third point, and
+    // flipped the semi/anti joins below to corpus-sized doc_id shuffles
+    // — the fixed-shard delta re-paid the base, 810 -> 227,710 rows
+    // (ScalingSpec two-decade gate, the exact failure it exists to catch)
+    val affected = broadcast(idx.filter(!isShard)
       .join(newlyDup, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
       .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
-      .distinct()
+      .distinct())
     // spans are per-doc, so restricting BEFORE the merge window is
     // equivalent to merging everything and discarding after — and the
     // window only sorts the docs whose spans actually survive
@@ -1469,10 +1478,13 @@ object Documents {
     val idx = incKgramIndex(spark, dir)
     val base = idx.filter(!isShard)
     val newlyDup = dupHashes(idx).join(dupHashes(base), Seq("h"), "left_anti")
-    val affected = base.join(newlyDup, Seq("h"), "left_semi")
+    // broadcast: same shard-adjacent-size invariant as the catalog d20
+    // (see d20IncrementalSpans) — this probe is where the two-decade
+    // gate measured the un-broadcast plan re-paying the corpus
+    val affected = broadcast(base.join(newlyDup, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
       .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
-      .distinct()
+      .distinct())
     mergeSpans(idx.join(dupHashes(idx), Seq("h"), "left_semi")
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("pos")), k)

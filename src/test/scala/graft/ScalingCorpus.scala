@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic one-decade-larger `documents` corpus for the
+  * TWO-decade scaling gate (VERDICT r11 #1 / r12 #1): the driver's
+  * fixtures stop at sf0.1 (5,000 docs), so the widest-exchange slope
+  * gates in [[ScalingSpec]] could only measure ONE decade
+  * (sf0.01 → sf0.1) — a pair expansion quietly quadratic with a small
+  * constant can hide inside a 10× window and only show at 100×. This
+  * generator produces the third point: a 50,000-doc corpus with the
+  * SAME statistical shape as the driver fixtures (measured from
+  * `/root/testdata/sf0.1/documents.parquet`, seed-stamped, committed
+  * code — NOT a driver fixture and never used by the oracle gate):
+  *
+  *  - 30-word uniform vocabulary (the fixture's vocab minus its
+  *    planted `dup` marker), token count U[10, 100] per doc;
+  *  - lang marginals en .41 / zh .15 / es .15 / fr .15 / de .14,
+  *    source = src{doc_id % 20}, n_chars = length(text) — the driver
+  *    generator's exact formulas where observable;
+  *  - 5% of docs REPLACED by a near-duplicate: a uniformly chosen
+  *    partner's base text with " dup" appended at the end (the
+  *    fixture's planting mechanism: 250/5000 docs at sf0.1 carry a
+  *    trailing `dup` token and 243 strip-match another doc verbatim;
+  *    exact-dup collisions arise when two dups pick one partner,
+  *    ~k²/2n of them — 8 observed at sf0.1 vs 6.25 expected);
+  *  - doc_id dense 0..n-1 (the FixtureCanarySpec invariant d37's
+  *    prefix arithmetic depends on).
+  *
+  * Generation is Spark-native and hash-derived (xxhash64 of
+  * (doc_id, salt, seed) — codegen'd, no driver-side loops, no RNG
+  * state), so the corpus is bit-reproducible on any executor count:
+  * exactly how a 100 TB synthetic corpus would be minted. Built once
+  * under target/ and keyed by (n, seed) in the path; reruns reuse it.
+  */
+object ScalingCorpus {
+
+  val Seed = 77L
+
+  /** The driver fixture's 30-word content vocabulary (sorted; its
+    * 31st token `dup` is the near-dup marker, appended not sampled). */
+  private val Vocab = Seq("a", "agg", "batch", "big", "column",
+    "customer", "data", "fast", "filter", "group", "hash", "join",
+    "key", "line", "merge", "order", "part", "query", "row", "scan",
+    "slow", "small", "sort", "spark", "stream", "table", "the",
+    "value", "vector", "window")
+
+  private def h(salt: String, cols: Column*): Column =
+    xxhash64(cols :+ lit(salt) :+ lit(Seed): _*)
+
+  /** Build (or reuse) the n-doc corpus; returns the dir Tables.load
+    * can read (`<dir>/documents.parquet`). */
+  def ensure(spark: SparkSession, n: Long): String = {
+    val dir = new java.io.File(s"target/scaling_corpus/n${n}_seed$Seed")
+      .getAbsolutePath
+    val out = s"$dir/documents.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      docsFrame(spark, n)
+        // a handful of even splits: enough write parallelism for 50k
+        // rows, few enough files that the downstream scans get real
+        // row groups (the fixture itself is one file)
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+    }
+    dir
+  }
+
+  private[graft] def docsFrame(spark: SparkSession, n: Long): DataFrame = {
+    val vocabCol = array(Vocab.map(lit): _*)
+    val id = col("id")
+    val base = spark.range(n).select(
+      id.as("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(1), pmod(h("len", id), lit(91)).cast("int") + lit(10)),
+          i => element_at(vocabCol, pmod(h("tok", id, i), lit(30)).cast("int") + 1)),
+        " ").as("text"))
+    // 5% near-dup replacement: partner chosen over the BASE texts (the
+    // pre-replacement corpus), so every planted dup strip-matches its
+    // partner; the partner lookup is an equi-join on the 5% slice
+    // against the base frame — broadcast-sized here, key-partitioned at
+    // any scale, never a driver loop
+    val flagged = base.withColumn("partner",
+      when(pmod(h("dup", col("doc_id")), lit(100)) < 5,
+        pmod(h("partner", col("doc_id")), lit(n))))
+    val partners = base.select(
+      col("doc_id").as("pid"), col("text").as("ptext"))
+    val texts = flagged.join(partners, col("partner") === col("pid"), "left")
+      .select(col("doc_id"),
+        when(col("partner").isNotNull, concat(col("ptext"), lit(" dup")))
+          .otherwise(col("text")).as("text"))
+    val langPick = pmod(h("lang", col("doc_id")), lit(100))
+    texts.select(
+      col("doc_id"),
+      col("text"),
+      when(langPick < 41, "en").when(langPick < 56, "zh")
+        .when(langPick < 71, "es").when(langPick < 86, "fr")
+        .otherwise("de").as("lang"),
+      concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))
+        .as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+}
