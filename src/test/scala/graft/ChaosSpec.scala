@@ -1,0 +1,189 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One-shot task-failure fuse (VERDICT r11 #3): arm(k) makes the next k
+  * FIRST-attempt tasks that evaluate a fused frame throw; retries
+  * (attemptNumber > 0) always pass, so under `spark.task.maxFailures > 1`
+  * the job survives exactly the way a production run survives a lost
+  * executor's tasks. Statics are shared with the "executor" in local
+  * mode, so `fired` counts real detonations for the assertions.
+  */
+object ChaosFuse {
+  val armed = new AtomicInteger(0)
+  val fired = new AtomicInteger(0)
+  def arm(k: Int): Unit = { armed.set(k); fired.set(0) }
+  def detonateMaybe(): Unit = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0 && armed.getAndDecrement() > 0) {
+      fired.incrementAndGet()
+      throw new RuntimeException(
+        s"chaos fuse: simulated task loss (partition ${tc.partitionId()})")
+    }
+  }
+}
+
+/** Executor-loss chaos gate (VERDICT r11 #3 / r12 #2): the durable
+  * round-table machinery's fault-tolerance price is paid on every
+  * cluster query — this spec proves the product it buys, with REAL task
+  * retries, two ways:
+  *
+  *  1. a [[ChaosFuse]] in the input lineage fails first-attempt tasks
+  *     (counted failures, survived only because maxFailures > 1);
+  *  2. a listener fires `SparkContext.killTaskAttempt` at running tasks
+  *     MID-fixpoint — the asynchronous preemption/loss shape, hitting
+  *     whatever star-round or table-write stage happens to be running.
+  *
+  * Both runs must produce labels BIT-EQUAL to the uninterrupted run
+  * (and a [[graft.operators.PersistedIndex]] build must land complete,
+  * correct, and reusable after surviving its detonations).
+  *
+  * NOT a [[SparkSpec]]: `local[N]` hardcodes maxTaskFailures = 1 (the
+  * `spark.task.maxFailures` conf is ignored by local masters), so the
+  * suite stops the shared context, runs on `local[4, 2]`, and stops it
+  * again at the end — suites execute sequentially in the forked test
+  * JVM, so the next suite's getOrCreate lazily rebuilds the default.
+  */
+class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4, 2]") // 2 = maxTaskFailures: first failure retries
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def fused(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    df.as[(Long, Long)].mapPartitions { it =>
+      ChaosFuse.detonateMaybe(); it
+    }.toDF(df.columns: _*)
+  }
+
+  /** A graph whose fixpoint takes several star rounds: three length-100
+    * paths (component minima 0, 1000, 2000) — path graphs are the
+    * worst case the O(log² n) bound exists for, and the multi-round
+    * fixpoint gives the mid-run killer real stages to hit.
+    */
+  private def pathEdges = {
+    val spans = Seq(0L, 1000L, 2000L)
+    spans.map(base => spark.range(99).select(
+        (col("id") + base).as("src"), (col("id") + base + 1).as("dst")))
+      .reduce(_ unionByName _)
+  }
+  private def pathNodes = {
+    val spans = Seq(0L, 1000L, 2000L)
+    spans.map(base => spark.range(100).select((col("id") + base).as("id")))
+      .reduce(_ unionByName _)
+  }
+
+  private def runCc(edges: org.apache.spark.sql.DataFrame, family: String)
+      : Seq[(Long, Long)] =
+    graft.operators.ConnectedComponents.run(pathNodes, edges,
+        store = graft.operators.ConnectedComponents
+          .freshTableRounds(spark, family))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+
+  private def dropFamily(family: String): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(family + "_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("CC fixpoint survives first-attempt task failures with bit-equal labels") {
+    try {
+      ChaosFuse.arm(0)
+      val clean = runCc(pathEdges, "cc_chaos_c")
+      ChaosFuse.arm(3)
+      val chaotic = runCc(fused(pathEdges), "cc_chaos_f")
+      assert(ChaosFuse.fired.get() >= 1,
+        "the fuse never detonated — the chaos run was not chaotic")
+      assert(chaotic === clean,
+        "labels diverged after surviving real task failures")
+      // sanity on the labels themselves: 3 components rooted at minima
+      assert(clean.map(_._2).distinct.sorted === Seq(0L, 1000L, 2000L))
+    } finally { dropFamily("cc_chaos_c"); dropFamily("cc_chaos_f") }
+  }
+
+  test("CC fixpoint survives killTaskAttempt mid-fixpoint with bit-equal labels") {
+    val kills = new AtomicInteger(0)
+    val killing = new AtomicBoolean(false)
+    val stagesSeen = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val killer = new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit = {
+        stagesSeen.put(t.stageId, true)
+        // let the first stages (round-0 write) through, then shoot at
+        // running tasks of the star-round/table-write stages until one
+        // kill actually lands (a finished task returns false)
+        if (stagesSeen.size > 2 && kills.get() < 2 && killing.compareAndSet(false, true)) {
+          try {
+            if (spark.sparkContext.killTaskAttempt(t.taskInfo.taskId, false,
+                "chaos: simulated preemption"))
+              kills.incrementAndGet()
+          } catch { case _: Exception => () }
+          finally killing.set(false)
+        }
+      }
+    }
+    try {
+      ChaosFuse.arm(0)
+      val clean = runCc(pathEdges, "cc_chaos_k0")
+      spark.sparkContext.addSparkListener(killer)
+      val chaotic = try runCc(pathEdges, "cc_chaos_k1")
+        finally spark.sparkContext.removeSparkListener(killer)
+      assert(kills.get() >= 1,
+        "no kill landed mid-fixpoint — the chaos run was not chaotic " +
+          s"(stages seen: ${stagesSeen.size})")
+      assert(chaotic === clean,
+        "labels diverged after a task was killed and rescheduled mid-fixpoint")
+    } finally { dropFamily("cc_chaos_k0"); dropFamily("cc_chaos_k1") }
+  }
+
+  test("PersistedIndex build survives task failures: complete, correct, reused") {
+    val base = "graft_chaos_idx"
+    val dir = "/root/testdata/sf0.001"
+    try {
+      ChaosFuse.arm(2)
+      val built = graft.operators.PersistedIndex.ensure(
+          spark, base, dir, Seq(s"$dir/documents.parquet"), "p=chaos") { t =>
+        fused(spark.range(1000).select(col("id").as("src"), (col("id") * 7).as("dst")))
+          .write.format("parquet").saveAsTable(t)
+      }
+      assert(ChaosFuse.fired.get() >= 1,
+        "the fuse never detonated inside the build")
+      assert(built.count() === 1000)
+      assert(built.agg(sum(col("dst"))).head().getLong(0) === 7L * 999 * 1000 / 2,
+        "the surviving build's contents are wrong")
+      var rebuilt = false
+      graft.operators.PersistedIndex.ensure(
+          spark, base, dir, Seq(s"$dir/documents.parquet"), "p=chaos") { _ =>
+        rebuilt = true
+      }
+      assert(!rebuilt,
+        "a build that survived task failures was not reused — its " +
+          "completion marker must have been lost")
+    } finally graft.operators.PersistedIndex.dropAll(spark, base)
+  }
+}
