@@ -2705,9 +2705,9 @@ object Vectors {
   /** MMR constants: λ=0.7 relevance weight (Carbonell-Goldstein 1998's
     * diversification trade-off), depth-20 candidate pool, 5 selections.
     */
-  private val MmrLambda = 0.7
-  private val MmrDepth = 20
-  private val MmrK = 5
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrDepth = 20
+  private[graft] val MmrK = 5
 
   /** v28: DIVERSIFIED retrieval via maximal marginal relevance — the
     * anti-redundancy selection a curation pipeline runs after ANN

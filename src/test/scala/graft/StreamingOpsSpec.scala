@@ -1104,4 +1104,78 @@ class StreamingOpsSpec extends SparkSpec
     assert(prof("decay_attribution") === ((openUsers, credits)),
       "decay profile diverges from the open-segment batch rule")
   }
+
+  // ---- streaming retrieval twins (VERDICT r11 #5 / r12 #4): arriving
+  // queries against the persisted BM25/embedding state must reproduce
+  // the batch p27/v28 rows bit-for-bit on AvailableNow ----
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming RRF twin: arriving queries fuse to the batch p27 rows bit-for-bit") {
+    def key(qid: Long, rank: Long) = (qid, rank)
+    val batch = graft.queries.Pipeline.p27RankFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getDouble(5)))
+      .sortBy(t => key(t._1, t._2)).toSeq
+    assert(batch.nonEmpty)
+
+    // the arriving query: doc text (lexical leg) + embedding (vector leg)
+    val arrivals = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 3).select(col("doc_id").as("qid"), col("text"))
+      .join(Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+    val src = tmp("rrf-src"); val ckpt = tmp("rrf-ck")
+    arrivals.write.parquet(src.resolve("q").toString)
+
+    val stream = spark.readStream.schema(arrivals.schema)
+      .parquet(src.resolve("q").toString)
+    val out = graft.streaming.RetrievalStream.streamRankFusion(stream,
+      graft.queries.Pipeline.bm25Contrib(spark, sfDir),
+      Tables.load(spark, sfDir, "embeddings"))
+    val q = out.writeStream.format("memory").queryName("rrf_twin")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("rrf_twin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getDouble(5)))
+      .sortBy(t => key(t._1, t._2)).toSeq
+    assert(got === batch, "streamed fusion diverges from batch p27")
+  }
+
+  test("streaming MMR twin: arriving queries diversify to the batch v28 rows bit-for-bit") {
+    val batch = graft.queries.Vectors.v28MmrDiversify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.nonEmpty)
+
+    val arrivals = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val src = tmp("mmr-src"); val ckpt = tmp("mmr-ck")
+    arrivals.write.parquet(src.resolve("q").toString)
+
+    val stream = spark.readStream.schema(arrivals.schema)
+      .parquet(src.resolve("q").toString)
+    val out = graft.streaming.RetrievalStream.streamMmrDiversify(stream,
+      Tables.load(spark, sfDir, "embeddings"))
+    val q = out.writeStream.format("memory").queryName("mmr_twin")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("mmr_twin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === batch, "streamed MMR selection diverges from batch v28")
+  }
 }
