@@ -60,7 +60,25 @@ class ScalingSpec extends SparkSpec {
   /** (query, volume golden at sf0.01, volume golden at sf0.1, slope
     * budget). Slope = v(sf0.1) / v(sf0.01) / corpusRatio; 1.0 is exactly
     * linear. Budgets over 2 are DOCUMENTED regimes, not slack — the
-    * ABSOLUTE goldens stay the sharp gate either way:
+    * ABSOLUTE goldens stay the sharp gate either way.
+    *
+    * Why this gate keeps ±25% absolutes when the retrieval gate below
+    * deliberately demoted its own to logged diagnostics (ADVICE r11/r12:
+    * absolute row pins break on Spark upgrades, partitioning changes,
+    * fixture regeneration): the two gates guard different failure
+    * modes. The retrieval family's risk is a SHAPE change — a
+    * post-retrieval frame quietly becoming corpus-keyed — which the
+    * slope/flatness ratio catches and absolutes add nothing to. The
+    * pair family's risk is CANDIDATE-GENERATION blow-up, and its
+    * classic form (a banding/bucketing bug admitting k× the candidates
+    * — exactly the fixed-4096-bucket d7 bug this gate's first run
+    * caught) is a uniform multiplier at EVERY SF: slope stays 1.0 and
+    * only an absolute pin trips. The maintenance cost is real (a
+    * fixture regeneration re-baselines these numbers, FixtureCanarySpec
+    * flags when) and accepted as the price of the only check that sees
+    * uniform blow-ups; the slope budget alongside catches the
+    * superlinear ones. Same trade as the per-query shuffle-count
+    * goldens, made once here and cross-referenced by both gates:
     *  - d5/d42 run the df-capped shingle expansion in its transitional
     *    window — per-shingle pair volume grows ~df^2 UNTIL the cap
     *    (D5MaxShingleDf) binds, after which each shingle's contribution
