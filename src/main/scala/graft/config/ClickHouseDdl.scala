@@ -60,17 +60,24 @@ object ClickHouseDdl {
       minBytes: Long,
       maxBytes: Long)
 
-  /** Parse the optional `buffer:` block of a table YAML. */
+  /** Parse the optional `buffer:` block of a table YAML. Absent → None
+    * (no Buffer front table wanted); present but malformed → throws,
+    * like a missing knob — a typo'd block silently skipping the Buffer
+    * DDL is the one failure shape worse than failing loudly.
+    */
   def bufferSpec(yaml: String): Option[BufferSpec] = {
     val root = ConfigYaml.parse(yaml)
-    root.get("buffer").collect { case n: ConfigYaml.Node =>
-      def req(k: String): Long = n.get(k) match {
-        case Some(v: Long) => v
-        case other => throw new IllegalArgumentException(
-          s"buffer.$k missing or not an integer: $other")
-      }
-      BufferSpec(req("num_layers"), req("min_time"), req("max_time"),
-        req("min_rows"), req("max_rows"), req("min_bytes"), req("max_bytes"))
+    root.get("buffer").map {
+      case n: ConfigYaml.Node =>
+        def req(k: String): Long = n.get(k) match {
+          case Some(v: Long) => v
+          case other => throw new IllegalArgumentException(
+            s"buffer.$k missing or not an integer: $other")
+        }
+        BufferSpec(req("num_layers"), req("min_time"), req("max_time"),
+          req("min_rows"), req("max_rows"), req("min_bytes"), req("max_bytes"))
+      case other => throw new IllegalArgumentException(
+        s"buffer block is not a mapping: $other")
     }
   }
 

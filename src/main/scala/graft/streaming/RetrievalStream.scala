@@ -37,20 +37,26 @@ import graft.queries.{Pipeline, Vectors}
   * would be the IVF-probed subset — v6's path — exactly as the batch
   * queries document). Per micro-batch the work is |arrivals| × postings
   * and |arrivals| × N candidate rows — the batch queries' own per-query
-  * cost, paid incrementally. State per key is the depth-20 candidate
-  * pool, emitted and replaced each time the key appears (update mode);
+  * cost, paid incrementally. Per-key work is the depth-20 candidate
+  * pool, recomputed and re-emitted each time the key appears (update
+  * mode);
   * an at-least-once re-delivery of a query row recomputes the same list
-  * rather than double-counting, because each arriving row regenerates
-  * its COMPLETE candidate set within its own micro-batch.
+  * rather than double-counting: each arriving row regenerates its
+  * COMPLETE candidate set within its own micro-batch, intra-batch
+  * duplicates dedup on per-query-unique keys ((cid, term) lexical, cid
+  * vector), and NO cross-batch state is stored — the GroupState is left
+  * untouched, so the store never grows with all-time distinct queries.
   */
 object RetrievalStream {
 
   /** One candidate row entering the per-query state: a lexical posting
-    * match (leg 0, exact contrib in 1e-6 units) or a vector candidate
-    * (leg 1, cosine rel).
+    * match (leg 0, exact contrib in 1e-6 units, with the matched term so
+    * intra-batch duplicate deliveries dedup exactly — (cid, term) is
+    * unique per query by construction) or a vector candidate (leg 1,
+    * cosine rel; cid unique per query).
     */
   private[graft] final case class FusionCand(
-      qid: Long, leg: Int, cid: Long, micros: Long, rel: Double)
+      qid: Long, leg: Int, cid: Long, term: String, micros: Long, rel: Double)
 
   final case class FusedRow(
       qid: Long, rank: Long, cid: Long,
@@ -108,11 +114,11 @@ object RetrievalStream {
       .select(col("qid"), explode(array_distinct(T.tokens(col("text")))).as("term"))
       .join(contrib, Seq("term"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), lit(0).as("leg"), col("cid"),
+      .select(col("qid"), lit(0).as("leg"), col("cid"), col("term"),
         (col("contrib") * lit(1000000L)).cast("long").as("micros"),
         lit(0.0).as("rel"))
     val vec = vectorCandidates(queries.select(col("qid"), col("embedding")), embeddings)
-      .select(col("qid"), lit(1).as("leg"), col("cid"),
+      .select(col("qid"), lit(1).as("leg"), col("cid"), lit("").as("term"),
         lit(0L).as("micros"), col("rel"))
     lex.unionByName(vec).as[FusionCand]
       .groupByKey(_.qid)
@@ -123,15 +129,22 @@ object RetrievalStream {
   private def fuseGroup(
       qid: Long, it: Iterator[FusionCand],
       state: GroupState[Long]): Iterator[FusedRow] = {
+    // no cross-batch state is kept: each arriving query row regenerates
+    // its COMPLETE candidate set within its own micro-batch, so the
+    // fused list is recomputed whole each time the key appears and
+    // nothing accumulates in the store (an update here would leak one
+    // entry per all-time distinct qid). Intra-batch duplicate deliveries
+    // dedup exactly on the per-query-unique keys.
     val rows = it.toVector
-    state.update(state.getOption.getOrElse(0L) + 1L) // batches seen, for observability
     val lexRank: Map[Long, Long] = rows.iterator.filter(_.leg == 0).toVector
+      .distinctBy(r => (r.cid, r.term))
       .groupBy(_.cid).view.mapValues(_.map(_.micros).sum).toVector
       .map { case (cid, m) => (microsToDouble(m) + 0.0, cid) }
       .sorted(scoreDesc)
       .take(Pipeline.RrfDepth).zipWithIndex
       .map { case ((_, cid), i) => cid -> (i + 1L) }.toMap
     val vecRank: Map[Long, Long] = rows.iterator.filter(_.leg == 1).toVector
+      .distinctBy(_.cid)
       .map(r => (r.rel + 0.0, r.cid))
       .sorted(scoreDesc)
       .take(Pipeline.RrfDepth).zipWithIndex
@@ -180,8 +193,9 @@ object RetrievalStream {
   private def mmrGroup(
       qid: Long, it: Iterator[MmrCand],
       state: GroupState[Long]): Iterator[MmrRow] = {
-    state.update(state.getOption.getOrElse(0L) + 1L)
+    // stateless per batch, like fuseGroup (see the note there)
     val pool = it.toVector
+      .distinctBy(_.cid)
       .map(c => ((c.rel + 0.0, c.cid), c))
       .sortBy(_._1)(scoreDesc)
       .take(Vectors.MmrDepth).map(_._2)

@@ -153,6 +153,12 @@ class ClickHouseDdlSpec extends AnyFunSuite {
       ClickHouseDdl.bufferSpec("buffer:\n  num_layers: 1\n") // six knobs missing
     }
     assert(e.getMessage.contains("buffer.min_time"))
+    // present-but-malformed throws too: a typo'd block silently skipping
+    // the Buffer DDL would be indistinguishable from "none wanted"
+    val m = intercept[IllegalArgumentException] {
+      ClickHouseDdl.bufferSpec("buffer: 15\n")
+    }
+    assert(m.getMessage.contains("not a mapping"))
   }
 
   test("r8's second config table emits a creation path end-to-end") {

@@ -38,6 +38,14 @@ object ScalingCorpus {
 
   val Seed = 77L
 
+  /** Bump on ANY change to [[docsFrame]] (vocab, marginals, dup rate,
+    * hashing): the generated parquet is cached under target/ keyed by
+    * (n, seed, THIS) — without the bump, an edited generator silently
+    * reuses the previous run's corpus and the two-decade gate measures
+    * the wrong data.
+    */
+  val GenVersion = 1
+
   /** The driver fixture's 30-word content vocabulary (sorted; its
     * 31st token `dup` is the near-dup marker, appended not sampled). */
   private val Vocab = Seq("a", "agg", "batch", "big", "column",
@@ -52,7 +60,8 @@ object ScalingCorpus {
   /** Build (or reuse) the n-doc corpus; returns the dir Tables.load
     * can read (`<dir>/documents.parquet`). */
   def ensure(spark: SparkSession, n: Long): String = {
-    val dir = new java.io.File(s"target/scaling_corpus/n${n}_seed$Seed")
+    val dir = new java.io.File(
+        s"target/scaling_corpus/n${n}_seed${Seed}_v$GenVersion")
       .getAbsolutePath
     val out = s"$dir/documents.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {

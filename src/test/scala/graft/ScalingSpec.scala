@@ -427,7 +427,7 @@ class ScalingSpec extends SparkSpec {
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1Dir)
     val confs = Seq("graft.neardup.persistPairs", "graft.substring.persistIndex")
     val prev = confs.map(k => k -> spark.conf.getOption(k))
-    val failures = twoDecadeGoldens.flatMap {
+    val failures = try twoDecadeGoldens.flatMap {
       case (name, selfContained, g1, b1, b2) =>
         val fn = SparkEntry.queries(name)
         if (selfContained) confs.foreach(spark.conf.set(_, "false"))
@@ -451,8 +451,10 @@ class ScalingSpec extends SparkSpec {
             f"$name decade-2 slope $s2%.2f > budget $b2%.1f — superlinear " +
               "growth that one decade hid; see the regime scaladoc"))
           .collect { case (false, msg) => msg }
-    }
-    prev.foreach { case (k, vOpt) =>
+    } finally prev.foreach { case (k, vOpt) =>
+      // finally, like the one-decade gate: an exception mid-measurement
+      // must not leave the shared session's index routing altered for
+      // every later suite
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
     assert(failures.isEmpty, failures.mkString("\n"))

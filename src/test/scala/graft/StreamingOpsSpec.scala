@@ -29,6 +29,10 @@ class StreamingOpsSpec extends SparkSpec
         Files.walk(root).iterator().asScala.toSeq.reverseIterator
           .foreach(p => Files.deleteIfExists(p))
     }
+    // reclaim the persisted retrieval tables the twin tests build
+    // (suites reclaim what they persist; later ensures rebuild)
+    Seq("graft_bm25_contrib", "graft_bm25_idx", "graft_bm25_stats")
+      .foreach(graft.operators.PersistedIndex.dropAll(spark, _))
     super.afterAll()
   }
 
@@ -1127,7 +1131,11 @@ class StreamingOpsSpec extends SparkSpec
       .join(Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
     val src = tmp("rrf-src"); val ckpt = tmp("rrf-ck")
-    arrivals.write.parquet(src.resolve("q").toString)
+    // each query row delivered TWICE in the same micro-batch: the
+    // at-least-once contract — intra-batch duplicates must dedup on the
+    // per-query-unique keys, not double-count lexical contribs or
+    // halve the distinct candidate pool
+    arrivals.unionAll(arrivals).write.parquet(src.resolve("q").toString)
 
     val stream = spark.readStream.schema(arrivals.schema)
       .parquet(src.resolve("q").toString)
@@ -1160,7 +1168,9 @@ class StreamingOpsSpec extends SparkSpec
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding"))
     val src = tmp("mmr-src"); val ckpt = tmp("mmr-ck")
-    arrivals.write.parquet(src.resolve("q").toString)
+    // duplicated delivery, as in the RRF twin: the depth-20 pool must
+    // hold 20 DISTINCT candidates
+    arrivals.unionAll(arrivals).write.parquet(src.resolve("q").toString)
 
     val stream = spark.readStream.schema(arrivals.schema)
       .parquet(src.resolve("q").toString)
