@@ -1693,7 +1693,68 @@ object Pipeline {
       |FROM sh LEFT JOIN j ON j.a8 = sh.shard OR j.a9 = sh.shard
       |GROUP BY sh.shard ORDER BY shard""".stripMargin
 
+  /** Picks per source for p28. */
+  private val WsK = 5
+
+  /** p28: DETERMINISTIC weighted sampling without replacement — the
+    * reproducible "pick k docs per source, longer docs more likely"
+    * selection a mixture builder runs when it wants weighted
+    * representation WITHOUT a mutable reservoir: every doc gets a
+    * priority from a hash-derived uniform and its weight, the k lowest
+    * priorities per source win. The Efraimidis–Spirakis one-pass shape
+    * (priority-keyed weighted sampling, trivially distributed and
+    * restart-reproducible because priority is a pure row function), with
+    * the u^(1/w) key replaced by the division surrogate u/w: pow/ln
+    * differ in the last ULP across libms (the BM25 rational-idf lesson)
+    * while one int→double conversion and one IEEE division are
+    * bit-identical in both engines. The surrogate changes the inclusion
+    * law (it is NOT exactly P ∝ w) but keeps the properties a pipeline
+    * actually relies on — determinism, one pass, weight-monotone odds
+    * (u/w strictly falls as w rises for fixed u) — and the exactness
+    * makes the oracle able to falsify the whole pipeline.
+    *
+    * Scale shape: priority is a projection; the only exchange is the
+    * per-source top-k window, and the rank ≤ k filter lets Spark's
+    * WindowGroupLimit pre-prune each map partition to its own top-k
+    * before the shuffle (the d14 discipline) — the exchange carries
+    * O(partitions × k) rows per source, not the corpus.
+    */
+  def p28WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(coalesce(col("n_chars"), lit(0L)), lit(1L)).as("wt"))
+      .withColumn("u", pmod(H.md5NumberBigEndian(
+        concat(lit("ws:"), col("doc_id").cast("string"))), lit(1L << 62)))
+      .withColumn("priority", col("u").cast("double") / col("wt").cast("double"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= WsK)
+      .select(col("source"), col("pick"), col("doc_id"), col("wt"), col("priority"))
+      .orderBy(col("source"), col("pick"))
+  }
+
+  val p28Sql: String = {
+    val h = graft.queries.Documents.signedBeMd5Sql(
+      "'ws:' || CAST(doc_id AS VARCHAR)")
+    val c = 1L << 62
+    s"""WITH k AS (
+      |  SELECT doc_id, source,
+      |    GREATEST(COALESCE(n_chars, 0), 1) AS wt,
+      |    (($h % $c) + $c) % $c AS u
+      |  FROM documents),
+      |p AS (SELECT source, doc_id, wt,
+      |        CAST(u AS DOUBLE) / CAST(wt AS DOUBLE) AS priority FROM k),
+      |r AS (SELECT source, doc_id, wt, priority,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY priority, doc_id) AS pick
+      |      FROM p)
+      |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, wt, priority
+      |FROM r WHERE pick <= $WsK ORDER BY source, pick""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "p28_weighted_sample" -> (p28WeightedSample _),
     "p27_rank_fusion" -> (p27RankFusion _),
     "p26_rendezvous_shards" -> (p26RendezvousShards _),
     "p25_overlap_audit" -> (p25OverlapAudit _),
@@ -1720,6 +1781,7 @@ object Pipeline {
     "p4_tfidf" -> (p4Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "p28_weighted_sample" -> p28Sql,
     "p27_rank_fusion" -> p27Sql,
     "p26_rendezvous_shards" -> p26Sql,
     "p25_overlap_audit" -> p25Sql,

@@ -3025,7 +3025,120 @@ object Vectors {
       |FROM w GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** Refinement geometry: the coarse stage hands each query a
+    * candidate pool this size; the refine stage re-ranks it exactly and
+    * keeps the family's top-3. */
+  private val RefineCoarseK = 30
+
+  /** v31: TWO-STAGE retrieval — coarse int8 scan, exact rerank — the
+    * production ANN serving pattern (FAISS's SQ8-with-refine): the full
+    * corpus is scanned only in its 4×-cheaper quantized form (v22's
+    * centered-code integer dot, bit-exact in both engines), each query
+    * keeps a depth-[[RefineCoarseK]] candidate pool, and ONLY the pool
+    * is re-scored with the exact float cosine (v1's double-widened
+    * sequential fold) to produce the final top-3. The per-row
+    * `exact_hit` flag against the float ground truth measures what the
+    * rerank buys over v22's pure-int8 ranking (the family's
+    * measured-recall contract: refinement recovers exact-top-3 members
+    * the coarse ranking misplaced INSIDE the pool; only a true pool
+    * miss — exact top-3 outside the coarse top-30 — still escapes).
+    *
+    * Parity: coarse scores are small exact integers (v22's argument);
+    * the refine cosine is the v1 fold; ranks are integer row_numbers
+    * with (score DESC, cid) ties — nothing hash-fragile crosses rows.
+    *
+    * Scale shape: the N-sized scan touches 64 bytes/vector instead of
+    * 512 (the whole point at 100 TB — memory bandwidth IS the scan
+    * cost); the float table is touched only for Q × 30 pointed reads
+    * (a broadcast of the pool into one scan of the float side, never a
+    * second corpus pass per query); ranking windows + the output sort
+    * are the only exchanges, same as v22.
+    */
+  def v31RerankRefine(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val packed = sqStatsPacked(base).localCheckpoint(false)
+    val codeExpr = transform(sequence(lit(1), lit(64)),
+      i => u8Code(i) - lit(128.0))
+    val coded = base.crossJoin(broadcast(packed))
+      .select(col("vec_id"), codeExpr.as("q8"))
+    val queries = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q8").as("qq"))
+    val cands = coded.select(col("vec_id").as("cid"), col("q8").as("cq"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("cid"))
+    val pool = broadcast(queries).join(cands, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        dot(col("qq"), col("cq")).cast("long").as("iscore"))
+      .withColumn("coarse_rank", row_number().over(wc).cast("long"))
+      .filter(col("coarse_rank") <= RefineCoarseK)
+      .select(col("qid"), col("cid"), col("coarse_rank"))
+    val nb = base.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val qn = nb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    broadcast(pool)
+      .join(nb.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("cid"))
+      .join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"), col("coarse_rank"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(broadcast(exactTop3(base)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"),
+        col("coarse_rank"), coalesce(col("hit"), lit(0L)).as("exact_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val v31Sql: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |stats AS (SELECT i AS dim, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |          FROM base, (SELECT unnest(generate_series(1, 64)) i) GROUP BY i),
+      |packed AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      |           FROM stats),
+      |coded AS (SELECT vec_id,
+      |    list_transform(generate_series(1, 64), i -> (CASE WHEN mxs[i] > mns[i]
+      |      THEN least(255.0, greatest(0.0,
+      |             floor(((v[i] - mns[i]) * 255.0) / (mxs[i] - mns[i]))))
+      |      ELSE 0.0 END) - 128.0) AS q8
+      |  FROM base, packed),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |    CAST(list_reduce(list_transform(generate_series(1, 64),
+      |      i -> q.q8[i] * c.q8[i]), (acc, x) -> acc + x) AS BIGINT) iscore
+      |  FROM coded q JOIN coded c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |pool AS (
+      |  SELECT qid, cid, coarse_rank FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY iscore DESC, cid) AS coarse_rank
+      |    FROM scored)
+      |  WHERE coarse_rank <= $RefineCoarseK),
+      |nb AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) nrm FROM base),
+      |ref AS (
+      |  SELECT p.qid, p.cid, p.coarse_rank,
+      |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      |  FROM pool p JOIN nb c ON c.vec_id = p.cid JOIN nb q ON q.vec_id = p.qid),
+      |rk AS (SELECT qid, cid, coarse_rank, cosine,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY cosine DESC, cid) AS rank
+      |       FROM ref),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT a.vec_id qid, b.vec_id cid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, b.vec_id) er
+      |    FROM nb a JOIN nb b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |  WHERE er <= 3)
+      |SELECT r.qid, CAST(r.rank AS BIGINT) rank, r.cid, r.cosine,
+      |  CAST(r.coarse_rank AS BIGINT) coarse_rank,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+      |FROM rk r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid
+      |WHERE r.rank <= 3
+      |ORDER BY r.qid, r.rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "v31_rerank_refine" -> (v31RerankRefine _),
     "v30_centroid_outliers" -> (v30CentroidOutliers _),
     "v29_silhouette" -> (v29Silhouette _),
     "v28_mmr_diversify" -> (v28MmrDiversify _),
@@ -3059,6 +3172,7 @@ object Vectors {
     "v8_ivf_nprobe" -> (v8IvfNprobe _))
 
   val oracles: Map[String, String] = Map(
+    "v31_rerank_refine" -> v31Sql,
     "v30_centroid_outliers" -> v30Sql,
     "v29_silhouette" -> v29Sql,
     "v28_mmr_diversify" -> v28Sql,

@@ -103,6 +103,10 @@ class PlanAuditSpec extends SparkSpec {
       //    (v1's shape on 4x narrower rows) plus the one-row packed
       //    stats broadcast (v7's scalar shape) and the exact-truth side
       "v22_int8_ann",
+      //  - v31: v22's coarse scan shapes (packed stats scalar, int8
+      //    broadcast-Q x scan-N) plus the Q x 30 pool broadcast into the
+      //    float-side refine scan and the exact-truth side
+      "v31_rerank_refine",
       //  - v23: both assignment passes read the packed one-row centroid
       //    broadcast next to every vector (v10's projection-shaped
       //    argmin, by construction)
@@ -354,6 +358,13 @@ class PlanAuditSpec extends SparkSpec {
       // localCheckpoints so both coded sides share one build, and the
       // exact-truth side's window rides the same broadcast shape
       "v22_int8_ann" -> 3,
+      // v31: v22's coarse rank window + the refine rank window (over
+      // Q x 30 rows) + the exact-truth window + output sort; the pool
+      // broadcasts into the float scan, never a second corpus exchange
+      "v31_rerank_refine" -> 4,
+      // p28: the per-source top-k window (WindowGroupLimit pre-prunes
+      // map-side) + output sort; priority is a pure projection
+      "p28_weighted_sample" -> 2,
       // m5: the (format, hash) group agg + the per-format rollup +
       // output sort over the |formats|-row grid
       "m5_storage_dedup" -> 3,

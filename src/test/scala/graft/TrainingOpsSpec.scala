@@ -3112,4 +3112,92 @@ class TrainingOpsSpec extends SparkSpec {
     val shareSum = got.map(_._3).sum
     assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
   }
+
+  test("v31: two-stage rerank equals a coder+refine replay; refinement dominates the coarse top-3") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val mns = Array.tabulate(64)(i => vecs.map(_._2(i)).min)
+    val mxs = Array.tabulate(64)(i => vecs.map(_._2(i)).max)
+    // u8Code's exact operation order: (v - mn) * 255, THEN the divide
+    def code(v: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
+      (if (mxs(i) > mns(i))
+        math.min(255.0, math.max(0.0,
+          math.floor(((v(i) - mns(i)) * 255.0) / (mxs(i) - mns(i)))))
+      else 0.0) - 128.0
+    }
+    val coded = vecs.map { case (id, v) => (id, v, code(v)) }
+    val queries = coded.filter(_._1 < 10)
+    val exact = queries.map { case (q, qv, _) =>
+      q -> vecs.filter(_._1 != q).map { case (c, cv) => (c, cosD(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val expected = queries.flatMap { case (q, qv, qq) =>
+      val pool = coded.filter(_._1 != q)
+        .map { case (c, cv, cq) => (c, cv, dotD(qq, cq).toLong) }
+        .sortBy { case (c, _, s) => (-s, c) }.take(30).zipWithIndex
+        .map { case ((c, cv, _), i) => (c, cv, i + 1L) }
+      pool.map { case (c, cv, cr) => (c, cr, cosD(qv, cv)) }
+        .sortBy { case (c, _, s) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((c, cr, s), i) =>
+          (q, i + 1L, c, s, cr, if (exact(q)(c)) 1L else 0L) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = Vectors.v31RerankRefine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected, "v31 diverges from the coder+refine replay")
+    // the refinement guarantee: an exact-top-3 member that made the
+    // coarse pool ALWAYS reaches the final top-3 (exact cosine ranks it
+    // there by definition); only a pool miss can escape
+    queries.foreach { case (q, qv, qq) =>
+      val poolIds = coded.filter(_._1 != q)
+        .map { case (c, _, cq) => (c, dotD(qq, cq).toLong) }
+        .sortBy { case (c, s) => (-s, c) }.take(30).map(_._1).toSet
+      val finalIds = got.filter(_._1 == q).map(_._3).toSet
+      exact(q).filter(poolIds).foreach(c => assert(finalIds(c),
+        s"query $q: exact-top-3 member $c survived the pool but missed the rerank"))
+    }
+    // and refinement can only help: v31's measured recall >= v22's
+    // pure-int8 ranking on the same queries
+    val v22Hits = Vectors.v22Int8Ann(spark, sf).collect()
+      .map(_.getLong(4)).sum
+    assert(got.map(_._6).sum >= v22Hits,
+      "reranking the coarse pool lost recall vs the pure int8 ranking")
+  }
+
+  test("p28: weighted sample equals a priority replay; per-source counts conserve") {
+    val rows = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val c = 1L << 62
+    val expected = rows.map { case (id, src, nc) =>
+        val wt = math.max(nc, 1L)
+        val u = ((graft.functions.HashFunctions
+          .md5NumberBigEndianLocal(s"ws:$id") % c) + c) % c
+        (src, id, wt, u.toDouble / wt.toDouble)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, id, _, pr) => (pr, id) }.take(5).zipWithIndex
+          .map { case ((s, id, wt, pr), i) => (s, i + 1L, id, wt, pr) }
+      }.sortBy(r => (r._1, r._2)).toSeq
+    val got = Pipeline.p28WeightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected, "p28 diverges from the priority replay")
+    // count conservation: every source yields min(k, |source|) picks
+    val perSrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.length === math.min(5, perSrc(s)), s"source $s pick count")
+    }
+    assert(got.map(_._1).distinct.length === perSrc.size,
+      "a source with documents produced no picks")
+  }
 }
