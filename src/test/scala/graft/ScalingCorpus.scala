@@ -75,6 +75,48 @@ object ScalingCorpus {
     dir
   }
 
+  /** Build (or reuse) an n-vector embeddings table with the driver
+    * fixture's measured shape (`/root/testdata/sf0.1/embeddings.parquet`):
+    * unit-norm 64-dim float vectors with NO cluster structure (within-
+    * label mean cosine ≈ cross-label ≈ 0 in the fixture — the vectors
+    * are isotropic; v5/v14 plant their own near-dups query-side via
+    * cloneAugmented), label = uniform 0..9, vec_id dense 0..n-1 (under
+    * the 1e6 id-headroom guard the clone-augmenting queries require).
+    * Components are Box–Muller gaussians from xxhash64-derived uniforms,
+    * normalized — rotation-invariant like the fixture, hash-derived like
+    * [[docsFrame]], bit-reproducible at any executor count. (ln/cos here
+    * are engine-internal only: no oracle ever reads this corpus, so the
+    * cross-libm ULP concern that bans them from query scoring paths does
+    * not apply.)
+    */
+  def ensureEmbeddings(spark: SparkSession, n: Long): String = {
+    require(n < 1000000L, s"vec_id headroom: n=$n must stay below 1e6")
+    val dir = new java.io.File(
+        s"target/scaling_corpus/emb_n${n}_seed${Seed}_v$GenVersion")
+      .getAbsolutePath
+    val out = s"$dir/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      embFrame(spark, n).repartition(8).write.mode("overwrite").parquet(out)
+    }
+    dir
+  }
+
+  private[graft] def embFrame(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    def unif(salt: String, i: Column): Column =
+      (pmod(h(salt, id, i), lit(1000000000L)).cast("double") + lit(0.5)) / lit(1e9)
+    val z = transform(sequence(lit(1), lit(64)), i =>
+      sqrt(lit(-2.0) * log(unif("g1", i))) * cos(lit(2.0 * math.Pi) * unif("g2", i)))
+    spark.range(n).select(
+        id.as("vec_id"),
+        z.as("raw"),
+        pmod(h("lab", id), lit(10)).cast("int").as("label"))
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        col("label"))
+  }
+
   private[graft] def docsFrame(spark: SparkSession, n: Long): DataFrame = {
     val vocabCol = array(Vocab.map(lit): _*)
     val id = col("id")

@@ -460,6 +460,63 @@ class ScalingSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** The embeddings twin of the documents two-decade gate: the driver
+    * fixtures give the vector family only a 4× window (500 → 2,000
+    * vectors), so [[ScalingCorpus.ensureEmbeddings]] mints the third
+    * point — 20,000 isotropic unit vectors, 10× sf0.1 — and the two
+    * vector queries with classic quadratic candidate risk re-measure
+    * across 40×:
+    *  - v5's LSH bucket SELF-JOIN (hot-bucket n² is the textbook
+    *    failure; its exchanges are the 2n bucketed signature rows and
+    *    the ~n planted-pair output, both corpus-linear by design);
+    *  - v6's IVF cell join (candidates = queries × their cell's
+    *    members; cells are corpus/10, so linear).
+    * Measured on first run: v6 is clean linear (640 → 2,000 → 20,000,
+    * slopes 0.78 / 1.00). v5 steps once — 487 → 1,953 → 40,000, slope
+    * 1.00 then 2.05: at the small SFs its bucket self-join BROADCASTS
+    * the 2n-row signature side, so the widest exchange is the ~n
+    * planted-pair output sort; at 20k vectors the signature side
+    * (~22 MB) outgrows the 10 MB broadcast threshold, the join goes
+    * sort-merge, and the 2n bucketed signature shuffle becomes the
+    * widest exchange (40,000 = 2n exactly). The post-transition regime
+    * is 2n-LINEAR — the decade-2 budget 3.0 absorbs the one-time 2×
+    * strategy step (same measurement class as the retrieval gate's
+    * small-SF single-partition artifact) while a true bucket-join
+    * quadratic (slope ~10 on top) still trips. v6's budget stays 2.0:
+    * no transition, no documented superlinear regime — anything above
+    * linear-with-headroom there is a real candidate blow-up.
+    */
+  private val vectorTwoDecadeGoldens: Seq[(String, Long, Double, Double)] = Seq(
+    // (query, sf1 golden, decade-1 budget vs 4x, decade-2 budget vs 10x)
+    ("v5_embedding_neardup", 40000L, 2.0, 3.0),
+    ("v6_ivf_ann", 20000L, 2.0, 2.0))
+
+  test("two-decade gate: vector-family widest exchanges hold their slopes at 40x") {
+    val embDir = ScalingCorpus.ensureEmbeddings(spark, 20000L)
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", embDir)
+    val counts = dirs.map(d =>
+      spark.read.parquet(s"$d/embeddings.parquet").count())
+    val ratios = Seq(counts(1).toDouble / counts(0), counts(2).toDouble / counts(1))
+    val failures = vectorTwoDecadeGoldens.flatMap { case (name, g1, b1, b2) =>
+      val fn = SparkEntry.queries(name)
+      val Seq(v001, v01, v1) = dirs.map(d => maxExchangeRows {
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+      })
+      val (s1, s2) =
+        (v01.toDouble / v001 / ratios(0), v1.toDouble / v01 / ratios(1))
+      info(f"$name: $v001 -> $v01 -> $v1 (slopes $s1%.2f, $s2%.2f)")
+      Seq(
+        (math.abs(v1 - g1) <= g1 / 4,
+          s"$name sf1 volume $v1 outside golden $g1 +-25%"),
+        (s1 <= b1, f"$name decade-1 slope $s1%.2f > budget $b1%.1f"),
+        (s2 <= b2,
+          f"$name decade-2 slope $s2%.2f > budget $b2%.1f — a candidate " +
+            "blow-up the 4x fixture window hid"))
+        .collect { case (false, msg) => msg }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   /** Fixed-shard delta probes at the THIRD point: mod 1000 keeps the
     * shard ~50 docs (and mod 1300 the tombstone set ~38) while the base
     * corpus grows 100× across the series — the production claim "per-
