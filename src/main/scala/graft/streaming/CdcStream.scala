@@ -135,11 +135,14 @@ object CdcStream {
     // a second start would shadow the first and compact() could swap
     // the table while the shadowed query is still appending — an append
     // racing the swap is moved aside and deleted while its checkpoint
-    // offsets stay committed. Fail fast instead.
-    require(Option(activeWriters.get(tableDir)).forall(q => !q.isActive),
-      s"a replication query is already appending to $tableDir — stop it " +
-        "before starting another (two writers on one table dir would " +
-        "bypass the compaction guard and can lose appends)")
+    // offsets stay committed. Fail fast instead. The guard, the start
+    // and the registration all run under the dir's monitor: a bare
+    // check-then-act would let two concurrent starts both pass (and let
+    // an external compact() slip into the window between start() and
+    // the registration, where the first micro-batch may already be
+    // appending with no writer visible to the compaction guard).
+    withTableDirLock(tableDir) {
+    requireNoActiveWriter(tableDir)
     // offset-range metrics attach to the RAW wal frame, BEFORE the
     // envelope filter: op-filtered entries (txn markers 2200-2202,
     // foreign collections) carry WAL offsets too, so observing after the
@@ -149,7 +152,8 @@ object CdcStream {
     // only the pre-filter stream can witness. The processed-rows count
     // (V3) stays post-pipeline: it counts rows that became table rows.
     val observedWal = wal.observe("cdc_wal",
-      min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+      min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+      count(col("offset")).as("n_offsets"))
     val changes = pipeline(observedWal, payloadSchema, collectionIds, initialTick, clock)
       .observe("cdc", count(lit(1)).as("rows"))
     val writer = changes.writeStream
@@ -236,7 +240,28 @@ object CdcStream {
       .start()
     activeWriters.put(tableDir, query)
     query
+    }
   }
+
+  /** Per-tableDir monitors serializing writer starts and external
+    * compactions (reentrant, so [[graft.streaming.Sync.resync]] can hold
+    * the dir across its snapshot-then-start sequence).
+    */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def withTableDirLock[A](tableDir: String)(f: => A): A =
+    dirLocks.computeIfAbsent(tableDir, _ => new Object).synchronized(f)
+
+  /** The live-writer guard, shared by [[startReplication]], [[compact]]
+    * and [[graft.streaming.Sync.resync]] (which must consult it BEFORE
+    * swapping the table, not after).
+    */
+  private[graft] def requireNoActiveWriter(tableDir: String): Unit =
+    require(Option(activeWriters.get(tableDir)).forall(q => !q.isActive),
+      s"a replication query is already appending to $tableDir — stop it " +
+        "before starting another (two writers on one table dir would " +
+        "bypass the compaction guard and can lose appends)")
 
   /** tableDir -> the replication query currently appending there; consulted
     * by [[compact]] so a swap can never race a live writer. Keyed by the
@@ -266,7 +291,9 @@ object CdcStream {
     * started outside this object are the caller's responsibility).
     */
   def compact(spark: SparkSession, tableDir: String, keys: Seq[String],
-      ver: String = "_ver"): Long = {
+      ver: String = "_ver"): Long = withTableDirLock(tableDir) {
+    // under the dir monitor: a concurrent startReplication can neither
+    // slip between this guard and the rewrite nor register mid-swap
     val writer = activeWriters.get(tableDir)
     if (writer != null && writer.isActive)
       throw new IllegalStateException(
@@ -299,11 +326,17 @@ object CdcStream {
     * ClickHouse-side merge entirely for streaming readers.
     *
     * Order-independence: same convergence argument as [[ReplicaTable]] —
-    * max-version wins, so replays and out-of-order batches cannot regress
-    * state (a replayed lower version emits nothing).
+    * max-(version, tie) wins, so replays and out-of-order batches cannot
+    * regress state (a replayed lower version emits nothing). `tie` is
+    * the typed twin of [[ReplicaTable.latest]]'s `tieBreak` columns:
+    * without it (the default constant), rows carrying the SAME (key,
+    * version) but different payloads resolve by arrival order — exactly
+    * like `latest` without tie-break columns — and replays of such a
+    * stream can converge on either payload; supply a total tie order
+    * when the version column alone is not unique per key.
     */
   def statefulLatest[K, T](ds: org.apache.spark.sql.Dataset[T])(
-      key: T => K, ver: T => Long)(
+      key: T => K, ver: T => Long, tie: T => Long = (_: T) => 0L)(
       implicit ek: org.apache.spark.sql.Encoder[K],
       et: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
     ds.groupByKey(key)
@@ -311,8 +344,11 @@ object CdcStream {
         org.apache.spark.sql.streaming.OutputMode.Update(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         (_: K, rows: Iterator[T], state: org.apache.spark.sql.streaming.GroupState[T]) =>
-          val incoming = rows.maxBy(ver)
-          val advances = state.getOption.forall(cur => ver(incoming) > ver(cur))
+          val incoming = rows.maxBy(t => (ver(t), tie(t)))
+          val advances = state.getOption.forall { cur =>
+            val a = (ver(incoming), tie(incoming)); val b = (ver(cur), tie(cur))
+            Ordering[(Long, Long)].gt(a, b)
+          }
           if (advances) {
             state.update(incoming)
             Iterator.single(incoming)
@@ -358,7 +394,7 @@ object CdcStream {
   def statefulLatestTws[K, T](
       ds: org.apache.spark.sql.Dataset[T],
       ttl: Option[java.time.Duration] = None)(
-      key: T => K, ver: T => Long)(
+      key: T => K, ver: T => Long, tie: T => Long = (_: T) => 0L)(
       implicit ek: org.apache.spark.sql.Encoder[K],
       et: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -369,8 +405,12 @@ object CdcStream {
           ttlConfig(ttl))
       override def handleInputRows(k: K, rows: Iterator[T],
           timers: TimerValues): Iterator[T] = {
-        val incoming = rows.maxBy(ver)
-        if (!cur.exists() || ver(incoming) > ver(cur.get())) {
+        val incoming = rows.maxBy(t => (ver(t), tie(t)))
+        val advances = !cur.exists() || {
+          val c = cur.get()
+          Ordering[(Long, Long)].gt((ver(incoming), tie(incoming)), (ver(c), tie(c)))
+        }
+        if (advances) {
           cur.update(incoming)
           Iterator.single(incoming)
         } else Iterator.empty

@@ -63,16 +63,29 @@ final class QueryMonitor(
       // post-filter ranges fake gaps at batch boundaries); the legacy
       // 3-column "cdc" shape is honored for externally-attached observes
       val offsets =
-        if (obs.containsKey("cdc_wal")) Some((obs.get("cdc_wal"), 0, 1))
+        if (obs.containsKey("cdc_wal")) Some((obs.get("cdc_wal"), 0, 1, Some(2)))
         else if (obs.containsKey("cdc") && obs.get("cdc").length >= 3)
-          Some((obs.get("cdc"), 1, 2))
+          Some((obs.get("cdc"), 1, 2, None))
         else None
-      offsets.foreach { case (row, lo, hi) =>
+      offsets.foreach { case (row, lo, hi, cnt) =>
         if (!row.isNullAt(lo) && !row.isNullAt(hi)) {
           val minOff = row.getLong(lo); val maxOff = row.getLong(hi)
           val prev = lastMaxOffset.getOrDefault(name, Long.MinValue)
           if (prev != Long.MinValue && minOff > prev + 1)
             onGap(name, prev, minOff) // "asked for X but got Y" — log and continue
+          // intra-batch density: min/max alone cannot witness a skip that
+          // falls ENTIRELY inside one micro-batch (under AvailableNow the
+          // whole backlog is often a single batch, muting the boundary
+          // check above completely). The pre-filter WAL offsets are dense
+          // and unique by the server contract, so fewer observed offsets
+          // than the span covers means the server skipped ticks inside
+          // this batch. (A redelivered duplicate inflates the count and
+          // could mask an equal-sized skip in the SAME batch — the
+          // boundary check still sees any skip that crosses batches.)
+          cnt.map(row.getLong).filter(_ > 0).foreach { n =>
+            val span = maxOff - minOff + 1
+            if (n < span) onGap(name, minOff, maxOff)
+          }
           lastMaxOffset.merge(name, maxOff, (a: Long, b: Long) => math.max(a, b))
         }
       }

@@ -88,6 +88,15 @@ object Sync {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(tableDir + ".deadletter")
+      else {
+        // a clean re-run must also CLEAR a previous snapshot's rejects:
+        // dynamic overwrite with zero rows writes nothing, so without
+        // this an operator auditing the E1 log sees phantom rejects the
+        // live snapshot never produced
+        val stale = new Path(tableDir + ".deadletter", "batch_id=-1")
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale)) fs.delete(stale, true)
+      }
       (n, nRejects)
     } finally cached.unpersist()
   }
@@ -111,16 +120,28 @@ object Sync {
       clock: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow(),
       queryName: Option[String] = None): Resync = {
-    // tick FIRST, then scan: anything committed after this point may be in
-    // the snapshot AND in the replayed stream — that overlap is the safe
-    // direction (idempotent); ticking after the scan would LOSE changes
-    val tick = currentTick(spark, walDir)
-    val (rows, rejects) = snapshot(spark, collection, config, tableDir)
-    val query = CdcStream.startReplication(
-      wal, config, payloadSchema, tableDir, checkpointDir,
-      collectionIds = collectionIds, initialTick = Some(tick),
-      clock = clock, trigger = trigger, queryName = queryName)
-    Resync(tick, rows, rejects, query)
+    // the live-writer guard must run BEFORE the snapshot swap: resyncing
+    // a table whose old replication query is still appending would first
+    // replace the live dir (the old query's replayed pre-snapshot
+    // changes, with _ver > 0, would then outrank the fresh _ver=0
+    // snapshot rows — resurrecting exactly the state the resync is
+    // discarding) and only then fail fast in startReplication. Holding
+    // the dir monitor across snapshot + start also keeps a concurrent
+    // start out of the window between them (the monitor is reentrant,
+    // so startReplication's own lock nests).
+    CdcStream.withTableDirLock(tableDir) {
+      CdcStream.requireNoActiveWriter(tableDir)
+      // tick FIRST, then scan: anything committed after this point may be in
+      // the snapshot AND in the replayed stream — that overlap is the safe
+      // direction (idempotent); ticking after the scan would LOSE changes
+      val tick = currentTick(spark, walDir)
+      val (rows, rejects) = snapshot(spark, collection, config, tableDir)
+      val query = CdcStream.startReplication(
+        wal, config, payloadSchema, tableDir, checkpointDir,
+        collectionIds = collectionIds, initialTick = Some(tick),
+        clock = clock, trigger = trigger, queryName = queryName)
+      Resync(tick, rows, rejects, query)
+    }
   }
 
   /** Resync against a [[graft.sources.CollectionSource]] — the transport-

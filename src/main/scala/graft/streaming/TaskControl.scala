@@ -41,7 +41,11 @@ final class TaskControl(
   def status(name: String): String =
     running.get(name) match {
       case Some(q) if q.isActive => "ACTIVE"
-      case Some(q) if q.exception.isDefined => "ERROR"
+      // an operator-acknowledged final status (COMPLETE/INACTIVE after
+      // the failure) outranks the stale exception — otherwise a task
+      // whose query once failed reports ERROR forever, even after its
+      // stop command was accepted and replied to
+      case Some(q) if q.exception.isDefined => stopped.getOrElse(name, "ERROR")
       case Some(_) => stopped.getOrElse(name, "INACTIVE")
       case None => stopped.getOrElse(name, "NOT_STARTED")
     }

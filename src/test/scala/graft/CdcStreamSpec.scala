@@ -297,6 +297,42 @@ class CdcStreamSpec extends SparkSpec {
     assert(got === Set((1L, 10L, "first"), (2L, 20L, "only"), (1L, 30L, "newer")))
   }
 
+  test("statefulLatest version ties resolve by the tie order, independent of arrival") {
+    import spark.implicits._
+    // two payloads with the SAME (key, version): the tie order (payload
+    // length here — the typed twin of ReplicaTable.latest's tieBreak
+    // columns) must pick the same winner whichever arrives first
+    def run(first: String, second: String, tag: String): Set[(Long, Long, String)] = {
+      val srcDir = tmp(s"tie-$tag"); val ckpt = tmp(s"tieck-$tag")
+      Files.write(srcDir.resolve("a.json"), java.util.Arrays.asList(first))
+      Files.write(srcDir.resolve("b.json"), java.util.Arrays.asList(second))
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("k", LongType),
+          StructField("v", LongType), StructField("val", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(srcDir.toString)
+        .as[(Long, Long, String)]
+      val changelog = CdcStream.statefulLatest(src)(
+        _._1, _._2, t => t._3.length.toLong)
+      val q = changelog.writeStream
+        .format("memory").queryName(s"tie_$tag").outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(s"tie_$tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val lo = """{"k":1,"v":10,"val":"bb"}"""  // tie 2
+    val hi = """{"k":1,"v":10,"val":"ccc"}""" // tie 3
+    val fwd = run(lo, hi, "fwd") // hi arrives second: advances over lo
+    val rev = run(hi, lo, "rev") // lo arrives second: must NOT advance
+    assert(fwd === Set((1L, 10L, "bb"), (1L, 10L, "ccc")),
+      "the higher tie did not advance the state")
+    assert(rev === Set((1L, 10L, "ccc")),
+      "a lower tie re-delivered after the winner regressed the state")
+  }
+
   test("watermarked tumbling window emits closed windows in append mode") {
     val srcDir = tmp("ev"); val ckpt = tmp("ck")
     val lines = Seq(

@@ -82,6 +82,45 @@ class ProducerSpec extends SparkSpec {
     } finally spark.streams.removeListener(mon)
   }
 
+  test("an offset skip entirely inside one micro-batch is flagged (density)") {
+    import java.nio.file.Files
+    import graft.config.{ColumnSpec, TableConfig}
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.types._
+
+    var gaps = List.empty[(Long, Long)]
+    val mon = new QueryMonitor(onGap = (_, a, b) => gaps ::= (a, b))
+    spark.streams.addListener(mon)
+    try {
+      val walDir = Files.createTempDirectory("waldense")
+      val tableDir = Files.createTempDirectory("tbldense").resolve("t")
+      // ONE file -> ONE micro-batch covering offsets 12..21 with ticks
+      // 14-20 skipped by the server: the boundary check has no previous
+      // batch to compare against, so only the density check (3 observed
+      // offsets over a span of 10) can witness the loss
+      Files.write(walDir.resolve("a.json"), java.util.Arrays.asList(
+        """{"offset":12,"tick":"12","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":1,\"v\":\"1\"}"}""",
+        """{"offset":13,"tick":"13","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":2,\"v\":\"2\"}"}""",
+        """{"offset":21,"tick":"21","type":2300,"db":"d","cuid":"c1","tid":"t","data":"{\"k\":3,\"v\":\"3\"}"}"""))
+      val config = TableConfig("Doc", Seq(
+        ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+        ColumnSpec("V", Seq("float"), ref = Some("v"))))
+      val q = CdcStream.startReplication(
+        CdcStream.walFileSource(spark, walDir.toString),
+        config,
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+        tableDir.toString, Files.createTempDirectory("ckdense").toString,
+        queryName = Some("mon_dense"))
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.processedCount("mon_dense") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(mon.processedCount("mon_dense") === 3)
+      assert(gaps === List((12L, 21L)),
+        "the intra-batch skip was not flagged by the density check")
+    } finally spark.streams.removeListener(mon)
+  }
+
   test("filtered WAL entries at a batch boundary do not fake a gap (E2 is pre-filter)") {
     import java.nio.file.Files
     import graft.config.{ColumnSpec, TableConfig}

@@ -125,6 +125,57 @@ class SyncSpec extends SparkSpec {
     assert(dead.count() === 1)
   }
 
+  test("a clean re-run snapshot clears the previous run's rejects") {
+    import spark.implicits._
+    val tableDir = tmp("tbl-rerun")
+    val bad = Seq((Some(1L), "1.0"), (None, "no key")).toDF("k", "v")
+    Sync.snapshot(spark, bad, config, tableDir.toString)
+    assert(spark.read.parquet(tableDir.toString + ".deadletter").count() === 1)
+    // source fixed upstream; the re-run has zero rejects and must not
+    // leave the stale batch_id=-1 partition reporting phantom rejects
+    val clean = Seq((Some(1L), "1.0"), (Some(2L), "2.0")).toDF("k", "v")
+    val (rows, rejects) = Sync.snapshot(spark, clean, config, tableDir.toString)
+    assert(rows === 2L && rejects === 0L)
+    assert(!new java.io.File(tableDir.toString + ".deadletter/batch_id=-1").exists,
+      "stale snapshot rejects survived a clean re-run")
+  }
+
+  test("resync refuses an active writer BEFORE swapping the table") {
+    import spark.implicits._
+    val walDir = tmp("wal"); val tableDir = tmp("tbl-guard")
+    Files.write(walDir.resolve("wal-1-10.json"), java.util.Arrays.asList(
+      walLine(10, 10, 2300, """{"k": 1, "v": "1.0"}""")))
+    val r1 = Sync.resync(spark, Seq((1L, "1.0")).toDF("k", "v"),
+      CdcStream.walFileSource(spark, walDir.toString), walDir.toString,
+      config, payloadSchema, tableDir.toString, tmp("ck1").toString,
+      Seq("c1"), clock,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), None)
+    r1.query.awaitTermination()
+    val before = current(tableDir)
+    assert(before.nonEmpty)
+    // a LIVE writer on the same dir (ProcessingTime keeps it active)
+    val live = CdcStream.startReplication(
+      CdcStream.walFileSource(spark, walDir.toString), config, payloadSchema,
+      tableDir.toString, tmp("ck2").toString, Seq("c1"), clock = clock,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      queryName = Some("live_writer_guard"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sync.resync(spark, Seq((9L, "9.0")).toDF("k", "v"),
+          CdcStream.walFileSource(spark, walDir.toString), walDir.toString,
+          config, payloadSchema, tableDir.toString, tmp("ck3").toString,
+          Seq("c1"), clock,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(), None)
+      }
+      assert(e.getMessage.contains("already appending"))
+      // the guard fired BEFORE the snapshot swap: the k=9 snapshot never
+      // replaced the live table (the old corruption mode swapped first,
+      // failed after)
+      assert(current(tableDir) === before,
+        "the refused resync still swapped the table")
+    } finally live.stop()
+  }
+
   test("validateTables enforces the configured allowlist (F5)") {
     assert(Sync.validateTables(Seq("a", "b"), Seq("b", "a", "c")) === Seq("a", "b"))
     assert(Sync.validateTables(Nil, Seq("a")) === Nil)

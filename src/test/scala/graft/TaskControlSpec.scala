@@ -54,6 +54,30 @@ class TaskControlSpec extends SparkSpec {
     } finally spark.streams.active.foreach(_.stop())
   }
 
+  test("an acknowledged final status outranks a stale failure") {
+    val ckpt = java.nio.file.Files.createTempDirectory("tcfail")
+    val starter = () =>
+      spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .writeStream
+        .option("checkpointLocation", s"$ckpt/c")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom")
+        }
+        .trigger(Trigger.ProcessingTime("0 seconds"))
+        .start()
+    val tc = new TaskControl(Map("orders" -> starter), (_, _) => ())
+    tc.onMessage("orders", "ACTIVE")
+    val deadline = System.currentTimeMillis() + 30000
+    while (tc.status("orders") == "ACTIVE" && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(tc.status("orders") === "ERROR")
+    // the operator acknowledges and finishes the task; previously the
+    // stale exception shadowed the accepted final status forever
+    tc.onMessage("orders", "COMPLETE")
+    assert(tc.status("orders") === "COMPLETE",
+      "the acknowledged COMPLETE must outrank the stale exception")
+  }
+
   test("unknown task and unknown verb fail loudly") {
     val (tc, _) = harness()
     intercept[IllegalArgumentException] { tc.onMessage("nope", "ACTIVE") }
