@@ -58,10 +58,21 @@ object ConfigYaml {
     }
     val schema = root.obj("schema")
     val pks: Set[String] = schema.get("primary_key") match {
-      case Some(s: String)      => Set(s)
-      case Some(xs: Vector[_])  => xs.map(_.toString).toSet
-      case _                    => Set.empty
+      case Some(xs: Vector[_]) => xs.map(_.toString).toSet
+      case Some(null) | None   => Set.empty
+      // any scalar (a numeric column name parses as Long) is a key name
+      case Some(other)         => Set(other.toString)
     }
+    // validate NOW, against the declared properties: a typo'd key name
+    // would otherwise mark no column primaryKey at all — silently
+    // disabling key enforcement (SchemaTransform stops dead-lettering
+    // key-less rows) with the failure surfacing, if ever, far away in
+    // table DDL
+    val declared = schema.obj("properties").fields.map(_._1).toSet
+    val unknownPks = pks.diff(declared)
+    require(unknownPks.isEmpty,
+      s"schema.primary_key names ${unknownPks.mkString(", ")} are not " +
+        s"declared properties (declared: ${declared.toSeq.sorted.mkString(", ")})")
     val columns = schema.obj("properties").fields
       .filterNot { case (n, _) => n == versionColumn || n == deletedColumn }
       .map {

@@ -69,8 +69,15 @@ object HashFunctions {
       .conv(org.apache.spark.sql.functions.substring(
         org.apache.spark.sql.functions.md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
+    // null id -> null split (no otherwise): an `otherwise("test")` would
+    // sweep every null-id row into the test partition — silently
+    // inflating/contaminating the most sensitive split with exactly the
+    // rows whose identity is broken. (The DuckDB oracle twins spell the
+    // rule as CASE ... ELSE 'test' over table-key/join-key columns,
+    // which are non-null by construction there, so the two engines
+    // agree on every reachable input.)
     org.apache.spark.sql.functions.when(bucket < 80, "train")
-      .when(bucket < 90, "val").otherwise("test")
+      .when(bucket < 90, "val").when(bucket.isNotNull, "test")
   }
 
   /** Driver-side twin of [[md5NumberBigEndian]]. */

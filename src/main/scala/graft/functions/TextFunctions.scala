@@ -26,6 +26,14 @@ object TextFunctions {
     * array index IS the token position. Built with sequence+transform
     * (codegen'd), no explode needed until the caller wants rows.
     */
+  /** NULL-input contract: a NULL words array yields an EMPTY array, not
+    * NULL — deliberate, not an oversight. Every shingle consumer treats
+    * "no shingles" as "participates in nothing" (empty explodes to zero
+    * rows; Jaccard/df universes simply omit the doc), and the DuckDB
+    * oracles are written against that convention (192/192 green). A
+    * null-propagating variant would reintroduce the d7 phantom-pair
+    * class (NULL rows surviving into pair frames via outer explodes).
+    */
   def kgrams(words: Column, k: Int): Column = {
     // guard: sequence(1, n) DESCENDS when n < 1, so short docs must
     // short-circuit to an empty array instead

@@ -70,16 +70,21 @@ case class VecDotFold(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // numElements() hoisted: a virtual call per element in the hottest
+      // scalar (O(Q x N x D) dot products) is pure overhead, and Spark's
+      // own array codegen hoists the same way
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
          |  int $i = 0;
-         |  for (; $i < $a.numElements(); $i++) {
+         |  for (; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $getA * $getB;
          |  }

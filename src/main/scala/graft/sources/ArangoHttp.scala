@@ -33,6 +33,21 @@ import org.apache.spark.sql.types.StructType
   */
 object ArangoHttp {
 
+  private val tickMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Tick of one tail line; None for tick-less OR malformed lines
+    * (server status/marker noise, a proxy's HTML error fragment inside a
+    * 200 NDJSON body, a non-numeric tick). A throw here would
+    * poison-livelock the pump — crash, supervisor restart at the same
+    * high-water mark, the same tail window returns the same line, crash
+    * again — so unparseable lines are DROPPED (they cannot be spooled
+    * into tick-named chunks anyway); WalChunkReader applies the same
+    * discipline to spooled chunks.
+    */
+  private[graft] def tickOf(l: String): Option[Long] =
+    try Option(tickMapper.readTree(l).get("tick")).flatMap { n =>
+      if (n.isTextual) n.asText.toLongOption else Some(n.asLong)
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+
   /** The reference's WAL chunk bound (`settings.yaml:32`): no single
     * tail call — and no single spooled chunk — may exceed this many
     * entries, so a long-offline pump resuming against a busy upstream
@@ -80,6 +95,7 @@ object ArangoHttp {
       .connectTimeout(java.time.Duration.ofMillis(cfg.timeoutMs.toLong))
       .build()
     private val mapper = new ObjectMapper()
+
     private val auth = "Basic " + java.util.Base64.getEncoder.encodeToString(
       s"${cfg.user}:${cfg.password}".getBytes(StandardCharsets.UTF_8))
 
@@ -243,17 +259,12 @@ object ArangoHttp {
         s"/_db/${cfg.db}/_api/wal/tail?from=$fromTick&chunkSize=$chunkSize", None)
       val lines = resp.body().linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       val header = resp.headers().firstValue("X-Arango-Replication-Lastincluded")
-      val last =
-        if (header.isPresent) header.get.toLong
-        else if (lines.isEmpty) 0L
-        else lines.flatMap { l => // header-less server: derive from payload
-          // a line WITHOUT a tick (server status/marker noise) cannot
-          // advance the cursor and must not NPE the whole tail — one
-          // such line would otherwise poison-livelock the pump (crash,
-          // restart from the same high-water mark, crash again)
-          Option(mapper.readTree(l).get("tick"))
-            .map(n => if (n.isTextual) n.asText.toLong else n.asLong)
-        }.maxOption.getOrElse(0L)
+      val last = (if (header.isPresent) header.get.toLongOption else None)
+        .getOrElse {
+          if (lines.isEmpty) 0L
+          // header-less (or malformed-header) server: derive from payload
+          else lines.flatMap(tickOf).maxOption.getOrElse(0L)
+        }
       (lines, last)
     }
   }
@@ -449,13 +460,8 @@ final case class ArangoHttpCollectionSource(
         // re-include the boundary entry (inclusive-bound looseness) or
         // replay already-spooled ticks — those are durable already and
         // are DROPPED here, never re-spooled.
-        val ticked = lines.flatMap { l =>
-          // tick-less lines (server status/marker noise) are dropped —
-          // they cannot be spooled into tick-named chunks, and an NPE
-          // here would poison-livelock the pump on the same line forever
-          Option(mapper.readTree(l).get("tick"))
-            .map(n => (if (n.isTextual) n.asText.toLong else n.asLong, l))
-        }.filter(_._1 > cursor).sortBy(_._1)
+        val ticked = lines.flatMap(l => ArangoHttp.tickOf(l).map(_ -> l))
+          .filter(_._1 > cursor).sortBy(_._1)
         if (ticked.isEmpty) {
           // nothing spoolable — but if the server's last-included tick
           // advanced, the response was a pure REPLAY window: move the

@@ -63,12 +63,16 @@ class ArangoScanSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    def req(k: String): String = Option(properties.get(k)).getOrElse(
+    // DSv2 options are case-insensitive by contract (getTable receives
+    // the original-case map): a wrongly-cased numPartitions/batchSize
+    // must tune the scan, not silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    def req(k: String): String = Option(opts.get(k)).getOrElse(
       throw new IllegalArgumentException(s"graft arango scan requires option '$k'"))
-    val numPartitions = Option(properties.get("numPartitions"))
+    val numPartitions = Option(opts.get("numPartitions"))
       .map(_.toInt).getOrElse(1)
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
-    val batchSize = Option(properties.get("batchSize")).map(_.toInt).getOrElse(10000)
+    val batchSize = Option(opts.get("batchSize")).map(_.toInt).getOrElse(10000)
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     new ArangoScanTable(
       ArangoHttp.Config(req("url"), req("db"), req("user"), req("password")),

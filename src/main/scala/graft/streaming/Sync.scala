@@ -158,15 +158,20 @@ object Sync {
       collectionIds: Seq[String],
       clock: Column,
       trigger: Trigger,
-      queryName: Option[String]): Resync = {
-    val tick = source.currentTick(spark)
-    val (rows, rejects) = snapshot(spark, source.snapshot(spark), config, tableDir)
-    val query = CdcStream.startReplication(
-      source.changes(spark), config, payloadSchema, tableDir, checkpointDir,
-      collectionIds = collectionIds, initialTick = Some(tick),
-      clock = clock, trigger = trigger, queryName = queryName)
-    Resync(tick, rows, rejects, query)
-  }
+      queryName: Option[String]): Resync =
+    // same guard-before-swap + dir-monitor discipline as the DataFrame
+    // overload above — a live writer must fail the resync BEFORE the
+    // snapshot replaces the table, whatever the transport
+    CdcStream.withTableDirLock(tableDir) {
+      CdcStream.requireNoActiveWriter(tableDir)
+      val tick = source.currentTick(spark)
+      val (rows, rejects) = snapshot(spark, source.snapshot(spark), config, tableDir)
+      val query = CdcStream.startReplication(
+        source.changes(spark), config, payloadSchema, tableDir, checkpointDir,
+        collectionIds = collectionIds, initialTick = Some(tick),
+        clock = clock, trigger = trigger, queryName = queryName)
+      Resync(tick, rows, rejects, query)
+    }
 
   /** F5 table-allowlist validation (reference replicate.py:8-23): every
     * requested table must be in the configured sync list; violations fail

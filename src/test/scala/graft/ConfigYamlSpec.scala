@@ -142,6 +142,22 @@ class ConfigYamlSpec extends SparkSpec {
     assert(row.getString(0) === "87.0" && row.getString(1) === "view")
   }
 
+  test("a primary_key naming no declared property fails loudly") {
+    // a typo'd key would otherwise mark NO column primaryKey — silently
+    // disabling key enforcement until table-DDL time, if ever
+    val bad = yaml.replace("primary_key: Id", "primary_key: Idd")
+    val e = intercept[IllegalArgumentException] {
+      ConfigYaml.tableConfig(bad)
+    }
+    assert(e.getMessage.contains("Idd") && e.getMessage.contains("not"))
+    // a NUMERIC scalar key name is a name like any other — validated,
+    // not silently dropped to "no keys" (it parses as Long)
+    val num = intercept[IllegalArgumentException] {
+      ConfigYaml.tableConfig(yaml.replace("primary_key: Id", "primary_key: 123"))
+    }
+    assert(num.getMessage.contains("123"))
+  }
+
   test("inline lists respect quoted commas and reject unterminated quotes") {
     val n = ConfigYaml.parse("vals: ['a, b', c, \"d,e\"]\n")
     assert(n.get("vals") === Some(Vector("a, b", "c", "d,e")))
