@@ -11,19 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // the persisted index/signature defaults re-read bucketed tables;
-      // these two let the bucket LAYOUT carry the join/agg distribution
-      // (exchange-free re-reads — see BlockedSelfJoin.pairsPersisted)
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup pass: every query once at the smallest SF. Spark's codegen
@@ -60,7 +48,9 @@ object Bench {
       // only a COMPLETED pass records a timing: a throwing query must
       // not enter `best` with its elapsed-until-failure time and
       // masquerade as a fast one (ADVICE r4) — it lands in `failed`
-      // instead (cleared if a later pass succeeds)
+      // instead. A name stays in `failed` even when ANOTHER pass
+      // succeeded: a flaky query must be visible in the artifact, not
+      // ship as a clean timing with an empty failed list
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
@@ -70,19 +60,22 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e")
       }
     }
-    val neverRan = (failed -- best.keySet).toSeq.sorted
+    val anyFailed = failed.toSeq.sorted
     val results = ordered.flatMap { case (name, _) => best.get(name).map(name -> _) }
     // Locale.ROOT, explicitly: the default-locale f-interpolator renders
     // 1,234 on comma-decimal locales — an invalid-JSON bench line the
     // driver's parse would zero out
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // names and sfDir go through Verify.q: a quote/backslash/control
+    // char in SPARK_GRAFT_SF_DIR would otherwise emit an invalid JSON
+    // line and zero the round's bench data at the driver's parse
+    val qs = results.map { case (k, v) => Verify.q(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
-    val fs = neverRan.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = anyFailed.map(Verify.q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${Verify.q(sfDir)}}"""
     println(json)
     // The driver records only a bounded TAIL of stdout; at 111 queries
     // the JSON line outgrows it and the driver's parse comes back null

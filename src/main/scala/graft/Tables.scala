@@ -23,10 +23,20 @@ object Tables {
     * DuckDB's interpretation bit-for-bit). Dispatch on the loaded schema so a
     * fixture regeneration can never silently break the catalog again.
     */
+  /** ts-type probe results per path: the probe is its own full schema
+    * inference (file listing + footer parse), the result never changes
+    * within a run, and the catalog loads events hundreds of times per
+    * Verify/Bench sweep — memoized, the probe runs once per path.
+    * (FixtureCanarySpec still catches an in-place regeneration: it runs
+    * in a fresh JVM.)
+    */
+  private val tsTypes = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.DataType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       val path = s"$dir/$name.parquet"
-      val tsType = scala.util
+      val tsType = tsTypes.computeIfAbsent(path, _ => scala.util
         .Try(spark.read.parquet(path).schema("ts").dataType)
         .getOrElse {
           // Schema inference itself rejects TIMESTAMP(NANOS) unless the
@@ -34,7 +44,7 @@ object Tables {
           // safe to leave set for the rest of a legacy-fixture session.
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path).schema("ts").dataType
-        }
+        })
       val df = spark.read.parquet(path)
       tsType match {
         case TimestampType    => df

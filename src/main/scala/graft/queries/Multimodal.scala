@@ -41,24 +41,35 @@ object MultimodalQ {
     * Synthesis runs in the same mapPartitions codec seam as the decode
     * (distributed; no driver-side image loop).
     */
-  private def pngMedia(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted-media synthesis seam shared by m2's constant PNGs,
+    * m6's PCM WAVs and m7's gradient PNGs: every Nth doc contributes one
+    * artifact, synthesized in the same mapPartitions codec seam the
+    * decodes run in (distributed, ImageIO's file cache off once per
+    * batch), planted at doc_id + offset. One definition — a seam fix
+    * (this init, the encoder, the planting convention) lands once.
+    */
+  private def plantedMedia(
+      spark: SparkSession, dir: String, every: Int, offset: Long,
+      fmt: String)(synth: Long => Array[Byte]): DataFrame = {
     import org.apache.spark.sql.Row
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(M.mediaSchema)
     Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 25 === 0)
+      .filter(col("doc_id") % every === 0)
       .select(col("doc_id"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
-          val png = M.syntheticPng(
-            w = 1 + (id % 7).toInt, h = 1 + (id % 5).toInt,
-            v = (id % 256).toInt)
-          Row(id + 2000000L, png, "image/png")
+          Row(id + offset, synth(id), fmt)
         }
       }(enc)
   }
+
+  private def pngMedia(spark: SparkSession, dir: String): DataFrame =
+    plantedMedia(spark, dir, every = 25, offset = 2000000L, fmt = "image/png")(
+      id => M.syntheticPng(
+        w = 1 + (id % 7).toInt, h = 1 + (id % 5).toInt, v = (id % 256).toInt))
 
   /** mapPartitions decode over text stand-ins PLUS planted real PNGs:
     * the per-partition batch plumbing runs distributed; the PNG rows
@@ -124,6 +135,7 @@ object MultimodalQ {
       |FROM (SELECT 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
       |             doc_id % 256 AS v
       |      FROM documents WHERE doc_id % 25 = 0)
+      |GROUP BY 1
       |ORDER BY format""".stripMargin
   }
 
@@ -259,23 +271,12 @@ object MultimodalQ {
     * one tiny hash agg on sample_rate.
     */
   def m6AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(M.mediaSchema)
-    val wavs = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val wav = M.syntheticWav(
-            sampleRate = 8000 * (1 + (id % 3).toInt),
-            channels = 1 + (id % 2).toInt,
-            nFrames = 40 + (id % 60).toInt,
-            amp = (id % 200).toInt - 100)
-          Row(id + 3000000L, wav, "audio/wav")
-        }
-      }(enc)
+    val wavs = plantedMedia(spark, dir, every = 20, offset = 3000000L,
+        fmt = "audio/wav")(id => M.syntheticWav(
+      sampleRate = 8000 * (1 + (id % 3).toInt),
+      channels = 1 + (id % 2).toInt,
+      nFrames = 40 + (id % 60).toInt,
+      amp = (id % 200).toInt - 100))
     M.audioFeatures(wavs)
       .groupBy(col("sample_rate").cast("long").as("sample_rate"))
       .agg(count(lit(1)).as("n_media"),
@@ -310,21 +311,9 @@ object MultimodalQ {
     * materialize beyond their task.
     */
   def m7ThumbnailAudit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(M.mediaSchema)
-    val gradients = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 25 === 0)
-      .select(col("doc_id"))
-      .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val png = M.syntheticGradientPng(
-            w = 4 + (id % 9).toInt, h = 4 + (id % 7).toInt, seed = id)
-          Row(id + 4000000L, png, "image/png")
-        }
-      }(enc)
+    val gradients = plantedMedia(spark, dir, every = 25, offset = 4000000L,
+        fmt = "image/png")(id => M.syntheticGradientPng(
+      w = 4 + (id % 9).toInt, h = 4 + (id % 7).toInt, seed = id))
     M.thumbnailFeatures(gradients, tw = 3, th = 3)
       .orderBy(col("media_id"))
   }
