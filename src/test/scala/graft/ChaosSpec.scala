@@ -161,6 +161,43 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { dropFamily("cc_chaos_k0"); dropFamily("cc_chaos_k1") }
   }
 
+  test("streaming MMR twin survives first-attempt task failures with batch-identical rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Vectors.v28MmrDiversify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.nonEmpty)
+    val arrivals = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val src = java.nio.file.Files.createTempDirectory("mmr-chaos")
+    val ckpt = java.nio.file.Files.createTempDirectory("mmr-chaos-ck")
+    arrivals.write.parquet(src.resolve("q").toString)
+    // the fuse sits in the ARRIVAL lineage of the micro-batch: its tasks
+    // fail on first attempt and the batch completes only via real retries
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(arrivals.schema)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .parquet(src.resolve("q").toString)
+      .mapPartitions { it => ChaosFuse.detonateMaybe(); it }(enc)
+    ChaosFuse.arm(2)
+    val q = graft.streaming.RetrievalStream
+      .streamMmrDiversify(stream, graft.Tables.load(spark, dir, "embeddings"))
+      .writeStream.format("memory").queryName("mmr_chaos")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(ChaosFuse.fired.get() >= 1,
+      "the fuse never detonated inside the micro-batch")
+    val got = spark.table("mmr_chaos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got === batch,
+      "rows diverged from batch v28 after surviving real task retries")
+  }
+
   test("PersistedIndex build survives task failures: complete, correct, reused") {
     val base = "graft_chaos_idx"
     val dir = "/root/testdata/sf0.001"
