@@ -156,4 +156,38 @@ class PropertySpec extends SparkSpec {
       assert(t.valid.count() + t.errors.count() === raws.size.toLong, s"seed=$seed")
     }
   }
+
+  test("property: p28 priority is weight-monotone — raising a doc's weight never hurts its rank") {
+    import spark.implicits._
+    // the division surrogate's load-bearing property: for a FIXED hash u,
+    // priority u/w strictly falls as w rises, so a heavier doc can only
+    // move up (or stay) in its source's pick order while everyone else's
+    // priority is untouched. Verified over seeded corpora by ranking the
+    // same docs under w and under w' = w with one doc's weight doubled.
+    val c = 1L << 62
+    def priority(id: Long, w: Long): Double = {
+      val u = ((graft.functions.HashFunctions
+        .md5NumberBigEndianLocal(s"ws:$id") % c) + c) % c
+      u.toDouble / math.max(w, 1L).toDouble
+    }
+    for (seed <- 1L to 10L) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map(id => id -> (1L + rnd.nextInt(500)))
+      def rankOf(ws: Map[Long, Long], id: Long): Int = docs.map(_._1)
+        .sortBy(d => (priority(d, ws(d)), d)).indexOf(id)
+      val base = docs.toMap
+      val target = rnd.nextInt(40).toLong
+      val boosted = base.updated(target, base(target) * 2)
+      assert(rankOf(boosted, target) <= rankOf(base, target),
+        s"seed=$seed: doubling doc $target's weight worsened its rank")
+      // and nobody else's PRIORITY moved (their relative order among
+      // themselves is untouched by construction)
+      docs.map(_._1).filter(_ != target).foreach { d =>
+        assert(priority(d, base(d)) === priority(d, boosted(d)), s"seed=$seed doc $d")
+      }
+    }
+    // the Spark-side query agrees with the same priority function on the
+    // real corpus (already pinned value-exactly by TrainingOpsSpec; this
+    // property run stays driver-side and fixture-free by design)
+  }
 }

@@ -185,7 +185,12 @@ class ScalingSpec extends SparkSpec {
     // gates compare against corpusRatio × v001
     ("p27_rank_fusion", "documents", false, 2.0),
     ("v28_mmr_diversify", "embeddings", true, 2.0),
-    ("v29_silhouette", "embeddings", false, 2.0))
+    ("v29_silhouette", "embeddings", false, 2.0),
+    // v31's widest is the coarse rank window over the Q × N int8 scores
+    // — corpus-linear by design; the refine side is Q × 30 and must
+    // never become corpus-keyed (that would mean a second corpus pass
+    // per query, the exact thing the two-stage shape exists to avoid)
+    ("v31_rerank_refine", "embeddings", false, 2.0))
 
   test("retrieval family: widest exchange stays corpus-linear; fused frames never corpus-keyed") {
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
