@@ -176,6 +176,36 @@ class SyncSpec extends SparkSpec {
     } finally live.stop()
   }
 
+  test("the CollectionSource resync overload refuses an active writer before the swap too") {
+    import spark.implicits._
+    val walDir = tmp("wal"); val tableDir = tmp("tbl-guard2"); val colDir = tmp("col")
+    Files.write(walDir.resolve("wal-1-10.json"), java.util.Arrays.asList(
+      walLine(10, 10, 2300, """{"k": 1, "v": "1.0"}""")))
+    Seq((1L, "1.0")).toDF("k", "v").write.parquet(colDir.resolve("c").toString)
+    val source = graft.sources.FileCollectionSource(
+      colDir.resolve("c").toString, walDir.toString)
+    val r1 = Sync.resync(spark, source, config, payloadSchema,
+      tableDir.toString, tmp("ck1").toString, Seq("c1"), clock,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), None)
+    r1.query.awaitTermination()
+    val before = current(tableDir)
+    val live = CdcStream.startReplication(
+      CdcStream.walFileSource(spark, walDir.toString), config, payloadSchema,
+      tableDir.toString, tmp("ck2").toString, Seq("c1"), clock = clock,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      queryName = Some("live_writer_guard2"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sync.resync(spark, source, config, payloadSchema,
+          tableDir.toString, tmp("ck3").toString, Seq("c1"), clock,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(), None)
+      }
+      assert(e.getMessage.contains("already appending"))
+      assert(current(tableDir) === before,
+        "the refused source-overload resync still swapped the table")
+    } finally live.stop()
+  }
+
   test("validateTables enforces the configured allowlist (F5)") {
     assert(Sync.validateTables(Seq("a", "b"), Seq("b", "a", "c")) === Seq("a", "b"))
     assert(Sync.validateTables(Nil, Seq("a")) === Nil)
