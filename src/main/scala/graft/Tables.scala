@@ -45,6 +45,13 @@ object Tables {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path).schema("ts").dataType
         })
+      // The memo is keyed by path but the legacy conf lives on the SESSION
+      // that ran the probe: a second session in the same JVM hits the cache,
+      // skips the conf-set, and the read below would throw on a NANOS
+      // fixture (ADVICE r13) — re-assert the conf whenever the cached type
+      // says this fixture needs it.
+      if (tsType == LongType)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path)
       tsType match {
         case TimestampType    => df

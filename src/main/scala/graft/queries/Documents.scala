@@ -1418,12 +1418,16 @@ object Documents {
     // autoBroadcast threshold at the two-decade gate's third point, and
     // flipped the semi/anti joins below to corpus-sized doc_id shuffles
     // — the fixed-shard delta re-paid the base, 810 -> 227,710 rows
-    // (ScalingSpec two-decade gate, the exact failure it exists to catch)
-    val affected = broadcast(idx.filter(!isShard)
-      .join(newlyDup, Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
-      .distinct())
+    // (ScalingSpec two-decade gate, the exact failure it exists to catch).
+    // The hint is ENFORCED, not assumed: maybeBroadcastShardDelta counts
+    // the shard's index slice first, so an oversized delta (bulk
+    // backfill) degrades to a shuffle join instead of a driver OOM.
+    val affected = maybeBroadcastShardDelta(spark, idx, isShard,
+      idx.filter(!isShard)
+        .join(newlyDup, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
+        .distinct())
     // spans are per-doc, so restricting BEFORE the merge window is
     // equivalent to merging everything and discarding after — and the
     // window only sorts the docs whose spans actually survive
@@ -1436,6 +1440,33 @@ object Documents {
         .join(affected, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("pos")), k)
     kept.unionByName(recomputed).orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Rows above which a shard-delta frame is NOT broadcast and the
+    * affected-doc joins degrade to a shuffle. 4M doc_ids ≈ 32 MB on the
+    * driver — comfortably inside default driver memory, far above any
+    * sane shard. Overridable per session (`graft.incremental
+    * .broadcastDeltaMax`) for clusters with tighter driver budgets.
+    */
+  private val DeltaBroadcastMaxKey = "graft.incremental.broadcastDeltaMax"
+
+  /** Broadcast a shard-delta doc_id frame under the shard-adjacent-size
+    * invariant, ENFORCED rather than assumed (ADVICE r13: an unguarded
+    * hint turns an oversized delta — a bulk backfill, or the invariant
+    * quietly broken — into a driver OOM with no fallback). The witness
+    * is one count over the SHARD's slice of the index: a newly-dup hash
+    * has exactly one base occurrence, so |affected| <= shard k-grams
+    * (base docs holding a newly-dup hash) + shard docs <= 2 × shard
+    * index rows — a shard-sized count, the cheapest corpus-derived
+    * bound, never the delta chain re-run. Over the ceiling the frame is
+    * returned unhinted and the joins shuffle — slow, never fatal.
+    */
+  private def maybeBroadcastShardDelta(
+      spark: SparkSession, idx: DataFrame, isShard: Column,
+      affected: DataFrame): DataFrame = {
+    val ceiling = spark.conf.get(DeltaBroadcastMaxKey, "4000000").toLong
+    val shardKgrams = idx.filter(isShard).count()
+    if (2 * shardKgrams <= ceiling) broadcast(affected) else affected
   }
 
   /** The shared base+shard k-gram index (one-time build per corpus:
@@ -1480,11 +1511,13 @@ object Documents {
     val newlyDup = dupHashes(idx).join(dupHashes(base), Seq("h"), "left_anti")
     // broadcast: same shard-adjacent-size invariant as the catalog d20
     // (see d20IncrementalSpans) — this probe is where the two-decade
-    // gate measured the un-broadcast plan re-paying the corpus
-    val affected = broadcast(base.join(newlyDup, Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
-      .distinct())
+    // gate measured the un-broadcast plan re-paying the corpus; same
+    // count-enforced ceiling as the catalog query
+    val affected = maybeBroadcastShardDelta(spark, idx, isShard,
+      base.join(newlyDup, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())
+        .distinct())
     mergeSpans(idx.join(dupHashes(idx), Seq("h"), "left_semi")
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("pos")), k)

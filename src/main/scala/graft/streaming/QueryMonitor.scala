@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   *    through a real SMTP conversation).
   */
 final class QueryMonitor(
-    onGap: (String, Long, Long) => Unit = (_, _, _) => (),
+    onGap: (String, Long, Long, QueryMonitor.GapKind) => Unit = (_, _, _, _) => (),
     onFailure: (String, String) => Unit = (_, _) => ())
   extends StreamingQueryListener {
 
@@ -71,20 +71,28 @@ final class QueryMonitor(
         if (!row.isNullAt(lo) && !row.isNullAt(hi)) {
           val minOff = row.getLong(lo); val maxOff = row.getLong(hi)
           val prev = lastMaxOffset.getOrDefault(name, Long.MinValue)
+          // Boundary semantics: (previous batch's max, this batch's min) —
+          // "asked for X but got Y"; log and continue
           if (prev != Long.MinValue && minOff > prev + 1)
-            onGap(name, prev, minOff) // "asked for X but got Y" — log and continue
+            onGap(name, prev, minOff, QueryMonitor.BoundaryGap)
           // intra-batch density: min/max alone cannot witness a skip that
           // falls ENTIRELY inside one micro-batch (under AvailableNow the
           // whole backlog is often a single batch, muting the boundary
           // check above completely). The pre-filter WAL offsets are dense
           // and unique by the server contract, so fewer observed offsets
           // than the span covers means the server skipped ticks inside
-          // this batch. (A redelivered duplicate inflates the count and
-          // could mask an equal-sized skip in the SAME batch — the
-          // boundary check still sees any skip that crosses batches.)
+          // this batch. Reported with RANGE semantics (batch min, batch
+          // max) and its own kind — without the kind a consumer cannot
+          // tell it from a boundary gap whose arguments mean (prev, next),
+          // and one batch can legitimately report both (ADVICE r13).
+          // (A redelivered duplicate inflates the count and could mask an
+          // equal-sized skip in the SAME batch — observe() forbids exact
+          // DISTINCT aggregates and approx_count_distinct's HLL error
+          // would false-fire on dense batches, so the boundary check
+          // remains the witness for any skip that crosses batches.)
           cnt.map(row.getLong).filter(_ > 0).foreach { n =>
             val span = maxOff - minOff + 1
-            if (n < span) onGap(name, minOff, maxOff)
+            if (n < span) onGap(name, minOff, maxOff, QueryMonitor.DensityGap)
           }
           lastMaxOffset.merge(name, maxOff, (a: Long, b: Long) => math.max(a, b))
         }
@@ -97,6 +105,17 @@ final class QueryMonitor(
 }
 
 object QueryMonitor {
+
+  /** Which witness reported a gap — the two carry different argument
+    * semantics: a [[BoundaryGap]]'s (lo, hi) are (previous batch's max
+    * offset, this batch's min) and the skip lies strictly between them;
+    * a [[DensityGap]]'s are (batch min, batch max) and the skip lies
+    * somewhere inside that span (the count of observed offsets fell
+    * short of covering it).
+    */
+  sealed trait GapKind
+  case object BoundaryGap extends GapKind
+  case object DensityGap extends GapKind
 
   /** State rows EVICTED across a query's recorded progress: TTL expiry
     * removals plus expired event-time timers, summed over every state

@@ -61,8 +61,18 @@ final class TaskControl(
 
   private def stop(name: String, finalStatus: String): Unit =
     transition.synchronized {
-      running.get(name).filter(_.isActive).foreach(_.stop())
-      stopped.put(name, finalStatus)
+      val live = running.get(name).filter(_.isActive)
+      live.foreach(_.stop())
+      // A routine INACTIVE acknowledged against a query that had ALREADY
+      // died keeps reporting ERROR — a crash absorbed by a scheduled stop
+      // command must stay distinguishable from a clean stop in monitoring
+      // (ADVICE r13). COMPLETE remains the deliberate operator
+      // acknowledgment that outranks a stale exception (the r12 pin:
+      // without it a once-failed task reports ERROR forever even after
+      // its finish was accepted and replied to).
+      if (live.isDefined || finalStatus == "COMPLETE"
+          || !running.get(name).exists(_.exception.isDefined))
+        stopped.put(name, finalStatus)
     }
 
   /** JSON string escape for the INFO reply: streaming failure messages

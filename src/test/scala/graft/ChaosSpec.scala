@@ -198,6 +198,86 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rows diverged from batch v28 after surviving real task retries")
   }
 
+  test("CDC replication survives first-attempt task failures: bit-equal view, exactly-once storage, clean ledger") {
+    // VERDICT r13 #2: ChaosSpec proved CC fixpoints, index builds and the
+    // MMR twin survive real retries — but not the replication path whose
+    // fault-tolerance story (at-least-once foreachBatch + idempotent
+    // marker-ledger sink, the K2 exactly-once contract of the reference's
+    // consumer/loader.py:147-157) is the engine's reason to exist. The
+    // fuse sits in the WAL source lineage, so first-attempt tasks of each
+    // micro-batch's jobs fail and the batch completes only via real
+    // retries; the converged READ VIEW, the STORED row count (exactly-once
+    // storage — a doubled append would collapse in the view but not on
+    // disk) and the commit-marker ledger must all be bit-equal to the
+    // clean run's.
+    import java.nio.file.Files
+    import graft.config.{ColumnSpec, TableConfig}
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val config = TableConfig("Doc", Seq(
+      ColumnSpec("K", Seq("int"), ref = Some("k"), primaryKey = true),
+      ColumnSpec("V", Seq("float"), ref = Some("v"))))
+    val payloadSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def walLine(offset: Long, opType: Int, data: String): String =
+      s"""{"offset":$offset,"tick":"$offset","type":$opType,"db":"d","cuid":"c1","tid":"t","data":${
+        if (data == null) "null" else "\"" + data.replace("\"", "\\\"") + "\""}}"""
+    val walDir = Files.createTempDirectory("chaoswal")
+    // two files + maxFilesPerTrigger=1 -> two micro-batches, so the
+    // ledger has real multi-batch structure to keep clean under chaos
+    Files.write(walDir.resolve("b1.json"), String.join("\n",
+      walLine(11, 2300, """{"k": 1, "v": "1.5"}"""),
+      walLine(12, 2300, """{"k": 3, "v": "3.0"}""")).getBytes)
+    Files.write(walDir.resolve("b2.json"), String.join("\n",
+      walLine(21, 2302, """{"k": 3, "v": "3.0"}"""),
+      walLine(22, 2300, """{"k": 1, "v": "1.9"}""")).getBytes)
+
+    def run(withFuse: Boolean, tag: String)
+        : (Seq[(Long, Double)], Long, Seq[String]) = {
+      val root = Files.createTempDirectory(s"chaoscdc_$tag")
+      val tableDir = root.resolve("t").toString
+      val ckpt = root.resolve("ck").toString
+      val wal0 = CdcStream.walFileSource(spark, walDir.toString,
+        maxFilesPerTrigger = Some(1))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(wal0.schema)
+      val wal = if (withFuse)
+        wal0.mapPartitions { it => ChaosFuse.detonateMaybe(); it }(enc)
+      else wal0
+      val q = CdcStream.startReplication(wal, config, payloadSchema,
+        tableDir, ckpt, collectionIds = Seq("c1"),
+        clock = lit("2024-01-01").cast("timestamp"))
+      q.awaitTermination()
+      val view = CdcStream.currentView(spark, tableDir, keys = Seq("K"))
+        .select("K", "V").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val stored = spark.read.parquet(tableDir).count()
+      // filter out the local-FS .crc sidecars — the ledger is the
+      // batch-* marker files themselves
+      val markers = Option(new java.io.File(ckpt, "graft-sink-commits")
+        .list()).map(_.toSeq.filter(_.startsWith("batch-")).sorted)
+        .getOrElse(Nil)
+      (view, stored, markers)
+    }
+
+    ChaosFuse.arm(0)
+    val (cleanView, cleanStored, cleanMarkers) = run(withFuse = false, "clean")
+    assert(cleanView === Seq((1L, 1.9)), "clean-run sanity: latest upsert wins, delete lands")
+    assert(cleanMarkers.size === 2, s"expected one marker per micro-batch, got $cleanMarkers")
+    ChaosFuse.arm(2)
+    val (chaosView, chaosStored, chaosMarkers) = run(withFuse = true, "fused")
+    assert(ChaosFuse.fired.get() >= 1,
+      "the fuse never detonated inside the replication micro-batches")
+    assert(chaosView === cleanView,
+      "the replica read view diverged after surviving real task retries")
+    assert(chaosStored === cleanStored,
+      "stored row count diverged — a retried task double-appended " +
+        "(exactly-once STORAGE broke, not just the read view)")
+    assert(chaosMarkers === cleanMarkers,
+      "the commit-marker ledger diverged under task retries")
+  }
+
   test("PersistedIndex build survives task failures: complete, correct, reused") {
     val base = "graft_chaos_idx"
     val dir = "/root/testdata/sf0.001"

@@ -48,8 +48,8 @@ class ProducerSpec extends SparkSpec {
     import graft.streaming.CdcStream
     import org.apache.spark.sql.types._
 
-    var gaps = List.empty[(Long, Long)]
-    val mon = new QueryMonitor(onGap = (_, prev, next) => gaps ::= (prev, next))
+    var gaps = List.empty[(Long, Long, QueryMonitor.GapKind)]
+    val mon = new QueryMonitor(onGap = (_, prev, next, kind) => gaps ::= (prev, next, kind))
     spark.streams.addListener(mon)
     try {
       val walDir = Files.createTempDirectory("walmon")
@@ -78,7 +78,7 @@ class ProducerSpec extends SparkSpec {
         Thread.sleep(100)
 
       assert(mon.processedCount("mon_test") === 3)
-      assert(gaps === List((13L, 21L)))
+      assert(gaps === List((13L, 21L, QueryMonitor.BoundaryGap)))
     } finally spark.streams.removeListener(mon)
   }
 
@@ -88,8 +88,8 @@ class ProducerSpec extends SparkSpec {
     import graft.streaming.CdcStream
     import org.apache.spark.sql.types._
 
-    var gaps = List.empty[(Long, Long)]
-    val mon = new QueryMonitor(onGap = (_, a, b) => gaps ::= (a, b))
+    var gaps = List.empty[(Long, Long, QueryMonitor.GapKind)]
+    val mon = new QueryMonitor(onGap = (_, a, b, kind) => gaps ::= (a, b, kind))
     spark.streams.addListener(mon)
     try {
       val walDir = Files.createTempDirectory("waldense")
@@ -116,8 +116,9 @@ class ProducerSpec extends SparkSpec {
       while (mon.processedCount("mon_dense") < 3 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(mon.processedCount("mon_dense") === 3)
-      assert(gaps === List((12L, 21L)),
-        "the intra-batch skip was not flagged by the density check")
+      assert(gaps === List((12L, 21L, QueryMonitor.DensityGap)),
+        "the intra-batch skip was not flagged by the density check " +
+          "with range semantics and its own kind")
     } finally spark.streams.removeListener(mon)
   }
 
@@ -127,8 +128,8 @@ class ProducerSpec extends SparkSpec {
     import graft.streaming.CdcStream
     import org.apache.spark.sql.types._
 
-    var gaps = List.empty[(Long, Long)]
-    val mon = new QueryMonitor(onGap = (_, prev, next) => gaps ::= (prev, next))
+    var gaps = List.empty[(Long, Long, QueryMonitor.GapKind)]
+    val mon = new QueryMonitor(onGap = (_, prev, next, kind) => gaps ::= (prev, next, kind))
     spark.streams.addListener(mon)
     try {
       val walDir = Files.createTempDirectory("walgapf")

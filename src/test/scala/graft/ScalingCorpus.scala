@@ -117,6 +117,59 @@ object ScalingCorpus {
         col("label"))
   }
 
+  /** Build (or reuse) the SKEWED n-doc corpus for the per-task gate
+    * (VERDICT r13 #1): every other scaling corpus is uniform, so the
+    * volume gates measure the friendly case — total exchange rows can
+    * stay perfectly linear while ONE task eats a hot bucket's quadratic.
+    * Real 100 TB corpora are Zipf in source and near-dup cluster size;
+    * this corpus plants the two hot keys that matter:
+    *
+    *  - ONE HOT SOURCE: ~30% of docs are reassigned source "src0"
+    *    (hash-chosen, so the hot slice is spread uniformly over doc_ids
+    *    — the skew is in the KEY distribution, not the file layout);
+    *  - ONE HOT NEAR-DUP CLUSTER: ~1% of docs are replaced by doc 0's
+    *    base text + the fixture's trailing " dup" marker — a single
+    *    ~n/100-doc exact-text cluster, which lands in ONE LSH bucket,
+    *    ONE simhash band group and ONE text-hash group per query. The
+    *    classic hot-bucket quadratic (K² pairs through one task) hides
+    *    exactly here.
+    *
+    * Everything else (vocab, lengths, langs, the scattered 5% dup
+    * plant) is [[docsFrame]] verbatim, so uniform-corpus goldens stay
+    * comparable.
+    */
+  def ensureSkewed(spark: SparkSession, n: Long): String = {
+    val dir = new java.io.File(
+        s"target/scaling_corpus/skew_n${n}_seed${Seed}_v$GenVersion")
+      .getAbsolutePath
+    val out = s"$dir/documents.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      skewedDocsFrame(spark, n)
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+    }
+    dir
+  }
+
+  private[graft] def skewedDocsFrame(spark: SparkSession, n: Long): DataFrame = {
+    val base = docsFrame(spark, n)
+    // doc 0's BASE text is the cluster seed; one broadcast row, never a
+    // driver-side collect
+    val seed0 = base.filter(col("doc_id") === 0)
+      .select(col("text").as("__hot_text"))
+    val inCluster =
+      pmod(h("hotdup", col("doc_id")), lit(100)) === 7 && col("doc_id") =!= 0
+    val hotSource = pmod(h("hotsrc", col("doc_id")), lit(100)) < 30
+    base.crossJoin(broadcast(seed0))
+      .select(
+        col("doc_id"),
+        when(inCluster, concat(col("__hot_text"), lit(" dup")))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        when(hotSource, lit("src0")).otherwise(col("source")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   private[graft] def docsFrame(spark: SparkSession, n: Long): DataFrame = {
     val vocabCol = array(Vocab.map(lit): _*)
     val id = col("id")

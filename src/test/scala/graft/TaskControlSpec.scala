@@ -71,6 +71,13 @@ class TaskControlSpec extends SparkSpec {
     while (tc.status("orders") == "ACTIVE" && System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     assert(tc.status("orders") === "ERROR")
+    // a ROUTINE stop acknowledged against the already-dead query must NOT
+    // absorb the crash: a scheduled INACTIVE landing after a failure would
+    // make the crash indistinguishable from a clean stop in monitoring
+    // (ADVICE r13) — ERROR stays visible until a deliberate COMPLETE
+    tc.onMessage("orders", "INACTIVE")
+    assert(tc.status("orders") === "ERROR",
+      "a routine INACTIVE on a crashed query must keep ERROR visible")
     // the operator acknowledges and finishes the task; previously the
     // stale exception shadowed the accepted final status forever
     tc.onMessage("orders", "COMPLETE")
