@@ -117,6 +117,54 @@ object ScalingCorpus {
         col("label"))
   }
 
+  /** Build (or reuse) an n-event `events` table with the driver
+    * fixture's measured shape (`/root/testdata/sf0.1/events.parquet`):
+    * event_id dense 0..n-1 with ts near-monotone over the fixture's
+    * 30-day window (each event jittered inside its own time slot, so
+    * order and density match without a global sort); user_id uniform
+    * over 15n/1000 users (the fixture's exact events-per-user density,
+    * ~66.7 at every SF — per-user activity stays FIXED as the corpus
+    * grows, which is what makes session/funnel exchanges corpus-linear
+    * rather than per-user-quadratic); event_type uniform over the
+    * fixture's five; value ~ Exp(mean 50) rounded to cents (fixture:
+    * avg 49.87, max 560 ≈ 50·ln n); props the fixture's `{"k": 0..99}`
+    * JSON. Hash-derived like [[docsFrame]], bit-reproducible at any
+    * executor count. (ln here is engine-internal only: no oracle ever
+    * reads this corpus — same caveat as [[ensureEmbeddings]].)
+    */
+  def ensureEvents(spark: SparkSession, n: Long): String = {
+    val dir = new java.io.File(
+        s"target/scaling_corpus/events_n${n}_seed${Seed}_v$GenVersion")
+      .getAbsolutePath
+    val out = s"$dir/events.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      eventsFrame(spark, n).repartition(8).write.mode("overwrite").parquet(out)
+    }
+    dir
+  }
+
+  private[graft] def eventsFrame(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val users = math.max(1L, 15L * n / 1000L)
+    val types = array(Seq("signup", "purchase", "view", "click", "error")
+      .map(lit): _*)
+    val startUs = 1704067200000000L            // 2024-01-01T00:00:00Z
+    val slotUs = 30L * 24 * 3600 * 1000000L / n // 30-day fixture window
+    def unif(salt: String): Column =
+      (pmod(h(salt, id), lit(1000000000L)).cast("double") + lit(0.5)) / lit(1e9)
+    spark.range(n).select(
+      id.as("event_id"),
+      timestamp_micros(
+        lit(startUs) + id * lit(slotUs) + pmod(h("jit", id), lit(slotUs)))
+        .as("ts"),
+      pmod(h("usr", id), lit(users)).as("user_id"),
+      element_at(types, pmod(h("typ", id), lit(5)).cast("int") + 1)
+        .as("event_type"),
+      round(lit(-50.0) * log(unif("val")), 2).as("value"),
+      concat(lit("{\"k\": "), pmod(h("prp", id), lit(100)).cast("string"),
+        lit("}")).as("props"))
+  }
+
   /** Build (or reuse) the SKEWED n-doc corpus for the per-task gate
     * (VERDICT r13 #1): every other scaling corpus is uniform, so the
     * volume gates measure the friendly case — total exchange rows can

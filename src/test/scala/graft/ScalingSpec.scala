@@ -522,6 +522,70 @@ class ScalingSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** The EVENTS twin of the documents/vector two-decade gates (VERDICT
+    * r13 #3): the w-family's widest exchanges are the user-keyed event
+    * shuffles of sessionization (w3) and funnel derivation (w13), and
+    * the driver fixtures stop at 100k events — one decade. The third
+    * point is [[ScalingCorpus.ensureEvents]]: 1,000,000 events with the
+    * fixture's exact density law (users = 15n/1000, so PER-USER
+    * activity stays fixed as the corpus grows — the generative reason
+    * these exchanges are corpus-LINEAR and not per-user-quadratic; a
+    * session/funnel reformulation that re-paired events within users
+    * would go superlinear against it). Both queries' widest exchange is
+    * the full event stream crossing to its user/session grouping once,
+    * so slopes pin at ~1.0; the sf1 absolutes are the sharp tripwire,
+    * ±25% like the documents gate.
+    *
+    * The bitmap-vs-grid comparative (w30 < w14) is re-asserted at the
+    * third point: its sf0.01/sf0.1 form lives in the retention gate
+    * above, and the margin must WIDEN with the corpus (one word per
+    * user vs users × active-days).
+    */
+  private val eventsTwoDecadeGoldens: Seq[(String, Long, Double, Double)] = Seq(
+    // (query, sf1 golden, decade-1 budget, decade-2 budget)
+    ("w3_session", 1000000L, 2.0, 2.0),
+    ("w13_funnel", 1000000L, 2.0, 2.0))
+
+  test("two-decade gate: events-family widest exchanges hold their slopes at 100x") {
+    val evDir = ScalingCorpus.ensureEvents(spark, 1000000L)
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", evDir)
+    val counts = dirs.map(d => spark.read.parquet(s"$d/events.parquet").count())
+    val ratios = Seq(counts(1).toDouble / counts(0), counts(2).toDouble / counts(1))
+    val failures = eventsTwoDecadeGoldens.flatMap { case (name, g1, b1, b2) =>
+      val fn = SparkEntry.queries(name)
+      val Seq(v001, v01, v1) = dirs.map(d => maxExchangeRows {
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+      })
+      val (s1, s2) =
+        (v01.toDouble / v001 / ratios(0), v1.toDouble / v01 / ratios(1))
+      info(f"$name: $v001 -> $v01 -> $v1 (slopes $s1%.2f, $s2%.2f)")
+      Seq(
+        (math.abs(v1 - g1) <= g1 / 4,
+          s"$name sf1 volume $v1 outside golden $g1 +-25%"),
+        (s1 <= b1, f"$name decade-1 slope $s1%.2f > budget $b1%.1f"),
+        (s2 <= b2,
+          f"$name decade-2 slope $s2%.2f > budget $b2%.1f — a user-keyed " +
+            "re-pairing the one-decade fixture window hid"))
+        .collect { case (false, msg) => msg }
+    }
+    // the retention-representation comparative at the third point
+    val bitmap = maxExchangeRows {
+      SparkEntry.queries("w30_bitmap_retention")(spark, evDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val grid = maxExchangeRows {
+      SparkEntry.queries("w14_retention")(spark, evDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(f"sf1 events: bitmap widest $bitmap rows vs grid widest $grid rows " +
+      f"(ratio ${bitmap.toDouble / grid}%.2f)")
+    val all = failures ++
+      (if (bitmap < grid) Nil
+       else Seq(s"sf1 events: bitmap widest exchange ($bitmap) not below " +
+         s"the grid formulation's ($grid)"))
+    assert(all.isEmpty, all.mkString("\n"))
+  }
+
   /** Fixed-shard delta probes at the THIRD point: mod 1000 keeps the
     * shard ~50 docs (and mod 1300 the tombstone set ~38) while the base
     * corpus grows 100× across the series — the production claim "per-
