@@ -1553,7 +1553,7 @@ object Documents {
     * appended — one PersistedIndex build per session/corpus feeds every
     * incremental consumer.
     */
-  private def incSigTable(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def incSigTable(spark: SparkSession, dir: String): DataFrame =
     graft.operators.PersistedIndex.ensure(
       spark, "graft_sig_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
@@ -2088,7 +2088,7 @@ object Documents {
     * built once per session/corpus like the signature table it derives
     * from.
     */
-  private def incBaseStar(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def incBaseStar(spark: SparkSession, dir: String): DataFrame =
     graft.operators.PersistedIndex.ensure(
       spark, "graft_ccstar_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
@@ -2164,28 +2164,44 @@ object Documents {
         .select(col("da").as("src"), col("db").as("dst")),
       ccTag)
 
-  def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val baseStar = incBaseStar(spark, dir)
-    val delta = incDeltaScored(spark, dir)
-      .select(col("da").as("src"), col("db").as("dst"))
+  /** Apply a delta edge set to a previous-run star table and return the
+    * UPDATED star (id, comp) — the single definition of incremental
+    * cluster maintenance, shared verbatim by the batch catalog query
+    * ([[d26IncrementalClusters]]) and its streaming twin
+    * ([[graft.streaming.ClusterStream]]), so their bit-identity is by
+    * construction. Components no delta endpoint touches keep their
+    * previous-run labels verbatim (their depth-1 stars are already the
+    * fixpoint — connectivity is monotone under added edges), so they
+    * never enter the CC rounds at all: the fixpoint cost is
+    * affected-sized, not corpus-sized. The shard-sized touched set
+    * materializes ONCE (localCheckpoint) and feeds both the
+    * pass-through anti-join and the re-convergence semi-join — without
+    * the barrier each branch re-derives it (scan + distinct +
+    * broadcast, twice). Idempotent by construction: re-applying edges
+    * already inside the star's components changes no label, which is
+    * what makes the streaming twin safe under at-least-once
+    * re-delivery.
+    */
+  private[graft] def applyDeltaToStar(
+      spark: SparkSession, star: DataFrame, delta: DataFrame,
+      ccTag: String): DataFrame = {
     val deltaNodes = delta.select(col("src").as("id"))
       .unionByName(delta.select(col("dst").as("id"))).distinct()
-    // components no delta endpoint touches keep their previous-run
-    // labels verbatim (their depth-1 stars are already the fixpoint —
-    // connectivity is monotone under added edges), so they never enter
-    // the CC rounds at all: the fixpoint cost is affected-sized, not
-    // corpus-sized. The shard-sized touched set materializes ONCE
-    // (localCheckpoint) and feeds both the pass-through anti-join and
-    // the re-convergence semi-join — without the barrier each branch
-    // re-derives it (scan + distinct + broadcast, twice)
-    val affected = starTouchedComps(baseStar, deltaNodes).localCheckpoint(false)
-    val untouched = baseStar.join(broadcast(affected), Seq("comp"), "left_anti")
-      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    val affected = starTouchedComps(star, deltaNodes).localCheckpoint(false)
+    val untouched = star.join(broadcast(affected), Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
     val reconverged =
-      d26Reconverge(spark, baseStar, delta, "cc_d26", Some(affected),
+      d26Reconverge(spark, star, delta, ccTag, Some(affected),
         Some(deltaNodes))
-      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+      .select(col("id"), col("comp"))
     untouched.unionByName(reconverged)
+  }
+
+  def d26IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val delta = incDeltaScored(spark, dir)
+      .select(col("da").as("src"), col("db").as("dst"))
+    applyDeltaToStar(spark, incBaseStar(spark, dir), delta, "cc_d26")
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("cluster_id"), col("doc_id"))

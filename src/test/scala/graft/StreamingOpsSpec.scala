@@ -1188,4 +1188,50 @@ class StreamingOpsSpec extends SparkSpec
       .sortBy(t => (t._1, t._2)).toSeq
     assert(got === batch, "streamed MMR selection diverges from batch v28")
   }
+
+  test("streaming cluster twin: arriving shard converges to the batch d26 labels under duplicate delivery") {
+    // VERDICT r13 #6: the incremental-clustering family's streaming twin.
+    // The shard docs ARRIVE as a stream (multiple micro-batches, one doc
+    // slice re-delivered outright); the maintained star must converge to
+    // the batch d26 query's exact labels — same base artifacts (the
+    // persisted base signature table and base star), same delta scoring
+    // (streamNeardup ≡ the minhash estimator), same re-convergence code
+    // (Documents.applyDeltaToStar, shared by construction).
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.Documents.d26IncrementalClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty, "batch d26 sanity: the shard must cluster something")
+
+    val shardMod = graft.queries.Documents.D20ShardMod.toLong
+    val isShard = pmod(col("doc_id"), lit(shardMod)) === 0
+    val baseSigs = graft.queries.Documents.incSigTable(spark, dir)
+      .filter(!isShard)
+    val baseStar = graft.queries.Documents.incBaseStar(spark, dir)
+    val shardDocs = Tables.load(spark, dir, "documents")
+      .filter(isShard).select(col("doc_id"), col("text"))
+
+    val src = tmp("cs-src"); val ckpt = tmp("cs-ck"); val state = tmp("cs-state")
+    // three appends -> multiple source files: the first half, the second
+    // half, then the FIRST HALF AGAIN (an at-least-once duplicate
+    // delivery of 25 whole documents) — the sig-store anti-join and the
+    // idempotent star application must make the replay a label no-op
+    val half1 = shardDocs.filter(pmod(col("doc_id"), lit(2 * shardMod)) === 0)
+    val half2 = shardDocs.filter(pmod(col("doc_id"), lit(2 * shardMod)) =!= 0)
+    half1.write.mode("append").parquet(src.toString)
+    half2.write.mode("append").parquet(src.toString)
+    half1.write.mode("append").parquet(src.toString)
+
+    val stream = spark.readStream.schema(shardDocs.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src.toString)
+    val q = graft.streaming.ClusterStream.start(
+      stream, baseSigs, baseStar,
+      stateDir = state.toString, checkpointDir = ckpt.toString,
+      ccFamily = "cc_twin")
+    q.awaitTermination()
+
+    val got = graft.streaming.ClusterStream.labels(spark, state.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected,
+      "streamed cluster maintenance diverges from the batch d26 labels")
+  }
 }
