@@ -1422,7 +1422,8 @@ object Documents {
     // The hint is ENFORCED, not assumed: maybeBroadcastShardDelta counts
     // the shard's index slice first, so an oversized delta (bulk
     // backfill) degrades to a shuffle join instead of a driver OOM.
-    val affected = maybeBroadcastShardDelta(spark, idx, isShard,
+    val affected = maybeBroadcastShardDelta(spark, dir, D20ShardMod.toLong,
+      idx, isShard,
       idx.filter(!isShard)
         .join(newlyDup, Seq("h"), "left_semi")
         .select(col("doc_id")).distinct()
@@ -1450,6 +1451,15 @@ object Documents {
     */
   private val DeltaBroadcastMaxKey = "graft.incremental.broadcastDeltaMax"
 
+  /** Memoized shard slice counts: the guard count below re-scans the
+    * persisted index on every query CONSTRUCTION otherwise (each bench
+    * pass, each verify run, each plan audit), and the index is
+    * immutable per (dir, shardMod) within a session — same memo
+    * discipline as [[graft.Tables]]'s ts-type probe.
+    */
+  private val shardKgramCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
   /** Broadcast a shard-delta doc_id frame under the shard-adjacent-size
     * invariant, ENFORCED rather than assumed (ADVICE r13: an unguarded
     * hint turns an oversized delta — a bulk backfill, or the invariant
@@ -1458,14 +1468,16 @@ object Documents {
     * has exactly one base occurrence, so |affected| <= shard k-grams
     * (base docs holding a newly-dup hash) + shard docs <= 2 × shard
     * index rows — a shard-sized count, the cheapest corpus-derived
-    * bound, never the delta chain re-run. Over the ceiling the frame is
-    * returned unhinted and the joins shuffle — slow, never fatal.
+    * bound, never the delta chain re-run, memoized per (dir, shardMod).
+    * Over the ceiling the frame is returned unhinted and the joins
+    * shuffle — slow, never fatal.
     */
   private def maybeBroadcastShardDelta(
-      spark: SparkSession, idx: DataFrame, isShard: Column,
-      affected: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, shardMod: Long, idx: DataFrame,
+      isShard: Column, affected: DataFrame): DataFrame = {
     val ceiling = spark.conf.get(DeltaBroadcastMaxKey, "4000000").toLong
-    val shardKgrams = idx.filter(isShard).count()
+    val shardKgrams = shardKgramCounts.computeIfAbsent((dir, shardMod),
+      _ => idx.filter(isShard).count()).longValue
     if (2 * shardKgrams <= ceiling) broadcast(affected) else affected
   }
 
@@ -1513,7 +1525,7 @@ object Documents {
     // (see d20IncrementalSpans) — this probe is where the two-decade
     // gate measured the un-broadcast plan re-paying the corpus; same
     // count-enforced ceiling as the catalog query
-    val affected = maybeBroadcastShardDelta(spark, idx, isShard,
+    val affected = maybeBroadcastShardDelta(spark, dir, shardMod, idx, isShard,
       base.join(newlyDup, Seq("h"), "left_semi")
         .select(col("doc_id")).distinct()
         .unionByName(idx.filter(isShard).select(col("doc_id")).distinct())

@@ -79,13 +79,19 @@ object ClusterStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // heal a crash inside a previous batch's star swap before
-        // reading it (same discipline as CdcStream's table heal)
+        // reading it. This is the WRITER healing its own table —
+        // micro-batches are serialized, so the recover can never race a
+        // live swap here (readers must NOT call it; see [[labels]])
         SnapshotStore.recoverInterruptedSwap(s, starDir)
         val batchDocs = batch.select(col("doc_id"), col("text"))
           .dropDuplicates("doc_id")
-        if (!batchDocs.isEmpty) {
-          batchDocs.persist()
-          try {
+        // persist BEFORE the emptiness probe so the probe populates the
+        // cache instead of re-executing the source read + dedup (the
+        // same re-execution CdcStream's own batch persist exists to
+        // avoid)
+        batchDocs.persist()
+        try {
+          if (!batchDocs.isEmpty) {
             val arrivedBefore =
               if (exists(s, arrivedDir)) Some(s.read.parquet(arrivedDir))
               else None
@@ -99,18 +105,21 @@ object ClusterStream {
             val star =
               if (exists(s, starDir)) SnapshotStore.readSnapshot(s, starDir)
               else baseStar
-            val tag = s"${ccFamily}_b$batchId"
+            // ONE family for every batch — freshTableRounds already
+            // mints a unique per-run prefix inside it, and its orphan
+            // sweep reclaims a CRASHED attempt's round dirs on a later
+            // batch's build (a per-batch family would orphan them
+            // forever: no later batch ever revisits that family)
             val updated =
-              Documents.applyDeltaToStar(s, star, edges, tag)
+              Documents.applyDeltaToStar(s, star, edges, ccFamily)
             SnapshotStore.writeSnapshot(s, updated, starDir)
-            // the updated star is durably swapped in — the per-batch CC
+            // the updated star is durably swapped in — this batch's CC
             // round tables have no remaining reader; reclaim them now
-            // instead of leaving one family per batch to the orphan sweep
             s.catalog.listTables().collect().map(_.name)
-              .filter(_.startsWith(tag + "_"))
+              .filter(_.startsWith(ccFamily + "_"))
               .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-          } finally batchDocs.unpersist()
-        }
+          }
+        } finally batchDocs.unpersist()
         ()
       }
       .start()
@@ -119,9 +128,14 @@ object ClusterStream {
   /** The current labels view over the maintained star — d26's exact
     * output shape (cluster_id, doc_id, cluster_size, ordered), for
     * batch/stream identity checks and downstream readers.
+    *
+    * Readers do NOT heal an interrupted swap: recoverInterruptedSwap is
+    * writer-context-only (a reader racing a live swap could promote the
+    * staging dir and delete `.old` mid-rename, failing the streaming
+    * writer from a pure read). A star left staged by a crash heals on
+    * the stream's next start, before its first batch reads it.
     */
   def labels(spark: SparkSession, stateDir: String): DataFrame = {
-    SnapshotStore.recoverInterruptedSwap(spark, s"$stateDir/star")
     SnapshotStore.readSnapshot(spark, s"$stateDir/star")
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
       .withColumn("cluster_size",

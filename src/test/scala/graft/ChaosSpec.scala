@@ -278,6 +278,55 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the commit-marker ledger diverged under task retries")
   }
 
+  test("streaming cluster twin survives first-attempt task failures with batch-identical labels") {
+    // the round-14 ClusterStream twin under the same fuse as its
+    // retrieval sibling: arrival-lineage tasks fail on first attempt,
+    // the maintained star must still converge to the clean run's labels
+    // (which StreamingOpsSpec separately pins to batch d26's output)
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val shardMod = graft.queries.Documents.D20ShardMod.toLong
+    val isShard = pmod(col("doc_id"), lit(shardMod)) === 0
+    val baseSigs = graft.queries.Documents.incSigTable(spark, dir)
+      .filter(!isShard)
+    val baseStar = graft.queries.Documents.incBaseStar(spark, dir)
+    val shardDocs = graft.Tables.load(spark, dir, "documents")
+      .filter(isShard).select(col("doc_id"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("cs-chaos-src")
+    shardDocs.write.parquet(src.resolve("q").toString)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(shardDocs.schema)
+
+    def run(withFuse: Boolean, tag: String): Seq[(Long, Long, Long)] = {
+      val state = java.nio.file.Files.createTempDirectory(s"cs-chaos-st-$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"cs-chaos-ck-$tag")
+      val stream0 = spark.readStream.schema(shardDocs.schema)
+        .parquet(src.resolve("q").toString)
+      val stream = if (withFuse)
+        stream0.mapPartitions { it => ChaosFuse.detonateMaybe(); it }(enc)
+      else stream0
+      val q = graft.streaming.ClusterStream.start(stream, baseSigs, baseStar,
+        stateDir = state.toString, checkpointDir = ckpt.toString,
+        ccFamily = s"cc_chaos_$tag", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.streaming.ClusterStream.labels(spark, state.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    try {
+      ChaosFuse.arm(0)
+      val clean = run(withFuse = false, "c")
+      assert(clean.nonEmpty, "clean-run sanity: the shard must cluster something")
+      ChaosFuse.arm(2)
+      val chaotic = run(withFuse = true, "f")
+      assert(ChaosFuse.fired.get() >= 1,
+        "the fuse never detonated inside the cluster micro-batch")
+      assert(chaotic === clean,
+        "cluster labels diverged after surviving real task retries")
+    } finally Seq("graft_sig_inc", "graft_ccstar_inc")
+      .foreach(graft.operators.PersistedIndex.dropAll(spark, _))
+  }
+
   test("PersistedIndex build survives task failures: complete, correct, reused") {
     val base = "graft_chaos_idx"
     val dir = "/root/testdata/sf0.001"

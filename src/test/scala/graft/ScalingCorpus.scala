@@ -38,13 +38,24 @@ object ScalingCorpus {
 
   val Seed = 77L
 
-  /** Bump on ANY change to [[docsFrame]] (vocab, marginals, dup rate,
-    * hashing): the generated parquet is cached under target/ keyed by
-    * (n, seed, THIS) — without the bump, an edited generator silently
-    * reuses the previous run's corpus and the two-decade gate measures
-    * the wrong data.
+  /** Per-FAMILY generator versions: each cached corpus is keyed by
+    * (n, seed, its family's version) — without the bump, an edited
+    * generator silently reuses the previous run's parquet and the gate
+    * measures the wrong data; with a SHARED version, bumping one
+    * family would needlessly regenerate the others' (large) corpora.
+    * Bump the matching constant on ANY change to its generator:
+    *  - [[GenVersion]] → [[docsFrame]] (vocab, marginals, dup plant) —
+    *    AND the skew corpus inherits it, since [[skewedDocsFrame]]
+    *    derives from docsFrame's output;
+    *  - [[SkewGenVersion]] → [[skewedDocsFrame]]'s own overrides
+    *    (hot-source share, hot-cluster rate/seed);
+    *  - [[EmbGenVersion]] → [[embFrame]];
+    *  - [[EventsGenVersion]] → [[eventsFrame]].
     */
   val GenVersion = 1
+  val SkewGenVersion = 1
+  val EmbGenVersion = 1
+  val EventsGenVersion = 1
 
   /** The driver fixture's 30-word content vocabulary (sorted; its
     * 31st token `dup` is the near-dup marker, appended not sampled). */
@@ -92,7 +103,7 @@ object ScalingCorpus {
   def ensureEmbeddings(spark: SparkSession, n: Long): String = {
     require(n < 1000000L, s"vec_id headroom: n=$n must stay below 1e6")
     val dir = new java.io.File(
-        s"target/scaling_corpus/emb_n${n}_seed${Seed}_v$GenVersion")
+        s"target/scaling_corpus/emb_n${n}_seed${Seed}_v$EmbGenVersion")
       .getAbsolutePath
     val out = s"$dir/embeddings.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
@@ -134,7 +145,7 @@ object ScalingCorpus {
     */
   def ensureEvents(spark: SparkSession, n: Long): String = {
     val dir = new java.io.File(
-        s"target/scaling_corpus/events_n${n}_seed${Seed}_v$GenVersion")
+        s"target/scaling_corpus/events_n${n}_seed${Seed}_v$EventsGenVersion")
       .getAbsolutePath
     val out = s"$dir/events.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
@@ -188,7 +199,7 @@ object ScalingCorpus {
     */
   def ensureSkewed(spark: SparkSession, n: Long): String = {
     val dir = new java.io.File(
-        s"target/scaling_corpus/skew_n${n}_seed${Seed}_v$GenVersion")
+        s"target/scaling_corpus/skew_n${n}_seed${Seed}_v${GenVersion}_$SkewGenVersion")
       .getAbsolutePath
     val out = s"$dir/documents.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
