@@ -127,10 +127,10 @@ object Events {
     // without a total order the carried build row would be
     // nondeterministic (harmless here where only ts is carried, but this
     // operator is the general as-of form — keep it deterministic)
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("tie"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(Window.unboundedPreceding, 0)
     probe.unionByName(build)
       .withColumn("click_ts",
         last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
@@ -159,7 +159,7 @@ object Events {
     * fixture's native tick), end bound -1us = strictly before.
     */
   def w6RangeActivity(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
       .rangeBetween(-3600L * 1000000L, -1L)
@@ -354,7 +354,11 @@ object Events {
     // in-JVM regenerations of one fixture, which is rare and tiny next
     // to never reclaiming at all.
     val store = Option(partitionedCache.get(key)).getOrElse {
-      partitionedCache.synchronized {
+      // per-DIR lock (shared with w29's memo): a single global monitor
+      // made unrelated fixtures' builds serialize — the sf0.001 smoke
+      // suite blocking on sf0.01's full repartition+write despite
+      // touching a disjoint key
+      profileLocks.computeIfAbsent(dir, _ => new Object).synchronized {
         Option(partitionedCache.get(key)).getOrElse {
           partitionedCache.keySet().removeIf(_.startsWith(s"$dir|"))
           val tmp = java.nio.file.Files.createTempDirectory("events_by_day")
@@ -490,7 +494,7 @@ object Events {
       .limit(20)
     top
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
+        Window
           .orderBy(col("cm_est").desc, col("user_id"))).cast("long"))
       .select(col("rank"), col("user_id"), col("cm_est"),
         col("exact_count"), (col("cm_est") - col("exact_count")).as("overestimate"))
@@ -537,7 +541,7 @@ object Events {
     * definition so the chaining rule can never drift between them.
     */
   private def funnelTimes(spark: SparkSession, dir: String): DataFrame = {
-    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val wu = Window.partitionBy(col("user_id"))
     val us = unix_micros(col("ts"))
     Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), us.as("us"))
@@ -564,8 +568,17 @@ object Events {
       .orderBy(col("user_id"))
   }
 
-  val w13Sql: String =
-    """WITH l1 AS (
+  /** The oracle-side funnel-stage CTE chain (l1/l2/l3), shared VERBATIM
+    * by w13's and w25's oracles — one definition so the oracle chaining
+    * rule can never drift between the funnel and its latency audit, the
+    * same factoring [[funnelTimes]] gives the Spark side (and
+    * Pipeline's `bm25CtesSql` gives the retrieval oracles). w29's
+    * profile oracle restates the chain under its own `ev` CTE with
+    * profile-local names; the correctness gate pins all three to the
+    * same semantics.
+    */
+  private val funnelCtesSql: String =
+    """l1 AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us,
       |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
       |      OVER (PARTITION BY user_id) AS t1_us
@@ -577,7 +590,10 @@ object Events {
       |l3 AS (
       |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
       |    OVER (PARTITION BY user_id) AS t3_us
-      |  FROM l2)
+      |  FROM l2)""".stripMargin
+
+  val w13Sql: String =
+    s"""WITH $funnelCtesSql
       |SELECT user_id, MAX(t1_us) AS t1_us, MAX(t2_us) AS t2_us,
       |  MAX(t3_us) AS t3_us,
       |  CAST(CASE WHEN MAX(t3_us) IS NOT NULL THEN 3
@@ -598,8 +614,8 @@ object Events {
     * the (tiny) cohort x offset result — no join back, no second scan.
     */
   def w14Retention(spark: SparkSession, dir: String): DataFrame = {
-    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    val wc = org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id"))
+    val wc = Window
       .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
     Tables.load(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -751,7 +767,7 @@ object Events {
   val AnomalyZSq = 9L // |z| > 3
 
   def w15Anomaly(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("event_type")).orderBy(col("minute"))
       .rowsBetween(-AnomalyWindow, -1)
     Tables.load(spark, dir, "events")
@@ -817,9 +833,9 @@ object Events {
     val arrivalKey = col("event_id") +
       (pmod(H.md5NumberBigEndian(
         concat(col("event_id").cast("string"), lit(":arr"))), lit(7L)) - lit(3L))
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("event_type")).orderBy(col("arrival_key"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val lateUs = max(unix_micros(col("ts"))).over(w) - unix_micros(col("ts"))
     val bucket = when(col("late_us") === 0, "0_in_order")
       .when(col("late_us") <= 60L * 1000000, "1_under_1m")
@@ -1465,19 +1481,7 @@ object Events {
   }
 
   val w25Sql: String =
-    """WITH l1 AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS us,
-      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
-      |      OVER (PARTITION BY user_id) AS t1_us
-      |  FROM events),
-      |l2 AS (
-      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1_us THEN us END)
-      |    OVER (PARTITION BY user_id) AS t2_us
-      |  FROM l1),
-      |l3 AS (
-      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
-      |    OVER (PARTITION BY user_id) AS t3_us
-      |  FROM l2),
+    s"""WITH $funnelCtesSql,
       |f AS (SELECT user_id, MAX(t1_us) t1, MAX(t2_us) t2, MAX(t3_us) t3
       |      FROM l3 GROUP BY user_id),
       |st AS (
@@ -1709,9 +1713,29 @@ object Events {
     */
   def w29StateProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    w29Cache.computeIfAbsent(w29CacheKey(spark, dir), _ => runW29Profile(spark, dir))
-      .toDF("twin", "state_keys", "emitted_rows", "evicted_rows")
+    // double-checked under a PER-DIR lock, not computeIfAbsent: the
+    // mapping function would hold a CHM bin lock for the whole
+    // four-streaming-query run (w9's documented discipline), and a
+    // single global monitor would serialize unrelated fixtures' builds
+    val key = w29CacheKey(spark, dir)
+    val rows = Option(w29Cache.get(key)).getOrElse {
+      profileLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+        Option(w29Cache.get(key)).getOrElse {
+          val p = runW29Profile(spark, dir)
+          w29Cache.put(key, p)
+          p
+        }
+      }
+    }
+    rows.toDF("twin", "state_keys", "emitted_rows", "evicted_rows")
   }
+
+  /** Per-fixture-dir build locks shared by the w9 and w29 memos: one
+    * lock per dir serializes same-fixture rebuilds (regeneration) while
+    * different fixtures build concurrently.
+    */
+  private val profileLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Per-fixture memo of the profile's 4 rows: the lifecycle run is
     * a ONE-TIME cost per corpus (like v11's training trace or d29's
@@ -1736,8 +1760,15 @@ object Events {
       spark, Seq(s"$dir/events.parquet"))
 
   private def runW29Profile(
-      spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
+      caller: SparkSession, dir: String): Seq[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.Trigger
+    // the profile runs on a PRIVATE session (shared SparkContext, own
+    // SQL conf): the RocksDB providerClass below is profile-local, and
+    // setting it on the caller's session would race any concurrent
+    // streaming query on the shared session — that query would silently
+    // pick up RocksDB (or its own conf-set would be clobbered by this
+    // method's restore) depending on interleaving
+    val spark = caller.newSession()
     // the streaming file source reads DIRECTORIES (the fixture is a
     // single parquet file): spool the ts-normalized table once — the
     // stand-in for the CDC transport's chunk directory — and stream it
@@ -1758,11 +1789,12 @@ object Events {
           .decayAttributionStream(s, "user_id", "ts", "event_id", "event_type", "value").toDF()),
         ("transition", "last", s => graft.streaming.CdcStream
           .transitionStream(s, "user_id", "ts", "event_id", "event_type", gapUs).toDF()))
-      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      // profile-local conf on the private session — no restore dance
+      // needed, and no other query can ever observe it
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val profile =
-        try twins.map { case (twin, stateVar, build) =>
+        twins.map { case (twin, stateVar, build) =>
           val ckptDir = java.nio.file.Files.createTempDirectory(s"graft_w29_$twin")
           try {
             // count emissions where they land (a distributed count per
@@ -1807,11 +1839,6 @@ object Events {
             // checkpoint per twin per corpus adds up)
             deleteTree(ckptDir)
           }
-        } finally prev match {
-          case Some(v) =>
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None =>
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
       // 4 driver-held rows: sort in memory, not with a range exchange
       profile.sortBy(_._1)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{HashFunctions => H, TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,10 +55,19 @@ object Pipeline {
     * all-inside-previous tails). Emits the chunk's token count and an
     * md5 of its text — the downstream join key for chunk-level dedup.
     */
+  /** Chunk count for a `len`-token doc — the ONE definition of the
+    * chunking delivery rule, shared by the chunker (p1) and its audit
+    * (p25): p25's whole claim is that it audits the real delivery, so
+    * the chunk-count formula must not exist twice (a change to the rule
+    * that missed the copy would leave the audit measuring a delivery
+    * that no longer runs).
+    */
+  private def nChunksCol(len: Column): Column = lit(1) +
+    ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
+
   def p1Chunking(spark: SparkSession, dir: String): DataFrame = {
     val len = size(col("w"))
-    val nChunks = lit(1) +
-      ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
+    val nChunks = nChunksCol(len)
     docs(spark, dir)
       // tokenize ONCE: the former filter-then-reproject split the same
       // O(len) split into two expression trees with no reuse (r12
@@ -160,11 +169,21 @@ object Pipeline {
     * bit-identical across engines, while libm log implementations are
     * not — and the RANKING is the same either way (ln is monotone).
     */
-  def p4Tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= 1)
+  /** (doc_id, term) exploded tokens of non-empty docs, tokenized ONCE
+    * (select-then-filter, the r12 discipline p1/p3/p9/p25 follow — the
+    * former filter-then-explode split the same O(len) split into two
+    * expression trees with no reuse); NULL text yields NULL size and
+    * filters out identically. Shared by p4 and the BM25 index build.
+    */
+  private def explodedTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+
+  def p4Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = explodedTokens(spark, dir)
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
@@ -720,10 +739,7 @@ object Pipeline {
     val idx = graft.operators.PersistedIndex.ensure(
       spark, "graft_bm25_idx", dir,
       sources = Seq(s"$dir/documents.parquet"), params = "tf+dl") { table =>
-      val tok = docs(spark, dir)
-        .filter(size(T.tokens(col("text"))) >= 1)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val tok = explodedTokens(spark, dir)
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       tf.join(dl, Seq("doc_id"))
@@ -1181,10 +1197,24 @@ object Pipeline {
     * At 100 TB, total*1e6 approaches Long range; production widens the
     * ppm step to DECIMAL(38,0) — same formula, same truncation.
     */
-  def p18RepeatFactor(spark: SparkSession, dir: String): DataFrame = {
-    val perSrc = docs(spark, dir)
+  /** Per-source token supply — the ONE definition both mixing-family
+    * allocators (p18's repeat plan, p20's waterfill) draw from, so they
+    * can never disagree about a source's supply. NULL-text docs
+    * contribute NOTHING here (NULL tokens → NULL size, skipped by the
+    * sum), a DELIBERATE divergence from p24's slot apportionment, whose
+    * coalesce(text, '') counts a NULL doc as 1 token: supply is about
+    * trainable tokens (a NULL doc has none), while p24 apportions SLOTS
+    * and a NULL doc still occupies one. Both conventions are pinned by
+    * their own oracles.
+    */
+  private def perSourceTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("source"), size(T.tokens(col("text"))).cast("long").as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("supply_tokens"))
+
+  def p18RepeatFactor(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = perSourceTokens(spark, dir)
+      .withColumnRenamed("supply_tokens", "n_tokens")
     val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(tot))
@@ -1232,9 +1262,7 @@ object Pipeline {
     * after runs on |sources| rows.
     */
   def p20BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
-    val perSrc = docs(spark, dir)
-      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("supply_tokens"))
+    val perSrc = perSourceTokens(spark, dir)
     val w = Window.orderBy(col("supply_tokens"), col("source"))
     val all = Window.partitionBy(lit(1))
     perSrc
@@ -1558,8 +1586,8 @@ object Pipeline {
     */
   def p25OverlapAudit(spark: SparkSession, dir: String): DataFrame = {
     val len = size(col("w"))
-    val nChunks = lit(1) +
-      ceil(greatest(len - ChunkSize, lit(0)).cast("double") / ChunkStride).cast("int")
+    val nChunks = nChunksCol(len) // shared with p1: the audit and the
+                                  // delivery use ONE chunk-count rule
     val per = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), T.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 1) // one tokenize (r12 review)
