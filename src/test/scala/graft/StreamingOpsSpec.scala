@@ -1234,4 +1234,48 @@ class StreamingOpsSpec extends SparkSpec
     assert(got === expected,
       "streamed cluster maintenance diverges from the batch d26 labels")
   }
+
+  test("streaming cluster twin resumes from its checkpoint across restarts") {
+    // the CDC resume path: the stream terminates after the first half of
+    // the shard, a NEW query incarnation restarts on the same checkpoint
+    // and state, and only then does the second half arrive — the
+    // checkpoint must skip the processed files and the star/sig stores
+    // must carry the first incarnation's state forward to the same
+    // converged labels
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.Documents.d26IncrementalClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val shardMod = graft.queries.Documents.D20ShardMod.toLong
+    val isShard = pmod(col("doc_id"), lit(shardMod)) === 0
+    val baseSigs = graft.queries.Documents.incSigTable(spark, dir)
+      .filter(!isShard)
+    val baseStar = graft.queries.Documents.incBaseStar(spark, dir)
+    val shardDocs = Tables.load(spark, dir, "documents")
+      .filter(isShard).select(col("doc_id"), col("text"))
+
+    val src = tmp("csr-src"); val ckpt = tmp("csr-ck"); val state = tmp("csr-state")
+    def incarnation(): Unit = {
+      val stream = spark.readStream.schema(shardDocs.schema)
+        .parquet(src.toString)
+      val q = graft.streaming.ClusterStream.start(
+        stream, baseSigs, baseStar,
+        stateDir = state.toString, checkpointDir = ckpt.toString,
+        ccFamily = "cc_twin_r")
+      q.awaitTermination()
+    }
+    shardDocs.filter(pmod(col("doc_id"), lit(2 * shardMod)) === 0)
+      .write.mode("append").parquet(src.toString)
+    incarnation()
+    val mid = graft.streaming.ClusterStream.labels(spark, state.toString).count()
+    shardDocs.filter(pmod(col("doc_id"), lit(2 * shardMod)) =!= 0)
+      .write.mode("append").parquet(src.toString)
+    incarnation()
+
+    val got = graft.streaming.ClusterStream.labels(spark, state.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected,
+      s"restarted cluster maintenance diverges from batch d26 " +
+        s"(first incarnation left $mid labeled docs)")
+  }
 }
