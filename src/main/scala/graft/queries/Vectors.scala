@@ -285,8 +285,27 @@ object Vectors {
         norm(col("v")).as("nrm"))
     val cos = (dot(col("a.v"), col("b.v")) /
       (col("a.nrm") * col("b.nrm"))).as("cosine")
-    all.as("a").join(all.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    // bucket pair expansion via BlockedSelfJoin, NOT a plain self-join
+    // on bucket: a plain join computes a hot bucket's K²/2 pairs in ONE
+    // sort-merge group in one task — SkewSpec planted a 1% identical-
+    // vector cluster and measured 82,096 of 100,738 pair-writes coming
+    // from a single task (16× the uniform corpus's worst task). The
+    // chunk-blocked form bounds any one join group's output to
+    // chunk × K (group c pairs its chunk against the bucket's tail), a
+    // K/(2·chunk)-fold split of the straggler — so the chunk must sit
+    // WELL below the hot-bucket size for the split to bite: 256 on a
+    // ~400-row bucket measured only 82k → 70k, 64 measures ~26k spread
+    // over ~7 groups (SkewSpec pins it at ≤6× the uniform corpus's
+    // worst task). 64 also keeps every NORMAL bucket single-chunk
+    // (uniform buckets here are ~n/1024 rows), so the common case pays
+    // only the chunk window, no replication. Output identical:
+    // pairs(keys=bucket, ord=vec_id) emits exactly the
+    // a.vec_id < b.vec_id same-bucket pairs the plain join did.
+    // Uniform-case price: ZERO — same-session interleaved A/B on the
+    // sf0.1 fixture (plain vs blocked, alternating JVMs) measured warm
+    // minima 1.27 vs 1.21 s; normal buckets are single-chunk at 64.
+    graft.operators.BlockedSelfJoin
+      .pairs(all, Seq("bucket"), "vec_id", chunkSize = 64)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos)
       .filter(col("cosine") >= 0.9)
       .orderBy(col("va"), col("vb"))

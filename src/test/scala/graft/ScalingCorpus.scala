@@ -210,6 +210,34 @@ object ScalingCorpus {
     dir
   }
 
+  /** The embeddings twin of [[ensureSkewed]]: ~1% of vectors replaced
+    * by vector 0's EXACT values — one identical-vector cluster, which
+    * lands in ONE LSH bucket (and drags its planted clones into the
+    * same bucket), the textbook hot-bucket n² for any bucket
+    * self-join. Everything else [[embFrame]] verbatim.
+    */
+  def ensureSkewedEmbeddings(spark: SparkSession, n: Long): String = {
+    require(n < 1000000L, s"vec_id headroom: n=$n must stay below 1e6")
+    val dir = new java.io.File(
+        s"target/scaling_corpus/skewemb_n${n}_seed${Seed}_v${EmbGenVersion}_$SkewGenVersion")
+      .getAbsolutePath
+    val out = s"$dir/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+      val base = embFrame(spark, n)
+      val seed0 = base.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__hot_vec"))
+      val inCluster = pmod(h("hotvec", col("vec_id")), lit(100)) === 7 &&
+        col("vec_id") =!= 0
+      base.crossJoin(broadcast(seed0))
+        .select(col("vec_id"),
+          when(inCluster, col("__hot_vec")).otherwise(col("embedding"))
+            .as("embedding"),
+          col("label"))
+        .repartition(8).write.mode("overwrite").parquet(out)
+    }
+    dir
+  }
+
   private[graft] def skewedDocsFrame(spark: SparkSession, n: Long): DataFrame = {
     val base = docsFrame(spark, n)
     // doc 0's BASE text is the cluster seed; one broadcast row, never a

@@ -121,7 +121,11 @@ class ScalingSpec extends SparkSpec {
     // v6 = IVF cell-join ANN: candidates = queries x their cell's
     // members, sublinear by construction (640 -> 2000, slope 0.78).
     ("d12_dup_clusters", "documents", 3000L, 30000L, 2.0),
-    ("v5_embedding_neardup", "embeddings", 487L, 1953L, 2.0),
+    // round 14: v5's plain bucket self-join became BlockedSelfJoin
+    // (SkewSpec caught the hot-bucket straggler); its widest exchange is
+    // now the 2n chunk-window shuffle at EVERY SF — 487/1953 were the
+    // old plan's pair-output sort under the small-SF broadcast regime
+    ("v5_embedding_neardup", "embeddings", 1000L, 4000L, 2.0),
     ("v6_ivf_ann", "embeddings", 640L, 2000L, 2.0))
 
   test("pair-family widest-exchange volume stays linear in corpus size") {
@@ -471,29 +475,29 @@ class ScalingSpec extends SparkSpec {
     * point — 20,000 isotropic unit vectors, 10× sf0.1 — and the two
     * vector queries with classic quadratic candidate risk re-measure
     * across 40×:
-    *  - v5's LSH bucket SELF-JOIN (hot-bucket n² is the textbook
-    *    failure; its exchanges are the 2n bucketed signature rows and
-    *    the ~n planted-pair output, both corpus-linear by design);
+    *  - v5's LSH bucket pair expansion (hot-bucket n² is the textbook
+    *    failure; its exchanges are the 2n chunk-window signature rows
+    *    and the ~n planted-pair output, both corpus-linear by design);
     *  - v6's IVF cell join (candidates = queries × their cell's
     *    members; cells are corpus/10, so linear).
-    * Measured on first run: v6 is clean linear (640 → 2,000 → 20,000,
-    * slopes 0.78 / 1.00). v5 steps once — 487 → 1,953 → 40,000, slope
-    * 1.00 then 2.05: at the small SFs its bucket self-join BROADCASTS
-    * the 2n-row signature side, so the widest exchange is the ~n
-    * planted-pair output sort; at 20k vectors the signature side
-    * (~22 MB) outgrows the 10 MB broadcast threshold, the join goes
-    * sort-merge, and the 2n bucketed signature shuffle becomes the
-    * widest exchange (40,000 = 2n exactly). The post-transition regime
-    * is 2n-LINEAR — the decade-2 budget 3.0 absorbs the one-time 2×
-    * strategy step (same measurement class as the retrieval gate's
-    * small-SF single-partition artifact) while a true bucket-join
-    * quadratic (slope ~10 on top) still trips. v6's budget stays 2.0:
-    * no transition, no documented superlinear regime — anything above
+    * Measured: v6 is clean linear (640 → 2,000 → 20,000, slopes
+    * 0.78 / 1.00). v5 since round 14 runs through BlockedSelfJoin
+    * (SkewSpec's hot-bucket gate caught the old plain self-join
+    * funneling a planted cluster's 82k pairs through one task), and
+    * the blocked form made this gate's regime SIMPLER: the widest
+    * exchange is the 2n chunk-window shuffle at EVERY SF — 1,000 →
+    * 4,000 → 40,000, slopes exactly 1.00/1.00. (The old plain join
+    * had a documented broadcast→sort-merge step here: at small SFs it
+    * broadcast the signature side and the widest exchange was the ~n
+    * pair-output sort, flipping to the 2n shuffle at 20k vectors; the
+    * window always shuffles, so the step regime is gone and the
+    * decade-2 budget returns to 2.0.) v6's budget stays 2.0: no
+    * transition, no documented superlinear regime — anything above
     * linear-with-headroom there is a real candidate blow-up.
     */
   private val vectorTwoDecadeGoldens: Seq[(String, Long, Double, Double)] = Seq(
     // (query, sf1 golden, decade-1 budget vs 4x, decade-2 budget vs 10x)
-    ("v5_embedding_neardup", 40000L, 2.0, 3.0),
+    ("v5_embedding_neardup", 40000L, 2.0, 2.0),
     ("v6_ivf_ann", 20000L, 2.0, 2.0))
 
   test("two-decade gate: vector-family widest exchanges hold their slopes at 40x") {

@@ -103,6 +103,75 @@ class SkewSpec extends SparkSpec {
     ("d12_dup_clusters", 2.0),
     ("d14_source_quota", 2.0))
 
+  /** Max over all tasks of shuffle-WRITE records — the axis a hot
+    * bucket shows on in a PLAIN self-join, where the quadratic is the
+    * join task's OUTPUT (its input is just the bucket's rows): one
+    * sort-merge group computes and emits all K² pairs from one task,
+    * which the read-side metric above cannot see.
+    */
+  private def maxTaskWrite(run: => Unit): (Long, Long, Int) = {
+    final case class Acc(var max: Long, var sum: Long, var n: Int)
+    val perStage = new ConcurrentHashMap[Integer, Acc]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && t.taskInfo != null && t.taskInfo.successful) {
+          val rows = m.shuffleWriteMetrics.recordsWritten
+          perStage.compute(t.stageId, (_, prev) => {
+            val a = if (prev == null) Acc(0L, 0L, 0) else prev
+            a.max = math.max(a.max, rows); a.sum += rows; a.n += 1; a
+          })
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    perStage.values.asScala.map(a => (a.max, a.sum, a.n))
+      .maxByOption(_._1).getOrElse((0L, 0L, 0))
+  }
+
+  test("skewed embeddings: v5's hot bucket does not funnel its pairs through one task") {
+    // the vector family's textbook hot-bucket n²: ~1% of vectors are
+    // one IDENTICAL vector -> with the planted clones, a single LSH
+    // bucket holds ~2n/100 rows whose ~K²/2 result pairs are all real
+    // output (cosine ≈ 1). A PLAIN bucket self-join computes them in
+    // ONE sort-merge group in one task — the quadratic straggler this
+    // gate exists to catch
+    val n = 20000L
+    val skewDir = ScalingCorpus.ensureSkewedEmbeddings(spark, n)
+    val unifDir = ScalingCorpus.ensureEmbeddings(spark, n)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val fn = SparkEntry.queries("v5_embedding_neardup")
+      val Seq((maxU, totU, nU), (maxS, totS, nS)) =
+        Seq(unifDir, skewDir).map { d =>
+          maxTaskWrite {
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+          }
+        }
+      info(f"v5: worst task write uniform $maxU rows (stage total $totU / $nU tasks)" +
+        f" vs skew $maxS rows (stage total $totS / $nS tasks)")
+      // budget 6×: the hot bucket's ~K²/2 ≈ 80k pairs are REAL OUTPUT
+      // and must be produced by someone — the gate demands they not all
+      // come from ONE task
+      assert(maxS <= 6 * maxU + 2000,
+        f"v5: the skewed corpus's worst task wrote $maxS rows vs uniform's " +
+          f"$maxU — the hot bucket's quadratic is running through a single " +
+          "task (the plain-self-join straggler shape)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("skewed corpus: no task's shuffle-read outgrows the uniform corpus's worst task") {
     val n = 20000L
     val skewDir = ScalingCorpus.ensureSkewed(spark, n)
