@@ -62,7 +62,25 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every fixture table as a temp view for spark.sql queries. */
+  /** [[load]] + [[graft.operators.Spread.scanSpread]]: the fact-table
+    * load for queries whose scan-side compute must land on every core —
+    * a no-op above the spread threshold (see Spread's scaladoc), so at
+    * production scale this is exactly [[load]].
+    */
+  def loadSpread(
+      spark: SparkSession, dir: String, name: String, key: String): DataFrame =
+    graft.operators.Spread.scanSpread(
+      spark, load(spark, dir, name), s"$dir/$name.parquet",
+      org.apache.spark.sql.functions.col(key))
+
+  /** Register every fixture table as a temp view for spark.sql queries.
+    * Views stay bare [[load]]s, deliberately: spreading the fact views
+    * was measured NET NEGATIVE for the SQL queries (q28 1.12 -> 1.98 s,
+    * q31-style multi-consumer scans re-pay the spread exchange per
+    * consumer; q20/q29 +0.1-0.3 s) — scan spread only pays where a
+    * single consumer's scan-side compute dominates, which is a per-query
+    * call, not a view property (OPTIMIZATION_r14.md).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

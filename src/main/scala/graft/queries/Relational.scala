@@ -40,7 +40,10 @@ object Relational {
 
   /** TPC-H Q1 shape: pricing summary on lineitem. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // spread: the decimal partial aggregation is the query's whole cost
+    // and a single-row-group fixture serializes it (guide §2.5; measured
+    // 1.66 -> 0.77 s at sf0.1, OPTIMIZATION_r14.md)
+    val li = Tables.loadSpread(spark, dir, "lineitem", "l_orderkey")
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = revenue * (lit(1.0) + col("l_tax"))
     li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
@@ -268,7 +271,8 @@ object Relational {
     val nation = Tables.load(spark, dir, "nation")
     val region = Tables.load(spark, dir, "region")
     val cust = Tables.load(spark, dir, "customer")
-    val ord = Tables.load(spark, dir, "orders")
+    // spread by the join key: the customer join reuses the partitioning
+    val ord = Tables.loadSpread(spark, dir, "orders", "o_custkey")
     ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -566,7 +570,9 @@ object Relational {
     * plan), completing the rollup/cube surface next to q10.
     */
   def q23CubeFlags(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
+    // spread: Expand×4 + decimal partial agg is scan-side compute (q1's
+    // rationale, multiplied by the grouping-set expansion)
+    Tables.loadSpread(spark, dir, "lineitem", "l_orderkey")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .select(
@@ -663,12 +669,15 @@ object Relational {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).cast("long").as("price_quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume_d"),
-        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("prev_gap"))
+    graft.operators.Spread.materialize(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("price_quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume_d"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("prev_gap")))
+      // materialize: the final sort's boundary-sampling pass re-runs the
+      // whole 5-partition window otherwise (guide §2.4 / Spread scaladoc)
       .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
   }
 
@@ -694,7 +703,8 @@ object Relational {
     * documented cost of multi-grain-in-one-pass.
     */
   def q27GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // spread: Expand×3 + decimal partial agg, q23's rationale
+    val li = Tables.loadSpread(spark, dir, "lineitem", "l_orderkey")
       .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
     li.groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("ship_year")), Seq()),
@@ -893,7 +903,9 @@ object Relational {
     * and compare in double, q14's exactness contract.
     */
   def q32ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // spread BY THE GROUP KEY: the per-part exchange reuses the spread's
+    // partitioning (guide §2.4 — one exchange does double duty)
+    val li = Tables.loadSpread(spark, dir, "lineitem", "l_partkey")
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val perPart = li.groupBy(col("l_partkey"))
       .agg(dsum(rev, 4).as("revenue"), count(lit(1)).as("n_items"))

@@ -639,20 +639,20 @@ class PlanAuditSpec extends SparkSpec {
       // expansion; same 2-exchange shape as d6 (the sort is TakeOrdered)
       "m4_frame_neardup" -> 2, "p1_chunking" -> 2,
       "p2_split_assign" -> 2, "p3_decontaminate" -> 3, "p4_tfidf" -> 6,
-      "p5_pipeline_e2e" -> 3, "q10_rollup" -> 2, "q11_setops" -> 2,
+      "p5_pipeline_e2e" -> 3, "q10_rollup" -> 3, "q11_setops" -> 2,
       "q12_antijoin" -> 2, "q13_part_stats" -> 3, "q14_promo_share" -> 1,
       "q15_small_qty_revenue" -> 2, "q16_large_orders" -> 1,
       "q17_distinct_agg" -> 3, "q18_large_order_customers" -> 1,
       // q26: one per-priority window exchange feeds all four ranking
       // functions + output sort
-      "q26_rank_suite" -> 2,
+      "q26_rank_suite" -> 3,
       // q27: Expand + one hash agg + the output sort — the multi-grain
       // pass costs one shuffle regardless of how many sets it serves
-      "q27_grouping_sets" -> 2,
-      "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 2,
+      "q27_grouping_sets" -> 3,
+      "q19_disjunctive_revenue" -> 1, "q1_pricing_summary" -> 3,
       "q20_qualified_suppliers" -> 4,
       "q21_semi_anti" -> 2, "q22_global_customers" -> 3,
-      "q23_cube_flags" -> 2, "q24_quantiles" -> 2, "q25_full_outer" -> 3,
+      "q23_cube_flags" -> 3, "q24_quantiles" -> 2, "q25_full_outer" -> 3,
       "q2_top_acctbal_sql" -> 2, "q3_shipping_priority" -> 1,
       "q4_order_priority" -> 2, "q5_local_supplier_volume" -> 2,
       "q6_forecast_revenue" -> 1, "q7_top_customers" -> 1,
