@@ -705,6 +705,16 @@ object Documents {
         explode_outer(transform(
           sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("g"))
+      // lazy local checkpoint: grams has TWO consumers (profile build +
+      // scoring join) and the substring explosion is the query's
+      // dominant CPU — without a shared materialization each consumer
+      // re-runs it (measured: two ~14 CPU-s stages at sf0.1). A shared
+      // g-keyed exchange does NOT dedupe it: the consumers prune
+      // different columns, so the two exchange subtrees canonicalize
+      // differently and AQE's stage cache misses (measured: two
+      // 7.7/6.9 MB gram exchanges). Identity-based reuse — the
+      // BlockedSelfJoin.pairs discipline — is the mechanism that works.
+      .localCheckpoint(false)
     val profile = grams.groupBy(col("lang").as("plang"), col("g"))
       .agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
@@ -831,6 +841,10 @@ object Documents {
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"))
+      // materialize: the final sort's boundary sampling re-runs the
+      // whole winnowing pipeline otherwise (measured ~15 CPU-s twice;
+      // Spread scaladoc)
+      .transform(graft.operators.Spread.materialize)
       .orderBy(col("doc_id"))
   }
 
@@ -967,7 +981,7 @@ object Documents {
       when(col("doc_id") % 5 === 0,
         concat(lit(" or 555-"), lpad(col("doc_id") % 10000, 4, "0")))
         .otherwise(lit("")))
-    docs(spark, dir)
+    Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), planted.as("t"))
       .select(col("doc_id"),
         regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
@@ -975,6 +989,8 @@ object Documents {
         md5(regexp_replace(
           regexp_replace(col("t"), emailRe, "[EMAIL]"),
           phoneRe, "[PHONE]")).as("scrub_hash"))
+      // materialize: sort-sampling would re-run the regex pipeline
+      .transform(graft.operators.Spread.materialize)
       .orderBy(col("doc_id"))
   }
 

@@ -278,7 +278,7 @@ class PlanAuditSpec extends SparkSpec {
       // no exchange); at scale the planner would line-shuffle both sides
       // instead — data-sized frequency tables must never broadcast
       "d39_line_dedup" -> 4,
-      "d11_winnowing" -> 2, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 1,
+      "d11_winnowing" -> 3, "d12_dup_clusters" -> 3, "d13_pii_scrub" -> 3,
       "d14_source_quota" -> 3, "d15_repetition" -> 2, "d1_exact_dedup" -> 2,
       "d2_token_stats" -> 2, "d3_quality_score" -> 1, "d4_fingerprint" -> 2,
       // d7: band-dedup is an in-projection filter on the sketches' XOR
