@@ -19,6 +19,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Bucket count for the engine's persisted index/signature tables,
+    * sized to the session's core count instead of a constant
+    * (optimization guide §2.2/§6): a bucketed re-read joins with zero
+    * exchanges but its parallelism IS the bucket count — the former
+    * fixed 8 capped every expansion join at 8 of 32 local cores
+    * (measured on d7, OPTIMIZATION_r14.md), and at cluster scale a
+    * constant is wronger still. Overridable per session via
+    * `graft.index.buckets` for deployments whose table lifetime spans
+    * differently-sized clusters (bucket count is a WRITE-time property;
+    * pick it for the readers).
+    */
+  def indexBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.index.buckets").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Writes `df` as a bucketed+sorted managed parquet table. Clears an
     * ORPHANED location first: the in-memory catalog forgets tables at
     * JVM exit while their warehouse dirs survive, and saveAsTable's

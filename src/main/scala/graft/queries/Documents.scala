@@ -294,7 +294,9 @@ object Documents {
         sources = Seq(s"$dir/documents.parquet"),
         params = s"keys=${keys.mkString("+")} chunk=$chunkSize cap=$maxBucket") {
         table => graft.operators.BlockedSelfJoin.persistChunked(
-          df, keys, ord, chunkSize, table, numBuckets = 8, maxBucket = maxBucket)
+          df, keys, ord, chunkSize, table,
+          numBuckets = graft.operators.Bucketing.indexBuckets(spark),
+          maxBucket = maxBucket)
       }
       graft.operators.BlockedSelfJoin.expandPairs(chunked, keys)
     }
@@ -1309,7 +1311,7 @@ object Documents {
       spark, "graft_kgram_idx", dir,
       sources = Seq(s"$dir/documents.parquet"), params = s"k=$k") { table =>
       kg.write.format("parquet")
-        .bucketBy(8, "h").sortBy("h")
+        .bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
   }
@@ -1513,10 +1515,10 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"k=$k mod=$D20ShardMod") { table =>
       kgramRows(spark, docs(spark, dir).filter(!isShard), k)
-        .write.format("parquet").bucketBy(8, "h").sortBy("h")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
       kgramRows(spark, docs(spark, dir).filter(isShard), k)
-        .write.format("parquet").mode("append").bucketBy(8, "h").sortBy("h")
+        .write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
   }
@@ -1587,10 +1589,10 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bands mod=$D20ShardMod") { table =>
       bandSignatures(spark, docs(spark, dir).filter(!d20IsShard))
-        .write.format("parquet").bucketBy(8, "band", "sig")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
       bandSignatures(spark, docs(spark, dir).filter(d20IsShard))
-        .write.format("parquet").mode("append").bucketBy(8, "band", "sig")
+        .write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
     }
 
@@ -1638,7 +1640,7 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"scored mod=$D20ShardMod") { table =>
       scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir)))
-        .write.format("parquet").bucketBy(8, "da").sortBy("da")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "da").sortBy("da")
         .saveAsTable(table)
     }
 
@@ -1875,7 +1877,7 @@ object Documents {
       val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
       bandSignatures(spark, d.unionByName(clones))
-        .write.format("parquet").bucketBy(8, "band", "sig")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
     }
     val bench = sigs.filter(isBenchId)
@@ -2032,7 +2034,7 @@ object Documents {
       graft.operators.ConnectedComponents.run(
           nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
           store = store)
-        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
         .saveAsTable(table)
       store.reset()
     }
@@ -2130,7 +2132,7 @@ object Documents {
           baseNodes, basePairs,
           store = graft.operators.ConnectedComponents
             .freshRounds(spark, "cc_d26b"))
-        .write.format("parquet").bucketBy(8, "id").sortBy("id")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
         .saveAsTable(table)
     }
 
@@ -2336,7 +2338,7 @@ object Documents {
       params = s"mod=$D20ShardMod") { table =>
       d26IncrementalClusters(spark, dir)
         .select(col("cluster_id"), col("doc_id"))
-        .write.format("parquet").bucketBy(8, "cluster_id").sortBy("cluster_id")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "cluster_id").sortBy("cluster_id")
         .saveAsTable(table)
     }
 
@@ -2657,7 +2659,7 @@ object Documents {
             (t, i) => when((i + 1) % 25 === 0, concat(t, lit("_x"))).otherwise(t)),
             " ").as("text"))
       kgramRows(spark, d.unionByName(mutated), k)
-        .write.format("parquet").bucketBy(8, "h").sortBy("h")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
     val bench = grams
@@ -2777,7 +2779,7 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bigram laplace trusted=en ppm=$LmScale") { table =>
       lmScoredBuild(spark, dir)
-        .write.format("parquet").bucketBy(8, "lang").sortBy("lang")
+        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "lang").sortBy("lang")
         .saveAsTable(table)
     }
 

@@ -33,7 +33,7 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, desc) =>
-          lines.add(f"JOB ${je.jobId}%4d ${(je.time - t0) / 1e3}%7.2f s  $desc")
+          lines.add(f"JOB ${je.jobId}%4d start=${t0 % 1000000}%6d ms dur=${(je.time - t0) / 1e3}%7.2f s end=${je.time % 1000000}%6d  $desc")
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
