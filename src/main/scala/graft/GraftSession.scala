@@ -21,5 +21,16 @@ object GraftSession {
       // (exchange-free re-reads)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // whole-stage-codegen class cache, sized to the catalog instead of
+      // the 100-entry default: the 194-query catalog compiles thousands
+      // of distinct codegen units (literals like table/column names are
+      // inlined, so similar queries don't share classes), and at 100
+      // entries the cache cycles completely every pass — measured 60
+      // fresh Janino compiles PER RUN of one audit query (~0.3-0.5 s of
+      // in-task blocking each run, the dominant cost of r13/w27-class
+      // queries; OPTIMIZATION_r14.md). Compile cost is per-plan, not
+      // per-byte, so this pays at ANY data scale for a long-lived
+      // many-query session — exactly this engine's production shape.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 }
