@@ -142,6 +142,15 @@ object BlockedSelfJoin {
       numBuckets: Int = 8,
       maxBucket: Option[Int] = None): Unit =
     chunk(df, keys, ord, chunkSize, maxBucket)
+      // bucket-aligned layout: repartition by the bucket keys into
+      // exactly numBuckets partitions (HashPartitioning and the bucket
+      // spec share the Murmur3-pmod formula), so each write task holds
+      // ONE bucket and the table is numBuckets files — an unaligned
+      // bucketed write emits (input partitions × buckets) files, and
+      // the resulting thousands of tiny files dominated every re-read
+      // (guide §6 small-files; measured on the k-gram index,
+      // OPTIMIZATION_r14.md)
+      .repartition(numBuckets, keys.map(col): _*)
       .write.format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -1310,7 +1310,8 @@ object Documents {
     else graft.operators.PersistedIndex.ensure(
       spark, "graft_kgram_idx", dir,
       sources = Seq(s"$dir/documents.parquet"), params = s"k=$k") { table =>
-      kg.write.format("parquet")
+      kg.repartition(graft.operators.Bucketing.indexBuckets(spark), col("h"))
+        .write.format("parquet")
         .bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
@@ -1515,10 +1516,10 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"k=$k mod=$D20ShardMod") { table =>
       kgramRows(spark, docs(spark, dir).filter(!isShard), k)
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
       kgramRows(spark, docs(spark, dir).filter(isShard), k)
-        .write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
   }
@@ -1589,10 +1590,10 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bands mod=$D20ShardMod") { table =>
       bandSignatures(spark, docs(spark, dir).filter(!d20IsShard))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
       bandSignatures(spark, docs(spark, dir).filter(d20IsShard))
-        .write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
     }
 
@@ -1640,7 +1641,7 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"scored mod=$D20ShardMod") { table =>
       scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir)))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "da").sortBy("da")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("da")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "da").sortBy("da")
         .saveAsTable(table)
     }
 
@@ -1877,7 +1878,7 @@ object Documents {
       val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
       bandSignatures(spark, d.unionByName(clones))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
         .sortBy("band", "sig").saveAsTable(table)
     }
     val bench = sigs.filter(isBenchId)
@@ -2034,7 +2035,7 @@ object Documents {
       graft.operators.ConnectedComponents.run(
           nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
           store = store)
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
         .saveAsTable(table)
       store.reset()
     }
@@ -2132,7 +2133,7 @@ object Documents {
           baseNodes, basePairs,
           store = graft.operators.ConnectedComponents
             .freshRounds(spark, "cc_d26b"))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
         .saveAsTable(table)
     }
 
@@ -2338,7 +2339,7 @@ object Documents {
       params = s"mod=$D20ShardMod") { table =>
       d26IncrementalClusters(spark, dir)
         .select(col("cluster_id"), col("doc_id"))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "cluster_id").sortBy("cluster_id")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("cluster_id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "cluster_id").sortBy("cluster_id")
         .saveAsTable(table)
     }
 
@@ -2659,7 +2660,7 @@ object Documents {
             (t, i) => when((i + 1) % 25 === 0, concat(t, lit("_x"))).otherwise(t)),
             " ").as("text"))
       kgramRows(spark, d.unionByName(mutated), k)
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
         .saveAsTable(table)
     }
     val bench = grams
@@ -2779,7 +2780,7 @@ object Documents {
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bigram laplace trusted=en ppm=$LmScale") { table =>
       lmScoredBuild(spark, dir)
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "lang").sortBy("lang")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("lang")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "lang").sortBy("lang")
         .saveAsTable(table)
     }
 

@@ -743,7 +743,7 @@ object Pipeline {
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       tf.join(dl, Seq("doc_id"))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("term")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
         .saveAsTable(table)
     }
     val stats = graft.operators.PersistedIndex.ensure(
@@ -792,7 +792,7 @@ object Pipeline {
         .select(col("term"), col("doc_id").as("cid"),
           (bm25Idf * bm25TfNorm)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("term")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
         .saveAsTable(table)
     }
   }

@@ -1369,7 +1369,7 @@ object Vectors {
       val store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_v14")
       graft.operators.ConnectedComponents.run(
           all.select(col("vec_id").as("id")), edges, store = store)
-        .write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
         .saveAsTable(table)
       store.reset()
     }
