@@ -191,7 +191,15 @@ object ReplicaTable {
           "soft-delete flag must be 0 or 1 (a NULL row would be " +
           "invisible to every versioned read)")).cast("int"))
         .otherwise(col(d)))
-    guarded.write.mode("append").format("parquet")
+    guarded
+      // bucket-aligned append: repartition by the bucket keys into
+      // exactly numBuckets partitions (same Murmur3-pmod formula both
+      // sides) so each append adds numBuckets files, not
+      // partitions × buckets — unaligned appends accumulate thousands
+      // of tiny files that dominate every re-read (guide §6; see
+      // BlockedSelfJoin.persistChunked and OPTIMIZATION_r14.md)
+      .repartition(numBuckets, config.primaryKeys.map(col): _*)
+      .write.mode("append").format("parquet")
       .bucketBy(numBuckets, config.primaryKeys.head, config.primaryKeys.tail: _*)
       .sortBy(config.primaryKeys.head, config.primaryKeys.tail: _*)
       .saveAsTable(config.name)

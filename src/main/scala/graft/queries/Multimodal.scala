@@ -148,7 +148,8 @@ object MultimodalQ {
     // byte windows, and DuckDB can replay the slicing (its substring is
     // VARCHAR-only); sampleFrames itself is type-generic (substr works
     // on binary payloads identically)
-    val m = Tables.load(spark, dir, "documents")
+    // spread: same single-row-group rationale as m4
+    val m = Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id").as("media_id"), col("text").as("payload"))
     M.sampleFrames(m, frameSize = 16, stride = 8)
       .groupBy(col("media_id"))
@@ -178,7 +179,10 @@ object MultimodalQ {
     * the robustness exact content_hash dedup (m1) cannot give.
     */
   def m4FrameNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    // spread: frame sampling + per-frame md5 is scan-side compute and the
+    // single-row-group fixture serializes it (Spread scaladoc; both the
+    // base and mutant branches reuse ONE materialized spread exchange)
+    val d = Tables.loadSpread(spark, dir, "documents", "doc_id")
       .select(col("doc_id").as("media_id"), col("text").as("payload"))
     val mut = d.select((col("media_id") + 1000000).as("media_id"),
       concat(lit("z"), col("payload").substr(lit(2), length(col("payload"))))

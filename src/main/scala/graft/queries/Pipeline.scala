@@ -423,6 +423,12 @@ object Pipeline {
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("hex"))
       .distinct()
+      // lazy local checkpoint: sh has THREE consumers (bloom build,
+      // benchmark hex set, corpus probe) whose divergent column pruning
+      // defeats AQE's exchange-stage reuse — the tokenize+shingle+md5
+      // map stage ran once per consumer (measured: two ~7.5 run-s map
+      // stages at sf0.1; d9Pred's rationale)
+      .localCheckpoint(false)
     // lane j's slot id = j * 2^16 + the j-th 16-bit slice of the md5 hex
     def laneId(j: Int) = lit(j.toLong * BloomLaneSlots) +
       conv(substring(col("hex"), 1 + 4 * j, 4), 16, 10).cast("long")

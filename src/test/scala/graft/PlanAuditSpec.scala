@@ -504,7 +504,7 @@ class PlanAuditSpec extends SparkSpec {
       // p9: distinct + repartition + final per-doc agg + output sort; the
       // 32 KB bitmap build rides a one-time localCheckpoint and the four
       // lane probes are broadcast joins against its <= 4096 words
-      "p9_bloom_decontaminate" -> 4,
+      "p9_bloom_decontaminate" -> 3,
       // p10: the (epoch, shard) window partition + output sort — no
       // global sort; shards order locally
       "p10_epoch_shuffle" -> 2,
@@ -625,7 +625,7 @@ class PlanAuditSpec extends SparkSpec {
       // repartition, profile agg+window, score agg, argmax window, label
       // join) + the |sources|-row rollup/sort riding the doc frame
       "d38_source_label_noise" -> 7, "m1_media_metadata" -> 3,
-      "m2_decode_features" -> 2, "m3_frame_sample" -> 3,
+      "m2_decode_features" -> 2, "m3_frame_sample" -> 2,
       // m6: synthesis + decode are mapPartitions projections; one
       // sample_rate hash agg + output sort
       "m6_audio_features" -> 2,
