@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   * converge in 2–3.
   *
   * Scale shape (100 TB):
-  *  - each star op is ONE hash aggregation (min per endpoint) + ONE
-  *    equi-join back to the edges — no all-pairs anywhere; edges stay
-  *    oriented (src > dst) between rounds so only large-star pays the
-  *    symmetrize union;
+  *  - each star op is ONE exchange of the edge set into a per-endpoint
+  *    window MIN — no all-pairs anywhere; edges stay oriented
+  *    (src > dst) between rounds so only large-star pays the
+  *    symmetrization (an explode, so each round table is scanned once);
+  *    the round's two stars and terminal distinct are three exchanges
+  *    total (r15 — the groupBy+join-back form paid six, including a
+  *    second full exchange of the edge set into each join);
   *  - every round's edge set is re-materialized through a [[RoundStore]],
   *    truncating the lineage so the plan does not grow with iteration
-  *    count (the classic iterative-Spark failure mode);
+  *    count (the classic iterative-Spark failure mode); the round's row
+  *    count and set signature ride the SAME write action as observed
+  *    metrics, so no round pays a separate full-scan stat job;
   *  - [[TableRounds]] is the production store: rounds persist to
   *    alternating plain-parquet catalog tables, so a lost executor recomputes
   *    from durable parquet instead of killing the job (the failure mode
@@ -38,15 +43,43 @@ import org.apache.spark.sql.functions._
   *    non-resilient). [[CheckpointRounds]] remains for small/ephemeral
   *    graphs where table churn isn't worth it;
   *  - convergence is a deterministic set-equality check (count match +
-  *    empty EXCEPT), not a hash compare.
+  *    empty EXCEPT); the observed xor signature only SKIPS the EXCEPT
+  *    when it proves the sets differ — it is never trusted to declare
+  *    them equal.
   */
 object ConnectedComponents {
+
+  /** Per-row term of the round set signature: order-independent under
+    * bit_xor, deterministic, null-free on oriented edge frames. */
+  private def roundSig: org.apache.spark.sql.Column =
+    xxhash64(col("src"), col("dst"))
 
   /** Per-round materialization strategy for the iterative edge set. */
   sealed trait RoundStore {
     /** Materialize this round's edges; the returned frame must be safe to
       * read repeatedly without recomputing upstream. */
     def put(df: DataFrame, round: Int): DataFrame
+    /** [[put]] plus the materialized round's ROW COUNT and its
+      * order-independent SET SIGNATURE (bit_xor of xxhash64(src,dst)).
+      * The fixpoint needs the count every round for the convergence
+      * compare; the signature is a sound DIFFERENCE certificate — equal
+      * edge sets always hash to equal signatures, so a mismatch proves
+      * the round changed and skips the EXCEPT job outright (measured:
+      * chain-shaped graphs keep a CONSTANT edge count across rounds, so
+      * the count compare alone ran the EXCEPT every round). Signature
+      * equality is never trusted as convergence — a colliding xor must
+      * not mislabel components — it only gates the deterministic EXCEPT.
+      * A store that can observe both from the materializing action
+      * itself (see [[TableRounds]]) saves one full stat job per round.
+      * Default: one combined count+signature job over the materialized
+      * round (guide §1.2 — the default stays obviously correct; stores
+      * opt in to the fused measurement).
+      */
+    def putCounted(df: DataFrame, round: Int): (DataFrame, Long, Long) = {
+      val out = put(df, round)
+      val r = out.agg(count(lit(1)), bit_xor(roundSig)).head()
+      (out, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     /** Run the whole fixpoint under this store's liveness regime (a
       * durable store heartbeats so concurrent sessions' orphan sweeps
       * see an ACTIVE run, however long a round takes). Default: no-op.
@@ -68,6 +101,46 @@ object ConnectedComponents {
     * their executor — use for tests and small ephemeral graphs only. */
   case object CheckpointRounds extends RoundStore {
     override def put(df: DataFrame, round: Int): DataFrame = df.localCheckpoint()
+  }
+
+  /** Captures `graft_cc_rows_*` observed metrics from round writes, one
+    * QueryExecutionListener per session (weakly held): the public
+    * [[org.apache.spark.sql.Observation]] `get` blocks with NO timeout,
+    * and a metric that never arrives must degrade to a count job, not
+    * hang the fixpoint — so the capture is a map + deadline poll.
+    * Entries are removed when read; a timed-out round leaks one boxed
+    * Long per run at most.
+    */
+  private object ObservedCounts {
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    private val sessions = java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    def ensureListener(spark: SparkSession): Unit = sessions.synchronized {
+      if (sessions.add(spark)) {
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft_cc_rows_"))
+                  counts.put(name, (row.getLong(0),
+                    if (row.isNullAt(1)) 0L else row.getLong(1)))
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
+    def take(name: String, deadlineNanos: Long): Option[(Long, Long)] = {
+      var v = counts.remove(name)
+      while (v == null && System.nanoTime() < deadlineNanos) {
+        Thread.sleep(2); v = counts.remove(name)
+      }
+      Option(v)
+    }
   }
 
   /** Durable rounds: each edge set is written to one of two alternating
@@ -92,6 +165,30 @@ object ConnectedComponents {
       spark.sparkContext.hadoopConfiguration)
     override def reset(): Unit =
       Seq(0, 1).foreach(g => ReplicaTable.dropTableAndLocation(spark, s"${prefix}_$g"))
+    /** The round count AND set signature folded into the round WRITE via
+      * observed metrics (`Dataset.observe` read back through
+      * [[ObservedCounts]]' QueryExecutionListener): the saveAsTable
+      * action that materializes the round also computes both, so the
+      * fixpoint's per-round stat job (a full re-scan of the just-written
+      * table) disappears — at bench scale that was one of ~3 jobs per
+      * round; at 100 TB it is a TB-scale table scan per round. Falls
+      * back to the plain stat job if the metrics do not arrive inside
+      * the deadline (listener-bus delivery is asynchronous), so the
+      * convergence compare never sees wrong or missing stats.
+      */
+    override def putCounted(df: DataFrame, round: Int): (DataFrame, Long, Long) = {
+      ObservedCounts.ensureListener(spark)
+      val metric = s"graft_cc_rows_${prefix}_$round"
+      val out = put(df.observe(metric,
+        count(lit(1)).as("rows"), bit_xor(roundSig).as("sig")), round)
+      ObservedCounts.take(metric,
+          System.nanoTime() + 10L * 1000 * 1000 * 1000) match {
+        case Some((n, sig)) => (out, n, sig)
+        case None =>
+          val r = out.agg(count(lit(1)), bit_xor(roundSig)).head()
+          (out, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    }
     override def put(df: DataFrame, round: Int): DataFrame = {
       // phase-boundary heartbeat (the ticker in withLiveness covers a
       // single LONG round; this keeps the mtime honest between rounds
@@ -165,6 +262,25 @@ object ConnectedComponents {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ephemerals.enqueue(out)
         out
+      }
+    }
+    /** Durable rounds inherit [[TableRounds]]' observed-stat write (by
+      * the private generation counter, like [[put]]); ephemeral rounds
+      * pay the one-job stat agg, which doubles as the action that
+      * materializes the persist — no extra work either way. */
+    override def putCounted(df: DataFrame, round: Int): (DataFrame, Long, Long) = {
+      while (ephemerals.size > 1) ephemerals.dequeue().unpersist(blocking = false)
+      lastWasDurable = round % durableEvery == 0
+      if (lastWasDurable) {
+        val out = underlying.putCounted(df, durableGen)
+        durableGen += 1
+        out
+      } else {
+        val out = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ephemerals.enqueue(out)
+        val r = out.agg(count(lit(1)), bit_xor(roundSig)).head()
+        (out, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
     }
     private def releaseEphemerals(): Unit = {
@@ -263,31 +379,76 @@ object ConnectedComponents {
     * (v, min(Γ(u) ∪ u)) for every neighbor v > u. Output stays oriented
     * src > dst. Preserves connectivity; never drops a component member.
     */
-  private[operators] def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.select(col("src"), col("dst"))
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src")).as("m"))
-    sym.join(mins, "src")
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    largeStarMulti(e).distinct()
+
+  /** [[largeStar]] as a MULTISET (no terminal distinct): the fused round
+    * feeds this straight into [[smallStar]], whose own terminal distinct
+    * dedupes — the intermediate (src,dst) exchange bought nothing the
+    * next distinct does not (guide §2.4: per-round exchange count is the
+    * fixpoint's dominant overhead). No amplification risk: the multiset
+    * is exactly one row per oriented input edge (|e| rows), so the
+    * downstream shuffle never exceeds the input size.
+    *
+    * The per-neighborhood minimum is a window MIN over the symmetric
+    * adjacency — ONE exchange of sym instead of groupBy+join-back (an
+    * exchange into the aggregate, though partial-agg-thinned, plus a
+    * full second exchange of sym into the join). The window's sort
+    * replaces the join's hash probe; a hot node's neighborhood lands in
+    * one window partition either way (the join co-partitioned sym by
+    * src too), and the star alternation itself is the skew bound —
+    * large-star strictly shrinks every super-threshold neighborhood
+    * toward the component minimum (SoCC'14 §3). sym is built by explode
+    * rather than self-union so the round table is scanned ONCE per star
+    * (at 100 TB a round table is TB-sized; the union form scanned it
+    * twice).
+    */
+  private def largeStarMulti(e: DataFrame): DataFrame = {
+    val sym = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    sym
+      .withColumn("m", least(min(col("dst")).over(w), col("src")))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** small-star: input oriented src > dst; for each node u, point u and
     * all its smaller neighbors at m = min of those neighbors. Output stays
     * oriented src > dst.
+    *
+    * Same single-exchange window shape as [[largeStarMulti]] (the old
+    * groupBy+join-back paid a second full exchange of e into the join);
+    * the moved edge (dst, m) and the self edge (src, m) are emitted from
+    * ONE pass over the window rows via explode, and the terminal
+    * distinct drops the self-edge duplicates the old per-src `mins`
+    * frame avoided — same set, one exchange fewer. The (src, m) self
+    * edge can never self-loop (orientation makes m < src strictly);
+    * the (dst, m) moved edge self-loops exactly when dst = m, which the
+    * src =!= dst filter removes — the same rows the old
+    * `where(dst =!= m)` kept.
     */
-  private[operators] def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    val moved = e.join(mins, "src")
-      .where(col("dst") =!= col("m"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-    val self = mins.select(col("src"), col("m").as("dst"))
-    moved.unionByName(self)
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    e.withColumn("m", min(col("dst")).over(w))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src"), col("m").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
   }
+
+  /** One fused fixpoint round: small-star of the large-star multiset.
+    * Three exchanges total (two window MINs + the terminal distinct)
+    * where the unfused groupBy+join form paid six — measured at sf0.1
+    * as the difference between ~7 and ~4 AQE stage jobs per round, and
+    * at scale two fewer full exchanges of the edge set per round.
+    */
+  private def starRound(e: DataFrame): DataFrame =
+    smallStar(largeStarMulti(e))
 
   /** @param nodes one column `id` (numeric); @param edges columns
     * `src`/`dst` in either orientation, duplicates and self-loops allowed.
@@ -305,22 +466,25 @@ object ConnectedComponents {
       maxIters: Int = 50,
       store: RoundStore = CheckpointRounds): DataFrame = store.withLiveness {
     store.reset()
-    var e = store.put(
+    var (e, count, sig) = store.putCounted(
       edges.select(
           greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct(), 0)
-    var count = e.count()
     var converged = count == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = store.put(smallStar(largeStar(e)), iter + 1)
-      val nextCount = next.count()
-      // equal cardinality + next ⊆ prev ⇒ identical edge sets (both distinct)
-      converged = nextCount == count && next.except(e).isEmpty
+      val (next, nextCount, nextSig) = store.putCounted(starRound(e), iter + 1)
+      // equal cardinality + equal set signature + next ⊆ prev ⇒ identical
+      // edge sets (both distinct). The signature compare is a sound
+      // NEGATIVE certificate only — convergence is still decided by the
+      // deterministic EXCEPT; the xor merely skips it when the round
+      // provably changed (e.g. chain graphs rewire at constant count)
+      converged = nextCount == count && nextSig == sig && next.except(e).isEmpty
       e = next
       count = nextCount
+      sig = nextSig
       iter += 1
     }
     require(converged,

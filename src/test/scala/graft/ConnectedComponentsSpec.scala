@@ -172,6 +172,58 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("windowed star rounds match the SoCC'14 definitions on random edge sets") {
+    // r15 rewrote largeStar/smallStar from groupBy+join-back to a
+    // single-exchange window MIN; this pins the per-round SET semantics
+    // against direct driver-side evaluations of the paper's definitions
+    def refLarge(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val sym = edges ++ edges.map(_.swap)
+      val nbrs = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      sym.collect { case (u, v) if v > u => (v, (nbrs(u) + u).min) }.toSet
+    }
+    def refSmall(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      nbrs.iterator.flatMap { case (u, smaller) =>
+        val m = smaller.min
+        (smaller - m).map(v => (v, m)) + ((u, m))
+      }.filter { case (a, b) => a != b }.toSet
+    }
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (a max b, a min b) }.toSet // oriented src > dst
+      val eDf = edges.toSeq.toDF("src", "dst")
+      val gotLarge = graft.operators.ConnectedComponents.largeStar(eDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotLarge === refLarge(edges), "largeStar diverged from the paper")
+      val gotSmall = graft.operators.ConnectedComponents.smallStar(eDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSmall === refSmall(edges), "smallStar diverged from the paper")
+    }
+  }
+
+  test("putCounted folds the round stats into the durable write") {
+    val store = TableRounds(spark, "cc_obs")
+    try {
+      val df = (0L until 257L).map(i => (i + 1, i)).toDF("src", "dst")
+      val (out, n, sig) = store.putCounted(df, 0)
+      assert(n === 257L, "observed/fallback count wrong")
+      assert(out.count() === 257L)
+      assert(spark.catalog.tableExists("cc_obs_0"))
+      // the signature is deterministic: a permuted write of the SAME set
+      // observes the same xor; a different set observes a different one
+      val (_, n2, sig2) = store.putCounted(
+        df.orderBy(col("src").desc).repartition(7), 1)
+      assert(n2 === 257L)
+      assert(sig2 === sig, "set signature must be order/partitioning independent")
+      val (_, _, sig3) = store.putCounted(
+        df.withColumn("dst", col("dst") + 1), 0)
+      assert(sig3 !== sig, "a changed edge set must change the signature")
+    } finally Seq("cc_obs_0", "cc_obs_1")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("non-convergence inside the round bound fails loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       labelsOf(
