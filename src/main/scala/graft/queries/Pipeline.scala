@@ -416,9 +416,14 @@ object Pipeline {
     */
   def p9BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
+      // spread FIRST, tokenize after: the single-row-group fixture scans
+      // on one task, so tokenizing before the exchange serialized the
+      // whole corpus tokenize on one core (measured: the 1-task scan
+      // stage carried the tokenize; r15) — and the exchange now carries
+      // raw text instead of token arrays
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= DecontamN) // one tokenize (r12 review)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), T.shingles(col("toks"), DecontamN).as("shs"))
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("hex"))
@@ -429,16 +434,31 @@ object Pipeline {
       // map stage ran once per consumer (measured: two ~7.5 run-s map
       // stages at sf0.1; d9Pred's rationale)
       .localCheckpoint(false)
-    // lane j's slot id = j * 2^16 + the j-th 16-bit slice of the md5 hex
-    def laneId(j: Int) = lit(j.toLong * BloomLaneSlots) +
-      conv(substring(col("hex"), 1 + 4 * j, 4), 16, 10).cast("long")
+    // lane j's slot id = j * 2^16 + the j-th 16-bit slice of the md5
+    // hex. The four slices are parsed as TWO u32 halves (hex chars 1-8
+    // and 9-16) and split with shifts — bit-identical to the previous
+    // 4x substring+conv form (which the oracle still replays): conv of
+    // 8 hex chars is an exact u32 (< 2^63, no sign or overflow), and
+    // hi = c(1..4)*2^16 + c(5..8) with both terms in [0, 2^16), so
+    // hi >>> 16 is exactly chars 1-4 and hi & 0xFFFF exactly chars 5-8
+    // (same for lo / chars 9-16). Halves the hex parsing on the probe
+    // hot path, the query's CPU center (r15; guide §1.2 per-task work).
+    val laneHalves = Seq(
+      conv(substring(col("hex"), 1, 8), 16, 10).cast("long").as("h_hi"),
+      conv(substring(col("hex"), 9, 8), 16, 10).cast("long").as("h_lo"))
+    val laneIds = Seq(
+      shiftrightunsigned(col("h_hi"), 16),
+      lit(1L * BloomLaneSlots) + col("h_hi").bitwiseAND(lit(0xFFFFL)),
+      lit(2L * BloomLaneSlots) + shiftrightunsigned(col("h_lo"), 16),
+      lit(3L * BloomLaneSlots) + col("h_lo").bitwiseAND(lit(0xFFFFL)))
     // the bitmap: explode lanes on the TINY benchmark side only, then
     // pack bits into <= 4096 64-bit words (mergeable across shards)
     // the lazy localCheckpoint materializes the <= 4096-row bitmap once;
     // without it each of the four lane joins below replans the whole
     // benchmark-side build under its own broadcast exchange
     val bloom = sh.filter(col("doc_id") % 97 === 0)
-      .select(explode(array((0 until BloomLanes).map(laneId): _*)).as("id"))
+      .select(col("hex") +: laneHalves: _*)
+      .select(explode(array(laneIds: _*)).as("id"))
       .select(shiftright(col("id"), 6).as("w"),
         expr("shiftleft(1L, CAST(id & 63 AS INT))").as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
@@ -453,8 +473,9 @@ object Pipeline {
     // its joined word
     val probed = (0 until BloomLanes).foldLeft(
       sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id") +: col("hex") +: laneHalves: _*)
         .select(col("doc_id") +: col("hex") +:
-          (0 until BloomLanes).map(j => laneId(j).as(s"id$j")): _*)) {
+          laneIds.zipWithIndex.map { case (c, j) => c.as(s"id$j") }: _*)) {
       (df, j) =>
         df.join(broadcast(bloom.as(s"b$j")),
             shiftright(col(s"id$j"), 6) === col(s"b$j.w"), "left")
