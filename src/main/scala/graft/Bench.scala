@@ -77,6 +77,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${Verify.q(sfDir)}}"""
     println(json)
+    // Fallback anchor (VERDICT r14 #9): the driver records only a
+    // bounded TAIL of stdout, and at 194 queries the full line barely
+    // fits — when it doesn't, a short parseable summary printed AFTER
+    // it (so the tail keeps it) still carries the round's total. The
+    // full line stays first and unchanged.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$fs,"sf":${Verify.q(sfDir)}}""")
     // The driver records only a bounded TAIL of stdout; at 111 queries
     // the JSON line outgrows it and the driver's parse comes back null
     // (ADVICE r5). Persist the full line ourselves so per-query bench

@@ -31,8 +31,42 @@ object Bucketing {
     * pick it for the readers).
     */
   def indexBuckets(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("graft.index.buckets").map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.getOption("graft.index.buckets").map { v =>
+      val n = try v.toInt catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.index.buckets must be a positive integer, got '$v'", e)
+      }
+      require(n > 0, s"graft.index.buckets must be > 0, got $n")
+      n
+    }.getOrElse(spark.sparkContext.defaultParallelism)
+
+  /** Bucket-aligned write chain for the index/signature tables: the
+    * repartition and the bucket spec are built from ONE [[indexBuckets]]
+    * evaluation, so a mid-chain `graft.index.buckets` change (the conf
+    * is runtime-mutable; ABProbe exists precisely to flip confs between
+    * runs) cannot desync the task partitioning from the bucket count
+    * and silently reintroduce the partitions x buckets small-file
+    * explosion the alignment removes (ADVICE r14). HashPartitioning and
+    * the bucket spec share the Murmur3-pmod placement over the same key
+    * list, so each task holds exactly one bucket: numBuckets files per
+    * write. Sorted by `sortKeys` when non-empty; caller finishes the
+    * chain with `.saveAsTable`.
+    */
+  def alignedBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      sortKeys: Seq[String] = Nil,
+      append: Boolean = false)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    val n = indexBuckets(df.sparkSession)
+    val w0 = df
+      .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.format("parquet")
+    val w1 = if (append) w0.mode(SaveMode.Append) else w0
+    val w2 = w1.bucketBy(n, keys.head, keys.tail: _*)
+    if (sortKeys.nonEmpty) w2.sortBy(sortKeys.head, sortKeys.tail: _*) else w2
+  }
 
   /** Writes `df` as a bucketed+sorted managed parquet table. Clears an
     * ORPHANED location first: the in-memory catalog forgets tables at

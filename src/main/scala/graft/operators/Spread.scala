@@ -56,6 +56,16 @@ object Spread {
   /** Total file bytes per source path, memoized for the session lifetime
     * (same discipline as Tables' ts-type probe: one namenode call per
     * path per JVM, not one per query construction).
+    *
+    * Staleness is ACCEPTED, deliberately (ADVICE r14): a corpus
+    * regenerated in place mid-JVM keeps the old spread/no-spread
+    * decision — and thus the old plan shape — for the rest of the
+    * session. The memo guards a pure PERFORMANCE decision (fire an
+    * extra exchange or not), never correctness, and the gated regimes
+    * are separated by orders of magnitude, so a stale answer near the
+    * threshold costs at most one misjudged exchange of ~threshold
+    * bytes. PersistedIndex.sourceFingerprint, whose decision IS
+    * correctness (reuse a stale index), re-lists per call instead.
     */
   private val pathBytes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -90,4 +100,35 @@ object Spread {
     */
   def materialize(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Size-gated multi-consumer reuse point for a frame derived from
+    * source `path` (r15, VERDICT r14 #4 — the scanSpread discipline
+    * applied to the catalog's lazy localCheckpoints):
+    *
+    *  - source below `graft.reuse.maxSourceBytes` (default 1 GiB): a
+    *    lazy `localCheckpoint(false)` dedupes the upstream compute
+    *    across consumers whose divergent column pruning defeats AQE's
+    *    exchange-stage reuse (measured on d9/p9 in r14). The blocks are
+    *    executor-local and NON-fault-tolerant — losing one fails the
+    *    query — which is an acceptable trade exactly when the source is
+    *    small enough that the retry recomputes in seconds;
+    *  - at or above the threshold: the frame is returned UNCHANGED.
+    *    Each consumer recomputes from fully fault-tolerant lineage.
+    *    Pinning an unbounded materialized explosion in executor block
+    *    storage is the §5 failure mode (at 100 TB the checkpointed
+    *    frame is corpus-sized or larger: a lost executor kills the
+    *    query with no recompute path, and the blocks pin executor
+    *    memory/disk for the query's lifetime); paying the upstream map
+    *    work once per consumer is the honest unbounded-regime cost.
+    *
+    * The gate reads the SOURCE size, not the frame's (unknowable before
+    * execution): the checkpointed frames this guards are
+    * explosion-shaped (grams, shingles, unions), so source bytes are a
+    * conservative lower bound of the pinned bytes.
+    */
+  def reuse(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val maxBytes = spark.conf.getOption("graft.reuse.maxSourceBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (bytesOf(spark, path) < maxBytes) df.localCheckpoint(false) else df
+  }
 }

@@ -700,23 +700,26 @@ object Documents {
     * readouts are guaranteed to describe the SAME classifier.
     */
   private def d9Pred(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+    // size-gated reuse point: grams has TWO consumers (profile build +
+    // scoring join) and the substring explosion is the query's
+    // dominant CPU — without a shared materialization each consumer
+    // re-runs it (measured: two ~14 CPU-s stages at sf0.1). A shared
+    // g-keyed exchange does NOT dedupe it: the consumers prune
+    // different columns, so the two exchange subtrees canonicalize
+    // differently and AQE's stage cache misses (measured: two
+    // 7.7/6.9 MB gram exchanges). Identity-based reuse — the
+    // BlockedSelfJoin.pairs discipline — is the mechanism that works;
+    // Spread.reuse bounds it to small sources (above the gate the
+    // explosion recomputes per consumer from fault-tolerant lineage
+    // instead of pinning corpus-scale blocks executor-local, §5).
+    val grams = graft.operators.Spread.reuse(spark, docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode_outer(transform(
           sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("g"))
-      // lazy local checkpoint: grams has TWO consumers (profile build +
-      // scoring join) and the substring explosion is the query's
-      // dominant CPU — without a shared materialization each consumer
-      // re-runs it (measured: two ~14 CPU-s stages at sf0.1). A shared
-      // g-keyed exchange does NOT dedupe it: the consumers prune
-      // different columns, so the two exchange subtrees canonicalize
-      // differently and AQE's stage cache misses (measured: two
-      // 7.7/6.9 MB gram exchanges). Identity-based reuse — the
-      // BlockedSelfJoin.pairs discipline — is the mechanism that works.
-      .localCheckpoint(false)
+          i => col("text").substr(i, lit(3)))).as("g")),
+      s"$dir/documents.parquet")
     val profile = grams.groupBy(col("lang").as("plang"), col("g"))
       .agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
@@ -896,10 +899,14 @@ object Documents {
     val mangled = when(col("doc_id") % 2 === 0,
         concat(lit("  "), regexp_replace(col("text"), " ", "   ")))
       .otherwise(concat(col("text"), lit(" uniq "), col("doc_id")))
-    val corpus = d
+    // read 3x below (two key projections + nodes); size-gated — above
+    // the gate the tripled corpus recomputes per consumer from
+    // fault-tolerant lineage rather than pinning 3x corpus bytes in
+    // executor-local blocks (§5)
+    val corpus = graft.operators.Spread.reuse(spark, d
       .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      .unionByName(d.select((col("doc_id") + 2000000).as("doc_id"), mangled.as("text")))
-      .localCheckpoint(false) // read 3x below (two key projections + nodes)
+      .unionByName(d.select((col("doc_id") + 2000000).as("doc_id"), mangled.as("text"))),
+      s"$dir/documents.parquet")
     val keyed = corpus
       .select(col("doc_id"), concat(lit("c:"), md5(col("text"))).as("k"))
       .unionByName(corpus
@@ -1310,9 +1317,7 @@ object Documents {
     else graft.operators.PersistedIndex.ensure(
       spark, "graft_kgram_idx", dir,
       sources = Seq(s"$dir/documents.parquet"), params = s"k=$k") { table =>
-      kg.repartition(graft.operators.Bucketing.indexBuckets(spark), col("h"))
-        .write.format("parquet")
-        .bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+      graft.operators.Bucketing.alignedBucketed(kg, Seq("h"), Seq("h"))
         .saveAsTable(table)
     }
   }
@@ -1515,11 +1520,13 @@ object Documents {
       spark, "graft_kgram_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"k=$k mod=$D20ShardMod") { table =>
-      kgramRows(spark, docs(spark, dir).filter(!isShard), k)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+      graft.operators.Bucketing.alignedBucketed(
+          kgramRows(spark, docs(spark, dir).filter(!isShard), k),
+          Seq("h"), Seq("h"))
         .saveAsTable(table)
-      kgramRows(spark, docs(spark, dir).filter(isShard), k)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+      graft.operators.Bucketing.alignedBucketed(
+          kgramRows(spark, docs(spark, dir).filter(isShard), k),
+          Seq("h"), Seq("h"), append = true)
         .saveAsTable(table)
     }
   }
@@ -1589,12 +1596,14 @@ object Documents {
       spark, "graft_sig_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bands mod=$D20ShardMod") { table =>
-      bandSignatures(spark, docs(spark, dir).filter(!d20IsShard))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
-        .sortBy("band", "sig").saveAsTable(table)
-      bandSignatures(spark, docs(spark, dir).filter(d20IsShard))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").mode("append").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
-        .sortBy("band", "sig").saveAsTable(table)
+      graft.operators.Bucketing.alignedBucketed(
+          bandSignatures(spark, docs(spark, dir).filter(!d20IsShard)),
+          Seq("band", "sig"), Seq("band", "sig"))
+        .saveAsTable(table)
+      graft.operators.Bucketing.alignedBucketed(
+          bandSignatures(spark, docs(spark, dir).filter(d20IsShard)),
+          Seq("band", "sig"), Seq("band", "sig"), append = true)
+        .saveAsTable(table)
     }
 
   /** Raw candidate pairs among base docs only, off the persisted table. */
@@ -1640,8 +1649,9 @@ object Documents {
       spark, "graft_delta_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"scored mod=$D20ShardMod") { table =>
-      scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir)))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("da")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "da").sortBy("da")
+      graft.operators.Bucketing.alignedBucketed(
+          scoreMinhashPairsUnordered(incDeltaPairs(incSigTable(spark, dir))),
+          Seq("da"), Seq("da"))
         .saveAsTable(table)
     }
 
@@ -1877,9 +1887,10 @@ object Documents {
       val d = docs(spark, dir).select(col("doc_id"), col("text"))
       val clones = d.filter(pmod(col("doc_id"), lit(50L)) === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
-      bandSignatures(spark, d.unionByName(clones))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("band"), col("sig")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "band", "sig")
-        .sortBy("band", "sig").saveAsTable(table)
+      graft.operators.Bucketing.alignedBucketed(
+          bandSignatures(spark, d.unionByName(clones)),
+          Seq("band", "sig"), Seq("band", "sig"))
+        .saveAsTable(table)
     }
     val bench = sigs.filter(isBenchId)
       .select(col("band"), col("sig"), col("doc_id").as("bench_id"),
@@ -2032,10 +2043,11 @@ object Documents {
       val nodes = pairs.select(col("da").as("id"))
         .unionByName(pairs.select(col("db").as("id"))).distinct()
       val store = graft.operators.ConnectedComponents.freshRounds(spark, "cc_d23")
-      graft.operators.ConnectedComponents.run(
-          nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
-          store = store)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+      graft.operators.Bucketing.alignedBucketed(
+          graft.operators.ConnectedComponents.run(
+            nodes, pairs.select(col("da").as("src"), col("db").as("dst")),
+            store = store),
+          Seq("id"), Seq("id"))
         .saveAsTable(table)
       store.reset()
     }
@@ -2129,11 +2141,12 @@ object Documents {
           .select(col("da").as("src"), col("db").as("dst"))
       val baseNodes = basePairs.select(col("src").as("id"))
         .unionByName(basePairs.select(col("dst").as("id"))).distinct()
-      graft.operators.ConnectedComponents.run(
-          baseNodes, basePairs,
-          store = graft.operators.ConnectedComponents
-            .freshRounds(spark, "cc_d26b"))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+      graft.operators.Bucketing.alignedBucketed(
+          graft.operators.ConnectedComponents.run(
+            baseNodes, basePairs,
+            store = graft.operators.ConnectedComponents
+              .freshRounds(spark, "cc_d26b")),
+          Seq("id"), Seq("id"))
         .saveAsTable(table)
     }
 
@@ -2337,9 +2350,10 @@ object Documents {
       spark, "graft_labels_inc", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"mod=$D20ShardMod") { table =>
-      d26IncrementalClusters(spark, dir)
-        .select(col("cluster_id"), col("doc_id"))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("cluster_id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "cluster_id").sortBy("cluster_id")
+      graft.operators.Bucketing.alignedBucketed(
+          d26IncrementalClusters(spark, dir)
+            .select(col("cluster_id"), col("doc_id")),
+          Seq("cluster_id"), Seq("cluster_id"))
         .saveAsTable(table)
     }
 
@@ -2659,8 +2673,9 @@ object Documents {
           array_join(transform(split(col("text"), " "),
             (t, i) => when((i + 1) % 25 === 0, concat(t, lit("_x"))).otherwise(t)),
             " ").as("text"))
-      kgramRows(spark, d.unionByName(mutated), k)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("h")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "h").sortBy("h")
+      graft.operators.Bucketing.alignedBucketed(
+          kgramRows(spark, d.unionByName(mutated), k),
+          Seq("h"), Seq("h"))
         .saveAsTable(table)
     }
     val bench = grams
@@ -2779,8 +2794,9 @@ object Documents {
       spark, "graft_lm_scored", dir,
       sources = Seq(s"$dir/documents.parquet"),
       params = s"bigram laplace trusted=en ppm=$LmScale") { table =>
-      lmScoredBuild(spark, dir)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("lang")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "lang").sortBy("lang")
+      graft.operators.Bucketing.alignedBucketed(
+          lmScoredBuild(spark, dir),
+          Seq("lang"), Seq("lang"))
         .saveAsTable(table)
     }
 
@@ -3459,11 +3475,15 @@ object Documents {
     */
   def d41VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val cuts = Seq(100, 1000, 10000)
-    val wc = docs(spark, dir)
+    // head cut + total both fold from it; size-gated — the per-word
+    // count table is vocabulary-sized (sublinear but unbounded), so
+    // above the gate both folds recompute from lineage instead of
+    // pinning it executor-local (§5)
+    val wc = graft.operators.Spread.reuse(spark, docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(T.tokens(coalesce(col("text"), lit("")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // head cut + total both fold from it
+      .groupBy(col("w")).agg(count(lit(1)).as("c")),
+      s"$dir/documents.parquet")
     val total = wc.agg(sum(col("c")).as("total_occurrences"))
     val head = wc.orderBy(col("c").desc, col("w")).limit(cuts.max)
     val w0 = Window.orderBy(col("c").desc, col("w"))

@@ -415,7 +415,7 @@ object Pipeline {
     * (n_false_pos = bloom hits the exact join rejects).
     */
   def p9BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
+    val shRaw = docs(spark, dir)
       // spread FIRST, tokenize after: the single-row-group fixture scans
       // on one task, so tokenizing before the exchange serialized the
       // whole corpus tokenize on one core (measured: the 1-task scan
@@ -428,12 +428,15 @@ object Pipeline {
       .select(col("doc_id"), explode_outer(col("shs")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("hex"))
       .distinct()
-      // lazy local checkpoint: sh has THREE consumers (bloom build,
-      // benchmark hex set, corpus probe) whose divergent column pruning
-      // defeats AQE's exchange-stage reuse — the tokenize+shingle+md5
-      // map stage ran once per consumer (measured: two ~7.5 run-s map
-      // stages at sf0.1; d9Pred's rationale)
-      .localCheckpoint(false)
+    // size-gated reuse point: sh has THREE consumers (bloom build,
+    // benchmark hex set, corpus probe) whose divergent column pruning
+    // defeats AQE's exchange-stage reuse — the tokenize+shingle+md5
+    // map stage ran once per consumer (measured: two ~7.5 run-s map
+    // stages at sf0.1; d9Pred's rationale). Above the gate the shingle
+    // set recomputes per consumer from fault-tolerant lineage instead
+    // of pinning corpus-scale blocks executor-local (§5).
+    val sh = graft.operators.Spread.reuse(spark, shRaw,
+      s"$dir/documents.parquet")
     // lane j's slot id = j * 2^16 + the j-th 16-bit slice of the md5
     // hex. The four slices are parsed as TWO u32 halves (hex chars 1-8
     // and 9-16) and split with shifts — bit-identical to the previous
@@ -769,8 +772,9 @@ object Pipeline {
       val tok = explodedTokens(spark, dir)
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      tf.join(dl, Seq("doc_id"))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("term")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
+      graft.operators.Bucketing.alignedBucketed(
+          tf.join(dl, Seq("doc_id")),
+          Seq("term"), Seq("term"))
         .saveAsTable(table)
     }
     val stats = graft.operators.PersistedIndex.ensure(
@@ -814,12 +818,13 @@ object Pipeline {
       spark, "graft_bm25_contrib", dir,
       sources = Seq(s"$dir/documents.parquet"), params = "contrib") { table =>
       val dft = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      idx.join(dft, Seq("term"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"), col("doc_id").as("cid"),
-          (bm25Idf * bm25TfNorm)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("term")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "term").sortBy("term")
+      graft.operators.Bucketing.alignedBucketed(
+          idx.join(dft, Seq("term"))
+            .crossJoin(broadcast(stats))
+            .select(col("term"), col("doc_id").as("cid"),
+              (bm25Idf * bm25TfNorm)
+                .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib")),
+          Seq("term"), Seq("term"))
         .saveAsTable(table)
     }
   }
@@ -1471,32 +1476,63 @@ object Pipeline {
     *
     * Scale shape: a GLOBAL rank with no global window — r14's two-level
     * discipline applied to ordering. Per-doc scores fold to a
-    * |distinct scores| group table; the exclusive prefix over that
-    * table is the only single-partition pass (bounded by score
-    * granularity — mean-length ppm has at most ~1e6 distinct values,
-    * and in practice far fewer — never by corpus size); each doc then
-    * gets rank = group offset (broadcast back) + row_number INSIDE its
-    * score group (a window partitioned by score, parallel across
-    * groups; ties are doc_id-broken and tie groups are tiny because the
-    * score is near-continuous). Batch assignment and the per-batch
-    * rollup are plain hash aggs. A naive `row_number() OVER (ORDER BY
-    * score)` funnels the entire corpus through ONE partition — the
-    * exact anti-pattern this shape exists to avoid.
+    * |distinct scores| group table; the exclusive prefix over that table
+    * is computed in TWO levels (r15): scores quantize into at most
+    * [[CurriculumPrefixBuckets]] equal-width range buckets off the
+    * score min/max (a 1-row broadcast), the within-bucket prefix is a
+    * window PARTITIONED by bucket (parallel across buckets), and the
+    * only single-partition pass left is the prefix over the <= 4096
+    * bucket totals — a PROVABLE cap, independent of corpus size and of
+    * score granularity (the previous single-level prefix ran over all
+    * distinct scores, whose cardinality grows with the corpus). Each
+    * doc then gets rank = bucket base + within-bucket offset (broadcast
+    * back) + row_number INSIDE its score group (a window partitioned by
+    * score, parallel across groups; ties are doc_id-broken and tie
+    * groups are tiny because the score is near-continuous). Batch
+    * assignment and the per-batch rollup are plain hash aggs. A naive
+    * `row_number() OVER (ORDER BY score)` funnels the entire corpus
+    * through ONE partition — the exact anti-pattern this shape exists
+    * to avoid.
     */
+  /** Cap on p22's single-partition prefix frame: the bucket-total table
+    * the global running sum runs over never exceeds this many rows. */
+  private val CurriculumPrefixBuckets = 4096L
+
   def p22CurriculumBatches(spark: SparkSession, dir: String): DataFrame = {
     val batchSize = 32L
-    val s = Tables.load(spark, dir, "documents")
+    val sRaw = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), T.tokens(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"),
         expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))" +
           " * 1000000L DIV size(w)").as("score"))
-      // barrier: the score frame feeds the group fold AND the rank join
-      .localCheckpoint(false)
-    val offsets = s.groupBy(col("score")).agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(
-        Window.orderBy(col("score"))
+    // barrier: the score frame feeds the group fold AND the rank join;
+    // size-gated — the per-doc score frame is corpus-sized, so above
+    // the gate both consumers recompute from lineage instead of
+    // pinning it executor-local (§5)
+    val s = graft.operators.Spread.reuse(spark, sRaw,
+      s"$dir/documents.parquet")
+    val grouped = s.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    // equal-width quantization over the observed score range: monotone
+    // in score (bucket boundaries are range cuts), so bucket-base +
+    // within-bucket prefix == the flat prefix, provably
+    val bounds = grouped.agg(min(col("score")).as("lo"),
+      (max(col("score")) - min(col("score")) + 1).as("span"))
+    val bucketed = grouped.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        expr(s"(score - lo) * $CurriculumPrefixBuckets DIV span"))
+    val inBucket = bucketed
+      .withColumn("ioff", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("score"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("score"), col("off"))
+    val bases = inBucket.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      // the ONE single-partition frame left: <= CurriculumPrefixBuckets
+      // rows by construction, at any corpus size
+      .withColumn("base", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("base"))
+    val offsets = inBucket.join(broadcast(bases), "bkt")
+      .select(col("score"), (col("base") + col("ioff")).as("off"))
     s.join(broadcast(offsets), "score")
       .withColumn("rank", col("off") +
         row_number().over(

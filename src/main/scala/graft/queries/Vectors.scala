@@ -1367,9 +1367,10 @@ object Vectors {
       sources = Seq(s"$dir/embeddings.parquet"),
       params = "semdedup cos=0.95") { table =>
       val store = graft.operators.ConnectedComponents.freshTableRounds(spark, "cc_v14")
-      graft.operators.ConnectedComponents.run(
-          all.select(col("vec_id").as("id")), edges, store = store)
-        .repartition(graft.operators.Bucketing.indexBuckets(spark), col("id")).write.format("parquet").bucketBy(graft.operators.Bucketing.indexBuckets(spark), "id").sortBy("id")
+      graft.operators.Bucketing.alignedBucketed(
+          graft.operators.ConnectedComponents.run(
+            all.select(col("vec_id").as("id")), edges, store = store),
+          Seq("id"), Seq("id"))
         .saveAsTable(table)
       store.reset()
     }

@@ -352,4 +352,36 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
           "completion marker must have been lost")
     } finally graft.operators.PersistedIndex.dropAll(spark, base)
   }
+
+  test("Spread.reuse above the gate keeps recomputable lineage; below it checkpoints") {
+    val dir = "/root/testdata/sf0.001"
+    val path = s"$dir/documents.parquet"
+    // ABOVE the gate (force it closed): the helper must return the frame
+    // UNCHANGED — full lineage, so a first-attempt task loss in the
+    // upstream recomputes and the query survives (the very property a
+    // corpus-scale localCheckpoint would forfeit: its blocks are
+    // executor-local with truncated lineage)
+    spark.conf.set("graft.reuse.maxSourceBytes", "0")
+    try {
+      val above = graft.operators.Spread.reuse(spark,
+        fused(spark.range(500).select(col("id").as("src"), (col("id") * 3).as("dst"))),
+        path)
+      assert(above.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }.isEmpty, "above the gate the plan must keep the original lineage")
+      ChaosFuse.arm(2)
+      assert(above.count() === 500,
+        "above-gate frame must survive task loss by lineage recompute")
+      assert(ChaosFuse.fired.get() >= 1, "the fuse never detonated")
+    } finally spark.conf.unset("graft.reuse.maxSourceBytes")
+    // BELOW the gate (default 1 GiB >> the fixture): a lazy
+    // localCheckpoint — the returned plan roots at an RDD scan
+    val below = graft.operators.Spread.reuse(spark,
+      spark.range(500).select(col("id").as("src"), (col("id") * 3).as("dst")),
+      path)
+    assert(below.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty, "below the gate the frame must be locally checkpointed")
+    assert(below.count() === 500)
+  }
 }

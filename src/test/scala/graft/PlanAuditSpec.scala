@@ -625,7 +625,12 @@ class PlanAuditSpec extends SparkSpec {
       // repartition, profile agg+window, score agg, argmax window, label
       // join) + the |sources|-row rollup/sort riding the doc frame
       "d38_source_label_noise" -> 7, "m1_media_metadata" -> 3,
-      "m2_decode_features" -> 2, "m3_frame_sample" -> 2,
+      "m2_decode_features" -> 2,
+      // m3: 2 assumes the sub-threshold scanSpread path fired (source
+      // bytes < cores x openCostInBytes at this spec's local[4] = 16
+      // MiB) — the spread replaces the groupBy exchange; fixture growth
+      // past the gate flips the plan back to 3 (ADVICE r14)
+      "m3_frame_sample" -> 2,
       // m6: synthesis + decode are mapPartitions projections; one
       // sample_rate hash agg + output sort
       "m6_audio_features" -> 2,
