@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Default `sbt test` excludes @graft.tags.Soak suites (streaming/chaos/
+// scale soaks, ~40% of suite wall time) so the driver's bounded test
+// budget finishes and real failures stay visible (VERDICT r14 #2).
+// GRAFT_FULL_TESTS=1 runs everything — the bar for operator changes.
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.tags.Soak")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,6 +33,23 @@ object Tables {
   private val tsTypes = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.DataType]()
 
+  /** Inferred file schemas per path, memoized for the JVM lifetime
+    * (r15): `spark.read.parquet(path)` with NO schema runs a 1-task
+    * footer-inference JOB on every call, and the catalog constructs
+    * thousands of loads per Verify/Bench sweep — JobProfile showed the
+    * verbatim-SQL queries spending ~0.7 s per construction on ten such
+    * jobs inside registerAll alone. With the memoized schema passed
+    * explicitly, the reader plans with zero jobs. Staleness contract is
+    * tsTypes' (an in-place fixture regeneration mid-JVM keeps the old
+    * schema; FixtureCanarySpec runs in a fresh JVM and catches it).
+    */
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def memoSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemas.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       val path = s"$dir/$name.parquet"
@@ -52,7 +69,7 @@ object Tables {
       // says this fixture needs it.
       if (tsType == LongType)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(path)
+      val df = spark.read.schema(memoSchema(spark, path)).parquet(path)
       tsType match {
         case TimestampType    => df
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
@@ -60,7 +77,10 @@ object Tables {
         case other => throw new IllegalStateException(
           s"events.ts has unsupported fixture type $other at $path")
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val path = s"$dir/$name.parquet"
+      spark.read.schema(memoSchema(spark, path)).parquet(path)
+    }
 
   /** [[load]] + [[graft.operators.Spread.scanSpread]]: the fact-table
     * load for queries whose scan-side compute must land on every core —
@@ -81,6 +101,18 @@ object Tables {
     * single consumer's scan-side compute dominates, which is a per-query
     * call, not a view property (OPTIMIZATION_r14.md).
     */
+  /** One registration per (session, dir): the views are pure functions
+    * of the dir, every verbatim-SQL query calls this on construction,
+    * and re-registering replans ten loads each time (r15). A dir CHANGE
+    * on the same session re-registers (the bench warms at sf0.001 and
+    * times at sf0.1). Sessions are weakly held.
+    */
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.get(spark) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 }

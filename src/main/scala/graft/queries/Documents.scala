@@ -1431,8 +1431,16 @@ object Documents {
     val isShard = pmod(col("doc_id"), lit(D20ShardMod)) === 0
     val idx = incKgramIndex(spark, dir)
     val base = idx.filter(!isShard)
-    val oldDup = dupHashes(base)
-    val allDup = dupHashes(idx)
+    // size-gated reuse points (r15): each dup-hash set has multiple
+    // consumers below (newlyDup anti-join, kept/recomputed semi-joins),
+    // and every consumer replanned the whole distinct+count chain over
+    // the index — the before-plan scanned the kgram table 24 times.
+    // Above the gate the chains recompute from fault-tolerant lineage
+    // (the dup-hash set grows with the corpus, §5).
+    val oldDup = graft.operators.Spread.reuse(spark,
+      dupHashes(base), s"$dir/documents.parquet")
+    val allDup = graft.operators.Spread.reuse(spark,
+      dupHashes(idx), s"$dir/documents.parquet")
     val newlyDup = allDup.join(oldDup, Seq("h"), "left_anti")
     // affected is SHARD-ADJACENT-sized at ANY corpus size — a newly-dup
     // hash has exactly one base occurrence (else it was already dup), so

@@ -51,6 +51,7 @@ object ChaosFuse {
   * again at the end — suites execute sequentially in the forked test
   * JVM, so the next suite's getOrCreate lazily rebuilds the default.
   */
+@graft.tags.Soak
 class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {

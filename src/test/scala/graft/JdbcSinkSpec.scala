@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   * redelivery lands as duplicate ROWS that the versioned read view
   * (V1's latest-wins) collapses — asserted here end to end.
   */
+@graft.tags.Soak
 class JdbcSinkSpec extends SparkSpec {
 
   private def tmp(prefix: String): Path = {

@@ -13,6 +13,7 @@ import org.apache.hadoop.fs.Path
   * without a fresh heartbeat is still reclaimed, and stale heartbeat
   * files age out like any other orphan.
   */
+@graft.tags.Soak
 class LivenessSweepSpec extends SparkSpec {
 
   private def warehouse: Path =

@@ -17,6 +17,7 @@ import org.apache.hadoop.fs.Path
   * COMPLETE generation readable for in-flight consumers and reclaims
   * anything older — ADVICE r11).
   */
+@graft.tags.Soak
 class PersistedIndexConcurrencySpec extends SparkSpec {
 
   private def warehouse: Path =

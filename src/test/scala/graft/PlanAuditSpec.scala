@@ -84,6 +84,9 @@ class PlanAuditSpec extends SparkSpec {
       //  - p14: the one-row min-count broadcast next to the rate table
       //    (d22's scalar shape, once per epoch row)
       "p14_anneal_mix",
+      //  - p22: the one-row score min/max broadcast that quantizes the
+      //    two-level prefix's range buckets (r15; d22's scalar shape)
+      "p22_curriculum_batches",
       // (d31/p19 no longer appear here: their one-row vocabulary
       // broadcast lives in lmScored's persist-once BUILD; the audited
       // query plans are reads of the persisted table)
@@ -422,11 +425,14 @@ class PlanAuditSpec extends SparkSpec {
       // reuse); the rollup agg + 2-row share window are the other two
       "w23_decay_attribution" -> 3,
       // p22: the score projection folds behind the checkpoint; in-plan
-      // cost is the |scores| group agg, its bounded single-partition
-      // prefix window, the score-partitioned rank window (parallel
-      // across groups; the offsets side broadcasts), the batch agg, and
-      // the output sort — the corpus itself never crosses one partition
-      "p22_curriculum_batches" -> 5,
+      // cost is the |scores| group agg and the r15 two-level prefix —
+      // bucket-partitioned in-bucket window, <= 4096-row bucket-base
+      // window (the ONLY single-partition frame, provably capped), their
+      // small aggs/joins — plus the score-partitioned rank window, the
+      // batch agg, and the output sort; every added exchange moves a
+      // |scores|-bounded frame, never the corpus, and the corpus itself
+      // never crosses one partition
+      "p22_curriculum_batches" -> 10,
       // w24: the (user, day) grid distinct folds behind the checkpoint;
       // in-plan cost is the two weekly folds (daily rollup + wau
       // distinct), their |weeks|-row join, and the output sort

@@ -32,6 +32,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * INTENTIONAL plan/fixture change: rerun this suite and copy the
   * measured values from the assertion messages.
   */
+@graft.tags.Soak
 class ScalingSpec extends SparkSpec {
 
   /** Max over stages of shuffle records written by `run`'s jobs — the

@@ -6,6 +6,7 @@ import java.nio.file.Files
 /** Snapshot atomic-swap semantics (reference K3, minus its
   * drop-then-rename visibility gap).
   */
+@graft.tags.Soak
 class SnapshotStoreSpec extends SparkSpec {
   import spark.implicits._
 

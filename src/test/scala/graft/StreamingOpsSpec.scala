@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 /** Streaming dedup and stream-stream interval join (SURVEY §2.10): state
   * stays bounded by the watermark, results match the batch semantics.
   */
+@graft.tags.Soak
 class StreamingOpsSpec extends SparkSpec
     with org.scalatest.BeforeAndAfterAll {
 
