@@ -441,6 +441,14 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** True iff no node carries two parent edges — the star-shape witness
+    * the labeling join requires (an oriented star has exactly one
+    * (node, root) edge per non-root node). */
+  private def starViolationFree(e: DataFrame): Boolean =
+    e.groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty
+
   /** One fused fixpoint round: small-star of the large-star multiset.
     * Three exchanges total (two window MINs + the terminal distinct)
     * where the unfused groupBy+join form paid six — measured at sf0.1
@@ -473,6 +481,7 @@ object ConnectedComponents {
         .where(col("src") =!= col("dst"))
         .distinct(), 0)
     var converged = count == 0L
+    var starOk: Option[Boolean] = None
     var iter = 0
     while (!converged && iter < maxIters) {
       val (next, nextCount, nextSig) = store.putCounted(starRound(e), iter + 1)
@@ -481,7 +490,19 @@ object ConnectedComponents {
       // NEGATIVE certificate only — convergence is still decided by the
       // deterministic EXCEPT; the xor merely skips it when the round
       // provably changed (e.g. chain graphs rewire at constant count)
-      converged = nextCount == count && nextSig == sig && next.except(e).isEmpty
+      if (nextCount == count && nextSig == sig) {
+        // probable fixpoint: the EXCEPT confirms convergence and the
+        // star-shape check must pass before labeling — two independent
+        // actions over materialized rounds, overlapped (guide §2.6;
+        // Spark schedules concurrent jobs FIFO and the second back-fills
+        // the first's tail). On the rare xor collision that is NOT the
+        // fixpoint, one speculative star-check job is wasted.
+        implicit val ec = scala.concurrent.ExecutionContext.global
+        val starF = scala.concurrent.Future(starViolationFree(next))
+        converged = next.except(e).isEmpty
+        starOk = Some(scala.concurrent.Await.result(
+          starF, scala.concurrent.duration.Duration.Inf))
+      }
       e = next
       count = nextCount
       sig = nextSig
@@ -497,10 +518,10 @@ object ConnectedComponents {
     // the labeling below assumes a STAR fixpoint (each non-root node has
     // exactly one parent edge); a non-star fixpoint would silently emit
     // duplicate label rows — make that contract violation fail loudly.
-    // One extra agg job over the final, already-materialized edge set.
-    require(e.groupBy(col("src"))
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-        .filter(col("n") > 1).isEmpty,
+    // Usually already computed, overlapped with the convergence EXCEPT
+    // (same data pre/post seal); the fallback covers the empty-graph
+    // path where the loop never ran.
+    require(starOk.getOrElse(starViolationFree(e)),
       "converged edge set is not a star (a node has multiple parents) — " +
         "labeling would duplicate rows; this indicates a star-round bug")
     // fixpoint is a star per component: every non-root node has exactly

@@ -1520,10 +1520,17 @@ object Pipeline {
     val bucketed = grouped.crossJoin(broadcast(bounds))
       .withColumn("bkt",
         expr(s"(score - lo) * $CurriculumPrefixBuckets DIV span"))
-    val inBucket = bucketed
+    // reuse point: inBucket feeds BOTH the bucket-base fold and the
+    // offsets join — without it each consumer replans the group agg,
+    // the min/max scalar, and the in-bucket window (the whole two-level
+    // ladder ran twice; measured in the r15 plan dump). Size-gated like
+    // every corpus-derived checkpoint (the frame is |distinct scores|-
+    // sized — tiny in practice, unbounded in principle).
+    val inBucket = graft.operators.Spread.reuse(spark, bucketed
       .withColumn("ioff", coalesce(sum(col("c")).over(
         Window.partitionBy(col("bkt")).orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))),
+      s"$dir/documents.parquet")
     val bases = inBucket.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
       // the ONE single-partition frame left: <= CurriculumPrefixBuckets
       // rows by construction, at any corpus size

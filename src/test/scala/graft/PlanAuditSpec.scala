@@ -424,15 +424,16 @@ class PlanAuditSpec extends SparkSpec {
       // (user, seg) rank/sum/max windows (clustered-distribution
       // reuse); the rollup agg + 2-row share window are the other two
       "w23_decay_attribution" -> 3,
-      // p22: the score projection folds behind the checkpoint; in-plan
-      // cost is the |scores| group agg and the r15 two-level prefix —
-      // bucket-partitioned in-bucket window, <= 4096-row bucket-base
-      // window (the ONLY single-partition frame, provably capped), their
-      // small aggs/joins — plus the score-partitioned rank window, the
-      // batch agg, and the output sort; every added exchange moves a
-      // |scores|-bounded frame, never the corpus, and the corpus itself
-      // never crosses one partition
-      "p22_curriculum_batches" -> 10,
+      // p22: the score projection folds behind the checkpoint, and the
+      // r15 two-level prefix ladder (group agg + min/max scalar +
+      // bucket-partitioned in-bucket window) folds behind its own
+      // gated reuse point; in-plan cost is that ladder once, the
+      // <= 4096-row bucket-base window (the ONLY single-partition
+      // frame, provably capped), the score-partitioned rank window,
+      // the batch agg, and the output sort — every exchange moves a
+      // |scores|-bounded frame, never the corpus, and the corpus
+      // itself never crosses one partition
+      "p22_curriculum_batches" -> 5,
       // w24: the (user, day) grid distinct folds behind the checkpoint;
       // in-plan cost is the two weekly folds (daily rollup + wau
       // distinct), their |weeks|-row join, and the output sort
