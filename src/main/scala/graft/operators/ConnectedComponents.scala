@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *    (src > dst) between rounds so only large-star pays the
   *    symmetrization (an explode, so each round table is scanned once);
   *    the round's two stars and terminal distinct are three exchanges
-  *    total (r15 — the groupBy+join-back form paid six, including a
-  *    second full exchange of the edge set into each join);
+  *    total (r15 — the groupBy+join-back form paid seven, including a
+  *    second full exchange of the edge set into each join; measured
+  *    plan pair committed at plans/r15/cc_star_round_{before,after}
+  *    .txt);
   *  - every round's edge set is re-materialized through a [[RoundStore]],
   *    truncating the lineage so the plan does not grow with iteration
   *    count (the classic iterative-Spark failure mode); the round's row
@@ -453,10 +455,19 @@ object ConnectedComponents {
     * Three exchanges total (two window MINs + the terminal distinct)
     * where the unfused groupBy+join form paid six — measured at sf0.1
     * as the difference between ~7 and ~4 AQE stage jobs per round, and
-    * at scale two fewer full exchanges of the edge set per round.
+    * at scale two fewer full exchanges of the edge set per round
+    * (committed plan pair: 7 exchanges before, 3 after —
+    * plans/r15/cc_star_round_{before,after}.txt).
     */
   private def starRound(e: DataFrame): DataFrame =
     smallStar(largeStarMulti(e))
+
+  /** [[starRound]] exposed for the committed plan-evidence dump only
+    * (CcRoundPlanDump, test scope) — the fixpoint's per-round plan is
+    * otherwise invisible to the catalog plan dumps (rounds execute at
+    * construction time). */
+  private[graft] def starRoundForPlanDump(e: DataFrame): DataFrame =
+    starRound(e)
 
   /** @param nodes one column `id` (numeric); @param edges columns
     * `src`/`dst` in either orientation, duplicates and self-loops allowed.
