@@ -62,6 +62,14 @@ object ScratchProbe {
     }
     timedRun("scr_1")
     timedRun("scr_2")
+    // A/B: is the per-round write cost AQE stage-job overhead? (If so,
+    // disabling AQE for round writes would fuse the 3 exchanges into
+    // one job — at the price of losing reducer coalescing: 32 output
+    // files per MB-sized round instead of 1.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timedRun("scr_noaqe_1")
+    timedRun("scr_noaqe_2")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
